@@ -1,0 +1,69 @@
+"""Fixture-table catalog: parquet loaders for the driver test tables.
+
+Tables (TESTDATA.md): TPC-H-ish star schema ``region nation customer
+supplier part orders lineitem`` plus ``events`` (stream surrogate),
+``documents`` (text ops) and ``embeddings`` (similarity ops).
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown / column pruning; callers select/filter on the returned
+DataFrame and the scan narrows automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: region is 5 rows and nation 25 at every SF (TPC-H constants).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw int64 nanos (legacy conf) and
+    convert with integer division to microseconds — matching how DuckDB
+    (the oracle) truncates ns→µs.  Plain ``/1000`` would go through
+    DOUBLE and lose µs precision on 19-digit epoch-nanos, so ``div``.
+    This is the engine-wide fix for the reference's timestamp-unit quirk
+    (raw i64 bound to a timestamp column, main.rs:163; SURVEY.md §1.4).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The caller may hand us a vanilla SparkSession (the driver harness
+    # does); pin the runtime confs correctness depends on. UTC keeps
+    # to_date/date_trunc in lockstep with the DuckDB oracle's naive
+    # timestamps regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

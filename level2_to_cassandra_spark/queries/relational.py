@@ -1,0 +1,323 @@
+"""Batch relational core (SURVEY.md §2 B1/B2/B4/B6/B7).
+
+Projection/filter/predicates, grouped & conditional aggregation,
+distinct, rollup, dedup, sort/limit/top-k, set ops.  All pure DataFrame
+built-ins — Catalyst handles pushdown, pruning, partial aggregation and
+TakeOrderedAndProject; no Python executes per-row anywhere here.
+
+Scale notes (100 TB): every groupBy below is a map-side-partial hash
+aggregate before its single shuffle; sorts that feed a LIMIT become
+TakeOrderedAndProject (no global sort); top-k-per-group shuffles once on
+the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.registry import register
+
+_SCALE = 4
+
+
+@register(
+    "q_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+               AS charged
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_quantity > 10
+    """,
+)
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → computed projection; the filter and the 7-column
+    read schema reach the parquet scan (PushedFilters in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), _SCALE)
+            .alias("net_price"),
+            # scale 6: the 3-factor product carries exactly ≤6 decimals,
+            # so rounding at 6 is decimal-tie-free across engines.
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
+            ).alias("charged"),
+        )
+    )
+
+
+@register(
+    "q_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+      AND (o_totalprice < 150000 OR o_orderstatus = 'F')
+    """,
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / LIKE / IS NULL / boolean-combination predicates
+    (the reference's demux, main.rs:75-167, generalized to rich filters)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_totalprice") < 150000) | (F.col("o_orderstatus") == "F"))
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(30,4))) AS DOUBLE)
+               AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                  AS avg_price,
+           ROUND(MIN(l_extendedprice), 4)                  AS min_price,
+           ROUND(MAX(l_extendedprice), 4)                  AS max_price,
+           COUNT(*)                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (sum/avg/min/max/count);
+    Spark's hash aggregate computes map-side partials automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        # Money sums run in exact DECIMAL then cast to double: float sums
+        # are summation-order-dependent (Spark and DuckDB differ), decimal
+        # sums are exact on both — bit-identical results at any SF.
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), _SCALE
+                ).cast("decimal(30,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), _SCALE).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), _SCALE).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), _SCALE).alias("min_price"),
+            F.round(F.max("l_extendedprice"), _SCALE).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+               AS buy_total,
+           ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4)
+               AS sell_total,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                          WHEN event_type = 'view' THEN -value
+                          ELSE 0 END), 4) AS delta,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS n_sell
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (pivot-style) aggregation — the final values of the
+    reference's cumbuy/cumsell/cumdelta state (main.rs:124-130)."""
+    ev = load_table(spark, sf_dir, "events")
+    buy = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+    sell = F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "view", -F.col("value"))
+        .otherwise(0.0)
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(buy), _SCALE).alias("buy_total"),
+        F.round(F.sum(sell), _SCALE).alias("sell_total"),
+        F.round(F.sum(delta), _SCALE).alias("delta"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias("n_buy"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias("n_sell"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-distinct next to a plain count (Spark expands to a
+    two-phase distinct aggregate; no extra code needed)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_dedup_lww",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+        SELECT event_id, user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic last-write-wins dedup — the batch semantic of the
+    reference's Cassandra upsert key (PRIMARY KEY (symbol,time,price),
+    main.rs:87,145): keep the newest row per key."""
+    from level2_to_cassandra_spark.operators.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, keys=["user_id", "event_type"], order=[F.desc("ts"), F.desc("event_id")]
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — Catalyst plans TakeOrderedAndProject (per-partition
+    heap + merge at the driver side of the exchange), NOT a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(100)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the 'top book levels per
+    symbol' query shape the reference's storage layout serves."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         urgent AS (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union'     AS op, o_custkey FROM (SELECT * FROM big UNION SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'except'    AS op, o_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union(distinct) / intersect / except over two order subsets,
+    tagged and unioned so one query exercises all three."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    tagged = [
+        big.union(urgent).distinct().select(F.lit("union").alias("op"), "o_custkey"),
+        big.intersect(urgent).select(F.lit("intersect").alias("op"), "o_custkey"),
+        # subtract == EXCEPT (set semantics), matching the SQL oracle
+        big.subtract(urgent).select(F.lit("except").alias("op"), "o_custkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

@@ -1,0 +1,174 @@
+"""Window-function queries (SURVEY.md §2 B5).
+
+The flagship, ``q_window_cumulative``, is the deterministic batch form
+of the reference's single stateful computation: per-symbol cumulative
+buy/sell volume with a daily reset (reference main.rs:109-130 — state
+``HashMap<symbol,(cumbuy,cumsell)>`` updated per tick, zeroed on date
+rollover).  Mapping onto the ``events`` fixture per FIXTURES.md:
+``user_id ≈ symbol``, ``event_type='purchase' ≈ "B"``, ``'view' ≈ "S"``,
+``value ≈ volume``, ``to_date(ts) ≈ epoch_day(time)``.
+
+The daily reset is expressed by folding the day into the window
+PARTITION BY key — the deterministic semantics the reference *intends*
+(its actual global-last-date reset is arrival-order-dependent; SURVEY.md
+§1.4 quirk 2).  At 100 TB this plan is a single hash-partition shuffle
+on (user_id, day) followed by an in-partition sort — no global sort, no
+driver collection, and the per-(key,day) groups are naturally bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.registry import register
+
+# Rounding scale for double running sums: both engines round identically
+# so summation-order jitter cannot flip the driver's value hash.
+_SCALE = 4
+
+
+@register(
+    "q_window_cumulative",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        CAST(ts AS DATE)              AS day,
+        event_type,
+        value,
+        ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+              OVER w, 4)              AS cumbuy,
+        ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END)
+              OVER w, 4)              AS cumsell,
+        ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                       WHEN event_type = 'view' THEN -value
+                       ELSE 0 END)
+              OVER w, 4)              AS cumdelta
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id, CAST(ts AS DATE)
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key, per-day conditional running sums — the reference's core
+    stateful computation (main.rs:122-130) as a deterministic window."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buy = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+    sell = F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0))
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "view", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        day,
+        "event_type",
+        "value",
+        F.round(F.sum(buy).over(w), _SCALE).alias("cumbuy"),
+        F.round(F.sum(sell).over(w), _SCALE).alias("cumsell"),
+        F.round(F.sum(delta).over(w), _SCALE).alias("cumdelta"),
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per customer by price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w                    AS prev_value,
+           LEAD(value) OVER w                    AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, value), 4)
+                                                 AS delta_prev,
+           FIRST_VALUE(value) OVER w             AS first_value_day
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first — tick-to-tick delta analog (SURVEY.md B5)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")),
+            _SCALE,
+        ).alias("delta_prev"),
+        F.first("value").over(w).alias("first_value_day"),
+    )
+
+
+@register(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS centered_sum5
+    FROM events
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame moving average / centered sum per key."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), _SCALE).alias("ma5"),
+        F.round(F.sum("value").over(w.rowsBetween(-2, 2)), _SCALE).alias(
+            "centered_sum5"
+        ),
+    )
