@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join — THE level-2 market-data join.
+
+"Latest tick at-or-before t per symbol" is what the reference's
+Cassandra layout (partition by symbol, cluster by time DESC,
+main.rs:87-88) exists to answer with a 1-row slice; PySpark's
+DataFrame API has no native ASOF join, so this implements it as the
+union-merge pattern:
+
+    tag left/right → union on (key, time) → one hash partition per key
+    → in-partition sort → last(right_payload, ignorenulls) running fill
+    → keep left rows
+
+Cost: ONE shuffle on the key columns (both inputs), one sort — the same
+shape as a sort-merge join, with no row explosion (contrast a naive
+range join + groupBy-max which shuffles twice and explodes candidate
+pairs).  At 100 TB this is the only as-of formulation that stays
+linear; skewed keys are handled by AQE skew splitting since the window
+is per-key.
+
+Ties: right rows at time == left time DO match (backward inclusive,
+DuckDB/pandas ``merge_asof`` semantics).  For full determinism when the
+right side has duplicate timestamps per key, dedup it first
+(``operators.dedup.latest_by_key``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "r_",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of left join.
+
+    For each left row, attach the right row with the greatest ``on``
+    value ≤ (or < if ``strict``) the left's, within the same ``by``
+    group.  Right columns come back as ``{prefix}{col}`` (the right
+    ``on`` column is included automatically); all-NULL when no match.
+    """
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by]
+    if on not in right_cols:
+        right_cols = list(right_cols) + [on]
+
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    # Right rows sort before left rows at equal time so "<=" matches;
+    # strict mode sorts them after instead, giving "<".
+    side_order = F.asc("__side") if not strict else F.desc("__side")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("__t"), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return filled.select(*out_cols)

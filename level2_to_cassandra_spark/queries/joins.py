@@ -1,1 +1,311 @@
-"""Join queries (SURVEY.md §2 B3) — filled in M2."""
+"""Join queries (SURVEY.md §2 B3).
+
+The reference has no joins — its storage layout (per-symbol partitions)
+IS its join strategy.  This module supplies the join surface an engine
+over those tables needs: inner/outer/semi/anti/broadcast equi-joins, a
+non-equi range join, a multiway star join, and the as-of join (the
+canonical level-2 query: latest observation at-or-before t per key),
+implemented scalably in ``operators/asof.py``.
+
+Scale notes: dimension sides (region/nation, inline band tables) are
+explicitly ``broadcast()`` — zero shuffle for the fact side; the as-of
+join is a single hash exchange on the key (see asof.py); everything
+else is Catalyst-chosen sort-merge/hash with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.operators.asof import asof_join
+from level2_to_cassandra_spark.operators.dedup import latest_by_key
+from level2_to_cassandra_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 50000
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer; Catalyst picks the physical
+    strategy (sort-merge here, broadcast once AQE sees a small side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .where(F.col("o_totalprice") > 50000)
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON
+    clause, NOT the WHERE — the classic outer-join semantics trap)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims: nation (25 rows) and
+    region (5 rows) are size-invariant in TPC-H, so broadcasting is
+    correct at ANY scale factor — the fact table never shuffles for
+    the join, only for the final aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = broadcast(load_table(spark, sf_dir, "nation"))
+    r = broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — customers WITH at least one urgent order
+    (EXISTS); emits each left row at most once, no right columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with NO orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT b.tier, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS tier_total
+    FROM orders o
+    JOIN (VALUES ('T1', 0.0, 50000.0),
+                 ('T2', 50000.0, 100000.0),
+                 ('T3', 100000.0, 200000.0),
+                 ('T4', 200000.0, 400000.0),
+                 ('T5', 400000.0, 1e12)) AS b(tier, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.tier
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: orders banded into price tiers.
+    The band table is broadcast, so the 'join' is a map-side interval
+    probe — no shuffle of the fact side at any scale (a shuffled
+    non-equi join would be a cartesian disaster at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("T1", 0.0, 50_000.0),
+            ("T2", 50_000.0, 100_000.0),
+            ("T3", 100_000.0, 200_000.0),
+            ("T4", 200_000.0, 400_000.0),
+            ("T5", 400_000.0, 1e12),
+        ],
+        "tier string, lo double, hi double",
+    )
+    return (
+        o.join(
+            broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("tier_total"),
+        )
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table star join: fact⋈fact sort-merge joins on
+    keys, broadcast for the two constant-size dims, decimal-exact
+    revenue aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = broadcast(load_table(spark, sf_dir, "nation"))
+    r = broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(30,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    views AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.event_id AS v_event_id,
+           v.value    AS v_value,
+           v.ts       AS v_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest view at-or-
+    before it — the 'latest tick ≤ t' query the reference's
+    time-DESC clustering exists for.  Right side deduped per
+    (user_id, ts) for determinism; oracle is DuckDB's native ASOF."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = latest_by_key(
+        ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        keys=["user_id", "ts"],
+        order=[F.desc("event_id")],
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        prefix="v_",
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (5×5 dims) — the primitive similarity search
+    composes with pruning; never used unpruned on fact tables."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return (
+        r1.crossJoin(r2)
+        .where(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+    )
