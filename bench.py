@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced with a noop-format write: the full plan executes
+distributed (scan → shuffle → sink) with zero driver-side result
+materialization, so timings measure the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Headline set: one per operator family that dominates at scale.
+HEADLINE = [
+    "q_window_cumulative",   # flagship: per-key per-day running sums
+    "q_agg_basic",           # TPC-H Q1-shaped scan+agg
+    "q_agg_rollup",          # grouping sets
+    "q_join_multiway",       # 5-table star join
+    "q_join_asof",           # as-of union-merge join
+    "q_join_broadcast",      # broadcast star + agg
+    "q_topk_per_group",      # ranking window
+    "q_dedup_lww",           # keyed last-write-wins dedup
+    "q_scan_project_filter", # pushdown/pruning path
+    "q_sort_limit",          # TakeOrderedAndProject
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from level2_to_cassandra_spark.session import get_spark
+    from level2_to_cassandra_spark.registry import all_queries
+
+    spark = get_spark(
+        app_name="l2c-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false",
+                    "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any registered bench-tagged LLM queries present
+    for extra in ("q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_sim_topk",
+                  "q_text_tokens", "q_ohlc_bars"):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    # JVM/codegen warmup on a tiny query so q1 isn't charged for startup.
+    qs["q_sort_limit"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline-queries-total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
