@@ -1,0 +1,139 @@
+"""Pipeline wiring: the reference's three binaries as three configs.
+
+``start.sh:3-14`` dispatches APP_MODE ∈ {book, tick, full} to three
+Rust binaries; here they are three configurations of one engine
+(SURVEY.md A13).  ``build_batch_pipeline`` runs the identical
+transformations on a bounded DataFrame (used by tests as the parity
+oracle); ``build_streaming_pipeline`` starts the Structured Streaming
+queries.
+
+Env-var config surface mirrors the reference's (README.md:8-16 /
+docker-compose.yaml:6-15) where it makes sense: APP_MODE, TOPIC,
+KEYSPACE→output path; ZMQ/CURVE connection vars map to Kafka options
+(CURVE auth ≈ Kafka SSL/SASL — connection security is source config,
+not engine semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.streaming import ingest, state
+from level2_to_cassandra_spark.streaming.sink import (
+    foreach_batch_upsert,
+    upsert_dedup,
+)
+
+MODES = ("book", "tick", "full")
+
+
+@dataclass
+class PipelineConfig:
+    mode: str = "full"                 # APP_MODE (start.sh:3-14)
+    topic_filter: str | None = None    # TOPIC subscribe prefix (A1)
+    out_path: str = "/tmp/l2c_sink"    # ≈ CASSANDRA_KEYSPACE
+    checkpoint: str = "/tmp/l2c_ckpt"
+    watermark: str = "1 hour"          # late-data bound (fixes §1.4 q2/3)
+    kafka: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.mode not in MODES:
+            raise ValueError(f"APP_MODE must be one of {MODES}, got {self.mode}")
+
+
+def _apply_topic_filter(env: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    # ZMQ prefix subscription (set_subscribe, main.rs:204-206).
+    if cfg.topic_filter:
+        env = env.where(F.col("topic").startswith(cfg.topic_filter))
+    return env
+
+
+def book_rows(envelope: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    env = _apply_topic_filter(envelope, cfg)
+    book_raw, _, _ = ingest.demux(env)
+    return ingest.parse_book(book_raw)
+
+
+def tick_rows_batch(envelope: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Batch form: parse + deterministic window cumsum.  A ``seq``
+    column on the envelope (test fixtures / Kafka offset) rides along
+    as the in-day tiebreaker and the sink's LWW order."""
+    env = _apply_topic_filter(envelope, cfg)
+    _, tick_raw, _ = ingest.demux(env)
+    extra = ("seq",) if "seq" in envelope.columns else ()
+    ticks = ingest.parse_tick(tick_raw, extra_cols=extra)
+    return state.cumulative_batch(ticks, order_cols=("time",) + extra)
+
+
+def tick_rows_streaming(envelope: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Streaming form: parse + stateful per-(symbol,day) cumsum.  The
+    watermark bounds late data BEFORE the stateful op (late ticks past
+    it are dropped rather than corrupting day state — the deterministic
+    replacement for the reference's order-dependent reset)."""
+    env = _apply_topic_filter(envelope, cfg)
+    _, tick_raw, _ = ingest.demux(env)
+    extra = ("seq",) if "seq" in envelope.columns else ()
+    ticks = ingest.parse_tick(tick_raw, extra_cols=extra)
+    return state.cumulative_streaming(ticks.withWatermark("time", cfg.watermark))
+
+
+def build_batch_pipeline(envelope: DataFrame,
+                         cfg: PipelineConfig) -> dict[str, DataFrame]:
+    """Bounded-input pipeline — the parity oracle for streaming runs.
+    Returns {table_suffix: DataFrame} with upsert (LWW) applied."""
+    out: dict[str, DataFrame] = {}
+    if cfg.mode in ("book", "full"):
+        out["book"] = upsert_dedup(book_rows(envelope, cfg))
+    if cfg.mode in ("tick", "full"):
+        out["tick"] = upsert_dedup(tick_rows_batch(envelope, cfg))
+    return out
+
+
+def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
+                             trigger_available_now: bool = True) -> list:
+    """Start writeStream queries per mode; returns StreamingQuery list.
+
+    ``availableNow`` drains bounded test sources; a live deployment
+    passes False for continuous micro-batching.  Each query checkpoints
+    independently — at-least-once into an idempotent keyed sink.
+    """
+    queries = []
+
+    def _start(df: DataFrame, suffix: str):
+        writer = (
+            df.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{cfg.checkpoint}/{suffix}")
+            .foreachBatch(foreach_batch_upsert(cfg.out_path, suffix))
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    if cfg.mode in ("book", "full"):
+        queries.append(_start(book_rows(envelope, cfg), "book"))
+    if cfg.mode in ("tick", "full"):
+        queries.append(_start(tick_rows_streaming(envelope, cfg), "tick"))
+    return queries
+
+
+def kafka_envelope(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Production source: Kafka framing maps 1:1 onto the reference's
+    ZMQ multipart (topic / tag / payload, main.rs:220-222).  The tag
+    rides in the Kafka key (or a header), payload in the value.  Not
+    exercisable in CI (no broker) — covered by the file/memory sources
+    in tests, which produce the identical envelope schema."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("startingOffsets", "latest")
+    )
+    for k, v in cfg.kafka.items():
+        reader = reader.option(k, v)
+    raw = reader.load()
+    return raw.select(
+        F.col("topic").cast("string").alias("topic"),
+        F.col("key").cast("string").alias("msg_type"),
+        F.col("value").cast("string").alias("payload"),
+    )

@@ -1,0 +1,90 @@
+"""Sinks: keyed-upsert writes with the reference's table naming and
+physical layout contract.
+
+The reference upserts per row into Cassandra ``{keyspace}.{topic}_book``
+/ ``{topic}_tick`` with PRIMARY KEY (symbol, time, price), clustering
+time DESC (main.rs:80-92, 133-152) — last-write-wins on the key, data
+laid out for per-symbol newest-first scans.
+
+Here the CI-testable default sink is parquet with the same semantics:
+
+* last-write-wins dedup on the upsert key, ordered by an explicit
+  write sequence (micro-batch id + in-batch ``seq`` when the source
+  provides one, e.g. a Kafka offset) — "last" must be a real ordering,
+  not an accident of file layout;
+* ``partitionBy(topic)`` + ``repartition(symbol)`` +
+  ``sortWithinPartitions(time DESC)`` — the file-layout equivalent of
+  the Cassandra partition/clustering contract (main.rs:87-88);
+* dynamic per-topic routing falls out of partitionBy (the reference's
+  DDL-per-topic, main.rs:90,148, becomes directory-per-topic).
+
+A Cassandra connector sink (`org.apache.spark.sql.cassandra`) sits
+behind the same interface for production, selected by config; the
+connector's writes are idempotent upserts on the same key, so
+at-least-once delivery from checkpointed Structured Streaming becomes
+effectively-once end to end (strictly stronger than the reference's
+at-most-once ZMQ SUB — SURVEY.md §1.4 quirk 3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.operators.dedup import latest_by_key
+from level2_to_cassandra_spark.streaming.schemas import UPSERT_KEY
+
+#: Internal column recording write order across micro-batches.
+BATCH_COL = "__batch_id"
+
+
+def _write_order(df: DataFrame) -> list:
+    """Newest-first ordering for last-write-wins: batch id desc, then
+    the source sequence column (Kafka offset / test seq) if present."""
+    order = []
+    if BATCH_COL in df.columns:
+        order.append(F.desc(BATCH_COL))
+    if "seq" in df.columns:
+        order.append(F.desc("seq"))
+    return order or [F.desc(c) for c in UPSERT_KEY]
+
+
+def upsert_dedup(df: DataFrame, key: Sequence[str] = UPSERT_KEY) -> DataFrame:
+    """Collapse to one row per upsert key, last write wins — what
+    re-INSERTing the same (symbol,time,price) does in Cassandra."""
+    return latest_by_key(df, keys=list(key), order=_write_order(df))
+
+
+def write_upsert_parquet(df: DataFrame, path: str, table_suffix: str,
+                         batch_id: int = 0) -> None:
+    """Write one micro-batch (or batch) with the reference's layout
+    contract.  ``table_suffix`` ∈ {book, tick} mirrors the reference's
+    ``{topic}_book`` / ``{topic}_tick`` naming; parquet append with
+    in-batch key-dedup, cross-batch dedup happens at read."""
+    (
+        upsert_dedup(df.withColumn(BATCH_COL, F.lit(batch_id)))
+        .repartition("topic", "symbol")
+        .sortWithinPartitions(F.desc("time"))
+        .write.mode("append")
+        .partitionBy("topic")
+        .parquet(f"{path}/{table_suffix}")
+    )
+
+
+def foreach_batch_upsert(path: str, table_suffix: str):
+    """foreachBatch callback factory for writeStream."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_upsert_parquet(batch_df, path, table_suffix, batch_id)
+
+    return _write
+
+
+def read_sink_latest(spark, path: str, table_suffix: str) -> DataFrame:
+    """Read a sink directory back applying last-write-wins across ALL
+    appended batches — the query-side completion of upsert semantics
+    (later batches shadow earlier rows with the same key)."""
+    df = spark.read.parquet(f"{path}/{table_suffix}")
+    return upsert_dedup(df).drop(BATCH_COL)

@@ -1,0 +1,241 @@
+"""Reference-parity streaming tests (SURVEY.md §5.2.3-4).
+
+Micro-fixtures shaped exactly like the reference's wire format
+(FIXTURES.md §2): BOOK = JSON array with BOOK_TYPE_ prefixes, TICK =
+JSON object with B/S types, epoch-second times.  The batch pipeline is
+the oracle for the streaming pipeline (identical transformations by
+construction; the stateful cumsum is the part under real test).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.sources import (
+    file_envelope_batch,
+    file_envelope_stream,
+)
+from level2_to_cassandra_spark.streaming import ingest
+from level2_to_cassandra_spark.streaming.pipeline import (
+    PipelineConfig,
+    build_batch_pipeline,
+    build_streaming_pipeline,
+    tick_rows_batch,
+)
+from level2_to_cassandra_spark.streaming.sink import read_sink_latest
+
+# Epoch seconds: 2024-01-01 00:00:00 UTC and +1 day.
+DAY1 = 1704067200
+DAY2 = DAY1 + 86400
+
+
+def _tick(symbol, t, volume, ttype, price=100.0, bid=99.9, ask=100.1):
+    return json.dumps(
+        {"symbol": symbol, "bid": bid, "price": price, "ask": ask,
+         "time": t, "volume": volume, "type": ttype}
+    )
+
+
+def _book(levels):
+    return json.dumps(
+        [
+            {"symbol": s, "price": p, "time": t, "volume": v,
+             "type": f"BOOK_TYPE_{side}"}
+            for (s, p, t, v, side) in levels
+        ]
+    )
+
+
+#: (file, topic, msg_type, payload) — two files so maxFilesPerTrigger=1
+#: forces cross-micro-batch state carry-over.
+def _fixture_messages():
+    f1 = [
+        ("btcusd", "TICK", _tick("AAA", DAY1 + 0, 10, "B")),
+        ("btcusd", "TICK", _tick("AAA", DAY1 + 60, 4, "S")),
+        ("btcusd", "TICK", _tick("BBB", DAY1 + 120, 7, "B")),
+        ("btcusd", "BOOK", _book([
+            ("AAA", 100.5, DAY1, 3, "BID"),
+            ("AAA", 100.6, DAY1, 5, "ASK"),
+        ])),
+        ("ethusd", "BOOK", _book([("CCC", 42.0, DAY1, 9, "BID")])),
+        ("btcusd", "HEARTBEAT", "{}"),          # unknown tag → dropped
+        ("btcusd", "TICK", "{not json"),        # malformed → isolated
+        ("btcusd", "BOOK", "[{bad"),            # malformed → isolated
+    ]
+    f2 = [
+        ("btcusd", "TICK", _tick("AAA", DAY2 + 0, 1, "B")),   # day rollover
+        ("btcusd", "TICK", _tick("BBB", DAY2 + 60, 2, "S")),
+        ("btcusd", "TICK", _tick("AAA", DAY1 + 180, 6, "X")),  # unknown type
+        # duplicate upsert key (AAA, DAY2+120, 55.0): LWW keeps vol 21
+        ("btcusd", "TICK", _tick("AAA", DAY2 + 120, 20, "B", price=55.0)),
+        ("btcusd", "TICK", _tick("AAA", DAY2 + 120, 21, "B", price=55.0)),
+    ]
+    return f1, f2
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    import os
+    import time as _time
+
+    d = tmp_path / "wire"
+    d.mkdir()
+    seq = 0
+    now = _time.time()
+    for i, msgs in enumerate(_fixture_messages()):
+        lines = []
+        for topic, mt, payload in msgs:
+            lines.append(json.dumps(
+                {"topic": topic, "msg_type": mt, "payload": payload,
+                 "seq": seq}))
+            seq += 1
+        p = d / f"part-{i:03d}.jsonl"
+        p.write_text("\n".join(lines))
+        # FileStreamSource orders micro-batches by modification time;
+        # pin distinct mtimes so file i arrives strictly before i+1.
+        os.utime(p, (now + i * 10, now + i * 10))
+    return str(d)
+
+
+def test_book_flatten_and_prefix_strip(spark, fixture_dir):
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="book", out_path="", checkpoint="")
+    out = build_batch_pipeline(env, cfg)["book"]
+    rows = {(r.symbol, r.price): r for r in out.collect()}
+    assert len(rows) == 3  # 2 btcusd levels + 1 ethusd level
+    assert rows[("AAA", 100.5)].order_type == "BID"      # prefix stripped
+    assert rows[("AAA", 100.6)].order_type == "ASK"
+    assert rows[("CCC", 42.0)].topic == "ethusd"
+    # epoch seconds decoded as proper UTC timestamp (§1.4 quirk 1)
+    assert str(rows[("AAA", 100.5)].time) == "2024-01-01 00:00:00"
+
+
+def test_demux_drops_unknown_and_counts(spark, fixture_dir):
+    env = file_envelope_batch(spark, fixture_dir)
+    book, tick, other = ingest.demux(env)
+    assert other.count() == 1  # HEARTBEAT
+    assert other.first().msg_type == "HEARTBEAT"
+
+
+def test_malformed_payloads_isolated(spark, fixture_dir):
+    env = file_envelope_batch(spark, fixture_dir)
+    book_raw, tick_raw, _ = ingest.demux(env)
+    bad_ticks = ingest.dead_letters(tick_raw, ingest.TICK)
+    bad_books = ingest.dead_letters(book_raw, ingest.BOOK)
+    assert bad_ticks.count() == 1
+    assert bad_books.count() == 1
+    # good rows survive: 9 tick-tagged messages - 1 malformed = 8 parsed
+    assert ingest.parse_tick(tick_raw).count() == 8
+
+
+def test_daily_reset_multi_symbol_cumsum(spark, fixture_dir):
+    """Hand-computed expectations for the reference's core semantics:
+    per-symbol state, B adds to cumbuy, S to cumsell, other types
+    leave state untouched but still emit, day rollover resets."""
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="tick", out_path="", checkpoint="")
+    out = tick_rows_batch(env, cfg)
+    got = {
+        (r.symbol, str(r.day), int(r["seq"])): (r.cumbuy, r.cumsell, r.cumdelta)
+        for r in out.withColumn("day", F.to_date("time")).collect()
+    }
+    expect = {
+        ("AAA", "2024-01-01", 0): (10, 0, 10),
+        ("AAA", "2024-01-01", 1): (10, 4, 6),
+        ("BBB", "2024-01-01", 2): (7, 0, 7),
+        ("AAA", "2024-01-02", 8): (1, 0, 1),    # reset on rollover
+        ("BBB", "2024-01-02", 9): (0, 2, -2),   # independent per symbol
+        ("AAA", "2024-01-01", 10): (10, 4, 6),  # unknown type: no change
+        ("AAA", "2024-01-02", 11): (21, 0, 21),
+        ("AAA", "2024-01-02", 12): (42, 0, 42),
+    }
+    assert got == expect
+
+
+def test_arrival_order_invariance(spark, fixture_dir, tmp_path):
+    """Same messages, shuffled across files → identical batch results
+    (the determinism fix for SURVEY.md §1.4 quirk 2)."""
+    import random
+
+    env1 = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="tick", out_path="", checkpoint="")
+    ref = sorted(
+        (r.symbol, str(r.time), r["seq"], r.cumbuy, r.cumsell, r.cumdelta)
+        for r in tick_rows_batch(env1, cfg).collect()
+    )
+
+    lines = []
+    for f in sorted(__import__("pathlib").Path(fixture_dir).glob("*.jsonl")):
+        lines += f.read_text().splitlines()
+    random.Random(7).shuffle(lines)
+    d2 = tmp_path / "shuffled"
+    d2.mkdir()
+    (d2 / "part-a.jsonl").write_text("\n".join(lines[: len(lines) // 2]))
+    (d2 / "part-b.jsonl").write_text("\n".join(lines[len(lines) // 2:]))
+
+    env2 = file_envelope_batch(spark, str(d2))
+    got = sorted(
+        (r.symbol, str(r.time), r["seq"], r.cumbuy, r.cumsell, r.cumdelta)
+        for r in tick_rows_batch(env2, cfg).collect()
+    )
+    assert got == ref
+
+
+def test_stream_batch_parity_full_mode(spark, fixture_dir, tmp_path):
+    """The streaming pipeline (stateful applyInPandasWithState cumsum,
+    cross-micro-batch state, upsert sink) must produce exactly the
+    batch pipeline's tables."""
+    out_path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(mode="full", out_path=out_path, checkpoint=ckpt)
+
+    env_stream = file_envelope_stream(spark, fixture_dir,
+                                      max_files_per_trigger=1)
+    queries = build_streaming_pipeline(env_stream, cfg)
+    for q in queries:
+        q.awaitTermination(120)
+
+    env_batch = file_envelope_batch(spark, fixture_dir)
+    batch = build_batch_pipeline(env_batch, cfg)
+
+    # --- tick table: compare full rows incl. cum columns ---
+    def tick_key(r):
+        return (r.symbol, str(r.time), float(r.price))
+
+    got = {
+        tick_key(r): (r.volume, r.trade_type, r.cumbuy, r.cumsell, r.cumdelta)
+        for r in read_sink_latest(spark, out_path, "tick").collect()
+    }
+    want = {
+        tick_key(r): (r.volume, r.trade_type, r.cumbuy, r.cumsell, r.cumdelta)
+        for r in batch["tick"].collect()
+    }
+    assert got == want
+    # LWW on the duplicate key kept the later write (vol 21 → cum 42)
+    assert got[("AAA", "2024-01-02 00:02:00", 55.0)][0] == 21
+
+    # --- book table ---
+    got_b = {
+        (r.symbol, str(r.time), float(r.price)): (r.volume, r.order_type, r.topic)
+        for r in read_sink_latest(spark, out_path, "book").collect()
+    }
+    want_b = {
+        (r.symbol, str(r.time), float(r.price)): (r.volume, r.order_type, r.topic)
+        for r in batch["book"].collect()
+    }
+    assert got_b == want_b
+
+    shutil.rmtree(out_path, ignore_errors=True)
+
+
+def test_topic_prefix_filter(spark, fixture_dir):
+    """ZMQ prefix subscription semantics (set_subscribe, main.rs:204)."""
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="book", topic_filter="eth",
+                         out_path="", checkpoint="")
+    out = build_batch_pipeline(env, cfg)["book"]
+    assert [r.topic for r in out.collect()] == ["ethusd"]
