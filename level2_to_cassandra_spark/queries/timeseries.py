@@ -1,1 +1,162 @@
-"""Time-series / market-data queries (OHLC bars, as-of) — filled in M2/M4."""
+"""Time-series / market-data queries (SURVEY.md §2 B5/B9 batch forms).
+
+The analytics the reference's storage layout (per-symbol, time-DESC
+clustering, main.rs:87-88) exists to serve: bar aggregation (OHLC),
+time-bucketed rollups, sessionization.  Batch forms are oracle-checked
+here; the streaming forms (window()/session_window() on a stream) are
+verified by stream/batch parity in tests/test_streaming_windows.py
+against THESE queries.
+
+Scale: every query is one hash shuffle on (key, bucket); OHLC uses
+window functions inside the bucket partition — no self-joins, no
+argmax-via-join (two shuffles) — the shape that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.functions import round_half_up
+from level2_to_cassandra_spark.registry import register
+
+_SCALE = 4
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    SELECT user_id, bucket,
+           MIN(open_v)  AS open,
+           MAX(value)   AS high,
+           MIN(value)   AS low,
+           MIN(close_v) AS close,
+           ROUND(SUM(value), 4) AS volume,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, value,
+               FIRST_VALUE(value) OVER w AS open_v,
+               LAST_VALUE(value)  OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS close_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                     ORDER BY ts, event_id)
+    )
+    GROUP BY user_id, bucket
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per key — the canonical tick→candle rollup
+    (events.value plays the tick price).  Open/close are deterministic
+    firsts/lasts ordered by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = ev.select(
+        "user_id",
+        bucket.alias("bucket"),
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w_all).alias("close_v"),
+    )
+    return enriched.groupBy("user_id", "bucket").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        F.round(F.sum("value"), _SCALE).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_time_bucket_agg",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value,
+           FLOOR(AVG(value) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate, batch form — the exact computation
+    ``groupBy(window(ts, '1 day'), event_type)`` performs on a stream
+    (parity-tested in test_streaming_windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), _SCALE).alias("total_value"),
+            round_half_up(F.avg("value"), _SCALE).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= 1800 * 1000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap), batch form of
+    ``session_window(ts, '30 minutes')``: lag → new-session flag →
+    running count = session id → per-session aggregate.  One shuffle on
+    user_id; both window passes share the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        # microsecond precision on both sides: a seconds-cast would
+        # round a 30:00.5 gap down into the session boundary.
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            <= 1800 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), _SCALE).alias("total_value"),
+    )

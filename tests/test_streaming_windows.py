@@ -1,0 +1,150 @@
+"""Windowed streaming analytics (SURVEY.md §2 B9) verified by
+stream/batch parity: the same events through a file stream +
+window()/session_window() must equal the batch computation
+(q_time_bucket_agg / q_sessionize shapes) on identical data.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level2_to_cassandra_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_jsonl(spark, tmp_path_factory):
+    """events (sf0.001) re-serialized as JSONL so the file streaming
+    source can replay them as a bounded stream."""
+    d = tmp_path_factory.mktemp("events_stream")
+    rows = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (d / f"part-{i:03d}.jsonl").write_text(
+            "\n".join(json.dumps(r.asDict()) for r in chunk)
+        )
+    return str(d)
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_tumbling_window_parity(spark, events_jsonl):
+    stream = _stream(spark, events_jsonl)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    _run_to_memory(agg, "tumbling")
+    got = {
+        (str(r.window.start.date()), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    want = {
+        (str(r.day), r.event_type): (r.n, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sliding_window_parity(spark, events_jsonl):
+    stream = _stream(spark, events_jsonl)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(agg, "sliding")
+    got = {
+        (str(r.window.start), r.user_id): r.n
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    # Batch equivalent: each event belongs to the window starting at
+    # its truncated hour and the one starting an hour earlier.
+    ev = load_table(spark, SF, "events")
+    exploded = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_start"),
+    )
+    want = {
+        (str(r.win_start), r.user_id): r.n
+        for r in exploded.groupBy("win_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_parity(spark, events_jsonl):
+    stream = _stream(spark, events_jsonl)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    _run_to_memory(agg, "sessions")
+    got = {
+        (str(r.session_window.start), r.user_id): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # Batch oracle: the q_sessionize gap logic on the same data.
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sess = all_queries()["q_sessionize"].fn(spark, SF)
+    want = {
+        (str(r.session_start), r.user_id): (r.n_events, r.total_value)
+        for r in sess.collect()
+    }
+    assert got == want
