@@ -48,7 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The caller may hand us a vanilla SparkSession (the driver harness
     # does); pin the runtime confs correctness depends on. UTC keeps
     # to_date/date_trunc in lockstep with the DuckDB oracle's naive
-    # timestamps regardless of host timezone.
+    # timestamps regardless of host timezone, and the package ships to
+    # Python workers so pandas-UDF closures can resolve their module.
+    from level2_to_cassandra_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

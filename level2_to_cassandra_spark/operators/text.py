@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md B11):
+tokenization, shingling, document stats / quality scoring, language-ID
+scoring, fingerprinting.  Everything is JVM array/string built-ins —
+the hot path never leaves codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic.  Deliberately small and inline: the point is
+#: the MECHANISM (broadcast marker match + vote argmax), which scales
+#: to real lexicons unchanged.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+#: Stopword list for quality scoring (subset of en markers present in
+#: the fixture vocabulary).
+STOPWORDS: tuple[str, ...] = ("a", "the", "of", "and", "is")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (fixture text is space-separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of word k-shingles (space-joined k-grams), in order.
+
+    ``sequence(0, n-k)`` + ``slice`` keeps it fully JVM-side; empty
+    array when the document has fewer than k words.
+    """
+    w = tokens(text)
+    n = F.size(w)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column | str,
+                   stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(text)
+    sw = F.size(
+        F.filter(t, lambda x: x.isin(*stopwords))
+    )
+    return sw.cast("double") / F.size(t)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-vote score per language: |distinct tokens ∩ markers|."""
+    distinct = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(
+            F.array_intersect(
+                distinct, F.array(*[F.lit(m) for m in markers])
+            )
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column | str, default: str = "und") -> Column:
+    """Argmax of marker votes; deterministic ties by language code
+    order; ``default`` when no marker matched at all."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in sorted(scores):  # ascending code order; strict > keeps first
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the raw text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — robust to token shuffling, the cheap
+    'bag-of-words identical' dedup signal."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over tokens (Charikar): per token a 64-bit
+    xxhash; each bit votes ±1; fingerprint bit = sign of the vote sum.
+    Pure JVM: 64 filter/size aggregates over the token array.
+
+    Near-duplicate docs differ in few bits — pair candidates by
+    hamming distance (see ``hamming64``).  Not oracle-expressible
+    (DuckDB lacks xxhash64), covered by property tests instead.
+    """
+    t = tokens(text)
+    fp = F.lit(0).cast("long")
+    for bit in range(64):
+        # bit 63 is the sign bit: 1<<63 overflows signed long, so use
+        # its two's-complement representation instead
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        ones = F.size(F.filter(t, lambda x: F.xxhash64(x).bitwiseAND(mask) != 0))
+        vote = (ones * 2) - F.size(t)  # ones - zeros
+        fp = fp + F.when(vote > 0, mask).otherwise(F.lit(0))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

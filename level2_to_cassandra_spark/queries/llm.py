@@ -1,1 +1,409 @@
-"""LLM training-data pipeline queries (SURVEY.md §2 B11) — filled in M5."""
+"""LLM training-data pipeline queries (SURVEY.md §2 B11): dedup
+(exact / n-gram Jaccard / MinHash / SimHash / embedding-cosine),
+similarity search, text analysis, fingerprinting.
+
+Oracle notes: Jaccard / cosine thresholds are applied to ROUNDED
+values on both engines so float last-ulp differences can't flip a
+boundary pair; cosine oracles cast FLOAT[] → DOUBLE[] because DuckDB's
+list_cosine_similarity computes in float32 otherwise.  SimHash and
+sign-LSH use xxhash64 (no DuckDB equivalent) → rows-only checks plus
+property tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.operators import minhash, similarity, text
+from level2_to_cassandra_spark.registry import register
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_copies
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+               COUNT(*)    OVER (PARTITION BY text) AS n_copies
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup: canonical (lowest doc_id) row per distinct
+    text + copy count.  The engine groups on a 256-bit content hash so
+    the shuffle key is fixed-width even for megabyte documents — the
+    raw text never becomes a shuffle key at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    # hash → fixed-size shuffle key; collision risk 2^-128 ≈ none
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        docs.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_copies")
+    )
+
+
+_FUZZY_ORACLE = """
+    WITH postings AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM postings a JOIN postings b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM co
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.8
+"""
+
+
+@register("q_llm_dedup_fuzzy", oracle=_FUZZY_ORACLE)
+def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at 3-word-shingle Jaccard ≥ 0.8, EXACT via the
+    inverted shingle index (operators/minhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.0, k=3)
+    j = F.round(F.col("jaccard"), 6)
+    return pairs.select(
+        "id_a", "id_b", j.alias("jaccard")
+    ).where(j >= 0.8)
+
+
+@register("q_llm_dedup_minhash", oracle=_FUZZY_ORACLE)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH (16 perms, 8 bands × 2) with exact verification —
+    must find exactly the q_llm_dedup_fuzzy pairs (at j≥0.8 the LSH
+    miss probability is ≈(1−j²)⁸ < 10⁻¹⁰ per pair), so it shares the
+    exact oracle: the correctness check covers LSH recall itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_pairs(docs, threshold=0.0, k=3,
+                                  n_hashes=16, bands=8)
+    j = F.round(F.col("jaccard"), 6)
+    return pairs.select(
+        "id_a", "id_b", j.alias("jaccard")
+    ).where(j >= 0.8)
+
+
+#: SimHash banding: 8 bands × 8 bits.  Pigeonhole guarantee: any pair
+#: with hamming ≤ 7 has at least one identical band, so recall is 1.0
+#: for the ≤7 threshold; the pair join is bucketed (band, value), never
+#: N².  For looser thresholds use more/narrower bands or multi-probe.
+_SIMHASH_BANDS = 8
+_SIMHASH_MAX_HAMMING = _SIMHASH_BANDS - 1
+
+
+@register("q_llm_dedup_simhash", oracle=None)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, banded candidate
+    join, pairs within hamming ≤ 7 (guaranteed-recall threshold for
+    8×8-bit banding).  xxhash64-based → rows-only here; exactness vs a
+    brute-force hamming scan is proven in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.simhash64("text").alias("fp")
+    )
+    width = 64 // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = docs.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "fp", "e.band", "e.bv")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            text.hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+
+
+@register(
+    "q_llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
+               AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35
+    """,
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking
+    key stands in for an ANN bucket: candidates form only within a
+    block, so the pair join is label-partitioned, not N²)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va")
+    )
+    b = em.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb")
+    )
+    cos = F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 4)
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "label", cos.alias("cos"))
+        .where(F.col("cos") >= 0.35)
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+@register(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv), 4)
+                   AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: corpus
+    stays partitioned, queries broadcast (operators/similarity.py).
+    Ranking on the ROUNDED cosine (tiebreak neighbor_id) keeps the
+    order engine-invariant."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    scored = similarity.brute_topk(em, queries, k=500).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+@register("q_sim_ann_lsh", oracle=None)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH near-neighbor pairs (4 hash-derived
+    hyperplanes × 8 tables; capture p = 1−(1−(1−θ/π)⁴)⁸) with exact
+    cosine re-rank — the ANN scale path (candidates ∝ bucket sizes).
+    Hash planes have no DuckDB equivalent → rows-only; recall vs brute
+    force is asserted in tests/test_llm_ops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_candidate_pairs(em, n_planes=4, n_tables=8).where(
+        F.col("cos") >= 0.3
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('a','the','of','and','is')))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')) > 0.2
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token/unique counts, type-token
+    ratio, stopword ratio, average token length, and a boolean quality
+    gate (the C4-style length+diversity filter shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    n_uni = text.distinct_token_count("text")
+    ttr = n_uni.cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_uni.alias("n_unique"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_tok + 1).cast("double") / n_tok, 6
+        ).alias("avg_token_len"),
+        F.when(n_tok.between(20, 1000) & (ttr > 0.2), 1)
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{', '.join(repr(m) for m in text.LANG_MARKERS[lang])}]))"
+        )
+        for lang in sorted(text.LANG_MARKERS)
+    }
+    cols = ",\n           ".join(
+        f"{expr} AS s_{lang}" for lang, expr in score.items()
+    )
+    langs = sorted(text.LANG_MARKERS)
+    # argmax with ascending-code tie order = strict > against best-so-far
+    case = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        case = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {case} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {cols}
+        FROM documents)
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS predicted_lang
+    FROM scored
+    """
+
+
+@register("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID: votes = |distinct tokens ∩
+    per-language markers|, argmax with deterministic ties.  The marker
+    lists are tiny inline stand-ins for a real lexicon; the mechanism
+    (broadcast match + vote argmax) is the scalable part."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        text.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term,
+           ROUND((tf::DOUBLE / dl) * LN(n::DOUBLE / df), 6) AS tfidf,
+           rnk
+    FROM (SELECT tf.doc_id, tf.term,
+                 tf, dl, df, n,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY ROUND((tf::DOUBLE / dl) * LN(n::DOUBLE / df), 6)
+                              DESC, tf.term) AS rnk
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+    WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode terms → tf per (doc, term), df per term, idf =
+    ln(N/df); top-3 terms per doc ranked on the rounded score (ties by
+    term).  Three hash shuffles (tf, df, rank) — each map-side partial;
+    df is corpus-wide but terms are low-cardinality relative to rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension, computed once
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.round(
+        (F.col("tf").cast("double") / F.col("dl"))
+        * F.log(F.lit(float(n_docs)) / F.col("df")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: documents → binary assets with
+    typed metadata → Arrow-batched feature extraction (deterministic
+    fake decoder — see operators/multimodal.py).  Rows-only check; the
+    data-flow invariants are asserted in tests/test_llm_ops.py."""
+    from level2_to_cassandra_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.attach_binary(docs)
+    return multimodal.extract_features(assets)
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp_bow
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5 + order-insensitive
+    bag-of-words md5 (sorted distinct tokens) — the cheap signals an
+    ingest pipeline computes once and joins against forever."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.doc_fingerprint("text").alias("fp_exact"),
+        text.normalized_fingerprint("text").alias("fp_bow"),
+    )

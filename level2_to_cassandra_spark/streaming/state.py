@@ -108,6 +108,9 @@ def cumulative_streaming(ticks: DataFrame) -> DataFrame:
     ingest.parse_tick).  Emits one row per input row with
     cumbuy/cumsell/cumdelta appended — update semantics, matching the
     reference's insert-per-tick (main.rs:155-165)."""
+    from level2_to_cassandra_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(ticks.sparkSession)
     with_day = _with_day(ticks)
     out_schema = T.StructType(
         with_day.schema.fields

@@ -1,0 +1,205 @@
+"""Property/invariant tests for operators without a SQL oracle:
+SimHash, sign-LSH similarity, multimodal plumbing, plus dedup and
+as-of edge cases (SURVEY.md §5.2.5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.operators import (
+    minhash,
+    multimodal,
+    similarity,
+    text,
+)
+from level2_to_cassandra_spark.operators.asof import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- simhash
+
+def test_simhash_identical_and_near_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),   # identical
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),    # 1 word off
+            (4, "one two three four five six seven eight"),         # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", text.simhash64("text").alias("fp")).collect()
+    }
+    ham = lambda a, b: bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) == 0                  # identical text → identical fp
+    assert ham(1, 3) < ham(1, 4)           # near-dup closer than disjoint
+    assert ham(1, 3) <= 16
+
+
+def test_simhash_banding_is_exact_for_its_threshold(spark):
+    """8×8-bit banding guarantees recall for hamming ≤ 7 (pigeonhole):
+    the banded query must equal a brute-force hamming scan exactly."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    pairs = all_queries()["q_llm_dedup_simhash"].fn(spark, SF)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+
+    fps = load_table(spark, SF, "documents").select(
+        "doc_id", text.simhash64("text").alias("fp")
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                text.hamming64(F.col("fa"), F.col("fb")).alias("hamming"))
+        .where(F.col("hamming") <= 7)
+    )
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want
+
+
+def test_simhash_catches_most_jaccard_neardups(spark):
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sim = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["q_llm_dedup_simhash"].fn(spark, SF).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["q_llm_dedup_fuzzy"].fn(spark, SF).collect()
+    }
+    assert exact, "fixture should contain jaccard≥0.8 near-dups"
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.9  # simhash is a different signal; near-1 here
+
+
+# ------------------------------------------------------- sign-LSH recall
+
+def test_lsh_recall_vs_brute_force(spark):
+    em = load_table(spark, SF, "embeddings")
+    cand = similarity.lsh_candidate_pairs(em, n_planes=4, n_tables=8)
+    got = {(r.id_a, r.id_b) for r in cand.where(F.col("cos") >= 0.3).collect()}
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                similarity.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= 0.3)
+    )
+    want = {(r.id_a, r.id_b) for r in truth.collect()}
+    assert want, "fixture should contain some cos≥0.3 pairs"
+    # theory: capture p at cos 0.3 (θ≈0.4π) = 1-(1-0.6⁴)⁸ ≈ 0.67;
+    # assert well above the single-table 0.016 and below-1 honestly.
+    recall = len(got & want) / len(want)
+    assert recall >= 0.35
+    assert got <= want  # verification step: zero false positives
+
+
+def test_brute_topk_self_excluded_and_sorted(spark):
+    em = load_table(spark, SF, "embeddings")
+    out = similarity.brute_topk(em, em.where(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+        cs = [c for _, c in rows]
+        assert cs == sorted(cs, reverse=True)
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_pipeline_dataflow(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    assets = multimodal.attach_binary(docs)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert r.n_bytes > 0
+        # histogram is normalized: sums to 1 over non-empty payloads
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    # deterministic: same content → same features
+    again = {r.doc_id: r.features for r in
+             multimodal.extract_features(assets).collect()}
+    assert all(again[r.doc_id] == r.features for r in feats)
+
+
+def test_multimodal_frame_sample(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    assets = multimodal.attach_binary(docs)
+    out = multimodal.frame_sample(assets, n_frames=4, frame_bytes=8).collect()
+    for r in out:
+        assert len(r.frames) == 4
+        for f in r.frames:
+            assert len(f) <= 8
+
+
+def test_resize_is_explicit_stub(spark):
+    docs = load_table(spark, SF, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(multimodal.attach_binary(docs), 64, 64)
+
+
+# ------------------------------------------------------------- asof edges
+
+def test_asof_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 150)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (2, 151, "c")], "k long, ts long, v string"
+    )
+    out = {
+        (r.k, r.ts): r.r_v
+        for r in asof_join(left, right, on="ts", by=["k"],
+                           right_cols=["v"]).collect()
+    }
+    assert out[(1, 100)] == "a"   # equal timestamps match (backward incl.)
+    assert out[(1, 200)] == "b"   # latest ≤ 200
+    assert out[(2, 150)] is None  # right row is AFTER the left row
+    strict = {
+        (r.k, r.ts): r.r_v
+        for r in asof_join(left, right, on="ts", by=["k"],
+                           right_cols=["v"], strict=True).collect()
+    }
+    assert strict[(1, 100)] is None  # strict '<' excludes the tie
+
+
+# ---------------------------------------------------------- minhash unit
+
+def test_minhash_exact_equivalence_on_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),  # ~0.64 jaccard (3-shingles)
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # exact dup of 1
+            (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact[(1, 3)] == 1.0
+    assert (1, 4) not in exact
+    mh = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.minhash_pairs(docs, threshold=0.5).collect()
+    }
+    assert mh[(1, 3)] == 1.0  # exact dups always collide in every band
+    assert set(mh) <= set(exact)  # verification: no false positives
