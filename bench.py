@@ -36,6 +36,14 @@ HEADLINE = [
     "q_dedup_lww",           # keyed last-write-wins dedup
     "q_scan_project_filter", # pushdown/pruning path
     "q_sort_limit",          # TakeOrderedAndProject
+    "q_sql_star_revenue",    # SQL-API star join (TPC-H Q3 shape)
+    "q_ohlc_bars",           # tick→candle rollup
+    "q_sessionize",          # gap sessionization
+    "q_llm_dedup_exact",     # content-hash dedup
+    "q_llm_dedup_fuzzy",     # inverted-index n-gram jaccard
+    "q_llm_dedup_minhash",   # MinHash+LSH near-dup
+    "q_sim_topk",            # brute cosine top-k
+    "q_text_tfidf",          # explode+agg+join text pipeline
 ]
 
 
@@ -60,11 +68,6 @@ def main() -> None:
 
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # extend with any registered bench-tagged LLM queries present
-    for extra in ("q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_sim_topk",
-                  "q_text_tokens", "q_ohlc_bars"):
-        if extra in qs and extra not in names:
-            names.append(extra)
 
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup.
     qs["q_sort_limit"].fn(spark, sf_dir).write.format("noop").mode(

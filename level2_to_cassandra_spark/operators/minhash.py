@@ -20,7 +20,7 @@ Both stay entirely in JVM built-ins; no Python executes per row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.operators.text import word_shingles
@@ -47,18 +47,19 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
     return p
 
 
-def exact_jaccard_pairs(docs: DataFrame, threshold: float,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold (exact).
-    Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    postings = shingle_postings(docs, id_col, text_col, k)
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
+                    cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs from full
+    postings: co-occurrence count join + sizes."""
     co = (
-        postings.alias("a")
-        .join(postings.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.alias("pa")
+        .join(cand, F.col("pa.id") == F.col("id_a"))
+        .join(
+            postings.alias("pb"),
+            (F.col("pb.id") == F.col("id_b"))
+            & (F.col("pa.shingle") == F.col("pb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
@@ -69,8 +70,65 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             F.col("inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("inter")),
         )
-        .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (exact).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    For threshold > 0 the candidate join uses the PPJoin PREFIX FILTER:
+    under a global rarest-first shingle order, any pair with J ≥ t
+    must share a shingle inside each doc's first ⌊(1−t)·n⌋+1 shingles
+    (if A's prefix misses B entirely, the overlap is confined to A's
+    suffix of ⌈t·n⌉−1 < t·n elements — contradiction).  The self-join
+    therefore runs on ~(1−t) of the postings, and rarest-first ordering
+    keeps the per-shingle bucket sizes small; verification then uses
+    the full postings, so the result is EXACT, not approximate.
+    """
+    postings = shingle_postings(docs, id_col, text_col, k)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if threshold <= 0:
+        index = postings
+    else:
+        dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+        index = (
+            postings.join(dfreq, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "id")
+            .where(
+                F.col("pos")
+                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            )
+            .select("id", "shingle")
+        )
+    cand = (
+        index.alias("a")
+        .join(index.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if threshold > 0:
+        # length filter: J ≥ t ⇒ t ≤ na/nb ≤ 1/t — prunes before the
+        # (more expensive) verification join
+        cand = (
+            cand.join(sizes.select(F.col("id").alias("id_a"),
+                                   F.col("n").alias("__na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n").alias("__nb")), "id_b")
+            .where(
+                (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+                & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+            )
+            .select("id_a", "id_b")
+        )
+    return _verify_jaccard(postings, sizes, cand).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -98,11 +156,18 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     rises, so at dedup-grade thresholds recall is effectively 1.
     """
     r = n_hashes // bands
-    with_sig = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("__sh"),
-    ).where(F.size("__sh") > 0).withColumn(
-        "sig", minhash_signature(F.col("__sh"))
+    postings = shingle_postings(docs, id_col, text_col, k)
+    # Signatures from the EXPLODED postings, not array transforms: a
+    # projected shingle-array column gets inlined by projection
+    # collapse into every per-permutation transform (16× the shingling
+    # work); aggregating min(xxhash64(seed, shingle)) over rows costs
+    # one explode + 16 cheap hashes per row, and is the shape that
+    # scales (no wide arrays through the shuffle).
+    with_sig = postings.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
     # band hash: one 64-bit hash of the band's signature slice
     band_entries = with_sig.select(
@@ -114,7 +179,7 @@ def minhash_pairs(docs: DataFrame, threshold: float,
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             F.lit(b),
-                            *[F.col("sig")[b * r + j] for j in range(r)],
+                            *[F.col(f"h{b * r + j}") for j in range(r)],
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -130,27 +195,7 @@ def minhash_pairs(docs: DataFrame, threshold: float,
         .distinct()
     )
     # exact verification of candidates only
-    postings = shingle_postings(docs, id_col, text_col, k)
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    co = (
-        postings.alias("pa")
-        .join(cand, F.col("pa.id") == F.col("id_a"))
-        .join(
-            postings.alias("pb"),
-            (F.col("pb.id") == F.col("id_b"))
-            & (F.col("pa.shingle") == F.col("pb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(postings, sizes, cand).where(
+        F.col("jaccard") >= threshold
     )

@@ -74,9 +74,11 @@ _FUZZY_ORACLE = """
 @register("q_llm_dedup_fuzzy", oracle=_FUZZY_ORACLE)
 def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at 3-word-shingle Jaccard ≥ 0.8, EXACT via the
-    inverted shingle index (operators/minhash.py)."""
+    prefix-filtered inverted shingle index (operators/minhash.py).
+    Operator threshold 0.79 < the query's rounded 0.8 cut keeps the
+    prefix filter lossless for every pair the oracle can emit."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.0, k=3)
+    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3)
     j = F.round(F.col("jaccard"), 6)
     return pairs.select(
         "id_a", "id_b", j.alias("jaccard")

@@ -203,6 +203,60 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_approx", oracle=None)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++, rsd=0.02) next to
+    the exact count.  Sketches differ across engines, so no value
+    oracle — the ≤5% relative-error bound is asserted in
+    tests/test_approx.py, and the sketch (unlike exact distinct)
+    needs no per-key shuffle of raw values at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@register(
+    "q_sql_star_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q_sql_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query THROUGH THE SQL API (spark.sql over
+    registered views) — same Catalyst plan as the DataFrame form; the
+    engine's SQL surface is first-class, not a bolt-on."""
+    from level2_to_cassandra_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o.o_orderkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                             AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    """)
+
+
 @register(
     "q_agg_rollup",
     oracle="""

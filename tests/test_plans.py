@@ -1,0 +1,69 @@
+"""Physical-plan assertions (SURVEY.md §4.2, M6): the optimizations the
+engine RELIES on at 100 TB must actually appear in the plans —
+predicate pushdown, column pruning, broadcast joins, TakeOrdered top-k
+— and nothing may regress into row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from level2_to_cassandra_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = all_queries()["q_scan_project_filter"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # both predicates reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0] or \
+           "l_quantity" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for unused in ("l_returnflag", "l_linestatus", "l_suppkey"):
+        assert unused not in read_schema
+
+
+def test_broadcast_joins_chosen_for_dims(spark):
+    for name in ("q_join_broadcast", "q_join_multiway", "q_join_range"):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_global_topn_uses_take_ordered(spark):
+    plan = plan_of(all_queries()["q_sort_limit"].fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_agg_path(spark):
+    # "formatted" hides codegen behind unfinalized AQE; "codegen" mode
+    # reports the compiled subtrees directly.
+    plan = plan_of(all_queries()["q_agg_basic"].fn(spark, SF), "codegen")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0" not in plan.splitlines()[1]
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_row_python_in_any_plan(spark, name):
+    """Row-at-a-time Python (BatchEvalPython) is banned engine-wide;
+    only Arrow-vectorized exchanges (MapInPandas / ArrowEvalPython)
+    may appear, and only in the multimodal pipeline."""
+    df = all_queries()[name].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
+    if "MapInPandas" in plan or "ArrowEvalPython" in plan:
+        assert name == "q_multimodal_features", (
+            f"{name} unexpectedly leaves the JVM"
+        )
