@@ -376,6 +376,59 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_udf_pandas_cosine",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> 1.0)), 4) AS cos_ones
+    FROM embeddings
+    """,
+)
+def q_udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF surface (B10): Arrow-batched numpy cosine
+    against the all-ones vector, oracle-checked against DuckDB's
+    list_cosine_similarity in double precision."""
+    from level2_to_cassandra_spark.functions.udfs import cosine_to_ones
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id", "label",
+        F.round(cosine_to_ones("embedding"), 4).alias("cos_ones"),
+    )
+
+
+@register(
+    "q_udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (B10): table-generating tokenizer applied
+    via lateral join, oracle = unnest-with-ordinality.  (The engine's
+    hot tokenization path stays JVM-side — operators/text.py; this
+    query exists to cover the UDTF mechanism.)"""
+    from level2_to_cassandra_spark.functions.udfs import tokenizer_udtf
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    Tokenize = tokenizer_udtf()
+    spark.udtf.register("l2c_tokenize", Tokenize)
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __docs_for_udtf d,
+             LATERAL l2c_tokenize(d.text) t
+        """
+    )
+
+
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline plumbing: documents → binary assets with

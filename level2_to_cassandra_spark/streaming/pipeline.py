@@ -43,6 +43,30 @@ class PipelineConfig:
         if self.mode not in MODES:
             raise ValueError(f"APP_MODE must be one of {MODES}, got {self.mode}")
 
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "PipelineConfig":
+        """Build from the reference's env-var surface (README.md:8-16,
+        docker-compose.yaml:6-15): APP_MODE/TOPIC keep their names;
+        CASSANDRA_KEYSPACE becomes the sink path namespace; the ZMQ
+        connection/CURVE vars (API_ADDRESS, SUB_KEY…) map onto Kafka
+        bootstrap/security options when a broker is configured."""
+        import os as _os
+
+        e = dict(_os.environ if env is None else env)
+        kafka = {}
+        if e.get("API_ADDRESS"):
+            kafka["kafka.bootstrap.servers"] = e["API_ADDRESS"]
+        if e.get("TOPIC"):
+            kafka["subscribePattern"] = f"{e['TOPIC']}.*"
+        return cls(
+            mode=e.get("APP_MODE", "full"),
+            topic_filter=e.get("TOPIC") or None,
+            out_path=e.get("CASSANDRA_KEYSPACE", "/tmp/l2c_sink"),
+            checkpoint=e.get("CHECKPOINT_DIR", "/tmp/l2c_ckpt"),
+            watermark=e.get("WATERMARK", "1 hour"),
+            kafka=kafka,
+        )
+
 
 def _apply_topic_filter(env: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # ZMQ prefix subscription (set_subscribe, main.rs:204-206).

