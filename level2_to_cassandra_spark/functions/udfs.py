@@ -60,7 +60,7 @@ def tokenizer_udtf():
     importing this module never fails on older runtimes."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: int, token: string")
+    @udtf(returnType="pos: bigint, token: string")
     class Tokenize:
         def eval(self, text: str):  # noqa: D401
             if text is None:

@@ -219,7 +219,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
     )
 
@@ -270,8 +270,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        n_tok.alias("n_tokens"),
-        n_uni.alias("n_unique"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_uni.cast("long").alias("n_unique"),
         F.round(ttr, 6).alias("ttr"),
         F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(
@@ -371,7 +371,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(dl, "doc_id")
         .join(F.broadcast(df), "term")
         .select("doc_id", "term", tfidf.alias("tfidf"))
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
 

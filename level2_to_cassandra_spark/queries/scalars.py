@@ -51,7 +51,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.trim("p_name").alias("name_trim"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.when(F.col("p_type").like("%STEEL%"), 1).otherwise(0).alias("is_steel"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
     )
@@ -160,7 +160,7 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.col("embedding")[0].cast("double"), _SCALE).alias("first_elem"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), _SCALE
@@ -169,7 +169,7 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), _SCALE
         ).alias("sq_norm"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
 

@@ -58,10 +58,46 @@ def _canon_cell(v):
     return str(v)
 
 
+_TYPE_FAMILY = (
+    ("datetime", "timestamp"), ("int", "int"), ("float", "float"),
+    ("bool", "bool"), ("object", "object"),
+)
+
+
+def _family(dtype) -> str:
+    s = str(dtype).lower()
+    for key, fam in _TYPE_FAMILY:
+        if key in s:
+            return fam
+    return "object"
+
+
+def _exact_int_width(spark_df, want_pd) -> None:
+    """Driver may compare schemas by exact type: Spark INT where DuckDB
+    yields BIGINT is a latent mismatch even when values agree."""
+    duck_dtypes = {c: str(want_pd[c].dtype) for c in want_pd.columns}
+    for f in spark_df.schema.fields:
+        d = duck_dtypes.get(f.name)
+        if d is None:
+            continue
+        if f.dataType.simpleString() == "int" and "int64" in d:
+            raise AssertionError(
+                f"column {f.name!r}: Spark INT vs oracle BIGINT — cast the "
+                "Spark side to long"
+            )
+        if f.dataType.simpleString() == "bigint" and d == "int32":
+            raise AssertionError(
+                f"column {f.name!r}: Spark BIGINT vs oracle INTEGER — align"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             float_tol: float = 1e-6) -> None:
-    got = _canon(spark_df.toPandas())
-    want = _canon(con.sql(sql).df())
+    got_raw = spark_df.toPandas()
+    want_raw = con.sql(sql).df()
+    _exact_int_width(spark_df, want_raw)
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert len(got) == len(want), (
         f"row count mismatch: spark={len(got)} oracle={len(want)}"
     )
