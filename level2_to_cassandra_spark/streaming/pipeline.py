@@ -34,10 +34,11 @@ MODES = ("book", "tick", "full")
 class PipelineConfig:
     mode: str = "full"                 # APP_MODE (start.sh:3-14)
     topic_filter: str | None = None    # TOPIC subscribe prefix (A1)
-    out_path: str = "/tmp/l2c_sink"    # ≈ CASSANDRA_KEYSPACE
+    out_path: str = "/tmp/l2c_sink"    # parquet sink root / keyspace name
     checkpoint: str = "/tmp/l2c_ckpt"
     watermark: str = "1 hour"          # late-data bound (fixes §1.4 q2/3)
     kafka: dict[str, str] = field(default_factory=dict)
+    sink: str = "parquet"              # "parquet" (CI) | "cassandra" (prod)
 
     def __post_init__(self) -> None:
         if self.mode not in MODES:
@@ -127,10 +128,18 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
     queries = []
 
     def _start(df: DataFrame, suffix: str):
+        if cfg.sink == "cassandra":
+            from level2_to_cassandra_spark.streaming.sink import (
+                foreach_batch_cassandra,
+            )
+
+            callback = foreach_batch_cassandra(cfg.out_path, suffix)
+        else:
+            callback = foreach_batch_upsert(cfg.out_path, suffix)
         writer = (
             df.writeStream.outputMode("update")
             .option("checkpointLocation", f"{cfg.checkpoint}/{suffix}")
-            .foreachBatch(foreach_batch_upsert(cfg.out_path, suffix))
+            .foreachBatch(callback)
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)

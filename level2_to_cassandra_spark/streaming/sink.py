@@ -82,6 +82,44 @@ def foreach_batch_upsert(path: str, table_suffix: str):
     return _write
 
 
+def write_upsert_cassandra(df: DataFrame, keyspace: str, topic: str,
+                           table_suffix: str) -> None:
+    """Production sink: spark-cassandra-connector upsert into
+    ``{keyspace}.{topic}_{table_suffix}`` — the reference's exact table
+    naming (main.rs:90,148) and key semantics (connector writes are
+    per-key upserts, so Cassandra's last-write-wins replaces the
+    in-batch dedup).  Requires the connector package on the classpath
+    (``--packages com.datastax.spark:spark-cassandra-connector_2.13``)
+    and a reachable cluster; selected via PipelineConfig, never used in
+    CI (the parquet sink above is the test double with identical
+    semantics)."""
+    (
+        df.drop(BATCH_COL, "topic")
+        .write.format("org.apache.spark.sql.cassandra")
+        .mode("append")
+        .options(keyspace=keyspace, table=f"{topic}_{table_suffix}")
+        .save()
+    )
+
+
+def foreach_batch_cassandra(keyspace: str, table_suffix: str):
+    """foreachBatch callback for the Cassandra sink: dynamic per-topic
+    routing (one table per topic, the reference's DDL-per-topic
+    semantics) — topics in a micro-batch are few, so the driver-side
+    loop is over table names, never rows."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = upsert_dedup(batch_df.withColumn(BATCH_COL, F.lit(batch_id)))
+        topics = [r.topic for r in deduped.select("topic").distinct().collect()]
+        for topic in topics:
+            write_upsert_cassandra(
+                deduped.where(F.col("topic") == topic),
+                keyspace, topic, table_suffix,
+            )
+
+    return _write
+
+
 def read_sink_latest(spark, path: str, table_suffix: str) -> DataFrame:
     """Read a sink directory back applying last-write-wins across ALL
     appended batches — the query-side completion of upsert semantics
