@@ -89,7 +89,12 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     keeps the per-shingle bucket sizes small; verification then uses
     the full postings, so the result is EXACT, not approximate.
     """
-    postings = shingle_postings(docs, id_col, text_col, k)
+    # The postings relation feeds 4+ plan branches (df-ranking, prefix
+    # index, both verification sides, sizes); persisting it computes the
+    # shingling once instead of per branch (≈3× on the fixture).  At
+    # cluster scale the same role is played by a checkpoint/staging
+    # table; memory-and-disk keeps local behavior safe under pressure.
+    postings = shingle_postings(docs, id_col, text_col, k).persist()
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if threshold <= 0:
         index = postings
@@ -156,7 +161,8 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     rises, so at dedup-grade thresholds recall is effectively 1.
     """
     r = n_hashes // bands
-    postings = shingle_postings(docs, id_col, text_col, k)
+    # shared by signatures + verification — see exact_jaccard_pairs
+    postings = shingle_postings(docs, id_col, text_col, k).persist()
     # Signatures from the EXPLODED postings, not array transforms: a
     # projected shingle-array column gets inlined by projection
     # collapse into every per-permutation transform (16× the shingling
