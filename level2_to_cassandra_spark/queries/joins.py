@@ -105,6 +105,90 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (keep all orders; customer columns NULL where
+    the join-side predicate rejects the customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 0), "right"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        WHERE o_totalprice > 180000 GROUP BY o_custkey),
+    urgent AS (
+        SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+    SELECT COALESCE(big.o_custkey, urgent.o_custkey) AS custkey,
+           big.n_big, urgent.n_urgent
+    FROM big FULL JOIN urgent ON big.o_custkey = urgent.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjoint-ish aggregates — NULLs on both
+    sides exercised."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.where(F.col("o_totalprice") > 180000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    b = big.select(F.col("o_custkey").alias("k1"), "n_big")
+    u = urgent.select(F.col("o_custkey").alias("k2"), "n_urgent")
+    return b.join(u, b.k1 == u.k2, "full").select(
+        F.coalesce("k1", "k2").alias("custkey"), "n_big", "n_urgent"
+    )
+
+
+@register(
+    "q_sort_nulls",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    ORDER BY o.o_totalprice ASC NULLS FIRST, c.c_custkey, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering over an outer-join result — the
+    nulls-ordering surface of B6; the LIMIT makes the ordering
+    semantically load-bearing (it selects which rows survive)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000), "left"
+    )
+    return (
+        joined.orderBy(
+            F.asc_nulls_first("o_totalprice"),
+            F.asc("c_custkey"),
+            F.asc("o_orderkey"),
+        )
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+@register(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal

@@ -279,6 +279,63 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         urgent AS (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union_all'     AS op, o_custkey
+    FROM (SELECT * FROM big UNION ALL SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey
+    FROM (SELECT * FROM big INTERSECT ALL SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'except_all'    AS op, o_custkey
+    FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent)
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (ALL variants — duplicates preserved /
+    multiplicity-subtracted), complementing q_set_ops' DISTINCT forms."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    parts = [
+        big.unionAll(urgent).select(F.lit("union_all").alias("op"), "o_custkey"),
+        big.intersectAll(urgent).select(
+            F.lit("intersect_all").alias("op"), "o_custkey"
+        ),
+        big.exceptAll(urgent).select(F.lit("except_all").alias("op"), "o_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "q_dedup_lww",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value
