@@ -443,6 +443,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/eval split by hashing the stable id
+    (first md5 byte < 0xcd ⇒ train, 205/256 ≈ 80.1%).  Hash-based
+    splits are reproducible across runs/engines and need no shuffle,
+    sort, or RNG state — the only split strategy that behaves at
+    100 TB.  md5 (not xxhash) so DuckDB can replicate it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < "cd", "train").otherwise("eval").alias("split"),
+    )
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -6,21 +6,12 @@ predicate pushdown, column pruning, broadcast joins, TakeOrdered top-k
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from level2_to_cassandra_spark.plans import plan_of
 from level2_to_cassandra_spark.registry import all_queries
 
 SF = "/root/testdata/sf0.001"
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
 
 
 def test_filter_and_projection_pushdown(spark):
