@@ -355,9 +355,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df is corpus-wide but terms are low-cardinality relative to rows."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar dimension, computed once
+    # persisted: feeds tf, dl and df branches (same rationale as the
+    # postings persist in operators/minhash.py)
     toks = docs.select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
-    )
+    ).persist()
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -279,6 +279,98 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(stddev_pop(l_extendedprice)  * 10000 + 0.5) / 10000 AS sd_pop,
+           FLOOR(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd_samp,
+           FLOOR(var_pop(l_extendedprice)     * 100 + 0.5) / 100     AS var_pop,
+           FLOOR(corr(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000
+               AS corr_pq,
+           FLOOR(covar_pop(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+               AS covar_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance
+    (engine-invariant FLOOR rounding — see functions.round_half_up)."""
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.stddev_pop("l_extendedprice"), 4).alias("sd_pop"),
+        round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("sd_samp"),
+        round_half_up(F.var_pop("l_extendedprice"), 2).alias("var_pop"),
+        round_half_up(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        round_half_up(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias(
+            "covar_pq"
+        ),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000
+               AS median_price,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000
+               AS p90_price,
+           FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000 + 0.5) / 10000
+               AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) — median/p90/p99 per
+    group; matches DuckDB quantile_cont semantics, unlike the
+    sketch-based approx_percentile (which q_agg_approx covers)."""
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(
+            F.percentile("l_extendedprice", F.lit(0.5)), 4
+        ).alias("median_price"),
+        round_half_up(
+            F.percentile("l_extendedprice", F.lit(0.9)), 4
+        ).alias("p90_price"),
+        round_half_up(
+            F.percentile("l_extendedprice", F.lit(0.99)), 4
+        ).alias("p99_price"),
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 4) AS view,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 4) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 4) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 4) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): one column per event type.  Pivot values are
+    DECLARED, not discovered — at scale an undeclared pivot needs an
+    extra distinct-scan job and risks unbounded width."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), _SCALE))
+    )
+
+
+@register(
     "q_agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
