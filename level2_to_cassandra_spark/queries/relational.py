@@ -428,6 +428,102 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-nation-average customers),
+    written as SQL so Catalyst's decorrelation rewrites it into an
+    aggregate + join — no per-row re-execution, which is what makes
+    correlated subqueries survivable at scale."""
+    from level2_to_cassandra_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_orderstatus
+                                            ORDER BY o_totalprice DESC, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING)
+               AS second_highest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value per status partition."""
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(w_all).alias("second_highest"),
+    )
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: l_returnflag has only 3
+    values — a direct groupBy funnels 600k rows/flag through 3 reducers.
+    Salting (key, hash%16) spreads the partial aggregation across 48
+    reducers, the final pass combines 48 tiny rows.  Identical result
+    to the plain GROUP BY oracle; the shape that survives hot keys at
+    100 TB (complementing AQE's runtime skew-join splitting)."""
+    from level2_to_cassandra_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        key_cols=["l_returnflag"],
+        aggs=lambda d: d.agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("__sum_qty"),
+            F.count(F.lit(1)).alias("__n"),
+        ),
+        finals=[
+            F.sum("__sum_qty").cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n"),
+        ],
+        n_salts=16,
+    ).withColumnRenamed("l_returnflag", "flag")
+
+
+@register(
     "q_dedup_lww",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value
