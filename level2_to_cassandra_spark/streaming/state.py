@@ -103,6 +103,67 @@ def _cum_update(
     yield from out
 
 
+def cumulative_streaming_tws(ticks: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` form of
+    :func:`cumulative_streaming` — same semantics, newer state API
+    (explicit ValueState handle + TTL instead of GroupState timeouts).
+
+    NOTE: the TWS driver worker needs a functional ``google.protobuf``
+    Python package; environments without it (like this CI container)
+    fail at stream start with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE — use :func:`cumulative_streaming` there.  The parity test
+    skips itself when protobuf is unavailable."""
+    from level2_to_cassandra_spark.session import ensure_package_on_workers
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_package_on_workers(ticks.sparkSession)
+    with_day = _with_day(ticks)
+    out_schema = T.StructType(
+        with_day.schema.fields
+        + [
+            T.StructField("cumbuy", T.LongType()),
+            T.StructField("cumsell", T.LongType()),
+            T.StructField("cumdelta", T.LongType()),
+        ]
+    )
+
+    class CumSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "cums", _STATE_SCHEMA, ttlDurationMs=36 * 3600 * 1000
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cumbuy, cumsell = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                sort_cols = [c for c in ("time", "seq") if c in pdf.columns]
+                pdf = pdf.sort_values(sort_cols, kind="mergesort").copy()
+                buys = (pdf["trade_type"] == BUY) * pdf["volume"]
+                sells = (pdf["trade_type"] == SELL) * pdf["volume"]
+                pdf["cumbuy"] = (buys.cumsum() + cumbuy).astype("int64")
+                pdf["cumsell"] = (sells.cumsum() + cumsell).astype("int64")
+                pdf["cumdelta"] = pdf["cumbuy"] - pdf["cumsell"]
+                cumbuy = int(pdf["cumbuy"].iloc[-1])
+                cumsell = int(pdf["cumsell"].iloc[-1])
+                yield pdf
+            self._state.update((cumbuy, cumsell))
+
+        def close(self) -> None:
+            pass
+
+    return with_day.groupBy("symbol", "day").transformWithStateInPandas(
+        statefulProcessor=CumSum(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def cumulative_streaming(ticks: DataFrame) -> DataFrame:
     """Streaming form over a stream of parsed ticks (schema of
     ingest.parse_tick).  Emits one row per input row with

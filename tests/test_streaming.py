@@ -276,6 +276,53 @@ def test_sink_file_layout_contract(spark, fixture_dir, tmp_path):
     assert topics == {"topic=btcusd", "topic=ethusd"}
 
 
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf "
+    "(driver-worker RPC); unavailable in this container",
+)
+def test_transform_with_state_parity(spark, fixture_dir, tmp_path):
+    """The Spark-4 transformWithStateInPandas cumsum must equal the
+    batch window oracle, like the applyInPandasWithState form."""
+    from level2_to_cassandra_spark.streaming.state import (
+        cumulative_streaming_tws,
+    )
+
+    env = file_envelope_stream(spark, fixture_dir, max_files_per_trigger=1)
+    _, tick_raw, _ = ingest.demux(env)
+    ticks = ingest.parse_tick(tick_raw, extra_cols=("seq",))
+    out = cumulative_streaming_tws(ticks)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r["seq"]): (r.cumbuy, r.cumsell, r.cumdelta)
+        for r in spark.sql("SELECT * FROM tws_sink").collect()
+    }
+    cfg = PipelineConfig(mode="tick", out_path="", checkpoint="")
+    batch = tick_rows_batch(file_envelope_batch(spark, fixture_dir), cfg)
+    want = {
+        int(r["seq"]): (r.cumbuy, r.cumsell, r.cumdelta)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_rate_source_smoke(spark, tmp_path):
     """The rate envelope source emits valid TICK messages the full
     pipeline can parse — load-generation path stays wired."""
