@@ -148,6 +148,27 @@ def test_multimodal_frame_sample(spark):
             assert len(f) <= 8
 
 
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Real asset ingestion path: spark.read.format('binaryFile') →
+    (content, meta) schema → Arrow-batched feature extraction."""
+    for i in range(5):
+        (tmp_path / f"asset_{i}.bin").write_bytes(bytes([i]) * (50 + i))
+    raw = spark.read.format("binaryFile").load(str(tmp_path / "*.bin"))
+    assets = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("checksum"),
+        ).alias("meta"),
+    )
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 5
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    assert {r.n_bytes for r in feats} == {50, 51, 52, 53, 54}
+
+
 def test_resize_is_explicit_stub(spark):
     docs = load_table(spark, SF, "documents").limit(1)
     with pytest.raises(NotImplementedError):
