@@ -117,6 +117,32 @@ def parse_tick(tick_raw: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFra
     )
 
 
+def observe_ingest(envelope: DataFrame, observation="l2c_ingest") -> DataFrame:
+    """Attach ingest accounting metrics to the envelope stream — the
+    engine's answer to the reference's SILENT drop of unknown message
+    types (``_ => ()``, main.rs:167; SURVEY.md §1.4 quirk 5).
+
+    Uses ``DataFrame.observe``: metrics ride the existing plan (no
+    second scan).  Pass a ``pyspark.sql.Observation`` for batch
+    (read via ``obs.get``) or a string name for streaming (read via
+    ``StreamingQueryProgress.observedMetrics[name]``).  Counted:
+    total messages, BOOK/TICK tagged, unknown-tag drops, malformed
+    TICK payloads.
+    """
+    unknown = (~F.col("msg_type").isin(BOOK, TICK)) | F.col("msg_type").isNull()
+    bad_tick = (F.col("msg_type") == TICK) & ~_tick_valid(
+        F.from_json("payload", TICK_PAYLOAD_SCHEMA)
+    )
+    return envelope.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count(F.when(F.col("msg_type") == BOOK, 1)).alias("n_book"),
+        F.count(F.when(F.col("msg_type") == TICK, 1)).alias("n_tick"),
+        F.count(F.when(unknown, 1)).alias("n_unknown_dropped"),
+        F.count(F.when(bad_tick, 1)).alias("n_malformed_tick"),
+    )
+
+
 def dead_letters(df: DataFrame, kind: str) -> DataFrame:
     """Rows whose payload fails to decode (malformed JSON or missing
     required fields) — the reference logs and continues

@@ -276,6 +276,53 @@ def test_sink_file_layout_contract(spark, fixture_dir, tmp_path):
     assert topics == {"topic=btcusd", "topic=ethusd"}
 
 
+def test_observe_ingest_metrics_batch(spark, fixture_dir):
+    """Drop/malformed accounting (SURVEY §1.4 quirk 5): observed
+    metrics ride the plan, no second scan."""
+    from pyspark.sql import Observation
+
+    env = file_envelope_batch(spark, fixture_dir)
+    obs = Observation("ingest")
+    observed = ingest.observe_ingest(env, obs)
+    cfg = PipelineConfig(mode="tick", out_path="", checkpoint="")
+    tick_rows_batch(observed, cfg).collect()  # any action materializes
+    m = obs.get
+    assert m["n_messages"] == 13
+    assert m["n_book"] == 3 and m["n_tick"] == 9
+    assert m["n_unknown_dropped"] == 1     # the HEARTBEAT frame
+    assert m["n_malformed_tick"] == 1      # the '{not json' payload
+
+
+def test_observe_ingest_metrics_streaming(spark, fixture_dir, tmp_path):
+    """Streaming metrics surface: observed counters appear in each
+    StreamingQueryProgress (attached to the stateless book path — the
+    envelope is shared, so the accounting covers all message types)."""
+    from level2_to_cassandra_spark.streaming.pipeline import book_rows
+
+    env = file_envelope_stream(spark, fixture_dir)
+    observed = ingest.observe_ingest(env, "ingest_stream")
+    cfg = PipelineConfig(mode="book", out_path="", checkpoint="")
+    out = book_rows(observed, cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("obs_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    totals: dict[str, int] = {}
+    for p in q.recentProgress:
+        om = p["observedMetrics"].get("ingest_stream") if p["observedMetrics"] else None
+        if om:
+            for k in ("n_messages", "n_unknown_dropped", "n_malformed_tick"):
+                totals[k] = totals.get(k, 0) + om[k]
+    assert totals.get("n_messages") == 13
+    assert totals.get("n_unknown_dropped") == 1
+    assert totals.get("n_malformed_tick") == 1
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
