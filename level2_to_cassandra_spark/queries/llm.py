@@ -445,6 +445,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_tokens_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+               AS n_bpe_tokens,
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')[1]
+               AS first_token
+    FROM documents
+    """,
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (letters / digits / punctuation runs — the GPT-2
+    pre-tokenization shape) — the cheap 'how many tokens will this
+    cost' estimator a training pipeline runs over every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    bpe = F.regexp_extract_all("text", F.lit(pat), 0)
+    return docs.select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        bpe[0].alias("first_token"),
+    )
+
+
+@register(
+    "q_text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       t -> CAST(length(t) * 131 + ascii(substring(t, 1, 1))
+                                 AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    (Rabin–Karp) folded over per-token codes, mod 2^31−1 each step so
+    both engines stay in exact BIGINT range.  Distinguishes permuted
+    documents that the bag-of-words fingerprint (q_text_fingerprint)
+    deliberately collapses."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        text.tokens("text"),
+        lambda t: (F.length(t) * 131 + F.ascii(F.substring(t, 1, 1))).cast("long"),
+    )
+    rhash = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 2147483647,
+    )
+    return docs.select("doc_id", rhash.alias("rhash"))
+
+
+@register(
     "q_sample_split",
     oracle="""
     SELECT doc_id, lang,
