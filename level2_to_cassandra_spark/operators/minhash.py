@@ -47,6 +47,20 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
     return p
 
 
+def _cap_postings(postings: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Drop postings of shingles appearing in more than
+    ``max_shingle_df`` docs.  The hot list is tiny by construction
+    (only shingles above the cap) → broadcast anti-join, no shuffle of
+    the postings."""
+    hot = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return postings.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
                     cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs from full
@@ -76,7 +90,8 @@ def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3) -> DataFrame:
+                        k: int = 3,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -88,6 +103,20 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     therefore runs on ~(1−t) of the postings, and rarest-first ordering
     keeps the per-shingle bucket sizes small; verification then uses
     the full postings, so the result is EXACT, not approximate.
+
+    ``max_shingle_df`` (the stop-shingle cap) bounds the candidate
+    self-join at corpus scale: a shingle with document frequency d
+    contributes a d² bucket, so one stop-shingle (d ≈ corpus size)
+    makes candidate generation quadratic.  The cap removes shingles
+    with df > cap from the CANDIDATE INDEX ONLY — prefix positions are
+    still assigned over the full rarest-first order, sizes and
+    verification still use the full postings — so every emitted pair
+    has its TRUE Jaccard and precision is exact.  Recall: a qualifying
+    pair is missed only if every shingle its two prefixes share is
+    hotter than the cap; under rarest-first ordering a prefix holds a
+    doc's ⌊(1−t)n⌋+1 RAREST shingles, so that requires a document
+    composed almost entirely of stop-shingles.  ``None`` (default)
+    disables the cap → fully exact.
     """
     # The postings relation feeds 4+ plan branches (df-ranking, prefix
     # index, both verification sides, sizes); persisting it computes the
@@ -98,6 +127,8 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if threshold <= 0:
         index = postings
+        if max_shingle_df is not None:
+            index = _cap_postings(index, max_shingle_df)
     else:
         dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
@@ -109,8 +140,12 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                 F.col("pos")
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
             )
-            .select("id", "shingle")
         )
+        if max_shingle_df is not None:
+            # after position assignment: positions stay faithful to the
+            # full-order prefix lemma, the cap only shrinks the index
+            index = index.where(F.col("df") <= max_shingle_df)
+        index = index.select("id", "shingle")
     cand = (
         index.alias("a")
         .join(index.alias("b"), "shingle")
@@ -137,39 +172,38 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     )
 
 
-def minhash_signature(shingles_col, n_hashes: int = 16):
-    """Array of n minhash values: min over shingles of xxhash64(seed, s).
-    Empty shingle sets get NULL elements (no shingles ⇒ no signature)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(n_hashes)
-        ]
-    )
-
-
 def minhash_pairs(docs: DataFrame, threshold: float,
                   id_col: str = "doc_id", text_col: str = "text",
-                  k: int = 3, n_hashes: int = 16, bands: int = 8) -> DataFrame:
+                  k: int = 3, n_hashes: int = 16, bands: int = 8,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     With defaults (16 hashes, 8 bands × 2 rows), a pair at j=0.8 is a
     candidate with P = 1−(1−0.64)^8 ≈ 0.9997; misses drop further as j
     rises, so at dedup-grade thresholds recall is effectively 1.
+
+    ``max_shingle_df`` excludes stop-shingles from SIGNATURE
+    computation only (verification stays on full postings → exact
+    Jaccard, exact precision).  Stop-shingles shared across most of the
+    corpus drag unrelated documents' minhashes toward the same values,
+    inflating band buckets — the cap keeps bucket sizes driven by
+    discriminative content.  ``None`` disables.
     """
     r = n_hashes // bands
     # shared by signatures + verification — see exact_jaccard_pairs
     postings = shingle_postings(docs, id_col, text_col, k).persist()
+    sig_postings = (
+        postings if max_shingle_df is None
+        else _cap_postings(postings, max_shingle_df)
+    )
     # Signatures from the EXPLODED postings, not array transforms: a
     # projected shingle-array column gets inlined by projection
     # collapse into every per-permutation transform (16× the shingling
     # work); aggregating min(xxhash64(seed, shingle)) over rows costs
     # one explode + 16 cheap hashes per row, and is the shape that
     # scales (no wide arrays through the shuffle).
-    with_sig = postings.groupBy("id").agg(
+    with_sig = sig_postings.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(n_hashes)

@@ -126,13 +126,73 @@ def frame_sample(assets: DataFrame, n_frames: int = 4,
     return assets.select("doc_id", "meta", frames.alias("frames"))
 
 
-def resize_image(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """UNIMPLEMENTED: real image resize requires an image codec (PIL /
-    OpenCV), absent from this environment.  The signature and schema
-    are the contract a real kernel drops into (mapInPandas, binary in /
-    binary out)."""
-    raise NotImplementedError(
-        "image decode unavailable in this environment; plug a PIL/OpenCV "
-        "kernel into mapInPandas with schema (doc_id long, content binary, "
-        "meta struct) -> same"
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", METADATA_SCHEMA),
+    ]
+)
+
+
+def _nn_resize(payload: bytes, width: int, height: int,
+               src_width: int | None) -> bytes:
+    """Nearest-neighbor resample of a raw single-channel byte grid.
+
+    No codec needed: the payload IS the pixel buffer (the shape a real
+    pipeline gets after the decode stage, e.g. a raw Y-plane).  When
+    ``src_width`` is unknown the grid is laid out square-ish
+    (ceil(√n) columns, zero-padded final row) — deterministic, so
+    tests can compute expected pixels independently.
+    """
+    import math
+
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return bytes(width * height)
+    sw = src_width or math.ceil(math.sqrt(n))
+    sh = math.ceil(n / sw)
+    grid = np.zeros(sw * sh, dtype=np.uint8)
+    grid[:n] = np.frombuffer(payload, dtype=np.uint8)
+    grid = grid.reshape(sh, sw)
+    rows = (np.arange(height) * sh) // height
+    cols = (np.arange(width) * sw) // width
+    return grid[np.ix_(rows, cols)].tobytes()
+
+
+def resize_image(assets: DataFrame, width: int, height: int,
+                 src_width: int | None = None) -> DataFrame:
+    """Image resize (binary in / binary out) via Arrow-batched
+    ``mapInPandas`` — the mapInPandas contract a codec-backed kernel
+    (PIL/OpenCV, absent here) drops into unchanged.  The resampling
+    itself is REAL (pure-numpy nearest neighbor over the raw byte
+    grid); only the format decode is out of scope without a codec.
+    Metadata is recomputed for the resized payload (n_bytes, md5)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                _nn_resize(bytes(c), width, height, src_width)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": out,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "n_bytes": len(b),
+                            "checksum": hashlib.md5(b).hexdigest(),
+                        }
+                        for m, b in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return assets.select("doc_id", "content", "meta").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
     )

@@ -43,12 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def brute_topk(corpus: DataFrame, queries: DataFrame, k: int,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_cos: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     ``queries`` is broadcast (must be driver-bounded — a batch of query
     vectors, not a second corpus); self-matches are excluded.  Output:
     (query_id, neighbor_id, cos, rank).
+
+    ``round_cos`` rounds the cosine to that many decimals BEFORE the
+    ranking window, making the top-k cut engine-invariant (float
+    last-ulp differences can't flip a boundary pair) — callers that
+    compare against another engine should rank on the rounded value
+    rather than over-fetching and re-ranking.
     """
     q = F.broadcast(
         queries.select(
@@ -58,14 +65,13 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
+    cos = cosine(F.col("__qv"), F.col("__cv"))
+    if round_cos is not None:
+        cos = F.round(cos, round_cos)
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")

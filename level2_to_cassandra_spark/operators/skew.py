@@ -31,17 +31,28 @@ def salted_agg(df: DataFrame, key_cols: Sequence[str],
 
     ``aggs`` maps a grouped frame to partial aggregates (they must be
     combinable: sum/count/min/max); ``finals`` combine the partials in
-    the second phase.  ``salt_source`` picks the column hashed into the
-    salt (defaults to a uniform random-ish spread via ``spark_partition_id``
-    + monotonically increasing id would be non-deterministic, so we hash
-    the full row's first non-key column when unspecified).
+    the second phase.  ``salt_source`` names a single column to hash
+    into the salt; when unspecified the salt hashes ALL non-key columns
+    together (deterministic — no RNG state to ship — and immune to any
+    one column being low-cardinality or correlated with the key, which
+    would silently collapse the salt to a few values and undo the
+    mitigation).
     """
     key_cols = list(key_cols)
-    if salt_source is None:
-        candidates = [c for c in df.columns if c not in key_cols]
-        salt_source = candidates[0] if candidates else key_cols[0]
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        "__salt", salt_column(df, key_cols, salt_source, n_salts)
     )
     partial = aggs(salted.groupBy(*key_cols, "__salt"))
     return partial.groupBy(*key_cols).agg(*finals)
+
+
+def salt_column(df: DataFrame, key_cols: Sequence[str],
+                salt_source: str | None, n_salts: int) -> Column:
+    """The salt expression used by :func:`salted_agg` — exposed so the
+    spread can be asserted directly in tests."""
+    if salt_source is not None:
+        salt_cols = [F.col(salt_source)]
+    else:
+        candidates = [c for c in df.columns if c not in key_cols]
+        salt_cols = [F.col(c) for c in (candidates or list(key_cols))]
+    return F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts))

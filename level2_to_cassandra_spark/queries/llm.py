@@ -210,17 +210,13 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 5 query vectors: corpus
     stays partitioned, queries broadcast (operators/similarity.py).
-    Ranking on the ROUNDED cosine (tiebreak neighbor_id) keeps the
-    order engine-invariant."""
+    The operator ranks on the ROUNDED cosine (tiebreak neighbor_id), so
+    k=10 is the final cut — no over-fetch + re-rank pass."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 5)
-    scored = similarity.brute_topk(em, queries, k=500).select(
-        "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
+    return similarity.brute_topk(em, queries, k=10, round_cos=4).select(
+        "query_id", "neighbor_id", "cos",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -351,10 +347,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: explode terms → tf per (doc, term), df per term, idf =
     ln(N/df); top-3 terms per doc ranked on the rounded score (ties by
-    term).  Three hash shuffles (tf, df, rank) — each map-side partial;
-    df is corpus-wide but terms are low-cardinality relative to rows."""
+    term).  Three hash shuffles (tf, df, rank) — each map-side partial.
+    The per-term document-frequency relation is UNBOUNDED (one row per
+    distinct term), so it joins with NO broadcast hint — AQE still
+    broadcasts it at small SF, but at corpus scale it degrades to a
+    shuffle join instead of OOMing the executors.  N stays in-plan as a
+    broadcast crossJoin of a 1-row aggregate (no separate driver job)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension, computed once
     # persisted: feeds tf, dl and df branches (same rationale as the
     # postings persist in operators/minhash.py)
     toks = docs.select(
@@ -363,15 +362,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     tfidf = F.round(
         (F.col("tf").cast("double") / F.col("dl"))
-        * F.log(F.lit(float(n_docs)) / F.col("df")),
+        * F.log(F.col("__n_docs").cast("double") / F.col("df")),
         6,
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
+        .join(df, "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term", tfidf.alias("tfidf"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)

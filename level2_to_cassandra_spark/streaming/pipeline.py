@@ -38,6 +38,7 @@ class PipelineConfig:
     checkpoint: str = "/tmp/l2c_ckpt"
     watermark: str = "1 hour"          # late-data bound (fixes §1.4 q2/3)
     kafka: dict[str, str] = field(default_factory=dict)
+    cassandra: dict[str, str] = field(default_factory=dict)
     sink: str = "parquet"              # "parquet" (CI) | "cassandra" (prod)
 
     def __post_init__(self) -> None:
@@ -46,11 +47,21 @@ class PipelineConfig:
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "PipelineConfig":
-        """Build from the reference's env-var surface (README.md:8-16,
-        docker-compose.yaml:6-15): APP_MODE/TOPIC keep their names;
-        CASSANDRA_KEYSPACE becomes the sink path namespace; the ZMQ
-        connection/CURVE vars (API_ADDRESS, SUB_KEY…) map onto Kafka
-        bootstrap/security options when a broker is configured."""
+        """Build from the reference's exact env-var surface
+        (README.md:8-16, main.rs:177-184, docker-compose.yaml:6-15) so
+        a reference ``.env`` is drop-in:
+
+        * ``APP_MODE`` / ``TOPIC`` keep their names (start.sh:3-14);
+        * ``KEYSPACE`` (main.rs:184) is the sink namespace —
+          ``CASSANDRA_KEYSPACE`` accepted as a fallback alias;
+        * ``CASSANDRA_HOST/USERNAME/PASSWORD`` (main.rs:177-179) become
+          spark-cassandra-connector options;
+        * ``API_ADDRESS`` (main.rs:180) is the broker address and the
+          CURVE triple ``SECRET_KEY``/``PUBLIC_KEY``/``SERVER_KEY``
+          (main.rs:181-183) maps onto Kafka PEM-SSL options — client
+          keypair → keystore, server public key → truststore (CURVE
+          auth ≈ TLS: connection security, not engine semantics).
+        """
         import os as _os
 
         e = dict(_os.environ if env is None else env)
@@ -59,13 +70,33 @@ class PipelineConfig:
             kafka["kafka.bootstrap.servers"] = e["API_ADDRESS"]
         if e.get("TOPIC"):
             kafka["subscribePattern"] = f"{e['TOPIC']}.*"
+        if e.get("SECRET_KEY") or e.get("PUBLIC_KEY") or e.get("SERVER_KEY"):
+            kafka["kafka.security.protocol"] = "SSL"
+            if e.get("SECRET_KEY"):
+                kafka["kafka.ssl.keystore.type"] = "PEM"
+                kafka["kafka.ssl.keystore.key"] = e["SECRET_KEY"]
+            if e.get("PUBLIC_KEY"):
+                kafka["kafka.ssl.keystore.certificate.chain"] = e["PUBLIC_KEY"]
+            if e.get("SERVER_KEY"):
+                kafka["kafka.ssl.truststore.type"] = "PEM"
+                kafka["kafka.ssl.truststore.certificates"] = e["SERVER_KEY"]
+        cassandra = {}
+        if e.get("CASSANDRA_HOST"):
+            cassandra["spark.cassandra.connection.host"] = e["CASSANDRA_HOST"]
+        if e.get("CASSANDRA_USERNAME"):
+            cassandra["spark.cassandra.auth.username"] = e["CASSANDRA_USERNAME"]
+        if e.get("CASSANDRA_PASSWORD"):
+            cassandra["spark.cassandra.auth.password"] = e["CASSANDRA_PASSWORD"]
         return cls(
             mode=e.get("APP_MODE", "full"),
             topic_filter=e.get("TOPIC") or None,
-            out_path=e.get("CASSANDRA_KEYSPACE", "/tmp/l2c_sink"),
+            out_path=e.get("KEYSPACE")
+            or e.get("CASSANDRA_KEYSPACE", "/tmp/l2c_sink"),
             checkpoint=e.get("CHECKPOINT_DIR", "/tmp/l2c_ckpt"),
             watermark=e.get("WATERMARK", "1 hour"),
             kafka=kafka,
+            cassandra=cassandra,
+            sink="cassandra" if cassandra else "parquet",
         )
 
 
@@ -133,7 +164,8 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
                 foreach_batch_cassandra,
             )
 
-            callback = foreach_batch_cassandra(cfg.out_path, suffix)
+            callback = foreach_batch_cassandra(cfg.out_path, suffix,
+                                               cfg.cassandra)
         else:
             callback = foreach_batch_upsert(cfg.out_path, suffix)
         writer = (

@@ -82,8 +82,23 @@ def foreach_batch_upsert(path: str, table_suffix: str):
     return _write
 
 
+def cassandra_writer_options(keyspace: str, topic: str, table_suffix: str,
+                             connector: dict[str, str] | None = None,
+                             ) -> dict[str, str]:
+    """Option dict for a spark-cassandra-connector write: the
+    reference's table naming ``{keyspace}.{topic}_{suffix}``
+    (main.rs:90,148) plus connection/auth options from
+    ``PipelineConfig.cassandra`` (CASSANDRA_HOST/USERNAME/PASSWORD,
+    main.rs:177-179).  Split out from the writer so CI can assert the
+    assembled options without a live cluster."""
+    opts = {"keyspace": keyspace, "table": f"{topic}_{table_suffix}"}
+    opts.update(connector or {})
+    return opts
+
+
 def write_upsert_cassandra(df: DataFrame, keyspace: str, topic: str,
-                           table_suffix: str) -> None:
+                           table_suffix: str,
+                           connector: dict[str, str] | None = None) -> None:
     """Production sink: spark-cassandra-connector upsert into
     ``{keyspace}.{topic}_{table_suffix}`` — the reference's exact table
     naming (main.rs:90,148) and key semantics (connector writes are
@@ -97,12 +112,15 @@ def write_upsert_cassandra(df: DataFrame, keyspace: str, topic: str,
         df.drop(BATCH_COL, "topic")
         .write.format("org.apache.spark.sql.cassandra")
         .mode("append")
-        .options(keyspace=keyspace, table=f"{topic}_{table_suffix}")
+        .options(
+            **cassandra_writer_options(keyspace, topic, table_suffix, connector)
+        )
         .save()
     )
 
 
-def foreach_batch_cassandra(keyspace: str, table_suffix: str):
+def foreach_batch_cassandra(keyspace: str, table_suffix: str,
+                            connector: dict[str, str] | None = None):
     """foreachBatch callback for the Cassandra sink: dynamic per-topic
     routing (one table per topic, the reference's DDL-per-topic
     semantics) — topics in a micro-batch are few, so the driver-side
@@ -114,7 +132,7 @@ def foreach_batch_cassandra(keyspace: str, table_suffix: str):
         for topic in topics:
             write_upsert_cassandra(
                 deduped.where(F.col("topic") == topic),
-                keyspace, topic, table_suffix,
+                keyspace, topic, table_suffix, connector,
             )
 
     return _write

@@ -169,10 +169,47 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert {r.n_bytes for r in feats} == {50, 51, 52, 53, 54}
 
 
-def test_resize_is_explicit_stub(spark):
-    docs = load_table(spark, SF, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_image(multimodal.attach_binary(docs), 64, 64)
+def test_resize_nearest_neighbor_known_grid(spark):
+    # payload = bytes 0..15 → inferred 4×4 grid; 2×2 NN resample keeps
+    # pixels at source rows/cols {0,2} → [0, 2, 8, 10]
+    import hashlib
+
+    assets = spark.createDataFrame(
+        [(1, bytes(range(16)), ("raw/gray", 16, "x"))],
+        "doc_id long, content binary, "
+        "meta struct<mime string, n_bytes bigint, checksum string>",
+    )
+    [r] = multimodal.resize_image(assets, 2, 2).collect()
+    assert bytes(r.content) == bytes([0, 2, 8, 10])
+    assert r.meta.mime == "raw/gray"
+    assert r.meta.n_bytes == 4
+    assert r.meta.checksum == hashlib.md5(bytes([0, 2, 8, 10])).hexdigest()
+
+
+def test_resize_upscale_and_empty(spark):
+    assets = spark.createDataFrame(
+        [(1, bytes(range(16)), ("raw/gray", 16, "x")),
+         (2, b"", ("raw/gray", 0, "y"))],
+        "doc_id long, content binary, "
+        "meta struct<mime string, n_bytes bigint, checksum string>",
+    )
+    out = {r.doc_id: bytes(r.content)
+           for r in multimodal.resize_image(assets, 8, 8).collect()}
+    assert len(out[1]) == 64
+    # upscale replicates source pixels: top-left 2×2 block is source (0,0)
+    assert out[1][0] == out[1][1] == 0
+    assert out[2] == bytes(64)  # empty payload → all-zero canvas
+
+
+def test_resize_respects_explicit_src_width(spark):
+    # 2×8 grid (src_width=8): row 0 = 0..7, row 1 = 8..15
+    assets = spark.createDataFrame(
+        [(1, bytes(range(16)), ("raw/gray", 16, "x"))],
+        "doc_id long, content binary, "
+        "meta struct<mime string, n_bytes bigint, checksum string>",
+    )
+    [r] = multimodal.resize_image(assets, 2, 2, src_width=8).collect()
+    assert bytes(r.content) == bytes([0, 4, 8, 12])
 
 
 # ------------------------------------------------------------- asof edges
@@ -224,3 +261,77 @@ def test_minhash_exact_equivalence_on_small_corpus(spark):
     }
     assert mh[(1, 3)] == 1.0  # exact dups always collide in every band
     assert set(mh) <= set(exact)  # verification: no false positives
+
+
+def test_stop_shingle_cap_preserves_precision(spark):
+    # "common common common" shingles are shared by every doc — a
+    # stop-shingle.  The cap drops it from candidate generation only;
+    # verification still computes TRUE Jaccard over full postings.
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common a1 a2 a3 a4 a5 a6"),
+            (2, "common common common common a1 a2 a3 a4 a5 a7"),
+            (3, "common common common common b1 b2 b3 b4 b5 b6"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    # cap above every df → identical result (cap is a no-op)
+    nocap = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            docs, threshold=0.4, max_shingle_df=1000
+        ).collect()
+    }
+    assert nocap == full
+    # aggressive cap: output is a SUBSET with unchanged jaccard values
+    capped = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            docs, threshold=0.4, max_shingle_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j == full[pair]
+
+
+def test_minhash_cap_keeps_verification_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.minhash_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.minhash_pairs(
+            docs, threshold=0.5, max_shingle_df=1000
+        ).collect()
+    }
+    assert capped == full  # no-op cap: bit-identical result
+
+
+# ------------------------------------------------------------- skew salt
+
+def test_salt_spreads_despite_constant_first_column(spark):
+    from level2_to_cassandra_spark.operators.skew import salt_column
+
+    rows = [("k", "const", i) for i in range(512)]
+    df = spark.createDataFrame(rows, "key string, c1 string, c2 long")
+    n_salts = 16
+    distinct = (
+        df.select(salt_column(df, ["key"], None, n_salts).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert distinct >= n_salts // 2

@@ -47,5 +47,78 @@ def test_pipeline_config_from_env():
     assert cfg.topic_filter == "btcusd"
     assert cfg.out_path == "/data/ticks"
     assert cfg.kafka["kafka.bootstrap.servers"] == "broker:9092"
+    assert cfg.sink == "parquet"  # no CASSANDRA_HOST → CI sink
     with pytest.raises(ValueError):
         PipelineConfig.from_env({"APP_MODE": "bogus"})
+
+
+def test_pipeline_config_reference_env_is_drop_in():
+    """The reference's full .env surface (README.md:8-16 /
+    main.rs:177-184) maps with no renames."""
+    cfg = PipelineConfig.from_env(
+        {
+            "APP_MODE": "full",
+            "CASSANDRA_HOST": "10.0.0.5",
+            "CASSANDRA_USERNAME": "scylla",
+            "CASSANDRA_PASSWORD": "hunter2",
+            "API_ADDRESS": "127.0.0.3:4444",
+            "PUBLIC_KEY": "client-pub-pem",
+            "SECRET_KEY": "client-secret-pem",
+            "SERVER_KEY": "server-pub-pem",
+            "KEYSPACE": "level2",
+        }
+    )
+    assert cfg.out_path == "level2"  # KEYSPACE, reference name
+    assert cfg.sink == "cassandra"   # host configured → prod sink
+    assert cfg.cassandra == {
+        "spark.cassandra.connection.host": "10.0.0.5",
+        "spark.cassandra.auth.username": "scylla",
+        "spark.cassandra.auth.password": "hunter2",
+    }
+    # CURVE triple → Kafka PEM-SSL: client keypair = keystore,
+    # server public key = trust anchor
+    assert cfg.kafka["kafka.security.protocol"] == "SSL"
+    assert cfg.kafka["kafka.ssl.keystore.key"] == "client-secret-pem"
+    assert (cfg.kafka["kafka.ssl.keystore.certificate.chain"]
+            == "client-pub-pem")
+    assert (cfg.kafka["kafka.ssl.truststore.certificates"]
+            == "server-pub-pem")
+    assert cfg.kafka["kafka.bootstrap.servers"] == "127.0.0.3:4444"
+
+
+def test_cassandra_writer_option_assembly():
+    """Connector write options — assembled and asserted without a live
+    cluster (the un-executable last mile is only the .save())."""
+    from level2_to_cassandra_spark.streaming.sink import (
+        cassandra_writer_options,
+    )
+
+    opts = cassandra_writer_options(
+        "level2", "btcusd", "tick",
+        {"spark.cassandra.connection.host": "10.0.0.5"},
+    )
+    assert opts["keyspace"] == "level2"
+    assert opts["table"] == "btcusd_tick"  # main.rs:90,148 naming
+    assert opts["spark.cassandra.connection.host"] == "10.0.0.5"
+
+
+def test_kafka_envelope_reader_options():
+    """kafka_envelope forwards every configured option onto the reader
+    (assert on the assembled options; no broker needed)."""
+    cfg = PipelineConfig.from_env(
+        {
+            "API_ADDRESS": "broker:9092",
+            "TOPIC": "btcusd",
+            "SECRET_KEY": "sk",
+            "PUBLIC_KEY": "pk",
+            "SERVER_KEY": "srv",
+        }
+    )
+    assert cfg.kafka["subscribePattern"] == "btcusd.*"
+    assert set(cfg.kafka) >= {
+        "kafka.bootstrap.servers",
+        "kafka.security.protocol",
+        "kafka.ssl.keystore.key",
+        "kafka.ssl.keystore.certificate.chain",
+        "kafka.ssl.truststore.certificates",
+    }
