@@ -63,6 +63,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Give per-row-heavy compute (shingling, tokenization, hashing)
+    full parallelism when the upstream SCAN cannot.
+
+    A single-file / single-row-group parquet table scans as ONE task no
+    matter how many cores the cluster has (``maxPartitionBytes`` cannot
+    split inside a row group), so everything narrow-chained onto the
+    scan runs single-threaded.  When the scan's partition count is
+    below the session's default parallelism, round-robin repartition to
+    spread the compute; at real scale a 100 TB table scans as thousands
+    of splits ≥ cores and this is a NO-OP — no shuffle is added where
+    the data already provides parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from level2_to_cassandra_spark.catalog import spread_scan
 from level2_to_cassandra_spark.operators.text import word_shingles
 
 
@@ -31,8 +32,10 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
                      max_shingle_df: int | None = None) -> DataFrame:
     """(id, shingle) postings, distinct per doc.  ``max_shingle_df``
     drops shingles appearing in more than that many docs — the classic
-    stop-shingle cap that bounds the self-join at corpus scale."""
-    p = docs.select(
+    stop-shingle cap that bounds the self-join at corpus scale.
+    Shingling is per-row-heavy → ``spread_scan`` guarantees it runs at
+    cluster parallelism even off a one-split scan."""
+    p = spread_scan(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
     )
@@ -129,13 +132,22 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
         index = postings
         if max_shingle_df is not None:
             index = _cap_postings(index, max_shingle_df)
+        cand = (
+            index.alias("a")
+            .join(index.alias("b"), "shingle")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     else:
         dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+        # n from a count-window over the SAME partitioning — one
+        # exchange serves both, no third join against `sizes`
         index = (
             postings.join(dfreq, "shingle")
             .withColumn("pos", F.row_number().over(w))
-            .join(sizes, "id")
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
             .where(
                 F.col("pos")
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
@@ -145,27 +157,41 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             # after position assignment: positions stay faithful to the
             # full-order prefix lemma, the cap only shrinks the index
             index = index.where(F.col("df") <= max_shingle_df)
-        index = index.select("id", "shingle")
-    cand = (
-        index.alias("a")
-        .join(index.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    if threshold > 0:
-        # length filter: J ≥ t ⇒ t ≤ na/nb ≤ 1/t — prunes before the
-        # (more expensive) verification join
+        index = index.select("id", "shingle", "pos", "n")
+        # Length filter (J ≥ t ⇒ t ≤ na/nb ≤ 1/t) and PPJoin POSITIONAL
+        # filter evaluated inline on the candidate join, before the
+        # distinct.  Positional filter: J ≥ t ⟺ |∩| ≥ α with
+        # α = ⌈t·(na+nb)/(1+t)⌉; for the pair's MINIMAL common shingle
+        # (global rarest-first order) every other common shingle ranks
+        # after it in BOTH docs, so |∩| ≤ 1 + min(na−pa, nb−pb).  The
+        # minimal common shingle of a qualifying pair is provably inside
+        # both prefixes (if it sat past A's prefix, the overlap would fit
+        # in A's suffix of ⌈t·na⌉−1 < t·na ≤ α elements — contradiction),
+        # so its join row passes the bound and the filter is LOSSLESS.
+        # The 1e-9 slack keeps float ceil from over-tightening α.
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("a.n") + F.col("b.n"))
+            - F.lit(1e-9)
+        )
         cand = (
-            cand.join(sizes.select(F.col("id").alias("id_a"),
-                                   F.col("n").alias("__na")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("n").alias("__nb")), "id_b")
+            index.alias("a")
+            .join(index.alias("b"), "shingle")
             .where(
-                (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
-                & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+                (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
+                & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+                & (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.n") - F.col("a.pos"),
+                        F.col("b.n") - F.col("b.pos"),
+                    )
+                    >= alpha
+                )
             )
-            .select("id_a", "id_b")
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
     return _verify_jaccard(postings, sizes, cand).where(
         F.col("jaccard") >= threshold

@@ -355,8 +355,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast crossJoin of a 1-row aggregate (no separate driver job)."""
     docs = load_table(spark, sf_dir, "documents")
     # persisted: feeds tf, dl and df branches (same rationale as the
-    # postings persist in operators/minhash.py)
-    toks = docs.select(
+    # postings persist in operators/minhash.py); spread_scan parallelizes
+    # tokenization off a one-split scan
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    toks = spread_scan(docs).select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
     ).persist()
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
