@@ -1,0 +1,56 @@
+"""The driver harness verifies only the first ``DRIVER_CAP`` entries of
+``queries()`` (rounds 1-2 each checked exactly the first 50 registered).
+These tests pin the explicit ordering so the checked set stays a
+deliberate decision: every query that has never had a driver oracle row
+must sit inside the cap, and anything rotated past the cap must already
+be driver-green in prior rounds AND coverage-redundant.
+"""
+
+from __future__ import annotations
+
+from level2_to_cassandra_spark import registry
+
+# Queries with no driver oracle row in CORRECTNESS_r01/r02 — must be
+# inside the cap until a round verifies them.
+NEVER_DRIVER_CHECKED = {
+    "q_text_langid", "q_text_tfidf", "q_udf_pandas_cosine",
+    "q_udtf_tokenize", "q_multimodal_features", "q_text_tokens_bpe",
+    "q_text_rolling_hash", "q_sample_split", "q_text_fingerprint",
+    "q_ohlc_bars", "q_time_bucket_agg", "q_sessionize",
+}
+
+# Green in BOTH r01 and r02 (full hash match), untouched since, each
+# with an in-cap sibling covering the same SURVEY.md §2 row.
+SAFE_TO_ROTATE_OUT = {
+    "q_set_ops_all", "q_agg_cube", "q_agg_stats", "q_agg_pivot",
+    "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
+    "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
+    "q_window_lag",
+}
+
+
+def test_order_covers_registry_exactly():
+    names = list(registry.all_queries().keys())
+    assert names == list(registry.DRIVER_ORDER)
+    assert len(names) == len(set(names))
+
+
+def test_unverified_queries_inside_driver_cap():
+    in_cap = set(registry.DRIVER_ORDER[: registry.DRIVER_CAP])
+    missing = NEVER_DRIVER_CHECKED - in_cap
+    assert not missing, f"never-driver-checked queries past the cap: {missing}"
+
+
+def test_only_twice_green_redundant_queries_past_cap():
+    tail = set(registry.DRIVER_ORDER[registry.DRIVER_CAP:])
+    unexpected = tail - SAFE_TO_ROTATE_OUT
+    assert not unexpected, f"queries past the cap without prior green rows: {unexpected}"
+
+
+def test_entry_module_preserves_order():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert list(mod.queries().keys()) == list(registry.DRIVER_ORDER)
