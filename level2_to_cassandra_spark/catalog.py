@@ -70,15 +70,27 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     A single-file / single-row-group parquet table scans as ONE task no
     matter how many cores the cluster has (``maxPartitionBytes`` cannot
     split inside a row group), so everything narrow-chained onto the
-    scan runs single-threaded.  When the scan's partition count is
-    below the session's default parallelism, round-robin repartition to
-    spread the compute; at real scale a 100 TB table scans as thousands
-    of splits ≥ cores and this is a NO-OP — no shuffle is added where
-    the data already provides parallelism.
+    scan runs single-threaded.  When the scan reads fewer FILES than
+    the session's default parallelism, round-robin repartition to
+    spread the compute; at real scale a 100 TB table is thousands of
+    files ≥ cores and this is a NO-OP — no shuffle is added where the
+    data already provides parallelism.
+
+    The file count comes from the plan's file index
+    (``df.inputFiles()``) — pure metadata, no RDD conversion, so no
+    physical planning is forced on the driver at plan-build time.  File
+    count under-counts splits (a multi-row-group file scans as several
+    tasks), so the heuristic can only over-spread, and only when the
+    scan is below the core count — where an extra exchange of the
+    (small, by premise) input is cheap insurance.  Streaming inputs and
+    derived (non-scan) DataFrames report no files and pass through
+    unchanged: for those the caller's own shuffles set parallelism.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.isStreaming:
+        return df
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

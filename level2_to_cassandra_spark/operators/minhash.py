@@ -40,28 +40,38 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
     )
     if max_shingle_df is not None:
-        hot = (
-            p.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        p = p.join(F.broadcast(hot), "shingle", "left_anti")
+        p = _cap_postings(p, max_shingle_df)
     return p
 
 
-def _cap_postings(postings: DataFrame, max_shingle_df: int) -> DataFrame:
+def _cap_postings(postings: DataFrame, max_shingle_df: int,
+                  keep_all_hot_docs: bool = False) -> DataFrame:
     """Drop postings of shingles appearing in more than
     ``max_shingle_df`` docs.  The hot list is tiny by construction
     (only shingles above the cap) → broadcast anti-join, no shuffle of
-    the postings."""
+    the postings.
+
+    A document composed ENTIRELY of stop-shingles would lose every
+    posting and silently vanish from whatever is built on the capped
+    relation (e.g. an LSH signature) — a recall cliff even for exact
+    duplicates of all-hot documents.  ``keep_all_hot_docs=True`` unions
+    such documents' full postings back: the ids that lost everything
+    are few by construction (each consists only of corpus-dominant
+    shingles), so the rescue joins stay small."""
     hot = (
         postings.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_shingle_df)
         .select("shingle")
     )
-    return postings.join(F.broadcast(hot), "shingle", "left_anti")
+    capped = postings.join(F.broadcast(hot), "shingle", "left_anti")
+    if keep_all_hot_docs:
+        lost = (
+            postings.select("id").distinct()
+            .join(capped.select("id").distinct(), "id", "left_anti")
+        )
+        capped = capped.unionByName(postings.join(lost, "id", "left_semi"))
+    return capped
 
 
 def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
@@ -94,7 +104,9 @@ def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
 def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        max_shingle_frac: float | None = None,
+                        min_cap_df: int = 50) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -120,6 +132,18 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     doc's ⌊(1−t)n⌋+1 RAREST shingles, so that requires a document
     composed almost entirely of stop-shingles.  ``None`` (default)
     disables the cap → fully exact.
+
+    ``max_shingle_frac`` sizes the cap FROM THE CORPUS, in-plan (no
+    driver-side action): cap = max(``min_cap_df``, ⌈frac · n_docs⌉).
+    A shingle present in more than that fraction of a web-scale corpus
+    is boilerplate, not content; the ``min_cap_df`` floor keeps the cap
+    inert on small corpora (where even the hottest shingle is rare in
+    absolute terms) so small-SF results stay bit-identical to the
+    uncapped plan.  All-hot-document dropout is impossible on this
+    path: a doc whose every PREFIX shingle exceeds the cap keeps its
+    full prefix instead (the prefix holds the doc's rarest shingles,
+    so min(df) over the doc equals min(df) over the prefix — one extra
+    window aggregate on an exchange the plan already does).
     """
     # The postings relation feeds 4+ plan branches (df-ranking, prefix
     # index, both verification sides, sizes); persisting it computes the
@@ -142,21 +166,47 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     else:
         dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-        # n from a count-window over the SAME partitioning — one
-        # exchange serves both, no third join against `sizes`
-        index = (
-            postings.join(dfreq, "shingle")
-            .withColumn("pos", F.row_number().over(w))
-            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-            .where(
-                F.col("pos")
-                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-            )
+        # n and min_df from windows over the SAME partitioning as pos —
+        # one exchange serves all three, no extra join or shuffle.  The
+        # 1e-9 slack inside ceil keeps float error from over-shrinking
+        # the prefix (ceil can only round DOWN toward the exact value,
+        # i.e. the prefix can only widen — lossless either way).
+        by_id = Window.partitionBy("id")
+        capped = max_shingle_df is not None or max_shingle_frac is not None
+        index = postings.join(dfreq, "shingle").withColumn(
+            "pos", F.row_number().over(w)
+        ).withColumn("n", F.count(F.lit(1)).over(by_id))
+        if capped:
+            # rides the exchange the pos/n windows already did
+            index = index.withColumn("min_df", F.min("df").over(by_id))
+        index = index.where(
+            F.col("pos")
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
         )
+        cap = None
         if max_shingle_df is not None:
+            cap = F.lit(max_shingle_df)
+        elif max_shingle_frac is not None:
+            # corpus-relative cap, computed in-plan: 1-row doc count
+            # cross-joined (broadcast) into the filter — no .collect()
+            n_docs = postings.select(
+                F.count_distinct("id").alias("__n_docs")
+            )
+            index = index.crossJoin(F.broadcast(n_docs))
+            cap = F.greatest(
+                F.lit(min_cap_df),
+                F.ceil(F.lit(max_shingle_frac) * F.col("__n_docs")),
+            )
+        if cap is not None:
             # after position assignment: positions stay faithful to the
-            # full-order prefix lemma, the cap only shrinks the index
-            index = index.where(F.col("df") <= max_shingle_df)
+            # full-order prefix lemma, the cap only shrinks the index.
+            # min_df > cap ⇔ the doc's whole prefix is hot → keep it all
+            # rather than dropping the doc from candidate generation.
+            index = index.where(
+                (F.col("df") <= cap) | (F.col("min_df") > cap)
+            )
         index = index.select("id", "shingle", "pos", "n")
         # Length filter (J ≥ t ⇒ t ≤ na/nb ≤ 1/t) and PPJoin POSITIONAL
         # filter evaluated inline on the candidate join, before the
@@ -214,14 +264,18 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     Jaccard, exact precision).  Stop-shingles shared across most of the
     corpus drag unrelated documents' minhashes toward the same values,
     inflating band buckets — the cap keeps bucket sizes driven by
-    discriminative content.  ``None`` disables.
+    discriminative content.  Documents that would lose EVERY shingle to
+    the cap fall back to their full postings (``keep_all_hot_docs`` in
+    :func:`_cap_postings`) so an all-boilerplate document still gets a
+    signature and its exact duplicates remain reachable.  ``None``
+    disables.
     """
     r = n_hashes // bands
     # shared by signatures + verification — see exact_jaccard_pairs
     postings = shingle_postings(docs, id_col, text_col, k).persist()
     sig_postings = (
         postings if max_shingle_df is None
-        else _cap_postings(postings, max_shingle_df)
+        else _cap_postings(postings, max_shingle_df, keep_all_hot_docs=True)
     )
     # Signatures from the EXPLODED postings, not array transforms: a
     # projected shingle-array column gets inlined by projection
@@ -229,12 +283,18 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     # work); aggregating min(xxhash64(seed, shingle)) over rows costs
     # one explode + 16 cheap hashes per row, and is the shape that
     # scales (no wide arrays through the shuffle).
+    # Persisted because the banded self-join below reads it on BOTH
+    # sides and Catalyst does not common-subexpression the two branches
+    # (no ReusedExchange pre-AQE): without the persist the 16-min
+    # aggregation over the postings runs twice.  One narrow row per doc
+    # (id + 16 longs) — at cluster scale this is the signatures staging
+    # table you would materialize anyway before LSH banding.
     with_sig = sig_postings.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
-    )
+    ).persist()
     # band hash: one 64-bit hash of the band's signature slice
     band_entries = with_sig.select(
         "id",

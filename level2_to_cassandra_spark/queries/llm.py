@@ -76,9 +76,22 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at 3-word-shingle Jaccard ≥ 0.8, EXACT via the
     prefix-filtered inverted shingle index (operators/minhash.py).
     Operator threshold 0.79 < the query's rounded 0.8 cut keeps the
-    prefix filter lossless for every pair the oracle can emit."""
+    prefix filter lossless for every pair the oracle can emit.
+
+    The stop-shingle cap is corpus-relative: a shingle in > max(50,
+    1 % of docs) documents is excluded from candidate generation (it
+    would contribute a df² join bucket), with prefix positions, sizes
+    and verification all on full postings — precision stays exact, and
+    per the prefix argument in exact_jaccard_pairs a qualifying pair is
+    only at risk when BOTH docs' rarest shingles are boilerplate, in
+    which case the whole-prefix fallback keeps the docs indexed.  On
+    the fixture corpora the 50-df floor exceeds the hottest shingle
+    (max df 25 at sf0.1) so the capped plan is bit-identical to the
+    uncapped oracle; at web scale the cap bounds every candidate
+    bucket at (1 % of corpus)²."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3)
+    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3,
+                                        max_shingle_frac=0.01)
     j = F.round(F.col("jaccard"), 6)
     return pairs.select(
         "id_a", "id_b", j.alias("jaccard")
