@@ -34,7 +34,15 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
     drops shingles appearing in more than that many docs — the classic
     stop-shingle cap that bounds the self-join at corpus scale.
     Shingling is per-row-heavy → ``spread_scan`` guarantees it runs at
-    cluster parallelism even off a one-split scan."""
+    cluster parallelism even off a one-split scan.
+
+    The shingle array MUST stay inline in the explode, not aliased in a
+    projection first: ``InferFiltersFromGenerate`` skips complex
+    generator inputs, but an aliased array is an attribute, so the rule
+    infers ``size(sh) > 0`` — which alias-substitutes into the full
+    shingling expression and pushes below the spread exchange, running
+    the whole shingling a second time on the UNSPREAD scan (measured
+    ~10× on the fixture)."""
     p = spread_scan(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
@@ -74,10 +82,11 @@ def _cap_postings(postings: DataFrame, max_shingle_df: int,
     return capped
 
 
-def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
-                    cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs from full
-    postings: co-occurrence count join + sizes."""
+def _verify_jaccard(postings: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b, na, nb) pairs from full
+    postings: co-occurrence count join.  Set sizes arrive ON the
+    candidate rows (carried from the postings' ``n`` column through
+    candidate generation), so no sizes relation, no extra joins."""
     co = (
         postings.alias("pa")
         .join(cand, F.col("pa.id") == F.col("id_a"))
@@ -86,18 +95,16 @@ def _verify_jaccard(postings: DataFrame, sizes: DataFrame,
             (F.col("pb.id") == F.col("id_b"))
             & (F.col("pa.shingle") == F.col("pb.shingle")),
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn(
-            "jaccard",
+    return co.select(
+        "id_a",
+        "id_b",
+        (
             F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .select("id_a", "id_b", "jaccard")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
     )
 
 
@@ -142,43 +149,55 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     uncapped plan.  All-hot-document dropout is impossible on this
     path: a doc whose every PREFIX shingle exceeds the cap keeps its
     full prefix instead (the prefix holds the doc's rarest shingles,
-    so min(df) over the doc equals min(df) over the prefix — one extra
-    window aggregate on an exchange the plan already does).
+    so min(df) over the doc equals min(df) over the prefix —
+    ``first(df)`` on the ordered window the prefix positions already
+    sorted, zero extra exchange or sort).
     """
-    # The postings relation feeds 4+ plan branches (df-ranking, prefix
-    # index, both verification sides, sizes); persisting it computes the
-    # shingling once instead of per branch (≈3× on the fixture).  At
-    # cluster scale the same role is played by a checkpoint/staging
-    # table; memory-and-disk keeps local behavior safe under pressure.
+    # The postings relation feeds 3+ plan branches (prefix index, both
+    # verification sides); persisting it computes the shingling once
+    # instead of per branch (≈3× on the fixture).  At cluster scale the
+    # same role is played by a checkpoint/staging table; memory-and-disk
+    # keeps local behavior safe under pressure.
     postings = shingle_postings(docs, id_col, text_col, k).persist()
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    by_id = Window.partitionBy("id")
     if threshold <= 0:
-        index = postings
+        index = postings.withColumn("n", F.count(F.lit(1)).over(by_id))
         if max_shingle_df is not None:
             index = _cap_postings(index, max_shingle_df)
         cand = (
             index.alias("a")
             .join(index.alias("b"), "shingle")
             .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
             .distinct()
         )
     else:
-        dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # df via a count-window over the shingle partitioning: ONE scan
+        # of the persisted postings and one exchange, where a
+        # groupBy-then-join formulation scans postings twice and adds
+        # join machinery (measured ~40 % slower on the fixture, same
+        # shuffle keys at scale).  The 1e-9 slack inside ceil keeps
+        # float error from over-shrinking the prefix (ceil can only
+        # round DOWN toward the exact value, i.e. the prefix can only
+        # widen — lossless either way).
+        w_sh = Window.partitionBy("shingle")
         w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-        # n and min_df from windows over the SAME partitioning as pos —
-        # one exchange serves all three, no extra join or shuffle.  The
-        # 1e-9 slack inside ceil keeps float error from over-shrinking
-        # the prefix (ceil can only round DOWN toward the exact value,
-        # i.e. the prefix can only widen — lossless either way).
-        by_id = Window.partitionBy("id")
         capped = max_shingle_df is not None or max_shingle_frac is not None
-        index = postings.join(dfreq, "shingle").withColumn(
-            "pos", F.row_number().over(w)
-        ).withColumn("n", F.count(F.lit(1)).over(by_id))
+        # n rides the same id-exchange the pos window already does
+        index = postings.withColumn(
+            "df", F.count(F.lit(1)).over(w_sh)
+        ).withColumn("pos", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(by_id)
+        )
         if capped:
-            # rides the exchange the pos/n windows already did
-            index = index.withColumn("min_df", F.min("df").over(by_id))
+            # min(df) per doc = first df under the rarest-first order:
+            # same WindowExec as pos, no extra exchange or sort
+            index = index.withColumn("min_df", F.first("df").over(w))
         index = index.where(
             F.col("pos")
             <= F.col("n")
@@ -190,9 +209,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             cap = F.lit(max_shingle_df)
         elif max_shingle_frac is not None:
             # corpus-relative cap, computed in-plan: 1-row doc count
-            # cross-joined (broadcast) into the filter — no .collect()
-            n_docs = postings.select(
-                F.count_distinct("id").alias("__n_docs")
+            # cross-joined (broadcast) into the filter — no .collect().
+            # Counted off the docs relation (one narrow column, no
+            # shingling), not the exploded postings.
+            n_docs = docs.select(
+                F.count_distinct(F.col(id_col)).alias("__n_docs")
             )
             index = index.crossJoin(F.broadcast(n_docs))
             cap = F.greatest(
@@ -240,10 +261,15 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                     >= alpha
                 )
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
             .distinct()
         )
-    return _verify_jaccard(postings, sizes, cand).where(
+    return _verify_jaccard(postings, cand).where(
         F.col("jaccard") >= threshold
     )
 
@@ -289,15 +315,27 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     # aggregation over the postings runs twice.  One narrow row per doc
     # (id + 16 longs) — at cluster scale this is the signatures staging
     # table you would materialize anyway before LSH banding.
-    with_sig = sig_postings.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    ).persist()
+    hash_aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    if max_shingle_df is None:
+        # sig_postings IS the full postings → the doc's set size falls
+        # out of the same aggregation; no separate sizes groupBy
+        with_sig = sig_postings.groupBy("id").agg(
+            *hash_aggs, F.count(F.lit(1)).alias("n")
+        )
+    else:
+        # capped rows undercount — recover TRUE sizes from the full
+        # postings (only the capped path pays this extra aggregation)
+        with_sig = sig_postings.groupBy("id").agg(*hash_aggs).join(
+            postings.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id"
+        )
+    with_sig = with_sig.persist()
     # band hash: one 64-bit hash of the band's signature slice
     band_entries = with_sig.select(
         "id",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -312,16 +350,20 @@ def minhash_pairs(docs: DataFrame, threshold: float,
                 ]
             )
         ).alias("e"),
-    ).select("id", "e.band", "e.bhash")
+    ).select("id", "n", "e.band", "e.bhash")
     cand = (
         band_entries.alias("a")
         .join(band_entries.alias("b"), ["band", "bhash"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     # exact verification of candidates only
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    return _verify_jaccard(postings, sizes, cand).where(
+    return _verify_jaccard(postings, cand).where(
         F.col("jaccard") >= threshold
     )
