@@ -360,35 +360,50 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: explode terms → tf per (doc, term), df per term, idf =
     ln(N/df); top-3 terms per doc ranked on the rounded score (ties by
-    term).  Three hash shuffles (tf, df, rank) — each map-side partial.
+    term).
+
+    Dataflow: everything derives from the tf relation (one row per
+    (doc, term)) — df is a row-count over tf grouped by term (tf is
+    already distinct per doc, so countDistinct is unnecessary), and dl
+    is sum(tf) as a window riding the SAME doc_id exchange the rank
+    window needs anyway.  tf is persisted: it feeds both the join probe
+    and the df aggregation, and ReuseExchange does NOT match the two
+    branches (the spread_scan round-robin exchange defeats plan
+    canonicalization), so without the persist tokenization runs twice.
+    tf is the smallest shared relation (post-aggregation, three narrow
+    columns) — at cluster scale it is the term-frequency staging table
+    you'd materialize anyway.
+
     The per-term document-frequency relation is UNBOUNDED (one row per
     distinct term), so it joins with NO broadcast hint — AQE still
     broadcasts it at small SF, but at corpus scale it degrades to a
-    shuffle join instead of OOMing the executors.  N stays in-plan as a
-    broadcast crossJoin of a 1-row aggregate (no separate driver job)."""
+    shuffle join instead of OOMing the executors; a join (unlike a
+    count-window over term) also keeps hot stopword terms splittable by
+    AQE skew handling.  N stays in-plan as a broadcast crossJoin of a
+    1-row aggregate (no separate driver job)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: feeds tf, dl and df branches (same rationale as the
-    # postings persist in operators/minhash.py); spread_scan parallelizes
-    # tokenization off a one-split scan
+    # spread_scan parallelizes tokenization off a one-split scan
     from level2_to_cassandra_spark.catalog import spread_scan
 
     toks = spread_scan(docs).select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
     ).persist()
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     tfidf = F.round(
         (F.col("tf").cast("double") / F.col("dl"))
         * F.log(F.col("__n_docs").cast("double") / F.col("df")),
         6,
     )
+    w_doc = Window.partitionBy("doc_id")
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        tf.join(dl, "doc_id")
-        .join(df, "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
+        .withColumn("dl", F.sum("tf").over(w_doc))
         .select("doc_id", "term", tfidf.alias("tfidf"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)

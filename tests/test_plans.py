@@ -46,6 +46,19 @@ def test_whole_stage_codegen_on_agg_path(spark):
     assert "Found 0" not in plan.splitlines()[1]
 
 
+def test_tfidf_df_relation_not_force_broadcast(spark):
+    """The per-term document-frequency relation is UNBOUNDED (one row
+    per distinct term): a forced broadcast hint on it OOMs executors at
+    corpus scale, so the tf⋈df equi-join must carry no hint — AQE may
+    still pick a broadcast at small SF from measured sizes.  Only the
+    1-row N aggregate (the cross join) is allowed a broadcast hint."""
+    df = all_queries()["q_text_tfidf"].fn(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in logical.splitlines():
+        if "Join Inner" in line:
+            assert "broadcast" not in line.lower(), line
+
+
 #: The only queries allowed to cross the JVM→Python boundary, and only
 #: via Arrow-batched operators (their reason to exist is that surface).
 _PYTHON_ALLOWED = {
