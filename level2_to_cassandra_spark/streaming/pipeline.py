@@ -61,6 +61,15 @@ class PipelineConfig:
           (main.rs:181-183) maps onto Kafka PEM-SSL options — client
           keypair → keystore, server public key → truststore (CURVE
           auth ≈ TLS: connection security, not engine semantics).
+
+        The CURVE mapping is NAME-compatible, not value-compatible: the
+        reference's keys are Z85-encoded ZeroMQ CURVE keys, which no
+        Kafka client can consume — feeding them into PEM options
+        verbatim would fail at client startup (and force SSL against
+        plaintext brokers).  SSL is therefore enabled only when the key
+        material actually looks like PEM; Z85/other values are reported
+        via a warning and the connection stays plaintext so a literal
+        reference ``.env`` still starts.
         """
         import os as _os
 
@@ -70,16 +79,32 @@ class PipelineConfig:
             kafka["kafka.bootstrap.servers"] = e["API_ADDRESS"]
         if e.get("TOPIC"):
             kafka["subscribePattern"] = f"{e['TOPIC']}.*"
-        if e.get("SECRET_KEY") or e.get("PUBLIC_KEY") or e.get("SERVER_KEY"):
-            kafka["kafka.security.protocol"] = "SSL"
-            if e.get("SECRET_KEY"):
-                kafka["kafka.ssl.keystore.type"] = "PEM"
-                kafka["kafka.ssl.keystore.key"] = e["SECRET_KEY"]
-            if e.get("PUBLIC_KEY"):
-                kafka["kafka.ssl.keystore.certificate.chain"] = e["PUBLIC_KEY"]
-            if e.get("SERVER_KEY"):
-                kafka["kafka.ssl.truststore.type"] = "PEM"
-                kafka["kafka.ssl.truststore.certificates"] = e["SERVER_KEY"]
+        curve = [e.get(k) for k in ("SECRET_KEY", "PUBLIC_KEY", "SERVER_KEY")]
+        if any(curve):
+            if any("-----BEGIN" in (v or "") for v in curve):
+                kafka["kafka.security.protocol"] = "SSL"
+                if e.get("SECRET_KEY"):
+                    kafka["kafka.ssl.keystore.type"] = "PEM"
+                    kafka["kafka.ssl.keystore.key"] = e["SECRET_KEY"]
+                if e.get("PUBLIC_KEY"):
+                    kafka["kafka.ssl.keystore.certificate.chain"] = (
+                        e["PUBLIC_KEY"]
+                    )
+                if e.get("SERVER_KEY"):
+                    kafka["kafka.ssl.truststore.type"] = "PEM"
+                    kafka["kafka.ssl.truststore.certificates"] = (
+                        e["SERVER_KEY"]
+                    )
+            else:
+                import warnings
+
+                warnings.warn(
+                    "SECRET_KEY/PUBLIC_KEY/SERVER_KEY are set but are not "
+                    "PEM (the reference uses Z85 ZeroMQ CURVE keys, which "
+                    "Kafka cannot consume) — ignoring them and connecting "
+                    "without SSL; provide PEM key material to enable SSL",
+                    stacklevel=2,
+                )
         cassandra = {}
         if e.get("CASSANDRA_HOST"):
             cassandra["spark.cassandra.connection.host"] = e["CASSANDRA_HOST"]

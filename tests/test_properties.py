@@ -96,3 +96,97 @@ def test_upsert_dedup_idempotent(spark, ticks):
     # keys unique after dedup
     keys = [(r.symbol, str(r.time), r.price) for r in once.collect()]
     assert len(keys) == len(set(keys))
+
+
+# ------------------------------------------------------- as-of join laws
+
+_asof_key = st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 1))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(_asof_key, st.integers(0, 30)),
+                  min_size=1, max_size=20),
+    right=st.sets(st.tuples(_asof_key, st.integers(0, 30)), max_size=20),
+    strict=st.booleans(),
+)
+def test_asof_join_strict_and_multikey_vs_reference(spark, left, right,
+                                                    strict):
+    """asof_join vs a brute-force Python reference, over BOTH strict
+    modes and a composite (two-column) ``by`` key.  Right (key, ts)
+    pairs are unique by construction (the documented determinism
+    precondition)."""
+    from level2_to_cassandra_spark.operators.asof import asof_join
+
+    lrows = [(s, g, t, i) for i, ((s, g), t) in enumerate(left)]
+    rrows = [(s, g, t, float(t * 10 + g)) for (s, g), t in right]
+    ldf = spark.createDataFrame(lrows, "sym string, grp int, ts int, lid int")
+    rdf = spark.createDataFrame(
+        rrows or [("zz", 9, 0, 0.0)], "sym string, grp int, ts int, val double"
+    )
+    if not rrows:
+        rdf = rdf.where(F.lit(False))
+    out = asof_join(ldf, rdf, on="ts", by=["sym", "grp"],
+                    strict=strict).collect()
+    assert len(out) == len(lrows)
+    got = {r.lid: (r.r_val, r.r_ts) for r in out}
+    for s, g, t, lid in lrows:
+        cands = [
+            (rt, rv)
+            for (rs, rg, rt, rv) in rrows
+            if rs == s and rg == g and (rt < t if strict else rt <= t)
+        ]
+        if cands:
+            rt, rv = max(cands)
+            assert got[lid] == (rv, rt), (lid, strict)
+        else:
+            assert got[lid] == (None, None), (lid, strict)
+
+
+# ------------------------------------------------- salted agg laws
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 1), min_size=1, max_size=40),
+    n_salts=st.sampled_from([2, 8, 16]),
+)
+def test_salted_agg_correct_on_adversarial_narrow_frames(spark, vals,
+                                                         n_salts):
+    """salted_agg must stay CORRECT (exactly equal to the plain
+    groupBy) even on adversarial inputs where the salt has almost
+    nothing to hash: a single near-constant non-key column, and the
+    degenerate key-only frame (no non-key columns at all — salt falls
+    back to hashing the key).  The salt expression must stay in
+    [0, n_salts) everywhere."""
+    from level2_to_cassandra_spark.operators.skew import (
+        salt_column,
+        salted_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "key int, v int"
+    )
+    out = salted_agg(
+        df, ["key"],
+        lambda g: g.agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")),
+        [F.sum("s").alias("s"), F.sum("c").alias("c")],
+        n_salts=n_salts,
+    ).collect()
+    plain = {
+        r.key: (r.s, r.c)
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {r.key: (r.s, r.c) for r in out} == plain
+
+    keys_only = df.select("key")
+    salts = [
+        r.s
+        for r in keys_only.select(
+            salt_column(keys_only, ["key"], None, n_salts).alias("s")
+        ).collect()
+    ]
+    assert all(0 <= s < n_salts for s in salts)
