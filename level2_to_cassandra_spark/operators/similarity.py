@@ -13,6 +13,14 @@ codegen'd, Arrow-free, no Python per row.  Two search strategies:
   form within a bucket (equi-join on the signature — a plain hash
   shuffle), then exact cosine re-ranks.  This is the corpus×corpus
   scale path: candidates ∝ bucket sizes, not N².
+* :func:`ivf_topk` — IVF (inverted-file) ANN: a deterministic coarse
+  quantizer (hash-seeded spherical k-means, one Lloyd step) partitions
+  the corpus into cells; each query probes only its ``nprobe`` nearest
+  cells and exact cosine re-ranks the survivors.  The query-side scale
+  path: per query the scan shrinks from N to ~nprobe·N/n_cells, and at
+  cluster scale the corpus is written bucketed by cell so a probe is a
+  broadcast join against pre-localized buckets — no corpus shuffle per
+  query batch.
 """
 
 from __future__ import annotations
@@ -149,4 +157,127 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
             "id_b",
             cosine(F.col("__va"), F.col("__vb")).alias("cos"),
         )
+    )
+
+
+def _nearest_cell(vec: Column) -> list[Column]:
+    """(internal) columns for argmax-by-cosine against the joined
+    centroid row: max(struct(cos, cell)) per group is the
+    deterministic argmax (ties break to the highest cell id)."""
+    return [
+        F.max(
+            F.struct(
+                cosine(vec, F.col("__cv")).alias("__cos"),
+                F.col("cell").alias("cell"),
+            )
+        ).alias("__best")
+    ]
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 1) -> DataFrame:
+    """Deterministic coarse quantizer: (cell, __cv) centroid rows.
+
+    Seeds are the ``n_cells`` corpus vectors with the smallest
+    xxhash64(id) — a reproducible pseudo-random sample picked with a
+    TakeOrdered top-N (no global sort materialized).  Each Lloyd
+    iteration reassigns every vector to its max-cosine centroid
+    (spherical k-means) and recomputes cell means element-wise via
+    posexplode → avg → re-assemble.  Centroid components are rounded to
+    6 decimals so cell-assignment boundaries are stable across
+    summation orders (same engine-invariance trick as ``round_cos`` in
+    :func:`brute_topk`).  Cells that lose every member vanish — probes
+    simply never select them.  The result is n_cells rows of dim
+    doubles: always broadcastable."""
+    w = Window.orderBy(F.asc("__h"))
+    seeds = (
+        corpus.select(
+            as_double(F.col(vec_col)).alias("__cv"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(w))
+        .select("cell", "__cv")
+    )
+    cent = seeds
+    for _ in range(lloyd_iters):
+        assigned = (
+            corpus.select(as_double(F.col(vec_col)).alias("__v"),
+                          F.col(id_col).alias("__id"))
+            .crossJoin(F.broadcast(cent))
+            .groupBy("__id")
+            .agg(*_nearest_cell(F.col("__v")), F.first("__v").alias("__v"))
+            .select(F.col("__best.cell").alias("cell"), "__v")
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: F.round(s["x"], 6),
+                ).alias("__cv")
+            )
+        )
+    return cent
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_cos: int | None = None) -> DataFrame:
+    """Approximate top-k cosine neighbors per query via IVF probing.
+    Output: (query_id, neighbor_id, cos, rank) — the same contract as
+    :func:`brute_topk`, against which recall is tested.
+
+    Scale shape: the centroid relation is n_cells rows (broadcast
+    everywhere); the corpus is assigned to cells in ONE pass and joined
+    on cell with the probe list (queries × nprobe rows, broadcast by
+    AQE).  Per query only ~nprobe/n_cells of the corpus is scanned; at
+    cluster scale the assigned corpus is the bucketed-by-cell staging
+    table, making repeated query batches zero-shuffle probes."""
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col).persist()
+    inv = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("__cvv"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .groupBy("neighbor_id")
+        .agg(*_nearest_cell(F.col("__cvv")), F.first("__cvv").alias("__cvv"))
+        .select(F.col("__best.cell").alias("cell"), "neighbor_id", "__cvv")
+    )
+    qcos = cosine(F.col("__qv"), F.col("__cv"))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("__pcos"), F.asc("cell")
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "__qv", "cell", qcos.alias("__pcos"))
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    cos = cosine(F.col("__qv"), F.col("__cvv"))
+    if round_cos is not None:
+        cos = F.round(cos, round_cos)
+    scored = (
+        inv.join(probes, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -246,6 +246,26 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_sim_ann_ivf", oracle=None)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for 5 query vectors: hash-seeded spherical
+    k-means coarse quantizer (16 cells, 1 Lloyd step), each query
+    probes its 6 nearest cells, exact cosine re-ranks — the query-side
+    ANN scale path (per query ~nprobe/n_cells of the corpus is
+    scanned; at cluster scale the cell-assigned corpus is a
+    bucketed-by-cell staging table and probes are broadcast joins).
+    The quantizer has no DuckDB equivalent → rows-only; recall vs
+    brute force is asserted in tests/test_llm_ops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        em, queries, k=10, n_cells=16, nprobe=6, round_cos=4
+    ).select(
+        "query_id", "neighbor_id", "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 @register(

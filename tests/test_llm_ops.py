@@ -106,6 +106,44 @@ def test_lsh_recall_vs_brute_force(spark):
     assert got <= want  # verification step: zero false positives
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with nprobe=6 of 16 cells must recover most of the exact
+    top-10, and with nprobe=n_cells (probe everything) it must equal
+    brute force exactly — the approximation is ONLY the probe cut."""
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(em, queries, k=10,
+                                       round_cos=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(em, queries, k=10, n_cells=16,
+                                     nprobe=6, round_cos=4).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(em, queries, k=10, n_cells=16,
+                                     nprobe=16, round_cos=4).collect()
+    }
+    assert full == want
+
+
+def test_ivf_centroids_deterministic_and_bounded(spark):
+    em = load_table(spark, SF, "embeddings")
+    c1 = similarity.ivf_centroids(em, n_cells=8).collect()
+    c2 = similarity.ivf_centroids(em, n_cells=8).collect()
+    assert sorted(r.cell for r in c1) == sorted(r.cell for r in c2)
+    m1 = {r.cell: tuple(r["__cv"]) for r in c1}
+    m2 = {r.cell: tuple(r["__cv"]) for r in c2}
+    assert m1 == m2  # bit-identical: rounded means, hash-picked seeds
+    assert len(m1) <= 8
+    dim = len(next(iter(m1.values())))
+    assert all(len(v) == dim for v in m1.values())
+
+
 def test_brute_topk_self_excluded_and_sorted(spark):
     em = load_table(spark, SF, "embeddings")
     out = similarity.brute_topk(em, em.where(F.col("vec_id") < 3), k=5).collect()

@@ -26,6 +26,10 @@ SAFE_TO_ROTATE_OUT = {
     "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
     "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
     "q_window_lag",
+    # new in r03 and rows-only by design: a driver row would add no
+    # oracle signal beyond the local recall test, so it must not evict
+    # an oracle-checked row from the cap
+    "q_sim_ann_ivf",
 }
 
 
