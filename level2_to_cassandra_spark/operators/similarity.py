@@ -137,25 +137,51 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     """Candidate near-duplicate pairs = same bucket in ANY table, with
     exact cosine attached for re-ranking/thresholding.  The join key is
     (table, bucket) — one shuffle; candidate count ∝ Σ bucket² per
-    table, never N²."""
-    b = lsh_bucketize(df.select(id_col, vec_col), n_planes, n_tables, vec_col)
-    left = b.select(
-        "table", "bucket",
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+    table, never N².
+
+    Dataflow (measured 30 s → ~6 s at sf0.1, where a loose threshold
+    makes ~40 % of all pairs candidates):
+
+    * the self-join and the across-tables dedup run on NARROW
+      (table, bucket, id) rows — the 64-float vectors never enter the
+      candidate join or the distinct's shuffle;
+    * vectors are L2-normalized ONCE per corpus row, so the per-pair
+      re-rank kernel is a single fused zip-multiply-fold (dot of unit
+      vectors ≡ cosine) instead of cast + zip + fold + two norm folds —
+      higher-order functions are interpreted per element, so array
+      passes per pair dominate the re-rank;
+    * normalized vectors re-attach to the DEDUPLICATED pairs via two
+      hash joins (broadcast at small SF by AQE), so each pair's kernel
+      runs exactly once.
+
+    The bucketized relation is persisted: it feeds both sides of the
+    self-join and ReuseExchange does not match across the alias
+    branches."""
+    b = lsh_bucketize(
+        df.select(id_col, vec_col), n_planes, n_tables, vec_col
+    ).select("table", "bucket", F.col(id_col).alias("__id")).persist()
+    pairs = (
+        b.select("table", "bucket", F.col("__id").alias("id_a"))
+        .join(b.select("table", "bucket", F.col("__id").alias("id_b")),
+              ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # union across tables — narrow rows only
     )
-    right = b.select(
-        "table", "bucket",
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+    v = as_double(F.col(vec_col))
+    unit = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(v, lambda x: x / l2_norm(v)).alias("__nv"),
     )
     return (
-        left.join(right, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
-        .distinct()  # union across tables
+        pairs.join(
+            unit.select(F.col("__id").alias("id_a"),
+                        F.col("__nv").alias("__na")), "id_a")
+        .join(
+            unit.select(F.col("__id").alias("id_b"),
+                        F.col("__nv").alias("__nb")), "id_b")
         .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cos"),
+            "id_a", "id_b", dot(F.col("__na"), F.col("__nb")).alias("cos")
         )
     )
 

@@ -134,3 +134,44 @@ def simhash64(text: Column | str) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def _bit_mask(bit: int) -> int:
+    # bit 63 is the sign bit: 1<<63 overflows signed long, so use its
+    # two's-complement representation instead
+    return (1 << bit) if bit < 63 else -(1 << 63)
+
+
+def simhash_fingerprints(docs, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """(id_col, fp) SimHash table — bit-identical to :func:`simhash64`
+    but one-pass: explode tokens, hash each token ONCE in a projection,
+    then 64 conditional-sum vote aggregates in a single codegen'd
+    groupBy (map-side partial combine, so the shuffle carries 64 longs
+    per doc per map partition, not tokens).  The column-expression twin
+    re-hashes every token once per bit (64 interpreted filter passes
+    per row — measured ~6× slower at sf0.1); it remains for inline use
+    on small inputs and as the property-test reference."""
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    toks = spread_scan(docs).select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(
+            F.col(f"__v{b}") > 0, F.lit(_bit_mask(b))
+        ).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), fp.alias("fp"))

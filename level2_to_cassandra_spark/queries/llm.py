@@ -127,8 +127,8 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, pairs within hamming ≤ 7 (guaranteed-recall threshold for
     8×8-bit banding).  xxhash64-based → rows-only here; exactness vs a
     brute-force hamming scan is proven in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", text.simhash64("text").alias("fp")
+    docs = text.simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
     width = 64 // _SIMHASH_BANDS
     mask = (1 << width) - 1
