@@ -183,13 +183,25 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key stands in for an ANN bucket: candidates form only within a
     block, so the pair join is label-partitioned, not N²)."""
     em = load_table(spark, sf_dir, "embeddings")
+    # cast + norm computed ONCE per vector below the join (projections
+    # do not collapse through joins), not per candidate pair; the
+    # cosine expression is the same dot/(|a|·|b|) fold in the same
+    # order, so values stay bit-identical to the per-pair formulation
+    # the oracle rounds against.
+    v = similarity.as_double(F.col("embedding"))
     a = em.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va")
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        v.alias("__va"), similarity.l2_norm(v).alias("__na"),
     )
     b = em.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb")
+        F.col("vec_id").alias("id_b"), F.col("label"),
+        v.alias("__vb"), similarity.l2_norm(v).alias("__nb"),
     )
-    cos = F.round(similarity.cosine(F.col("__va"), F.col("__vb")), 4)
+    cos = F.round(
+        similarity.dot(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        4,
+    )
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
