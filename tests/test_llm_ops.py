@@ -337,6 +337,75 @@ def test_stop_shingle_cap_preserves_precision(spark):
         assert j == full[pair]
 
 
+def test_frac_cap_floor_is_inert_and_all_hot_prefix_survives(spark):
+    """max_shingle_frac with the min_cap_df floor above every df must
+    be bit-identical to the uncapped plan (the q_llm_dedup_fuzzy
+    losslessness claim); with an aggressive floor, a pair whose docs
+    consist ENTIRELY of stop-shingles must still be found — the
+    whole-prefix fallback (min_df > cap keeps the full prefix) stops
+    all-hot documents from dropping out of candidate generation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common a1 a2 a3 a4 a5 a6"),
+            (2, "common common common common a1 a2 a3 a4 a5 a7"),
+            (3, "common common common common b1 b2 b3 b4 b5 b6"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    floored = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            docs, threshold=0.4, max_shingle_frac=0.01, min_cap_df=50
+        ).collect()
+    }
+    assert floored == full  # floor (50) > every df → bit-identical
+
+    # every shingle of these dup docs is shared by ALL docs (df=3 >
+    # cap=1): without the whole-prefix fallback the index would be
+    # empty and the exact-duplicate pair missed
+    hot = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 h4 h5 h6"),
+            (2, "h1 h2 h3 h4 h5 h6"),
+            (3, "h1 h2 h3 h4 h5 h6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            hot, threshold=0.5, max_shingle_frac=0.001, min_cap_df=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
+
+
+def test_minhash_all_hot_doc_rescue_keeps_exact_dups_reachable(spark):
+    """With a cap that makes EVERY shingle of a duplicate pair hot,
+    keep_all_hot_docs must fall those docs back to full postings so
+    they still get LSH signatures and their exact-dup pair survives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 h4 h5 h6"),
+            (2, "h1 h2 h3 h4 h5 h6"),
+            (3, "h1 h2 h3 h4 h5 h6"),
+            (4, "x1 x2 x3 x4 x5 x6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash.minhash_pairs(
+            docs, threshold=0.9, max_shingle_df=2
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
 def test_minhash_cap_keeps_verification_exact(spark):
     docs = spark.createDataFrame(
         [
