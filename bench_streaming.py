@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Streaming-ingest throughput benchmark.
+
+The reference processes messages strictly serially: one blocking
+``recv`` at a time, ≥1 synchronous CQL INSERT per row, plus a
+``CREATE TABLE IF NOT EXISTS`` round trip per message
+(/root/reference/src/main.rs:219-230, 80-104) — its throughput ceiling
+is one network round trip per message.  This engine ingests the same
+wire format through Structured Streaming micro-batches; this script
+measures end-to-end messages/second through the REAL pipeline
+(file envelope source → demux → strict JSON decode → stateful
+per-(symbol, day) cumulative sums → keyed-upsert parquet sink, i.e.
+``APP_MODE=full`` with both BOOK and TICK traffic).
+
+Prints ONE JSON line:
+
+    {"metric": "streaming-ingest-throughput", "value": <msgs/sec>,
+     "unit": "msg/s", "messages": N, "rows": M, "wall_sec": S,
+     "batches": B}
+
+Usage: python bench_streaming.py  [$SPARK_GRAFT_STREAM_MSGS messages,
+default 100_000; $SPARK_GRAFT_CPUS cores, default all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _write_envelopes(spark, path: str, n_msgs: int) -> None:
+    """Synthesize a deterministic mixed BOOK/TICK message log as JSONL.
+
+    Mirrors the reference's traffic: every 10th message is a BOOK
+    snapshot (an ARRAY payload of 5 levels), the rest are single-object
+    TICKs; 8 symbols, timestamps spread over 2 days so the stateful
+    day-reset path is exercised, plus a sprinkle of malformed payloads
+    for the dead-letter path."""
+    from pyspark.sql import functions as F
+
+    base = 1704067200  # 2024-01-01 UTC
+    df = spark.range(0, n_msgs, 1, 32)
+    sym = F.concat(F.lit("SYM"), (F.col("id") % 8).cast("string"))
+    t = F.lit(base) + (F.col("id") % (2 * 86400))
+    tick_payload = F.to_json(
+        F.struct(
+            sym.alias("symbol"),
+            (F.col("id") % 1000 / 10.0).alias("bid"),
+            (F.col("id") % 1000 / 10.0 + 0.05).alias("price"),
+            (F.col("id") % 1000 / 10.0 + 0.1).alias("ask"),
+            t.alias("time"),
+            (F.col("id") % 97 + 1).cast("int").alias("volume"),
+            F.when(F.col("id") % 2 == 0, "B").otherwise("S").alias("type"),
+        )
+    )
+    level = F.struct(
+        sym.alias("symbol"),
+        (F.col("id") % 1000 / 10.0).alias("price"),
+        t.alias("time"),
+        (F.col("id") % 97 + 1).cast("int").alias("volume"),
+        F.when(F.col("id") % 2 == 0, "BOOK_TYPE_BID")
+        .otherwise("BOOK_TYPE_ASK")
+        .alias("type"),
+    )
+    book_payload = F.to_json(F.array(*[level for _ in range(5)]))
+    payload = (
+        F.when(F.col("id") % 997 == 0, F.lit("{not json"))  # dead letters
+        .when(F.col("id") % 10 == 0, book_payload)
+        .otherwise(tick_payload)
+    )
+    msg_type = F.when(F.col("id") % 10 == 0, "BOOK").otherwise("TICK")
+    df.select(
+        F.lit("btcusd").alias("topic"),
+        msg_type.alias("msg_type"),
+        payload.alias("payload"),
+        F.col("id").alias("seq"),
+    ).write.mode("overwrite").json(path)
+
+
+def main() -> None:
+    n_msgs = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "100000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+    from level2_to_cassandra_spark.session import get_spark
+    from level2_to_cassandra_spark.sources import file_envelope_stream
+    from level2_to_cassandra_spark.streaming.pipeline import (
+        PipelineConfig,
+        build_streaming_pipeline,
+    )
+
+    spark = get_spark(
+        app_name="l2c-spark-stream-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false",
+                    "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="l2c_stream_bench_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    try:
+        _write_envelopes(spark, src, n_msgs)
+        cfg = PipelineConfig(
+            mode="full", out_path=sink, checkpoint=ckpt,
+            topic_filter="btcusd",
+        )
+        envelope = file_envelope_stream(spark, src)
+        t0 = time.perf_counter()
+        queries = build_streaming_pipeline(envelope, cfg,
+                                           trigger_available_now=True)
+        batches = 0
+        for q in queries:
+            q.awaitTermination()
+            batches += len(q.recentProgress)
+        wall = time.perf_counter() - t0
+        rows = sum(
+            spark.read.parquet(f"{sink}/{s}").count()
+            for s in ("book", "tick")
+        )
+        out = {
+            "metric": "streaming-ingest-throughput",
+            "value": round(n_msgs / wall, 1),
+            "unit": "msg/s",
+            "messages": n_msgs,
+            "rows": rows,
+            "wall_sec": round(wall, 3),
+            "batches": batches,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,16 +149,21 @@ def tick_rows_batch(envelope: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return state.cumulative_batch(ticks, order_cols=("time",) + extra)
 
 
-def tick_rows_streaming(envelope: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def tick_rows_streaming(envelope: DataFrame, cfg: PipelineConfig,
+                        state_ttl_hours: int | None = 36) -> DataFrame:
     """Streaming form: parse + stateful per-(symbol,day) cumsum.  The
     watermark bounds late data BEFORE the stateful op (late ticks past
     it are dropped rather than corrupting day state — the deterministic
-    replacement for the reference's order-dependent reset)."""
+    replacement for the reference's order-dependent reset).
+    ``state_ttl_hours`` — see :func:`state.cumulative_streaming`."""
     env = _apply_topic_filter(envelope, cfg)
     _, tick_raw, _ = ingest.demux(env)
     extra = ("seq",) if "seq" in envelope.columns else ()
     ticks = ingest.parse_tick(tick_raw, extra_cols=extra)
-    return state.cumulative_streaming(ticks.withWatermark("time", cfg.watermark))
+    return state.cumulative_streaming(
+        ticks.withWatermark("time", cfg.watermark),
+        state_ttl_hours=state_ttl_hours,
+    )
 
 
 def build_batch_pipeline(envelope: DataFrame,
@@ -180,6 +185,12 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
     ``availableNow`` drains bounded test sources; a live deployment
     passes False for continuous micro-batching.  Each query checkpoints
     independently — at-least-once into an idempotent keyed sink.
+
+    State TTL follows the trigger: continuous runs arm the 36 h idle
+    (symbol, day) key expiry; an ``availableNow`` drain runs without
+    timeouts, because its state dies with the query and a pending
+    processing-time timeout would hold the drain open in empty
+    state-cleanup micro-batches until the timeout fired.
     """
     queries = []
 
@@ -205,7 +216,13 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
     if cfg.mode in ("book", "full"):
         queries.append(_start(book_rows(envelope, cfg), "book"))
     if cfg.mode in ("tick", "full"):
-        queries.append(_start(tick_rows_streaming(envelope, cfg), "tick"))
+        ttl = None if trigger_available_now else 36
+        queries.append(
+            _start(
+                tick_rows_streaming(envelope, cfg, state_ttl_hours=ttl),
+                "tick",
+            )
+        )
     return queries
 
 

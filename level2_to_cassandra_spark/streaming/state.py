@@ -74,33 +74,40 @@ def _with_day(ticks: DataFrame) -> DataFrame:
     return ticks.withColumn("day", F.to_date("time"))
 
 
-def _cum_update(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-(symbol, day) state update: replay the reference's per-tick
-    fold (main.rs:122-130) over the micro-batch, sorted by event time
-    for in-batch determinism."""
-    cumbuy, cumsell = state.get if state.exists else (0, 0)
-    out = []
-    for pdf in pdfs:
-        sort_cols = [c for c in ("time", "seq") if c in pdf.columns]
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        buys = (pdf["trade_type"] == BUY) * pdf["volume"]
-        sells = (pdf["trade_type"] == SELL) * pdf["volume"]
-        pdf = pdf.copy()
-        pdf["cumbuy"] = (buys.cumsum() + cumbuy).astype("int64")
-        pdf["cumsell"] = (sells.cumsum() + cumsell).astype("int64")
-        pdf["cumdelta"] = pdf["cumbuy"] - pdf["cumsell"]
-        cumbuy = int(pdf["cumbuy"].iloc[-1])
-        cumsell = int(pdf["cumsell"].iloc[-1])
-        out.append(pdf)
-    state.update((cumbuy, cumsell))
-    # Key = (symbol, day): a new day is a fresh key ⇒ implicit daily
-    # reset; expired days are dropped after 36h of no activity.
-    state.setTimeoutDuration(36 * 3600 * 1000)
-    yield from out
+def _cum_update_factory(ttl_ms: int | None):
+    """Build the per-(symbol, day) state-update function: replay the
+    reference's per-tick fold (main.rs:122-130) over the micro-batch,
+    sorted by event time for in-batch determinism.  ``ttl_ms`` arms a
+    processing-time timeout that expires idle day keys (continuous
+    deployments); ``None`` leaves timeouts unset (bounded drains)."""
+
+    def _cum_update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cumbuy, cumsell = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            sort_cols = [c for c in ("time", "seq") if c in pdf.columns]
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            buys = (pdf["trade_type"] == BUY) * pdf["volume"]
+            sells = (pdf["trade_type"] == SELL) * pdf["volume"]
+            pdf = pdf.copy()
+            pdf["cumbuy"] = (buys.cumsum() + cumbuy).astype("int64")
+            pdf["cumsell"] = (sells.cumsum() + cumsell).astype("int64")
+            pdf["cumdelta"] = pdf["cumbuy"] - pdf["cumsell"]
+            cumbuy = int(pdf["cumbuy"].iloc[-1])
+            cumsell = int(pdf["cumsell"].iloc[-1])
+            out.append(pdf)
+        state.update((cumbuy, cumsell))
+        if ttl_ms is not None:
+            # Key = (symbol, day): a new day is a fresh key ⇒ implicit
+            # daily reset; expired days drop after ttl of no activity.
+            state.setTimeoutDuration(ttl_ms)
+        yield from out
+
+    return _cum_update
 
 
 def cumulative_streaming_tws(ticks: DataFrame) -> DataFrame:
@@ -164,11 +171,20 @@ def cumulative_streaming_tws(ticks: DataFrame) -> DataFrame:
     )
 
 
-def cumulative_streaming(ticks: DataFrame) -> DataFrame:
+def cumulative_streaming(ticks: DataFrame,
+                         state_ttl_hours: int | None = 36) -> DataFrame:
     """Streaming form over a stream of parsed ticks (schema of
     ingest.parse_tick).  Emits one row per input row with
     cumbuy/cumsell/cumdelta appended — update semantics, matching the
-    reference's insert-per-tick (main.rs:155-165)."""
+    reference's insert-per-tick (main.rs:155-165).
+
+    ``state_ttl_hours`` arms a processing-time timeout that expires
+    idle (symbol, day) keys — REQUIRED for continuous deployments or
+    state grows by one key per symbol per day forever.  Pass ``None``
+    for bounded ``availableNow`` drains: their state dies with the
+    query, and pending processing-time timeouts would keep the drain
+    alive in no-data state-cleanup micro-batches until the timeout
+    fires (hours later) instead of terminating."""
     from level2_to_cassandra_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(ticks.sparkSession)
@@ -181,10 +197,15 @@ def cumulative_streaming(ticks: DataFrame) -> DataFrame:
             T.StructField("cumdelta", T.LongType()),
         ]
     )
+    ttl_ms = None if state_ttl_hours is None else state_ttl_hours * 3600 * 1000
     return with_day.groupBy("symbol", "day").applyInPandasWithState(
-        _cum_update,
+        _cum_update_factory(ttl_ms),
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -185,6 +185,27 @@ def test_arrival_order_invariance(spark, fixture_dir, tmp_path):
     assert got == ref
 
 
+def test_available_now_drain_terminates(spark, fixture_dir, tmp_path):
+    """A bounded availableNow drain must actually TERMINATE, not idle
+    in state-cleanup micro-batches: with a processing-time TTL armed,
+    the stateful tick query used to stay active waiting on timeouts
+    hours away (availableNow runs do not arm the TTL since their state
+    dies with the query)."""
+    import time
+
+    cfg = PipelineConfig(mode="full", out_path=str(tmp_path / "sink"),
+                         checkpoint=str(tmp_path / "ckpt"))
+    queries = build_streaming_pipeline(
+        file_envelope_stream(spark, fixture_dir), cfg,
+        trigger_available_now=True,
+    )
+    t0 = time.monotonic()
+    for q in queries:
+        assert q.awaitTermination(90), "drain did not terminate"
+    assert time.monotonic() - t0 < 90
+    assert not any(q.isActive for q in queries)
+
+
 def test_stream_batch_parity_full_mode(spark, fixture_dir, tmp_path):
     """The streaming pipeline (stateful applyInPandasWithState cumsum,
     cross-micro-batch state, upsert sink) must produce exactly the
