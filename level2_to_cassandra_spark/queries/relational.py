@@ -217,6 +217,23 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_approx_percentile", oracle=None)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna, accuracy=10000) next
+    to the exact percentiles.  Unlike exact percentile (which buffers
+    every value per group through the shuffle), the GK sketch is a
+    bounded-size mergeable summary — the only quantile formulation
+    that survives 100 TB groups.  Sketches differ across engines → no
+    value oracle; the error bound vs the exact quantile is asserted in
+    tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.array(F.lit(0.5), F.lit(0.95))
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", pcts, 10000).alias("approx_p"),
+        F.percentile("l_extendedprice", pcts).alias("exact_p"),
+    )
+
+
 @register(
     "q_sql_star_revenue",
     oracle="""

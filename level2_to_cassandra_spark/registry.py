@@ -108,10 +108,12 @@ DRIVER_ORDER = (
     "q_sim_ann_lsh",
     "q_text_stats",
     # -- past the cap: twice-green, untouched, coverage-redundant -------
-    # (q_sim_ann_ivf is new in r03 and rows-only by design — a driver
-    # row would add no oracle signal beyond the local recall test, so
-    # it sits past the cap rather than evicting an oracle-checked row)
+    # (q_sim_ann_ivf / q_agg_approx_percentile are new in r03 and
+    # rows-only by design — a driver row would add no oracle signal
+    # beyond the local tolerance/recall tests, so they sit past the
+    # cap rather than evicting oracle-checked rows)
     "q_sim_ann_ivf",
+    "q_agg_approx_percentile",
     "q_set_ops_all",
     "q_agg_cube",
     "q_agg_stats",

@@ -19,3 +19,15 @@ def test_approx_count_distinct_within_rsd(spark):
             f"{r.o_orderstatus}: approx={r.approx_customers} "
             f"exact={r.exact_customers}"
         )
+
+
+def test_approx_percentile_close_to_exact(spark):
+    rows = all_queries()["q_agg_approx_percentile"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            # GK with accuracy=10000 → rank error ≤ 1/10000; translate
+            # loosely to a 1% value tolerance on this distribution
+            assert abs(approx - exact) <= max(abs(exact) * 0.01, 1e-9), (
+                r.l_returnflag, approx, exact,
+            )

@@ -27,9 +27,10 @@ SAFE_TO_ROTATE_OUT = {
     "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
     "q_window_lag",
     # new in r03 and rows-only by design: a driver row would add no
-    # oracle signal beyond the local recall test, so it must not evict
-    # an oracle-checked row from the cap
+    # oracle signal beyond the local recall/tolerance tests, so they
+    # must not evict an oracle-checked row from the cap
     "q_sim_ann_ivf",
+    "q_agg_approx_percentile",
 }
 
 
