@@ -101,9 +101,11 @@ def main() -> None:
         # runs cache-cold.
         spark.catalog.clearCache()
 
+    import statistics
+
     timings = {n: round(min(ts), 3) for n, ts in samples.items()}
     medians = {
-        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
+        n: round(statistics.median(ts), 3) for n, ts in samples.items()
     }
     out = {
         "metric": "headline-queries-total",

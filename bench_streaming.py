@@ -122,7 +122,10 @@ def main() -> None:
         batches = 0
         for q in queries:
             q.awaitTermination()
-            batches += len(q.recentProgress)
+            # lastProgress, not len(recentProgress): the recent-progress
+            # ring buffer caps at numRecentProgressUpdates (default 100)
+            last = q.lastProgress
+            batches += (last["batchId"] + 1) if last else 0
         wall = time.perf_counter() - t0
         rows = sum(
             spark.read.parquet(f"{sink}/{s}").count()

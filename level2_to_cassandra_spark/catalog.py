@@ -80,19 +80,30 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     (``df.inputFiles()``) — pure metadata, no RDD conversion, so no
     physical planning is forced on the driver at plan-build time.  File
     count under-counts splits (a multi-row-group file scans as several
-    tasks), so the heuristic can only over-spread, and only when the
-    scan is below the core count — where an extra exchange of the
-    (small, by premise) input is cheap insurance.  Streaming inputs and
-    derived (non-scan) DataFrames report no files and pass through
-    unchanged: for those the caller's own shuffles set parallelism.
+    tasks), so the heuristic can only over-spread — and a SIZE guard
+    from the optimized plan's statistics (also pure metadata: the file
+    index's byte total) limits that over-spread to genuinely small
+    inputs: a large single-file table with many row groups already
+    scans as many parallel tasks, and round-robin-shuffling gigabytes
+    to "spread" them would cost more than it saved.  Streaming inputs
+    pass through unchanged: for those the caller's own shuffles set
+    parallelism.
     """
     if df.isStreaming:
         return df
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if not 0 < n_files < target:
+        return df
+    size_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # half a maxPartitionBytes split per target core: above this the
+    # scan's own row-group splits (or the caller's shuffles) provide
+    # the parallelism and an extra exchange is pure cost
+    if size_bytes > target * 64 * 1024 * 1024:
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -126,18 +126,27 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     keeps the per-shingle bucket sizes small; verification then uses
     the full postings, so the result is EXACT, not approximate.
 
-    ``max_shingle_df`` (the stop-shingle cap) bounds the candidate
-    self-join at corpus scale: a shingle with document frequency d
-    contributes a d² bucket, so one stop-shingle (d ≈ corpus size)
-    makes candidate generation quadratic.  The cap removes shingles
-    with df > cap from the CANDIDATE INDEX ONLY — prefix positions are
-    still assigned over the full rarest-first order, sizes and
-    verification still use the full postings — so every emitted pair
-    has its TRUE Jaccard and precision is exact.  Recall: a qualifying
-    pair is missed only if every shingle its two prefixes share is
-    hotter than the cap; under rarest-first ordering a prefix holds a
-    doc's ⌊(1−t)n⌋+1 RAREST shingles, so that requires a document
-    composed almost entirely of stop-shingles.  ``None`` (default)
+    Without a cap the result is FULLY EXACT.  Note the plain prefix
+    filter already bounds hot-shingle join buckets: a shingle enters a
+    doc's index rows only inside that doc's ⌊(1−t)n⌋+1 RAREST
+    shingles, so a corpus-wide stop-shingle's bucket holds only the
+    docs that are ≥ t-fraction boilerplate themselves, not its full
+    document frequency.
+
+    ``max_shingle_df`` (the stop-shingle cap) additionally removes
+    shingles with df > cap from the candidate index (prefix positions
+    are still assigned over the full rarest-first order; verification
+    still uses full postings, so every EMITTED pair carries its TRUE
+    Jaccard — precision stays exact).  RECALL IS NOT EXACT under a
+    live cap: a qualifying pair is missed iff every shingle its two
+    prefixes share is hotter than the cap, i.e. the pair's overlap is
+    carried entirely by corpus boilerplate — for dedup that is usually
+    the intended semantic (boilerplate-driven similarity is spurious),
+    but it IS an approximation, not a lossless filter.  Two
+    mitigations narrow the loss: a doc whose WHOLE prefix is hot
+    (min_df > cap) keeps its full prefix, so all-boilerplate documents
+    and their exact duplicates stay reachable; and ``min_cap_df``
+    keeps the cap inert wherever dfs are small.  ``None`` (default)
     disables the cap → fully exact.
 
     ``max_shingle_frac`` sizes the cap FROM THE CORPUS, in-plan (no
@@ -146,13 +155,13 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     is boilerplate, not content; the ``min_cap_df`` floor keeps the cap
     inert on small corpora (where even the hottest shingle is rare in
     absolute terms) so small-SF results stay bit-identical to the
-    uncapped plan.  All-hot-document dropout is impossible on this
-    path: a doc whose every PREFIX shingle exceeds the cap keeps its
-    full prefix instead (the prefix holds the doc's rarest shingles,
-    so min(df) over the doc equals min(df) over the prefix —
-    ``first(df)`` on the ordered window the prefix positions already
-    sorted, zero extra exchange or sort).
+    uncapped plan.  Requires ``threshold > 0`` (the prefix-filtered
+    path); the bucketed-all-pairs path below accepts only
+    ``max_shingle_df``.
     """
+    if max_shingle_frac is not None and threshold <= 0:
+        raise ValueError("max_shingle_frac requires threshold > 0; "
+                         "use max_shingle_df on the all-pairs path")
     # The postings relation feeds 3+ plan branches (prefix index, both
     # verification sides); persisting it computes the shingling once
     # instead of per branch (≈3× on the fixture).  At cluster scale the
@@ -222,7 +231,8 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             )
         if cap is not None:
             # after position assignment: positions stay faithful to the
-            # full-order prefix lemma, the cap only shrinks the index.
+            # full-order prefix lemma, the cap only shrinks the index
+            # (trading boilerplate-carried recall — see docstring).
             # min_df > cap ⇔ the doc's whole prefix is hot → keep it all
             # rather than dropping the doc from candidate generation.
             index = index.where(

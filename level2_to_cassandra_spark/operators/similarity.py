@@ -145,14 +145,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     * the self-join and the across-tables dedup run on NARROW
       (table, bucket, id) rows — the 64-float vectors never enter the
       candidate join or the distinct's shuffle;
-    * vectors are L2-normalized ONCE per corpus row, so the per-pair
-      re-rank kernel is a single fused zip-multiply-fold (dot of unit
-      vectors ≡ cosine) instead of cast + zip + fold + two norm folds —
-      higher-order functions are interpreted per element, so array
-      passes per pair dominate the re-rank;
-    * normalized vectors re-attach to the DEDUPLICATED pairs via two
-      hash joins (broadcast at small SF by AQE), so each pair's kernel
-      runs exactly once.
+    * the cast and the norm are computed ONCE per corpus row below the
+      re-attach joins (projections do not collapse through joins — the
+      same hoisting as the embed query; an aliased norm inside a
+      transform lambda would be inlined by CollapseProject and
+      re-evaluated per element), so the per-pair kernel is one fused
+      zip-multiply-fold plus a scalar divide instead of cast + zip +
+      fold + two norm folds — higher-order functions are interpreted
+      per element, so array passes per pair dominate the re-rank;
+    * vectors re-attach to the DEDUPLICATED pairs via two hash joins
+      (broadcast at small SF by AQE), so each pair's kernel runs
+      exactly once.
 
     The bucketized relation is persisted: it feeds both sides of the
     self-join and ReuseExchange does not match across the alias
@@ -169,19 +172,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
         .distinct()  # union across tables — narrow rows only
     )
     v = as_double(F.col(vec_col))
-    unit = df.select(
+    vecs = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(v, lambda x: x / l2_norm(v)).alias("__nv"),
+        v.alias("__dv"),
+        l2_norm(v).alias("__n"),
     )
     return (
         pairs.join(
-            unit.select(F.col("__id").alias("id_a"),
-                        F.col("__nv").alias("__na")), "id_a")
+            vecs.select(F.col("__id").alias("id_a"),
+                        F.col("__dv").alias("__va"),
+                        F.col("__n").alias("__na")), "id_a")
         .join(
-            unit.select(F.col("__id").alias("id_b"),
-                        F.col("__nv").alias("__nb")), "id_b")
+            vecs.select(F.col("__id").alias("id_b"),
+                        F.col("__dv").alias("__vb"),
+                        F.col("__n").alias("__nb")), "id_b")
         .select(
-            "id_a", "id_b", dot(F.col("__na"), F.col("__nb")).alias("cos")
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cos"),
         )
     )
 

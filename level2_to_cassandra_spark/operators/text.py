@@ -151,10 +151,16 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
     per doc per map partition, not tokens).  The column-expression twin
     re-hashes every token once per bit (64 interpreted filter passes
     per row — measured ~6× slower at sf0.1); it remains for inline use
-    on small inputs and as the property-test reference."""
+    on small inputs and as the property-test reference.
+
+    NULL-text documents: explode would silently drop them, where the
+    column twin yields fp = 0 (every vote is NULL → no bit set) — the
+    left join below restores exactly that, so the two forms stay
+    bit-identical on any input."""
     from level2_to_cassandra_spark.catalog import spread_scan
 
-    toks = spread_scan(docs).select(
+    spread = spread_scan(docs)
+    toks = spread.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("__tok"),
     ).select(id_col, F.xxhash64("__tok").alias("__h"))
@@ -174,4 +180,7 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
         fp = fp + F.when(
             F.col(f"__v{b}") > 0, F.lit(_bit_mask(b))
         ).otherwise(F.lit(0))
-    return votes.select(F.col(id_col), fp.alias("fp"))
+    fps = votes.select(F.col(id_col), fp.alias("fp"))
+    return spread.select(id_col).join(fps, id_col, "left").select(
+        F.col(id_col), F.coalesce("fp", F.lit(0)).alias("fp")
+    )

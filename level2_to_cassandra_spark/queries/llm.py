@@ -80,15 +80,17 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The stop-shingle cap is corpus-relative: a shingle in > max(50,
     1 % of docs) documents is excluded from candidate generation (it
-    would contribute a df² join bucket), with prefix positions, sizes
-    and verification all on full postings — precision stays exact, and
-    per the prefix argument in exact_jaccard_pairs a qualifying pair is
-    only at risk when BOTH docs' rarest shingles are boilerplate, in
-    which case the whole-prefix fallback keeps the docs indexed.  On
-    the fixture corpora the 50-df floor exceeds the hottest shingle
-    (max df 25 at sf0.1) so the capped plan is bit-identical to the
-    uncapped oracle; at web scale the cap bounds every candidate
-    bucket at (1 % of corpus)²."""
+    would contribute a join bucket quadratic in its prefix-df), with
+    prefix positions and verification on full postings — precision
+    stays exact.  Recall under a LIVE cap is the documented
+    boilerplate trade of exact_jaccard_pairs (a pair whose prefix
+    overlap is entirely boilerplate shingles is skipped; all-hot-prefix
+    docs fall back to their full prefix).  On the fixture corpora the
+    50-df floor exceeds the hottest shingle (max df 25 at sf0.1) so
+    the cap is INERT and the plan is bit-identical to the uncapped
+    oracle — asserted by tests/test_llm_ops.py's floor-inertness test;
+    at web scale the cap bounds every candidate bucket at
+    (1 % of corpus)²."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3,
                                         max_shingle_frac=0.01)

@@ -49,9 +49,11 @@ _REGISTRY: dict[str, Query] = {}
 #: q_join_right/q_join_full↔q_join_outer, q_join_multiway/q_join_cross↔
 #: q_join_inner, q_scalar_map↔5 other scalar queries, q_sort_nulls↔
 #: q_sort_limit, q_subquery_correlated↔q_scalar_datetime,
-#: q_window_lag↔q_window_distribution).  All 62 stay registered and the
-#: local replica harness (tests/test_queries_oracle.py) checks every one
-#: each run — the tail loses only the per-round driver row.
+#: q_window_lag↔q_window_distribution) — plus the rows-only queries
+#: added in r03+, which have no oracle signal to gain from a driver
+#: row.  EVERY registered query stays registered and the local replica
+#: harness (tests/test_queries_oracle.py) checks every one each run —
+#: the tail loses only the per-round driver row.
 DRIVER_CAP = 50
 
 DRIVER_ORDER = (

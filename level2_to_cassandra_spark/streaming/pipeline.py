@@ -79,30 +79,44 @@ class PipelineConfig:
             kafka["kafka.bootstrap.servers"] = e["API_ADDRESS"]
         if e.get("TOPIC"):
             kafka["subscribePattern"] = f"{e['TOPIC']}.*"
-        curve = [e.get(k) for k in ("SECRET_KEY", "PUBLIC_KEY", "SERVER_KEY")]
-        if any(curve):
-            if any("-----BEGIN" in (v or "") for v in curve):
+        curve = {k: e.get(k)
+                 for k in ("SECRET_KEY", "PUBLIC_KEY", "SERVER_KEY")}
+
+        def _pem(v: str | None) -> bool:
+            return bool(v) and "-----BEGIN" in v
+
+        if any(curve.values()):
+            # EVERY provided key must be PEM: a mixed set (e.g. a PEM
+            # truststore next to the reference's Z85 client keypair)
+            # would enable SSL and feed unparseable material to the
+            # Kafka client — exactly the startup failure this guard
+            # exists to prevent.
+            if all(_pem(v) for v in curve.values() if v):
                 kafka["kafka.security.protocol"] = "SSL"
-                if e.get("SECRET_KEY"):
+                if curve["SECRET_KEY"]:
                     kafka["kafka.ssl.keystore.type"] = "PEM"
-                    kafka["kafka.ssl.keystore.key"] = e["SECRET_KEY"]
-                if e.get("PUBLIC_KEY"):
+                    kafka["kafka.ssl.keystore.key"] = curve["SECRET_KEY"]
+                if curve["PUBLIC_KEY"]:
                     kafka["kafka.ssl.keystore.certificate.chain"] = (
-                        e["PUBLIC_KEY"]
+                        curve["PUBLIC_KEY"]
                     )
-                if e.get("SERVER_KEY"):
+                if curve["SERVER_KEY"]:
                     kafka["kafka.ssl.truststore.type"] = "PEM"
                     kafka["kafka.ssl.truststore.certificates"] = (
-                        e["SERVER_KEY"]
+                        curve["SERVER_KEY"]
                     )
             else:
                 import warnings
 
+                non_pem = sorted(
+                    k for k, v in curve.items() if v and not _pem(v)
+                )
                 warnings.warn(
-                    "SECRET_KEY/PUBLIC_KEY/SERVER_KEY are set but are not "
-                    "PEM (the reference uses Z85 ZeroMQ CURVE keys, which "
-                    "Kafka cannot consume) — ignoring them and connecting "
-                    "without SSL; provide PEM key material to enable SSL",
+                    f"{'/'.join(non_pem)} are set but are not PEM (the "
+                    "reference uses Z85 ZeroMQ CURVE keys, which Kafka "
+                    "cannot consume) — ignoring the key material and "
+                    "connecting without SSL; provide PEM for ALL keys "
+                    "to enable SSL",
                     stacklevel=2,
                 )
         cassandra = {}

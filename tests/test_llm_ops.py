@@ -340,8 +340,8 @@ def test_stop_shingle_cap_preserves_precision(spark):
 def test_frac_cap_floor_is_inert_and_all_hot_prefix_survives(spark):
     """max_shingle_frac with the min_cap_df floor above every df must
     be bit-identical to the uncapped plan (the q_llm_dedup_fuzzy
-    losslessness claim); with an aggressive floor, a pair whose docs
-    consist ENTIRELY of stop-shingles must still be found — the
+    floor-inertness claim); with an aggressive floor, a pair whose
+    docs consist ENTIRELY of stop-shingles must still be found — the
     whole-prefix fallback (min_df > cap keeps the full prefix) stops
     all-hot documents from dropping out of candidate generation."""
     docs = spark.createDataFrame(
@@ -382,6 +382,38 @@ def test_frac_cap_floor_is_inert_and_all_hot_prefix_survives(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
+
+
+def test_frac_cap_trades_boilerplate_carried_recall(spark):
+    """The DOCUMENTED approximation of a live cap: a qualifying pair
+    whose prefix overlap is carried entirely by hot (boilerplate)
+    shingles is skipped, while precision stays exact (capped output is
+    a subset of the exact output with identical jaccard values).  Here
+    each doc owns one rare unique shingle (so min_df <= cap and the
+    whole-prefix fallback correctly stays off) and shares only hot
+    shingles — the capped run must drop the pair, not mis-score it."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ra h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+            (2, "rb h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+            (3, "rc h1 h2 h3 h4 h5 h6 h7 h8 h9"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert full  # the uncapped run finds the boilerplate-carried pairs
+    capped = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            docs, threshold=0.7, max_shingle_frac=0.001, min_cap_df=1
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j == full[pair]
 
 
 def test_minhash_all_hot_doc_rescue_keeps_exact_dups_reachable(spark):
@@ -442,3 +474,21 @@ def test_salt_spreads_despite_constant_first_column(spark):
         .count()
     )
     assert distinct >= n_salts // 2
+
+
+def test_simhash_fingerprints_null_text_parity(spark):
+    """NULL-text docs must get fp=0 exactly like the column twin
+    (explode alone would silently drop them)."""
+    from level2_to_cassandra_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    table = {r.doc_id: r.fp for r in
+             T.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    column = {r.doc_id: r.fp for r in
+              docs.select("doc_id",
+                          T.simhash64("text").alias("fp")).collect()}
+    assert table == column
+    assert table[2] == 0 and table[3] == 0
