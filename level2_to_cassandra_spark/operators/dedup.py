@@ -51,3 +51,70 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return latest_by_key(
         df.withColumn("__h", content_hash(text_col)), ["__h"], order
     ).drop("__h")
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node's label converges to the minimum
+    node id reachable from it.  Output: ``(node, label)`` for every
+    node appearing in ``edges`` — ``label`` is the component's
+    canonical (minimum) id.
+
+    This is the step that turns near-duplicate PAIRS into dedup
+    DECISIONS: duplicate relations are not transitive-closed by the
+    pair join (A~B, B~C but A≁C), so a pipeline that drops "the second
+    doc of every pair" over-deletes; grouping pairs into components and
+    keeping one canonical doc per component is the standard semantic
+    (the reference has no analog — pairs come from
+    :mod:`operators.minhash`).
+
+    Scale shape: each iteration is one equi-join of the (narrow,
+    2-column) edge relation against the label relation plus a min-agg —
+    all shuffles are on node ids, never on document content.  Plain
+    propagation converges in ``diameter(component)`` iterations; dedup
+    components are near-cliques (diameter ≤ ~3 in practice), so the
+    loop runs 2–4 times.  The per-iteration convergence probe is a
+    ``limit(1).count()`` on CHANGED labels — a driver action per
+    *iteration* (bounded by ``max_iter``), never per row.  Labels are
+    re-persisted per iteration so lineage stays flat; at cluster scale
+    swap the persist for a checkpoint to survive executor loss.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .select(F.col("d").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

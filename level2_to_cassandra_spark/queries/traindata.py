@@ -1,0 +1,286 @@
+"""Training-data pipeline queries beyond pairwise dedup: near-dup
+clustering (pairs → components → canonical docs), document chunking,
+sequence packing, and train/eval contamination detection.
+
+These are the operations a pretraining corpus pipeline runs between
+"raw documents" and "token batches"; none exist in the reference
+(a streaming ETL daemon — see SURVEY.md §0), so they cite only the
+fixture schema.  All four are pure JVM DataFrame plans except the
+bounded convergence loop inside connected components (iterations, not
+rows — see operators/dedup.py:connected_components).
+
+Oracle notes: the clustering oracle uses a recursive CTE (transitive
+closure) — exponentially worse than the engine's label propagation but
+exact at fixture scale, which is the point of an oracle.  Chunking
+slices are 1-based inclusive on both engines (Spark ``slice`` length is
+clipped at the array end; DuckDB ``list_slice`` end is clipped too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.catalog import load_table, spread_scan
+from level2_to_cassandra_spark.operators import dedup, minhash, text
+from level2_to_cassandra_spark.registry import register
+
+#: Same pair relation as q_llm_dedup_fuzzy (queries/llm.py) — the
+#: clustering query consumes the pairs that query emits.
+_PAIR_CTES = """
+    postings AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM postings a JOIN postings b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM co
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.8)
+"""
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    lab AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id
+        FROM reach GROUP BY s)
+    SELECT doc_id, canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+               AS cluster_size
+    FROM lab
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: the q_llm_dedup_fuzzy pairs (3-shingle
+    Jaccard ≥ 0.8) transitively closed into connected components, each
+    doc labeled with its component's canonical (minimum) id + cluster
+    size.  This is the decision step of corpus dedup — keep the rows
+    where doc_id == canonical_id, drop the rest — which pairwise output
+    alone cannot express (near-duplication is not transitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3,
+                                    max_shingle_frac=0.01)
+        .where(F.round(F.col("jaccard"), 6) >= 0.8)
+        .select("id_a", "id_b")
+        # the component loop iterates over this relation — compute the
+        # (expensive) pair join once, not once per iteration
+        .persist()
+    )
+    labels = dedup.connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+    )
+
+
+_CHUNK_SIZE = 8
+_CHUNK_STRIDE = 6  # 2-word overlap between consecutive chunks
+
+
+@register(
+    "q_chunk_docs",
+    oracle=f"""
+    SELECT doc_id,
+           (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+           array_to_string(list_slice(w, i, i + {_CHUNK_SIZE} - 1), ' ')
+               AS chunk_text,
+           LEAST({_CHUNK_SIZE}, len(w) - i + 1) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         LATERAL (SELECT unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS i)
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping document chunking: windows of 8 tokens
+    every 6 (2-token overlap carries context across the boundary), the
+    step that turns documents into trainable sequences.  Pure JVM:
+    ``sequence`` generates the chunk starts, ``posexplode`` emits one
+    row per chunk, ``slice`` (length-clipped at the array end, exactly
+    like the oracle's ``list_slice``) cuts the window — no Python per
+    row, and chunking is embarrassingly parallel (no shuffle at all:
+    the plan is scan → generate → project)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    return (
+        spread_scan(docs)
+        .select(
+            "doc_id",
+            F.col("text"),
+            F.posexplode(F.sequence(F.lit(1), F.size(w), F.lit(_CHUNK_STRIDE)))
+            .alias("pos", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(text.tokens("text"), F.col("start"), _CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(_CHUNK_SIZE),
+                F.size(text.tokens("text")) - F.col("start") + 1,
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+_CTX_TOKENS = 512
+_PACK_BUCKETS_NIBBLE = 1  # bucket = first md5 nibble → 16 parallel packers
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, {_PACK_BUCKETS_NIBBLE})
+                   AS bucket,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    placed AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {_CTX_TOKENS} AS BIGINT) AS bin_id
+        FROM toks)
+    SELECT bucket, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY bucket, bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy contiguous assignment of documents into
+    512-token context windows — the batch-construction step of a
+    pretraining pipeline (padding waste ∝ unpacked shortfall).  Docs
+    are packed WITHIN 16 md5-derived buckets: the running-total window
+    is partitioned by bucket, so packing scales out instead of forcing
+    a single global sort (a global ORDER BY window is the classic
+    100 TB trap); md5 (not xxhash) so DuckDB replicates the bucketing
+    bit-for-bit.  A document longer than the window overflows its bin
+    (split-across-boundary is chunking's job — q_chunk_docs);
+    ``bin_id`` jumps then leave bins sparse, not wrong."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, _PACK_BUCKETS_NIBBLE
+    )
+    toks = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _CTX_TOKENS
+        ),
+    )
+    return placed.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_contamination",
+    oracle="""
+    WITH posts AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train' ELSE 'eval' END AS split,
+               concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    train_sh AS (SELECT DISTINCT shingle FROM posts WHERE split = 'train'),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles
+              FROM posts WHERE split = 'eval' GROUP BY doc_id),
+    ov AS (SELECT p.doc_id, COUNT(*) AS n_overlap
+           FROM posts p JOIN train_sh t USING (shingle)
+           WHERE p.split = 'eval' GROUP BY p.doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(o.n_overlap AS BIGINT) AS n_overlap,
+           ROUND(o.n_overlap::DOUBLE / s.n_shingles, 6) AS contam_frac
+    FROM sizes s JOIN ov o USING (doc_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for every eval-split document (same
+    deterministic md5 split as q_sample_split), how many of its 3-word
+    shingles also occur anywhere in the train split — the
+    decontamination check run before an eval set is trusted.  The join
+    is eval-postings ⋈ DISTINCT train shingles (an equi-join on the
+    shingle, semi-join shaped): the train side is deduplicated before
+    the join so a boilerplate shingle contributes one row, not its
+    document frequency — the same hot-key discipline as the dedup
+    operators.  Emits only contaminated docs (n_overlap ≥ 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        "train",
+    ).otherwise("eval")
+    posts = (
+        spread_scan(docs)
+        .select(
+            F.col("doc_id").alias("id"),
+            split.alias("split"),
+            F.explode(
+                F.array_distinct(text.word_shingles("text", 3))
+            ).alias("shingle"),
+        )
+        .persist()  # feeds three branches: train side, eval sizes, eval join
+    )
+    train_sh = posts.where(F.col("split") == "train").select("shingle").distinct()
+    eval_posts = posts.where(F.col("split") == "eval")
+    sizes = eval_posts.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlap = (
+        eval_posts.join(train_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(overlap, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("contam_frac"),
+        )
+    )

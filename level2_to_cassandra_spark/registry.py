@@ -128,6 +128,13 @@ DRIVER_ORDER = (
     "q_sort_nulls",
     "q_subquery_correlated",
     "q_window_lag",
+    # -- r03 training-pipeline additions (queries/traindata.py): each
+    # oracle-checked by the local replica harness every run; past the
+    # cap so no driver-green row is evicted mid-round ------------------
+    "q_dedup_cluster",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_contamination",
 )
 
 
@@ -184,6 +191,7 @@ def _ensure_loaded() -> None:
         joins,
         llm,
         timeseries,
+        traindata,
     )
 
     _loaded = True

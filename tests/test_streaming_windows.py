@@ -126,6 +126,72 @@ def test_sliding_window_parity(spark, events_jsonl):
     assert got == want
 
 
+def test_stream_stream_interval_join_parity(spark, events_jsonl):
+    """Watermarked stream-stream interval join (B9): views attributed
+    to same-user purchases within a 24 h lookback, streamed from two
+    independent file sources, must equal the identical batch join."""
+    from level2_to_cassandra_spark.streaming.joins import interval_join
+
+    def split_sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        # interval_join keys both sides on the same column name
+        return purchases, views.withColumnRenamed("user_id_r", "user_id")
+
+    # Watermark wider than the fixture's 30-day span: state eviction
+    # can never drop a match even if the source splits the files across
+    # micro-batches (the watermark advances between batches, and the
+    # fixture rows are NOT time-ordered across files).
+    sp, sv = split_sides(_stream(spark, events_jsonl))
+    joined = interval_join(
+        sp, sv, on="user_id", left_ts="purchase_ts", right_ts="view_ts",
+        lookback="24 hours", watermark="31 days",
+    ).select("purchase_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    bp, bv = split_sides(load_table(spark, SF, "events"))
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in interval_join(
+            bp, bv, on="user_id", left_ts="purchase_ts",
+            right_ts="view_ts", lookback="24 hours",
+        ).select("purchase_id", "view_id").collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_interval_join_rejects_column_overlap(spark):
+    from level2_to_cassandra_spark.streaming.joins import interval_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1).alias("v"),
+    )
+    with pytest.raises(ValueError, match="shared between sides"):
+        interval_join(df, df, on="k", left_ts="ts", right_ts="ts",
+                      lookback="1 hour")
+
+
 def test_session_window_parity(spark, events_jsonl):
     stream = _stream(spark, events_jsonl)
     agg = (
