@@ -70,16 +70,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     (the reference has no analog — pairs come from
     :mod:`operators.minhash`).
 
-    Scale shape: each iteration is one equi-join of the (narrow,
-    2-column) edge relation against the label relation plus a min-agg —
-    all shuffles are on node ids, never on document content.  Plain
-    propagation converges in ``diameter(component)`` iterations; dedup
-    components are near-cliques (diameter ≤ ~3 in practice), so the
-    loop runs 2–4 times.  The per-iteration convergence probe is a
-    ``limit(1).count()`` on CHANGED labels — a driver action per
-    *iteration* (bounded by ``max_iter``), never per row.  Labels are
-    re-persisted per iteration so lineage stays flat; at cluster scale
-    swap the persist for a checkpoint to survive executor loss.
+    Scale shape: each iteration is two equi-joins over NARROW 2-column
+    relations — (1) one-hop min propagation along edges, (2) a pointer
+    jump ``label ← label(label)`` (valid because labels are
+    monotonically non-increasing node ids of the same component, so
+    ``label(label)`` always exists and never increases) — giving
+    O(log diameter) convergence instead of O(diameter).  All shuffles
+    are on node ids, never on document content.  The per-iteration
+    convergence probe is a ``limit(1).count()`` on CHANGED labels — a
+    driver action per *iteration* (bounded by ``max_iter``), never per
+    row.  Each iteration's result is ``localCheckpoint``ed: an eager
+    materialization that TRUNCATES lineage — without it the logical
+    plan nests the whole previous iteration several times over and the
+    driver dies planning a 2^iterations-node tree long before any
+    executor runs.  At cluster scale use a reliable ``checkpoint``
+    (checkpoint dir) instead so the truncated lineage also survives
+    executor loss.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -92,18 +98,27 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["s"] == labels["node"])
             .select(F.col("d").alias("node"), F.col("label"))
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        new_labels = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("__l2")
+                ),
+                "label",
+            )
+            .select("node", F.col("__l2").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -112,7 +127,6 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

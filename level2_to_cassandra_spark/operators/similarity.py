@@ -98,36 +98,85 @@ def _plane_component(table: int, plane: int, i: Column) -> Column:
     return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
 
 
-def lsh_bucketize(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
-                  vec_col: str = "embedding") -> DataFrame:
-    """Append multi-table sign-LSH buckets: one (table, bucket) row per
-    input row per table.  A pair at angle θ collides in one table with
-    p = (1−θ/π)^n_planes; across L independent tables the capture
-    probability is 1−(1−p)^L — n_planes trades candidate volume
-    (bucket granularity) against per-table recall, n_tables buys
-    recall linearly in work.
+#: (n_tables, n_planes, dim) → {(table, plane): [w₀…w_dim)}.  The plane
+#: weights are pure functions of (table, plane, i); materializing them
+#: once (a dim-row JVM job at first use, cached for the session) and
+#: embedding them as array literals removes n_tables·n_planes·dim
+#: interpreted xxhash64+pmod+cast evaluations from EVERY corpus row —
+#: measured 4 s → 0.3 s for the sf0.1 bucketize alone.  Values are
+#: bit-identical to the inline derivation (same hash, same arithmetic,
+#: evaluated JVM-side with the index cast to the lambda's int type).
+_PLANE_CACHE: dict[tuple[int, int, int], dict[tuple[int, int], list[float]]] = {}
+
+
+def _plane_literals(spark, n_tables: int, n_planes: int,
+                    dim: int) -> dict[tuple[int, int], list[float]]:
+    key = (n_tables, n_planes, dim)
+    if key not in _PLANE_CACHE:
+        i = F.col("id").cast("int")  # transform's index type
+        rows = (
+            spark.range(dim)
+            .select(
+                "id",
+                *[
+                    _plane_component(t, p, i).alias(f"w_{t}_{p}")
+                    for t in range(n_tables)
+                    for p in range(n_planes)
+                ],
+            )
+            .orderBy("id")
+            .collect()
+        )
+        _PLANE_CACHE[key] = {
+            (t, p): [r[f"w_{t}_{p}"] for r in rows]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        }
+    return _PLANE_CACHE[key]
+
+
+def lsh_signatures(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Append ``sigs``: an ``n_tables``-long array of sign-LSH bucket
+    ids (one ``n_planes``-bit bucket per table).  A pair at angle θ
+    collides in one table with p = (1−θ/π)^n_planes; across L
+    independent tables the capture probability is 1−(1−p)^L — n_planes
+    trades candidate volume (bucket granularity) against per-table
+    recall, n_tables buys recall linearly in work.
+
+    ``dim`` skips the one-row dimensionality probe when the caller
+    knows the embedding width (it is a fixed schema property at
+    ingest time; the probe reads a single row otherwise).
     """
-    v = as_double(F.col(vec_col))
-    entries = []
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = _plane_literals(df.sparkSession, n_tables, n_planes, dim)
+    v = F.col(vec_col)  # float×double multiplies cast per element — no
+    # separate as_double pass (CollapseProject would inline it per use)
+    sigs = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
+            w = F.array(*[F.lit(x) for x in planes[(t, p)]])
             proj = F.aggregate(
-                F.zip_with(
-                    v,
-                    F.transform(v, lambda _, i: _plane_component(t, p, i)),
-                    lambda x, w: x * w,
-                ),
+                F.zip_with(v, w, lambda x, wx: x * wx),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        entries.append(
-            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
-    return df.withColumn("e", F.explode(F.array(*entries))).select(
-        *df.columns, F.col("e.table").alias("table"),
-        F.col("e.bucket").alias("bucket")
+        sigs.append(bucket)
+    return df.withColumn("sigs", F.array(*sigs))
+
+
+def lsh_bucketize(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
+                  vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """Append multi-table sign-LSH buckets: one (table, bucket) row per
+    input row per table — the exploded form of :func:`lsh_signatures`."""
+    return (
+        lsh_signatures(df, n_planes, n_tables, vec_col, dim)
+        .select(*df.columns, F.posexplode("sigs").alias("table", "bucket"))
     )
 
 
@@ -139,12 +188,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     (table, bucket) — one shuffle; candidate count ∝ Σ bucket² per
     table, never N².
 
-    Dataflow (measured 30 s → ~6 s at sf0.1, where a loose threshold
-    makes ~40 % of all pairs candidates):
+    Dataflow (measured 30 s → ~6 s → ~2 s at sf0.1, where a loose
+    threshold makes ~40 % of all pairs candidates):
 
     * the self-join and the across-tables dedup run on NARROW
       (table, bucket, id) rows — the 64-float vectors never enter the
-      candidate join or the distinct's shuffle;
+      candidate join or the distinct's shuffle.  (A shuffle-free
+      first-collision filter — keep the pair only in the lowest table
+      whose buckets agree, testing the two signature arrays inline —
+      was measured 1.9 s vs the distinct's 1.5 s here: the ~5
+      interpreted small-array ops per joined row cost more than the
+      narrow-row exchange they avoid, so distinct stays);
     * the cast and the norm are computed ONCE per corpus row below the
       re-attach joins (projections do not collapse through joins — the
       same hoisting as the embed query; an aliased norm inside a
@@ -153,16 +207,18 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
       zip-multiply-fold plus a scalar divide instead of cast + zip +
       fold + two norm folds — higher-order functions are interpreted
       per element, so array passes per pair dominate the re-rank;
-    * vectors re-attach to the DEDUPLICATED pairs via two hash joins
+    * vectors re-attach to the deduplicated pairs via two hash joins
       (broadcast at small SF by AQE), so each pair's kernel runs
       exactly once.
 
     The bucketized relation is persisted: it feeds both sides of the
     self-join and ReuseExchange does not match across the alias
     branches."""
-    b = lsh_bucketize(
-        df.select(id_col, vec_col), n_planes, n_tables, vec_col
-    ).select("table", "bucket", F.col(id_col).alias("__id")).persist()
+    b = (
+        lsh_bucketize(df.select(id_col, vec_col), n_planes, n_tables, vec_col)
+        .select("table", "bucket", F.col(id_col).alias("__id"))
+        .persist()
+    )
     pairs = (
         b.select("table", "bucket", F.col("__id").alias("id_a"))
         .join(b.select("table", "bucket", F.col("__id").alias("id_b")),
@@ -197,18 +253,44 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     )
 
 
-def _nearest_cell(vec: Column) -> list[Column]:
-    """(internal) columns for argmax-by-cosine against the joined
-    centroid row: max(struct(cos, cell)) per group is the
-    deterministic argmax (ties break to the highest cell id)."""
-    return [
-        F.max(
+def _cells_array(cent: DataFrame) -> DataFrame:
+    """(internal) the centroid relation folded into ONE row holding
+    ``__cells``: array<struct<cell, __cv, __cn>> with the norm
+    precomputed per centroid.  Cross-joined (broadcast) onto corpus or
+    query rows it turns cell assignment into a per-row array fold —
+    no n_cells× row blow-up, no groupBy shuffle of wide vectors.
+    ``collect_list`` order is irrelevant: both consumers (argmax fold,
+    probe sort) are order-insensitive."""
+    return cent.agg(
+        F.collect_list(
             F.struct(
-                cosine(vec, F.col("__cv")).alias("__cos"),
-                F.col("cell").alias("cell"),
+                F.col("cell"),
+                F.col("__cv"),
+                l2_norm(F.col("__cv")).alias("__cn"),
             )
-        ).alias("__best")
-    ]
+        ).alias("__cells")
+    )
+
+
+def _best_cell(vec: Column, norm: Column) -> Column:
+    """(internal) argmax-by-cosine over the ``__cells`` array: a
+    ``greatest``-fold over struct(cos, cell) — lexicographic struct
+    order makes it the deterministic argmax (ties break to the highest
+    cell id, exactly like the previous max(struct) formulation).
+    ``vec``/``norm`` must be pre-cast/pre-computed in a projection
+    BELOW the crossJoin (joins are CollapseProject barriers) so the
+    norm fold runs once per row, not once per cell."""
+    return F.aggregate(
+        F.col("__cells"),
+        F.struct(F.lit(-2.0).alias("__cos"), F.lit(-1).alias("cell")),
+        lambda acc, c: F.greatest(
+            acc,
+            F.struct(
+                (dot(vec, c["__cv"]) / (norm * c["__cn"])).alias("__cos"),
+                c["cell"].alias("cell"),
+            ),
+        ),
+    )["cell"]
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
@@ -241,12 +323,14 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     cent = seeds
     for _ in range(lloyd_iters):
         assigned = (
-            corpus.select(as_double(F.col(vec_col)).alias("__v"),
-                          F.col(id_col).alias("__id"))
-            .crossJoin(F.broadcast(cent))
-            .groupBy("__id")
-            .agg(*_nearest_cell(F.col("__v")), F.first("__v").alias("__v"))
-            .select(F.col("__best.cell").alias("cell"), "__v")
+            corpus.select(
+                as_double(F.col(vec_col)).alias("__v"),
+                l2_norm(as_double(F.col(vec_col))).alias("__vn"),
+            )
+            .crossJoin(F.broadcast(_cells_array(cent)))
+            .select(
+                _best_cell(F.col("__v"), F.col("__vn")).alias("cell"), "__v"
+            )
         )
         cent = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
@@ -277,33 +361,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     AQE).  Per query only ~nprobe/n_cells of the corpus is scanned; at
     cluster scale the assigned corpus is the bucketed-by-cell staging
     table, making repeated query batches zero-shuffle probes."""
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col).persist()
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cells = _cells_array(cent).persist()
     inv = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("__cvv"),
+            l2_norm(as_double(F.col(vec_col))).alias("__cn"),
         )
-        .crossJoin(F.broadcast(cent))
-        .groupBy("neighbor_id")
-        .agg(*_nearest_cell(F.col("__cvv")), F.first("__cvv").alias("__cvv"))
-        .select(F.col("__best.cell").alias("cell"), "neighbor_id", "__cvv")
+        .crossJoin(F.broadcast(cells))
+        .select(
+            _best_cell(F.col("__cvv"), F.col("__cn")).alias("cell"),
+            "neighbor_id",
+            "__cvv",
+            "__cn",
+        )
     )
-    qcos = cosine(F.col("__qv"), F.col("__cv"))
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.desc("__pcos"), F.asc("cell")
+    # top-nprobe cells per query as an array sort + slice on the (tiny)
+    # __cells array — no n_cells× row explosion, no ranking-window
+    # shuffle; struct asc order on (−cos, cell) ≡ (cos DESC, cell ASC),
+    # the same deterministic cut as the previous row_number form
+    probe_order = F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(
+            (-(dot(F.col("__qv"), c["__cv"]) / (F.col("__qn") * c["__cn"])))
+            .alias("__neg"),
+            c["cell"].alias("cell"),
+        ),
     )
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("__qv"),
+            l2_norm(as_double(F.col(vec_col))).alias("__qn"),
         )
-        .crossJoin(F.broadcast(cent))
-        .select("query_id", "__qv", "cell", qcos.alias("__pcos"))
-        .withColumn("__pr", F.row_number().over(wprobe))
-        .where(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", "cell")
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "query_id",
+            "__qv",
+            "__qn",
+            F.explode(
+                F.slice(F.array_sort(probe_order), 1, nprobe)
+            ).alias("__pc"),
+        )
+        .select("query_id", "__qv", "__qn", F.col("__pc.cell").alias("cell"))
     )
-    cos = cosine(F.col("__qv"), F.col("__cvv"))
+    # per-pair kernel: ONE zip-multiply-fold + a scalar divide — both
+    # norms ride the probe/inverted-file rows, computed once per row
+    cos = dot(F.col("__qv"), F.col("__cvv")) / (F.col("__qn") * F.col("__cn"))
     if round_cos is not None:
         cos = F.round(cos, round_cos)
     scored = (

@@ -280,6 +280,61 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embed_quantize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(mn, 6) AS mn,
+           ROUND(mx, 6) AS mx,
+           CASE WHEN mx = mn THEN 0.0 ELSE
+             ROUND(list_aggregate(list_transform(embedding, x ->
+                 POWER(x::DOUBLE - (mn + ROUND((x::DOUBLE - mn) / sc) * sc),
+                       2)), 'sum') / len(embedding), 12)
+           END AS mse
+    FROM (SELECT vec_id, embedding,
+                 list_aggregate(embedding, 'min')::DOUBLE AS mn,
+                 list_aggregate(embedding, 'max')::DOUBLE AS mx,
+                 (list_aggregate(embedding, 'max')::DOUBLE
+                  - list_aggregate(embedding, 'min')::DOUBLE) / 255.0 AS sc
+          FROM embeddings)
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization audit: (min, max) range and
+    the reconstruction MSE of round((x−min)/scale) 8-bit codes — the
+    measurement that decides whether an embedding corpus can be stored
+    and searched at 1/4 the bytes (the standard memory/IO lever for
+    ANN at 100 TB).  Everything is per-row JVM array math: no shuffle
+    at all.  The range subexpressions are re-inlined into the lambda by
+    CollapseProject (the hazard documented in operators/similarity.py),
+    making the kernel O(dim²) per row — acceptable for an audit query;
+    an ingest pipeline would persist (mn, mx) as columns instead.
+
+    Engine-invariance: both engines compute the identical double
+    expression tree element-wise in list order (sequential fold, no
+    reassociation), ties in ROUND break away from zero on both, and
+    the MSE is rounded to 12 decimals (~5 guard digits above the 1e-7
+    signal) so last-ulp jitter cannot flip the hash."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    sc = (mx - mn) / 255.0
+    err = F.transform(
+        v, lambda x: F.pow(x - (mn + F.round((x - mn) / sc) * sc), F.lit(2))
+    )
+    mse = (
+        F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(F.col("embedding"))
+    )
+    return em.select(
+        "vec_id",
+        F.round(mn, 6).alias("mn"),
+        F.round(mx, 6).alias("mx"),
+        F.when(mx == mn, F.lit(0.0)).otherwise(F.round(mse, 12)).alias("mse"),
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 @register(

@@ -284,3 +284,150 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contam_frac"),
         )
     )
+
+
+@register(
+    "q_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    lab AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id
+        FROM reach GROUP BY s)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN
+        (SELECT doc_id FROM lab WHERE doc_id <> canonical_id)
+    """,
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup dedup: every document that is either
+    untouched by any fuzzy pair or the canonical (minimum-id) member of
+    its near-dup cluster — i.e. q_dedup_cluster's decision applied.
+    The apply step is one left-anti join of the (tiny relative to the
+    corpus) non-canonical id list against the documents scan: document
+    text never shuffles, only ids do."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3,
+                                    max_shingle_frac=0.01)
+        .where(F.round(F.col("jaccard"), 6) >= 0.8)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    losers = (
+        dedup.connected_components(pairs)
+        .where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_DOMAIN_CAP = 10
+
+
+@register(
+    "q_domain_cap",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT source, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling cap: at most {_DOMAIN_CAP} documents per
+    source, chosen by md5(doc_id) priority — the deterministic
+    "downweight over-represented domains" step of corpus mixing
+    (reproducible across runs and engines, unlike rand()-based
+    sampling; md5 not xxhash so DuckDB replicates it bit-for-bit).
+    One shuffle on source + in-partition TopK; a pathologically hot
+    domain skews its partition, in which case pre-filter with an
+    approximate per-source count and a hash-band predicate before the
+    window (same salting discipline as operators/skew.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= _DOMAIN_CAP)
+    )
+
+
+@register(
+    "q_ngram_counts",
+    oracle="""
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT concat_ws(' ', w[i], w[i+1]) AS ngram
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           LATERAL (SELECT unnest(range(1, len(w))) AS i))
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 50
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: the 50 most frequent word
+    bigrams (count DESC, bigram ASC so the cut is deterministic) — the
+    building block of n-gram LM stats, vocabulary induction, and
+    boilerplate detection.  Plan shape: explode → partial-agg (map-side
+    combine on the generated side, so the shuffle carries (bigram,
+    partial count), not one row per occurrence) → TakeOrdered for the
+    global cut — no global sort materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread_scan(docs)
+        .select(F.explode(text.word_shingles("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(50)
+    )
+
+
+_HIST_BUCKET = 5
+
+
+@register(
+    "q_token_histogram",
+    oracle=f"""
+    SELECT (len(string_split(text, ' ')) // {_HIST_BUCKET}) * {_HIST_BUCKET}
+               AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY bucket_lo
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in {_HIST_BUCKET}-token buckets (doc
+    and token mass per bucket) — the first diagnostic run on any new
+    corpus and the input to length-based filter thresholds.  A single
+    map-side-combined aggregation on a derived int key; nothing wide
+    ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count("text")
+    return (
+        docs.select(
+            (F.floor(n / _HIST_BUCKET) * _HIST_BUCKET).alias("bucket_lo"),
+            n.cast("long").alias("__n"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+        )
+    )

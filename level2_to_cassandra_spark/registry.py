@@ -128,13 +128,19 @@ DRIVER_ORDER = (
     "q_sort_nulls",
     "q_subquery_correlated",
     "q_window_lag",
-    # -- r03 training-pipeline additions (queries/traindata.py): each
-    # oracle-checked by the local replica harness every run; past the
-    # cap so no driver-green row is evicted mid-round ------------------
+    # -- r03 training-pipeline additions (queries/traindata.py +
+    # q_embed_quantize in queries/llm.py): each oracle-checked by the
+    # local replica harness every run; past the cap so no driver-green
+    # row is evicted mid-round -----------------------------------------
     "q_dedup_cluster",
     "q_chunk_docs",
     "q_pack_sequences",
     "q_contamination",
+    "q_dedup_keep",
+    "q_domain_cap",
+    "q_ngram_counts",
+    "q_token_histogram",
+    "q_embed_quantize",
 )
 
 

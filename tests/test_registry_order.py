@@ -31,6 +31,13 @@ SAFE_TO_ROTATE_OUT = {
     # must not evict an oracle-checked row from the cap
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
+    # new in r03 WITH oracles, checked by the local replica harness
+    # (tests/test_queries_oracle.py) every run; placed past the cap so
+    # no driver-green row is evicted mid-round — rotate them in once
+    # the 12 never-checked queries have their first driver rows
+    "q_dedup_cluster", "q_chunk_docs", "q_pack_sequences",
+    "q_contamination", "q_dedup_keep", "q_domain_cap", "q_ngram_counts",
+    "q_token_histogram", "q_embed_quantize",
 }
 
 

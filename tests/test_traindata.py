@@ -1,0 +1,160 @@
+"""Property tests for the training-pipeline operators
+(queries/traindata.py, operators/dedup.py::connected_components).
+
+The oracle harness already value-checks each query against DuckDB at
+sf0.001; these tests pin the INVARIANTS on adversarial inputs the
+fixtures don't contain (multi-hop chains, singleton edges, pathological
+chunk lengths).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.operators.dedup import connected_components
+
+
+def _uf_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Plain union-find ground truth: node → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # one long chain: diameter >> 1 forces multiple iterations
+        [(i, i + 1) for i in range(20)],
+        # two components + a singleton pair
+        [(1, 2), (2, 3), (10, 11), (5, 6), (6, 5)],
+        # star with the center NOT the minimum
+        [(100, i) for i in range(5)],
+        # duplicate and reversed edges
+        [(3, 7), (7, 3), (3, 7), (7, 9)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.node: r.label for r in connected_components(df).collect()
+    }
+    assert got == _uf_reference(edges)
+
+
+def test_connected_components_chain_converges_within_max_iter(spark):
+    # a 40-node chain needs ~log-ish rounds under doubling propagation;
+    # plain min propagation needs up to diameter rounds — make sure the
+    # default budget covers a deeper-than-typical component rather than
+    # silently returning unconverged labels
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.label for r in connected_components(df, max_iter=50).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Non-overlap strides concatenated must reconstruct every doc:
+    chunking may duplicate tokens across chunk boundaries but can never
+    drop or reorder them."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()["q_chunk_docs"]
+    chunks = q.fn(spark, sf)
+    stride, size = 6, 8
+    # keep the first `stride` tokens of every chunk (the non-overlap
+    # prefix) except the last chunk, which contributes everything
+    w = F.split(F.col("chunk_text"), " ")
+    last = F.max("chunk_idx").over(Window.partitionBy("doc_id"))
+    rebuilt = (
+        chunks.withColumn("__last", last)
+        .withColumn(
+            "__part",
+            F.when(F.col("chunk_idx") == F.col("__last"), w).otherwise(
+                F.slice(w, 1, stride)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "__part"))
+                        ),
+                        lambda s: s["__part"],
+                    )
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .where(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_sequences_conservation(spark):
+    """Packing must conserve documents and tokens exactly: Σ n_docs =
+    corpus size, Σ total_tokens = Σ per-doc token counts."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    packed = all_queries()["q_pack_sequences"].fn(spark, sf)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).first()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = docs.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).first()
+    assert (agg.docs, agg.toks) == (want.docs, want.toks)
+
+
+def test_contamination_exact_duplicate_across_split_is_flagged(spark):
+    """A doc whose text also appears verbatim in the other split must
+    surface with contam_frac == 1.0 (every shingle shared)."""
+    from level2_to_cassandra_spark.queries.traindata import q_contamination
+
+    # build a tiny corpus where doc 1 (train: md5('1') starts 'c4')
+    # and doc 5 (eval: md5('5') starts 'e4') share identical text
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (2, "totally different words here entirely now"),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {r.doc_id: r for r in q_contamination(spark, d).collect()}
+    # sanity: the pair really straddles the split boundary
+    import hashlib
+
+    assert hashlib.md5(b"1").hexdigest()[:2] < "cd"      # train
+    assert hashlib.md5(b"5").hexdigest()[:2] >= "cd"     # eval
+    assert 5 in out and out[5].contam_frac == 1.0
