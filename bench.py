@@ -95,11 +95,17 @@ def main() -> None:
             df = qs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-        # Queries that persist() intermediates would otherwise get
-        # CacheManager plan-matched reuse on passes 2+ (warm-cache
-        # timings that hide persist-path regressions) — every pass
-        # runs cache-cold.
-        spark.catalog.clearCache()
+            # Drop this query's persisted intermediates before the next
+            # one runs: (a) CacheManager plan-matching would otherwise
+            # hand later passes warm-cache timings that hide
+            # persist-path regressions; (b) with 20+ headline queries
+            # the accumulated blocks of a whole pass evict each other
+            # mid-pass, charging early queries' spill to later ones
+            # (measured: per-query medians 2-3x the per-query minima
+            # at sf0.1 with a per-pass clear; isolated runs match the
+            # minima).  Per-query clearing times each query cache-cold
+            # and interference-free — the number the isolated run gets.
+            spark.catalog.clearCache()
 
     import statistics
 
@@ -115,6 +121,9 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "queries_median": medians,
+        "queries_samples": {
+            n: [round(t, 3) for t in ts] for n, ts in samples.items()
+        },
     }
     print(json.dumps(out))
     spark.stop()

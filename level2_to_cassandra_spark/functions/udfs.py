@@ -54,6 +54,25 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str,
     return df.groupBy(group_col).applyInPandas(standardize, schema=schema)
 
 
+def trimmed_mean_udaf(lo: float = 0.25, hi: float = 0.75):
+    """Grouped-agg pandas UDF (the GROUPED_AGG form of B10): exact
+    per-group trimmed mean — average of the values between the ``lo``
+    and ``hi`` quantiles (inclusive; linear-interpolated quantiles, the
+    ``quantile_cont`` definition).  Genuinely needs Python: Spark has
+    no exact trimmed-mean aggregate (``percentile_approx`` is a sketch,
+    and the relational formulation costs an extra join back against
+    per-group quantiles), while the kernel is one sorted numpy pass
+    over the group's Arrow batch."""
+
+    @pandas_udf(T.DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        x = v.to_numpy(dtype="float64")
+        ql, qh = np.quantile(x, [lo, hi])  # linear = quantile_cont
+        return float(x[(x >= ql) & (x <= qh)].mean())
+
+    return trimmed_mean
+
+
 def tokenizer_udtf():
     """Python UDTF: explode text into (pos, token) rows — the
     table-generating form (Spark ≥ 3.5).  Returned lazily so merely

@@ -552,6 +552,41 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_udaf_trimmed_mean",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS rflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS lo,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag AS rflag,
+           ROUND(AVG(CAST(l.l_extendedprice AS DOUBLE)), 4) AS iq_mean
+    FROM lineitem l
+    JOIN b ON l.l_returnflag = b.rflag
+    WHERE CAST(l.l_extendedprice AS DOUBLE) >= b.lo
+      AND CAST(l.l_extendedprice AS DOUBLE) <= b.hi
+    GROUP BY 1
+    """,
+)
+def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF surface (B10): exact interquartile mean
+    per group in ONE grouped pass (Arrow batch per group), where the
+    oracle needs a quantile CTE joined back against the fact table.
+    Quantiles are linear-interpolated on both sides (numpy ``linear``
+    ≡ DuckDB ``quantile_cont``) so the trim bounds agree bit-for-bit;
+    the mean is rounded at 4 like every other avg in the registry."""
+    from level2_to_cassandra_spark.functions.udfs import trimmed_mean_udaf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tm = trimmed_mean_udaf(0.25, 0.75)
+    return li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
+        F.round(tm(F.col("l_extendedprice").cast("double")), 4)
+        .alias("iq_mean")
+    )
+
+
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline plumbing: documents → binary assets with

@@ -141,6 +141,7 @@ DRIVER_ORDER = (
     "q_ngram_counts",
     "q_token_histogram",
     "q_embed_quantize",
+    "q_udaf_trimmed_mean",
 )
 
 

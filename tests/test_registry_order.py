@@ -37,7 +37,7 @@ SAFE_TO_ROTATE_OUT = {
     # the 12 never-checked queries have their first driver rows
     "q_dedup_cluster", "q_chunk_docs", "q_pack_sequences",
     "q_contamination", "q_dedup_keep", "q_domain_cap", "q_ngram_counts",
-    "q_token_histogram", "q_embed_quantize",
+    "q_token_histogram", "q_embed_quantize", "q_udaf_trimmed_mean",
 }
 
 

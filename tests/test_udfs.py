@@ -34,6 +34,34 @@ def test_zscore_applyinpandas_matches_window(spark):
         assert abs(got[k] - want[k]) < 1e-9, k
 
 
+def test_trimmed_mean_udaf_matches_pandas(spark):
+    """GROUPED_AGG pandas UDF parity: per-group interquartile mean vs
+    the same kernel applied group-by-group driver-side, and the plan
+    must take the Arrow aggregate path (no row-Python)."""
+    import numpy as np
+
+    from level2_to_cassandra_spark.functions.udfs import trimmed_mean_udaf
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    tm = trimmed_mean_udaf(0.25, 0.75)
+    agg = ev.groupBy("event_type").agg(tm("v").alias("iqm"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # Spark 4.1 names the Arrow-batched agg node ArrowAggregatePython
+    # (older releases: AggregateInPandas) — either is the vectorized path.
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    got = {r.event_type: r.iqm for r in agg.collect()}
+
+    pdf = ev.toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        x = grp["v"].to_numpy(dtype="float64")
+        ql, qh = np.quantile(x, [0.25, 0.75])
+        want = float(x[(x >= ql) & (x <= qh)].mean())
+        assert abs(got[etype] - want) < 1e-9, etype
+
+
 def test_pipeline_config_from_env():
     cfg = PipelineConfig.from_env(
         {
