@@ -160,3 +160,46 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), _SCALE).alias("total_value"),
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w, 4)    AS hour_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_hour
+    FROM (
+        SELECT event_id, user_id, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (B5's value-based frame form): per event,
+    the rolling one-hour sum/count of everything the same user did in
+    the preceding 3600 s — a frame bounded by the ORDER-BY *value*
+    (epoch seconds), not a row count, so irregular event spacing is
+    handled exactly.  Rows sharing a second are frame peers on both
+    engines (RANGE semantics), which keeps the oracle deterministic
+    without a tiebreaker.  One hash shuffle on user_id, then a single
+    in-partition sort serves the whole frame scan — the same plan shape
+    at any scale; the ts→long cast truncates µs exactly like the
+    oracle's FLOOR(epoch(ts))."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), _SCALE).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("n_hour"),
+    )

@@ -431,3 +431,84 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__n").alias("n_tokens"),
         )
     )
+
+
+#: Per-stratum keep fractions for q_sample_stratified, expressed as the
+#: exclusive upper bound on the first md5 byte (hex): 0x40/256 = 25 %
+#: for over-represented English, 0x80/256 = 50 % for everything else.
+_STRATUM_CUT_EN = "40"
+_STRATUM_CUT_OTHER = "80"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{_STRATUM_CUT_EN}'
+                 ELSE '{_STRATUM_CUT_OTHER}' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (25 % of English,
+    50 % of every other language) — the corpus-mixing step that rebalances
+    language proportions.  ``DataFrame.sampleBy`` does this with RNG
+    state; hashing the stable id instead (first md5 byte vs a per-stratum
+    cut) makes the sample reproducible across runs, engines, and
+    re-partitionings, and needs no shuffle at all: the predicate pushes
+    into the scan's filter and every row decides its own fate map-side —
+    the only sampling discipline that re-runs identically on 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    cut = F.when(F.col("lang") == "en", _STRATUM_CUT_EN).otherwise(
+        _STRATUM_CUT_OTHER
+    )
+    return docs.where(bucket < cut).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    SELECT doc_id,
+           ROUND((len(w) - len(list_distinct(w)))
+                 / CAST(len(w) AS DOUBLE), 6)                 AS dup_1gram,
+           ROUND(COALESCE((len(g2) - len(list_distinct(g2)))
+                 / CAST(NULLIF(len(g2), 0) AS DOUBLE), 0), 6) AS dup_2gram,
+           ROUND(COALESCE((len(g3) - len(list_distinct(g3)))
+                 / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0), 6) AS dup_3gram
+    FROM (
+        SELECT doc_id,
+               w,
+               list_transform(range(1, len(w)),
+                   i -> concat_ws(' ', w[i], w[i+1]))     AS g2,
+               list_transform(range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-style "duplicated n-gram
+    fraction"): per document, the share of unigram / bigram / trigram
+    occurrences that are repeats of an earlier occurrence, computed as
+    ``(n - n_distinct) / n`` over the in-order n-gram array.  High
+    values flag boilerplate, keyword stuffing, and degenerate
+    generations — the standard pre-training quality gate alongside
+    q_text_stats.  Entirely map-side array math (no explode, no
+    shuffle): each document scores itself inside the scan stage, so the
+    operator is embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def dup_ratio(arr):
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(arr))).cast("double") / n
+        )
+
+    return docs.select(
+        "doc_id",
+        F.round(dup_ratio(text.tokens("text")), 6).alias("dup_1gram"),
+        F.round(dup_ratio(text.word_shingles("text", 2)), 6).alias("dup_2gram"),
+        F.round(dup_ratio(text.word_shingles("text", 3)), 6).alias("dup_3gram"),
+    )

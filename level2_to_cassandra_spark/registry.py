@@ -142,6 +142,9 @@ DRIVER_ORDER = (
     "q_token_histogram",
     "q_embed_quantize",
     "q_udaf_trimmed_mean",
+    "q_sample_stratified",
+    "q_text_repetition",
+    "q_window_range_frame",
 )
 
 
