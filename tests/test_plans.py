@@ -81,3 +81,25 @@ def test_no_row_python_in_any_plan(spark, name):
     python_nodes = ("MapInPandas", "ArrowEvalPython", "PythonUDTF")
     if any(n in plan for n in python_nodes):
         assert name in _PYTHON_ALLOWED, f"{name} unexpectedly leaves the JVM"
+
+
+def test_map_side_corpus_queries_have_no_exchange(spark):
+    """q_sample_stratified and q_text_repetition claim to be
+    embarrassingly parallel (every row decides/scores itself inside the
+    scan stage): their plans must contain NO shuffle at all, and the
+    stratified sample's hash-cut predicate must reach the scan as a
+    data filter."""
+    for name in ("q_sample_stratified", "q_text_repetition"):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert "Exchange" not in plan, name
+    plan = plan_of(all_queries()["q_sample_stratified"].fn(spark, SF), "simple")
+    assert "Filter" in plan
+
+
+def test_range_frame_single_shuffle(spark):
+    """q_window_range_frame: exactly one hash exchange (on user_id)
+    feeds the RANGE-framed window — no extra sort/exchange pairs."""
+    plan = plan_of(all_queries()["q_window_range_frame"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
