@@ -1,0 +1,93 @@
+"""The reference daemon as one command: ``python -m level2_to_cassandra_spark``.
+
+The reference ships three binaries dispatched by ``start.sh:3-14`` on
+``APP_MODE`` and configured entirely by env vars (README.md:8-16,
+docker-compose.yaml:6-15).  This module is the drop-in equivalent: read
+the same env surface (:meth:`PipelineConfig.from_env`), build the
+engine session, attach a source, start the Structured Streaming
+pipeline, block until termination.
+
+Source selection (``--source``, or ``L2C_SOURCE`` env, default auto):
+
+* ``kafka`` — production; chosen automatically when ``API_ADDRESS`` is
+  set (the reference's broker address var, main.rs:180);
+* ``file`` — JSONL envelope capture directory (``--input`` /
+  ``L2C_INPUT``), the replay path;
+* ``wire`` — raw multipart capture files via the registered ``l2wire``
+  Python Data Source (sources/wire.py);
+* ``rate`` — synthetic TICK load for smoke runs.
+
+``--drain`` switches the trigger to ``availableNow``: consume whatever
+the bounded source holds, checkpoint, exit 0 — replay/backfill/CI
+semantics.  Without it the daemon micro-batches forever, matching the
+reference's blocking recv loop (main.rs:219-230).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _parse_args(argv: list[str] | None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="python -m level2_to_cassandra_spark",
+        description="Run the ingest pipeline (env-configured, "
+                    "reference-compatible surface).",
+    )
+    p.add_argument("--source", choices=("auto", "kafka", "file", "wire",
+                                        "rate"),
+                   default=os.environ.get("L2C_SOURCE", "auto"))
+    p.add_argument("--input", default=os.environ.get("L2C_INPUT"),
+                   help="capture path for file/wire sources")
+    p.add_argument("--drain", action="store_true",
+                   help="availableNow trigger: drain the source and exit")
+    p.add_argument("--rate", type=int, default=100,
+                   help="rows/sec for the rate source")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from level2_to_cassandra_spark import sources
+    from level2_to_cassandra_spark.session import get_spark
+    from level2_to_cassandra_spark.sources.wire import register_wire_source
+    from level2_to_cassandra_spark.streaming.pipeline import (
+        PipelineConfig,
+        build_streaming_pipeline,
+        kafka_envelope,
+    )
+
+    args = _parse_args(argv)
+    cfg = PipelineConfig.from_env()
+    src = args.source
+    if src == "auto":
+        src = "kafka" if cfg.kafka.get("kafka.bootstrap.servers") else "file"
+    if src in ("file", "wire") and not args.input:
+        print("error: --source", src, "needs --input/L2C_INPUT",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"l2c-{cfg.mode}")
+    if src == "kafka":
+        envelope = kafka_envelope(spark, cfg)
+    elif src == "file":
+        envelope = sources.file_envelope_stream(spark, args.input)
+    elif src == "wire":
+        register_wire_source(spark)
+        envelope = (
+            spark.readStream.format("l2wire").load(args.input)
+        )
+    else:
+        envelope = sources.rate_envelope(spark, args.rate)
+
+    queries = build_streaming_pipeline(
+        envelope, cfg, trigger_available_now=args.drain
+    )
+    for q in queries:
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""End-to-end daemon entry (`__main__.py`): env-configured pipeline
+run, wire-capture source, availableNow drain, parquet LWW sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from level2_to_cassandra_spark.__main__ import main
+from level2_to_cassandra_spark.streaming.sink import read_sink_latest
+
+
+@pytest.fixture()
+def capture_dir(tmp_path):
+    d = tmp_path / "capture"
+    d.mkdir()
+    tick = {"symbol": "EURUSD", "bid": 1.09, "price": 1.1, "ask": 1.11,
+            "time": 1700000000, "volume": 5, "type": "B"}
+    book = [{"symbol": "EURUSD", "price": 1.1, "time": 1700000000,
+             "volume": 3, "type": "BOOK_TYPE_BID"}]
+    lines = [
+        f"eurusd\tTICK\t{json.dumps(tick)}",
+        f"eurusd\tBOOK\t{json.dumps(book)}",
+        f"eurusd\tTICK\t{json.dumps(dict(tick, time=1700000060, type='S'))}",
+    ]
+    (d / "000.cap").write_text("".join(x + "\n" for x in lines))
+    return d
+
+
+def test_daemon_drains_wire_capture_to_sinks(
+        spark, capture_dir, tmp_path, monkeypatch):
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+
+    rc = main(["--source", "wire", "--input", str(capture_dir), "--drain"])
+    assert rc == 0
+
+    ticks = read_sink_latest(spark, str(out), "tick")
+    books = read_sink_latest(spark, str(out), "book")
+    assert ticks.count() == 2  # one row per (symbol, time) after LWW
+    assert books.count() == 1
+    row = ticks.orderBy("time").collect()[-1]
+    # stateful cumsum ran: second tick is a sell of volume 5
+    assert row.cumsell == 5.0 and row.cumdelta == 0.0
+
+
+def test_daemon_requires_input_for_bounded_sources(monkeypatch, tmp_path):
+    monkeypatch.setenv("KEYSPACE", str(tmp_path / "k"))
+    monkeypatch.delenv("L2C_INPUT", raising=False)
+    assert main(["--source", "file", "--drain"]) == 2
