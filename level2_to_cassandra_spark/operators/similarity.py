@@ -180,6 +180,71 @@ def lsh_bucketize(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
     )
 
 
+def lsh_buckets_agg(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    n_planes: int = 4, n_tables: int = 8,
+                    dim: int | None = None) -> DataFrame:
+    """(id, table, bucket) rows, bit-identical to :func:`lsh_bucketize`
+    but one-pass columnar: posexplode the vector, broadcast-join a
+    ``dim``-row plane-weight matrix, and fold all n_tables·n_planes
+    projections in a single codegen'd 32-SUM aggregate (map-side
+    combine; the shuffle carries n_tables·n_planes doubles per vector).
+    The column-expression twin (:func:`lsh_signatures`) evaluates one
+    interpreted zip-multiply-fold PER (table, plane) per row — the same
+    6× trap the simhash rework closed (operators/text.py::
+    simhash_fingerprints); it remains the inline/property-test form.
+
+    Bit-identity argument: a vector's components never leave their map
+    partition (explode preserves order; the broadcast join streams the
+    probe side), so the hash-agg partial accumulates x·w in component
+    order — the exact addition sequence of the column form's left fold
+    (0.0 + x₀w₀ ≡ x₀w₀).  Rows the explode cannot emit are restored by
+    a left join with the column form's values: NULL and empty vectors
+    both get bucket 0 in every table (``zip_with`` pads the short side
+    with nulls, so the column form's whole fold nulls out and no bit is
+    ever set).  (Vectors CONTAINING null components, or shorter than
+    ``dim``, diverge the same way — the column form nulls the fold,
+    this form skips the missing component; the fixtures and every
+    caller guarantee fixed-width, null-free vectors.)
+    """
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    spark = df.sparkSession
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = _plane_literals(spark, n_tables, n_planes, dim)
+    tp = [(t, p) for t in range(n_tables) for p in range(n_planes)]
+    w = spark.createDataFrame(
+        [(i, *[planes[c][i] for c in tp]) for i in range(dim)],
+        "__i int" + "".join(f", __w_{t}_{p} double" for t, p in tp),
+    )
+    comp = spread_scan(df.select(id_col, vec_col)).select(
+        id_col, F.posexplode(F.col(vec_col)).alias("__i", "__x")
+    )
+    projs = comp.join(F.broadcast(w), "__i").groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__x").cast("double") * F.col(f"__w_{t}_{p}"))
+            .alias(f"__p_{t}_{p}")
+            for t, p in tp
+        ]
+    )
+    ids = df.select(id_col)
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for p in range(n_planes):
+            b = b + F.when(
+                F.col(f"__p_{t}_{p}") >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        buckets.append(
+            F.when(F.col(f"__p_{t}_0").isNull(), F.lit(0).cast("long"))
+            .otherwise(b)
+        )
+    return ids.join(projs, id_col, "left").select(
+        id_col, F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         n_planes: int = 4, n_tables: int = 8) -> DataFrame:
@@ -215,7 +280,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     self-join and ReuseExchange does not match across the alias
     branches."""
     b = (
-        lsh_bucketize(df.select(id_col, vec_col), n_planes, n_tables, vec_col)
+        lsh_buckets_agg(df, id_col, vec_col, n_planes, n_tables)
         .select("table", "bucket", F.col(id_col).alias("__id"))
         .persist()
     )

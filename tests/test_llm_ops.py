@@ -492,3 +492,27 @@ def test_simhash_fingerprints_null_text_parity(spark):
                           T.simhash64("text").alias("fp")).collect()}
     assert table == column
     assert table[2] == 0 and table[3] == 0
+
+
+def test_lsh_buckets_agg_matches_column_form(spark):
+    """The one-pass aggregate bucketizer must reproduce the column
+    form's (id, table, bucket) rows EXACTLY (the bit-identity argument
+    in its docstring), including the NULL- and empty-vector fallbacks
+    the explode path cannot emit."""
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, [])],
+        "vec_id long, embedding array<float>",
+    )
+    both = em.unionByName(extra)
+    agg = {
+        (r.vec_id, r.table): r.bucket
+        for r in similarity.lsh_buckets_agg(both, "vec_id", "embedding",
+                                            4, 8).collect()
+    }
+    col = {
+        (r.vec_id, r.table): r.bucket
+        for r in similarity.lsh_bucketize(both, 4, 8).select(
+            "vec_id", "table", "bucket").collect()
+    }
+    assert agg == col
