@@ -129,9 +129,14 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, pairs within hamming ≤ 7 (guaranteed-recall threshold for
     8×8-bit banding).  xxhash64-based → rows-only here; exactness vs a
     brute-force hamming scan is proven in tests/test_llm_ops.py."""
+    # Persisted: the banded relation feeds BOTH sides of the self-join
+    # and ReuseExchange does not match across alias branches — without
+    # this the explode+64-agg fingerprint pass runs twice (same
+    # discipline as lsh_candidate_pairs' bucket persist).  doc_id+fp is
+    # 16 bytes/doc — negligible at any corpus size.
     docs = text.simhash_fingerprints(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    )
+    ).persist()
     width = 64 // _SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = docs.select(
