@@ -52,3 +52,37 @@ def test_daemon_requires_input_for_bounded_sources(monkeypatch, tmp_path):
     monkeypatch.setenv("KEYSPACE", str(tmp_path / "k"))
     monkeypatch.delenv("L2C_INPUT", raising=False)
     assert main(["--source", "file", "--drain"]) == 2
+
+
+def test_daemon_restart_recovers_state_from_checkpoint(
+        spark, tmp_path, monkeypatch):
+    """Kill-and-restart semantics: a second daemon run with the same
+    checkpoint must (a) NOT reprocess the already-committed capture
+    file and (b) resume the per-(symbol, day) cumsum from recovered
+    state — the recovery story the reference lacks entirely (its
+    in-memory HashMap dies with the process, main.rs:51-58)."""
+    cap = tmp_path / "capture"
+    cap.mkdir()
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "tick")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+
+    def tick(t, vol):
+        return ("eurusd\tTICK\t" + json.dumps(
+            {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2,
+             "time": t, "volume": vol, "type": "B"}) + "\n")
+
+    (cap / "000.cap").write_text(tick(1700000000, 5))
+    assert main(["--source", "wire", "--input", str(cap), "--drain"]) == 0
+    (cap / "001.cap").write_text(tick(1700000060, 7))
+    assert main(["--source", "wire", "--input", str(cap), "--drain"]) == 0
+
+    raw = spark.read.parquet(f"{out}/tick")
+    # one appended row per drain — file 000 was not reprocessed
+    assert raw.count() == 2
+    rows = {r.time.isoformat(): r.cumbuy
+            for r in read_sink_latest(spark, str(out), "tick").collect()}
+    # second run resumed the day's state: 5 then 5+7
+    assert rows == {"2023-11-14T22:13:20": 5.0, "2023-11-14T22:14:20": 12.0}
