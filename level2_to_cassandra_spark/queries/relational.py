@@ -637,3 +637,31 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rflag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_lstatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+"""
+
+
+@register("q_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the SQL surface — the general
+    form of rollup/cube (q_agg_rollup/q_agg_cube are its prefixes), with
+    GROUPING() disambiguating "NULL because aggregated away" from "NULL
+    in the data".  Same one-shuffle Expand+HashAggregate plan as rollup:
+    the Expand multiplies rows by the set count map-side and partial
+    aggregation collapses them before the exchange, so the shuffle
+    carries one row per (set, group) per map partition, not per input
+    row.  Identical SQL runs on both engines."""
+    from level2_to_cassandra_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

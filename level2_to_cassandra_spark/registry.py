@@ -145,6 +145,8 @@ DRIVER_ORDER = (
     "q_sample_stratified",
     "q_text_repetition",
     "q_window_range_frame",
+    "q_sql_grouping_sets",
+    "q_text_editdist",
 )
 
 

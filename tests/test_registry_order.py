@@ -39,6 +39,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_contamination", "q_dedup_keep", "q_domain_cap", "q_ngram_counts",
     "q_token_histogram", "q_embed_quantize", "q_udaf_trimmed_mean",
     "q_sample_stratified", "q_text_repetition", "q_window_range_frame",
+    "q_sql_grouping_sets", "q_text_editdist",
 }
 
 
