@@ -235,6 +235,83 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through re-aggregatable bitmap sketches:
+    per-(status, month, bucket) bitmaps of customer keys
+    (``bitmap_construct_agg``), OR-merged up to status level
+    (``bitmap_or_agg``) and counted — the pre-aggregated-cube pattern
+    for 100 TB distinct counts.  Unlike ``countDistinct`` (which
+    re-shuffles raw keys for every new grouping), the monthly bitmap
+    layer is built ONCE and any coarser rollup is a cheap OR-merge of
+    fixed-width binary cells; unlike HLL the answer stays exact.  The
+    oracle is conventional COUNT(DISTINCT) — passing it proves the
+    bitmap path exact, not approximate."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderstatus",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "month", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bmp"))
+    )
+    return (
+        monthly.groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_or_agg(F.col("bmp")).alias("bmp"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bmp")))
+            .cast("bigint")
+            .alias("n_customers")
+        )
+    )
+
+
+@register("q_agg_hll_sketch", oracle=None)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches): build one
+    HLL per (status, month), union-merge the monthly sketches up to
+    status (``hll_union_agg``) and estimate.  This is the streaming/
+    incremental twin of :func:`q_agg_bitmap_distinct`: a fixed-size
+    (1.5 KB at lgK=12) summary per cell regardless of cardinality, so
+    daily partitions sketch independently and any window is a merge —
+    no raw-key reshuffle ever.  Sketch bytes differ across engines → no
+    value oracle; tests/test_approx.py asserts the ≤5 % error bound vs
+    exact AND that the merged estimate tracks the one-pass estimate
+    within the same band (the union re-encodes through HLL_8, so the
+    two are close but not bit-identical)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderstatus",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_custkey",
+        )
+        .groupBy("o_orderstatus", "month")
+        .agg(F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("hll"))
+    )
+    merged = monthly.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias(
+            "approx_customers"
+        )
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return merged.join(exact, "o_orderstatus")
+
+
+@register(
     "q_sql_star_revenue",
     oracle="""
     SELECT o.o_orderkey,

@@ -147,6 +147,8 @@ DRIVER_ORDER = (
     "q_window_range_frame",
     "q_sql_grouping_sets",
     "q_text_editdist",
+    "q_agg_bitmap_distinct",
+    "q_agg_hll_sketch",
 )
 
 

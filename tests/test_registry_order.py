@@ -40,6 +40,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_token_histogram", "q_embed_quantize", "q_udaf_trimmed_mean",
     "q_sample_stratified", "q_text_repetition", "q_window_range_frame",
     "q_sql_grouping_sets", "q_text_editdist",
+    "q_agg_bitmap_distinct", "q_agg_hll_sketch",
 }
 
 
