@@ -164,21 +164,21 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(tokens(text_col)).alias("__tok"),
     ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    # ones_b = Σ (h >>> b) & 1, branchless (a CASE WHEN per bit costs
+    # ~25 % more in the codegen'd aggregate); vote_b = 2·ones_b − n.
     votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(
-                    F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"__v{b}")
+                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))
+            ).alias(f"__o{b}")
             for b in range(64)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for b in range(64):
         fp = fp + F.when(
-            F.col(f"__v{b}") > 0, F.lit(_bit_mask(b))
+            F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(_bit_mask(b))
         ).otherwise(F.lit(0))
     fps = votes.select(F.col(id_col), fp.alias("fp"))
     return spread.select(id_col).join(fps, id_col, "left").select(
