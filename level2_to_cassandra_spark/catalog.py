@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -35,11 +36,19 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw int64 nanos (legacy conf) and
-    convert with integer division to microseconds — matching how DuckDB
-    (the oracle) truncates ns→µs.  Plain ``/1000`` would go through
-    DOUBLE and lose µs precision on 19-digit epoch-nanos, so ``div``.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) depending on fixture generation — so branch on
+    the schema Spark actually reads rather than assuming a unit:
+
+    * already a timestamp (TIMESTAMP / TIMESTAMP_NTZ): normalize to the
+      session TimestampType (session timezone is pinned UTC below, so
+      the NTZ→TZ cast is a pure relabel — wall-clock values unchanged,
+      matching DuckDB's naive-timestamp oracle semantics).
+    * int64 (the NANOS era, readable only via the
+      ``nanosAsLong`` legacy conf we keep set as a fallback): integer-
+      divide ns→µs — ``div`` not ``/1000``, which would go through
+      DOUBLE and lose µs precision on 19-digit epoch-nanos.
+
     This is the engine-wide fix for the reference's timestamp-unit quirk
     (raw i64 bound to a timestamp column, main.rs:163; SURVEY.md §1.4).
     """
@@ -55,11 +64,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_on_workers(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
+        # Fallback for the NANOS-era fixture: lets the footer schema
+        # resolve as int64 instead of the reader rejecting the file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (isAdjustedToUTC=false footer) → session-TZ
+            # timestamp; with UTC session TZ the instant is unchanged.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
@@ -110,7 +128,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
-    for name in TABLES:
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql use.
+
+    ``only`` limits registration to the tables a query actually reads —
+    fault isolation (a breakage loading one table can't take down SQL
+    that never touches it) and avoids pointless catalog work.  Default
+    registers everything for exploratory/REPL callers.
+    """
+    for name in only if only is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

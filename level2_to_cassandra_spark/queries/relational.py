@@ -334,7 +334,7 @@ def q_sql_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's SQL surface is first-class, not a bolt-on."""
     from level2_to_cassandra_spark.catalog import register_temp_views
 
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
     return spark.sql("""
         SELECT o.o_orderkey,
                CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
@@ -537,7 +537,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated subqueries survivable at scale."""
     from level2_to_cassandra_spark.catalog import register_temp_views
 
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, only=("customer",))
     return spark.sql("""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey
         FROM customer c
@@ -740,5 +740,5 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     row.  Identical SQL runs on both engines."""
     from level2_to_cassandra_spark.catalog import register_temp_views
 
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_GROUPING_SETS_SQL)

@@ -1,0 +1,106 @@
+"""Catalog loader contract against the LIVE fixtures.
+
+Round-3 regression guard: the driver regenerated ``events.parquet``
+with ``ts`` as parquet ``timestamp[us]`` after rounds 1-2 shipped it as
+``timestamp[ns]``; ``load_table`` must adapt to whichever unit the
+footer declares (SURVEY.md §1.4 quirk 1 — the reference's own
+seconds-vs-ms discipline, main.rs:109/163).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from level2_to_cassandra_spark.catalog import (
+    TABLES,
+    load_table,
+    register_temp_views,
+    table_path,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_events_ts_loads_as_timestamp(spark):
+    """Against the real fixture, whatever unit it currently ships."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    # and it actually computes: a datetime function resolves + runs
+    n = ev.selectExpr("date_trunc('hour', ts) AS h").limit(5).count()
+    assert n > 0
+
+
+def test_events_ts_value_matches_pyarrow(spark):
+    """The loaded instants equal the file's own values (µs precision),
+    i.e. no unit mis-scaling (ns read as µs would shift dates by ~50x)."""
+    path = table_path(SF_SMOKE, "events")
+    tbl = pq.read_table(path, columns=["event_id", "ts"])
+    want = {
+        r["event_id"]: r["ts"]
+        for r in tbl.slice(0, 20).to_pylist()
+    }
+    got = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts")
+        .filter("event_id IN ({})".format(",".join(map(str, want))))
+        .collect()
+    }
+    assert got == want
+
+
+def test_events_nanos_era_fixture(spark, tmp_path):
+    """Synthetic TIMESTAMP(NANOS) file → same load path still works
+    (the pre-round-3 fixture format)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts_us = [1_700_000_000_000_000, 1_700_000_000_123_456]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [v * 1000 for v in ts_us], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, sf / "events.parquet", store_schema=False)
+    ev = load_table(spark, str(sf), "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    got = sorted(
+        (r["event_id"], r["ts"]) for r in ev.select("event_id", "ts").collect()
+    )
+    import datetime as dt
+
+    def from_us(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    assert [g[1].replace(tzinfo=None) for g in got] == [
+        from_us(v) for v in ts_us
+    ]
+
+
+def test_all_tables_load(spark):
+    for name in TABLES:
+        df = load_table(spark, SF_SMOKE, name)
+        assert len(df.columns) > 0
+
+
+def test_register_temp_views_only_subset(spark):
+    """`only=` registers just the named tables — fault isolation: SQL
+    that never touches a broken table must not load it."""
+    register_temp_views(spark, SF_SMOKE, only=("region",))
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] == 5
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, SF_SMOKE, "nope")
