@@ -83,17 +83,35 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup.
-    qs["q_sort_limit"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        qs["q_sort_limit"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001 — warmup must never kill the run
+        print(f"warmup failed: {e}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}
+    failed: dict[str, str] = {}
     for _ in range(reps):
         for name in names:
+            if name in failed:
+                continue
             t0 = time.perf_counter()
-            df = qs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # Per-query isolation: one broken query records null and the
+            # rest of the bench still produces data (round-3 lesson: an
+            # events-loader bug in query #1 left the whole round with
+            # zero perf numbers).
+            try:
+                df = qs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                failed[name] = str(e).splitlines()[0][:300] if str(e) else (
+                    type(e).__name__
+                )
+                print(f"{name} FAILED: {failed[name]}", file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
             samples[name].append(time.perf_counter() - t0)
             # Drop this query's persisted intermediates before the next
             # one runs: (a) CacheManager plan-matching would otherwise
@@ -109,13 +127,16 @@ def main() -> None:
 
     import statistics
 
-    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    timings = {
+        n: (round(min(ts), 3) if ts else None) for n, ts in samples.items()
+    }
     medians = {
-        n: round(statistics.median(ts), 3) for n, ts in samples.items()
+        n: (round(statistics.median(ts), 3) if ts else None)
+        for n, ts in samples.items()
     }
     out = {
         "metric": "headline-queries-total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(t for t in timings.values() if t is not None), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -124,6 +145,7 @@ def main() -> None:
         "queries_samples": {
             n: [round(t, 3) for t in ts] for n, ts in samples.items()
         },
+        "failed": failed,
     }
     print(json.dumps(out))
     spark.stop()

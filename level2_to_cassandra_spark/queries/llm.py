@@ -597,12 +597,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline plumbing: documents → binary assets with
     typed metadata → Arrow-batched feature extraction (deterministic
     fake decoder — see operators/multimodal.py).  Rows-only check; the
-    data-flow invariants are asserted in tests/test_llm_ops.py."""
+    data-flow invariants are asserted in tests/test_llm_ops.py.
+
+    The feature vector is emitted as ``to_json(features)`` — the
+    harness canonicalizes results through pandas, where a raw
+    ``array<double>`` cell is unhashable/unsortable; library callers
+    use ``extract_features`` directly for the typed array."""
     from level2_to_cassandra_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.attach_binary(docs)
-    return multimodal.extract_features(assets)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.to_json("features").alias("features_json"),
+    )
 
 
 @register(

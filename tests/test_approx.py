@@ -72,7 +72,9 @@ def test_approx_percentile_close_to_exact(spark):
     rows = all_queries()["q_agg_approx_percentile"].fn(spark, SF).collect()
     assert rows
     for r in rows:
-        for approx, exact in zip(r.approx_p, r.exact_p):
+        for approx, exact in [
+            (r.approx_p50, r.exact_p50), (r.approx_p95, r.exact_p95)
+        ]:
             # GK with accuracy=10000 → rank error ≤ 1/10000; translate
             # loosely to a 1% value tolerance on this distribution
             assert abs(approx - exact) <= max(abs(exact) * 0.01, 1e-9), (
