@@ -10,37 +10,44 @@ from __future__ import annotations
 
 from level2_to_cassandra_spark import registry
 
-# Queries with no driver oracle row in CORRECTNESS_r01/r02 — must be
-# inside the cap until a round verifies them.
+# Queries with no driver oracle row through CORRECTNESS_r03, or whose
+# r03 row was an `err` that the r04 fixes must re-verify — must be
+# inside the cap until a round records them green.
 NEVER_DRIVER_CHECKED = {
-    "q_text_langid", "q_text_tfidf", "q_udf_pandas_cosine",
-    "q_udtf_tokenize", "q_multimodal_features", "q_text_tokens_bpe",
-    "q_text_rolling_hash", "q_sample_split", "q_text_fingerprint",
-    "q_ohlc_bars", "q_time_bucket_agg", "q_sessionize",
+    # r03 err rows, fixed in r04 (catalog ts bug / output shape)
+    "q_multimodal_features", "q_ohlc_bars", "q_time_bucket_agg",
+    "q_sessionize", "q_agg_conditional", "q_sql_star_revenue",
+    "q_dedup_lww", "q_scalar_datetime", "q_scalar_json",
+    "q_window_cumulative", "q_window_moving_avg", "q_join_asof",
+    # rotated in for r04: r03 additions never driver-checked
+    "q_dedup_cluster", "q_chunk_docs", "q_pack_sequences",
+    "q_contamination", "q_dedup_keep", "q_agg_bitmap_distinct",
+    "q_udaf_trimmed_mean", "q_window_range_frame",
+    "q_sql_grouping_sets", "q_text_editdist",
 }
 
-# Green in BOTH r01 and r02 (full hash match), untouched since, each
-# with an in-cap sibling covering the same SURVEY.md §2 row.
+# Driver-green in at least two rounds (or rows-only by design), each
+# with an in-cap sibling covering the same SURVEY.md §2 row — may sit
+# past the cap.
 SAFE_TO_ROTATE_OUT = {
+    # thrice-green (r01+r02+r03), rotated out for r04
+    "q_filter_predicates", "q_agg_distinct", "q_agg_salted",
+    "q_set_ops", "q_scalar_string", "q_scalar_math", "q_scalar_array",
+    "q_window_rank", "q_join_semi", "q_join_anti",
+    # twice-green (r01+r02), untouched, coverage-redundant
     "q_set_ops_all", "q_agg_cube", "q_agg_stats", "q_agg_pivot",
     "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
     "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
     "q_window_lag",
-    # new in r03 and rows-only by design: a driver row would add no
-    # oracle signal beyond the local recall/tolerance tests, so they
-    # must not evict an oracle-checked row from the cap
+    # rows-only by design: a driver row would add no oracle signal
+    # beyond the local recall/tolerance tests
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
-    # new in r03 WITH oracles, checked by the local replica harness
-    # (tests/test_queries_oracle.py) every run; placed past the cap so
-    # no driver-green row is evicted mid-round — rotate them in once
-    # the 12 never-checked queries have their first driver rows
-    "q_dedup_cluster", "q_chunk_docs", "q_pack_sequences",
-    "q_contamination", "q_dedup_keep", "q_domain_cap", "q_ngram_counts",
-    "q_token_histogram", "q_embed_quantize", "q_udaf_trimmed_mean",
-    "q_sample_stratified", "q_text_repetition", "q_window_range_frame",
-    "q_sql_grouping_sets", "q_text_editdist",
-    "q_agg_bitmap_distinct", "q_agg_hll_sketch",
+    # r03 additions WITH oracles awaiting a rotation slot; checked by
+    # the local replica harness (tests/test_queries_oracle.py) each run
+    "q_domain_cap", "q_ngram_counts", "q_token_histogram",
+    "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
+    "q_agg_hll_sketch",
 }
 
 
