@@ -52,7 +52,7 @@ HEADLINE = [
     "q_llm_dedup_fuzzy",     # inverted-index n-gram jaccard
     "q_llm_dedup_minhash",   # MinHash+LSH near-dup
     "q_llm_dedup_simhash",   # 64-bit simhash + banded hamming
-    "q_llm_dedup_embed",     # label-blocked embedding cosine
+    "q_llm_dedup_embed",     # LSH-bucketed embedding cosine
     "q_sim_topk",            # brute cosine top-k
     "q_sim_ann_lsh",         # sign-LSH bucketed ANN pairs
     "q_sim_ann_ivf",         # IVF coarse-quantizer ANN top-k

@@ -98,19 +98,51 @@ def _plane_component(table: int, plane: int, i: Column) -> Column:
     return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
 
 
-#: (n_tables, n_planes, dim) → {(table, plane): [w₀…w_dim)}.  The plane
-#: weights are pure functions of (table, plane, i); materializing them
-#: once (a dim-row JVM job at first use, cached for the session) and
-#: embedding them as array literals removes n_tables·n_planes·dim
-#: interpreted xxhash64+pmod+cast evaluations from EVERY corpus row —
-#: measured 4 s → 0.3 s for the sf0.1 bucketize alone.  Values are
+def _rademacher_component(table: int, plane: int, d: int) -> float:
+    """±1 plane weight from a 31-bit LCG's bit 16 — ENGINE-PORTABLE:
+    pure 64-bit integer arithmetic (multiply, add, integer divide,
+    modulo), so Python, Spark SQL and DuckDB derive bit-identical
+    planes from (table, plane, d) alone.  Rademacher (±1) entries are
+    a standard random-hyperplane family (sign-LSH needs only symmetric
+    zero-mean weights); the portability is what lets a DuckDB oracle
+    replicate the FULL candidate generation instead of settling for a
+    rows-only check.  SQL twin (same formula, inline):
+    ``CASE WHEN ((1103515245*(t*65536 + p*256 + d) + 12345)//65536)%2
+    = 0 THEN 1.0 ELSE -1.0 END``."""
+    return (
+        1.0
+        if ((1103515245 * (table * 65536 + plane * 256 + d) + 12345)
+            // 65536) % 2 == 0
+        else -1.0
+    )
+
+
+#: (n_tables, n_planes, dim[, scheme]) → {(table, plane): [w₀…w_dim)}.
+#: The plane weights are pure functions of (table, plane, i);
+#: materializing them once (a dim-row JVM job at first use for the
+#: 'hash' scheme, cached for the session) and embedding them as array
+#: literals removes n_tables·n_planes·dim interpreted
+#: xxhash64+pmod+cast evaluations from EVERY corpus row — measured
+#: 4 s → 0.3 s for the sf0.1 bucketize alone.  Values are
 #: bit-identical to the inline derivation (same hash, same arithmetic,
 #: evaluated JVM-side with the index cast to the lambda's int type).
-_PLANE_CACHE: dict[tuple[int, int, int], dict[tuple[int, int], list[float]]] = {}
+_PLANE_CACHE: dict[tuple, dict[tuple[int, int], list[float]]] = {}
 
 
 def _plane_literals(spark, n_tables: int, n_planes: int,
-                    dim: int) -> dict[tuple[int, int], list[float]]:
+                    dim: int, scheme: str = "hash",
+                    ) -> dict[tuple[int, int], list[float]]:
+    if scheme == "rademacher":
+        key = (n_tables, n_planes, dim, "rademacher")
+        if key not in _PLANE_CACHE:
+            _PLANE_CACHE[key] = {
+                (t, p): [
+                    _rademacher_component(t, p, d) for d in range(dim)
+                ]
+                for t in range(n_tables)
+                for p in range(n_planes)
+            }
+        return _PLANE_CACHE[key]
     key = (n_tables, n_planes, dim)
     if key not in _PLANE_CACHE:
         i = F.col("id").cast("int")  # transform's index type
@@ -137,7 +169,8 @@ def _plane_literals(spark, n_tables: int, n_planes: int,
 
 def lsh_signatures(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
                    vec_col: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   scheme: str = "hash") -> DataFrame:
     """Append ``sigs``: an ``n_tables``-long array of sign-LSH bucket
     ids (one ``n_planes``-bit bucket per table).  A pair at angle θ
     collides in one table with p = (1−θ/π)^n_planes; across L
@@ -151,7 +184,7 @@ def lsh_signatures(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
     """
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
-    planes = _plane_literals(df.sparkSession, n_tables, n_planes, dim)
+    planes = _plane_literals(df.sparkSession, n_tables, n_planes, dim, scheme)
     v = F.col(vec_col)  # float×double multiplies cast per element — no
     # separate as_double pass (CollapseProject would inline it per use)
     sigs = []
@@ -171,11 +204,12 @@ def lsh_signatures(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
 
 def lsh_bucketize(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
                   vec_col: str = "embedding",
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None,
+                  scheme: str = "hash") -> DataFrame:
     """Append multi-table sign-LSH buckets: one (table, bucket) row per
     input row per table — the exploded form of :func:`lsh_signatures`."""
     return (
-        lsh_signatures(df, n_planes, n_tables, vec_col, dim)
+        lsh_signatures(df, n_planes, n_tables, vec_col, dim, scheme)
         .select(*df.columns, F.posexplode("sigs").alias("table", "bucket"))
     )
 
@@ -183,7 +217,8 @@ def lsh_bucketize(df: DataFrame, n_planes: int = 4, n_tables: int = 8,
 def lsh_buckets_agg(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     n_planes: int = 4, n_tables: int = 8,
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    scheme: str = "hash") -> DataFrame:
     """(id, table, bucket) rows, bit-identical to :func:`lsh_bucketize`
     but one-pass columnar: posexplode the vector, broadcast-join a
     ``dim``-row plane-weight matrix, and fold all n_tables·n_planes
@@ -212,7 +247,7 @@ def lsh_buckets_agg(df: DataFrame, id_col: str = "vec_id",
     spark = df.sparkSession
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
-    planes = _plane_literals(spark, n_tables, n_planes, dim)
+    planes = _plane_literals(spark, n_tables, n_planes, dim, scheme)
     tp = [(t, p) for t in range(n_tables) for p in range(n_planes)]
     w = spark.createDataFrame(
         [(i, *[planes[c][i] for c in tp]) for i in range(dim)],
@@ -247,7 +282,8 @@ def lsh_buckets_agg(df: DataFrame, id_col: str = "vec_id",
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+                        n_planes: int = 4, n_tables: int = 8,
+                        scheme: str = "hash") -> DataFrame:
     """Candidate near-duplicate pairs = same bucket in ANY table, with
     exact cosine attached for re-ranking/thresholding.  The join key is
     (table, bucket) — one shuffle; candidate count ∝ Σ bucket² per
@@ -280,7 +316,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     self-join and ReuseExchange does not match across the alias
     branches."""
     b = (
-        lsh_buckets_agg(df, id_col, vec_col, n_planes, n_tables)
+        lsh_buckets_agg(df, id_col, vec_col, n_planes, n_tables,
+                        scheme=scheme)
         .select("table", "bucket", F.col(id_col).alias("__id"))
         .persist()
     )

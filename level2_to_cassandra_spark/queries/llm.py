@@ -172,49 +172,63 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_embed",
+    # The oracle replicates the FULL LSH candidate generation: the
+    # Rademacher (±1) hyperplanes come from a portable integer LCG
+    # (operators/similarity.py::_rademacher_component — identical
+    # formula inline below), so DuckDB derives bit-identical buckets,
+    # the same candidate pairs, and the same rounded cosines.  That
+    # upgrades embedding near-dup from "rows-only demo" to a
+    # hash-verified end-to-end pipeline.
     oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-           ROUND(list_cosine_similarity(
-               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
-               AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(
-               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, tbl,
+             list_reduce(
+               list_transform(range(0, 6), p ->
+                 CASE WHEN list_reduce(
+                        list_transform(range(0, 64), d -> ve[d+1] *
+                          (CASE WHEN ((1103515245*(tbl*65536 + p*256 + d)
+                                       + 12345)//65536)%2 = 0
+                                THEN 1.0 ELSE -1.0 END)),
+                        (a, x) -> a + x) >= 0
+                      THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+               (a, x) -> a + x) AS bucket
+      FROM v, (SELECT UNNEST(range(0, 8)) AS tbl)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(va.ve, vb.ve), 4) AS cos
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(va.ve, vb.ve), 4) >= 0.35
     """,
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the blocking
-    key stands in for an ANN bucket: candidates form only within a
-    block, so the pair join is label-partitioned, not N²)."""
+    """Embedding-cosine near-dup pairs fed by sign-LSH buckets
+    (6 portable ±1 planes × 8 tables) — candidates form only inside a
+    (table, bucket) equi-join, so the pair join is bucket-bounded
+    (∝ Σ bucket², never N²) and survives a 100 TB corpus; the earlier
+    label-blocked form was per-block quadratic.  Exact cosine re-ranks
+    the candidates and a 0.35 threshold cuts.  Capture probability at
+    the threshold is 1−(1−(1−θ/π)⁶)⁸ ≈ 0.36 on this near-random
+    fixture (≈ 0.99 at a real corpus's cos 0.9 near-dups); the DuckDB
+    oracle replicates the planes exactly, so recall is part of WHAT IS
+    CHECKED, not a source of mismatch."""
     em = load_table(spark, sf_dir, "embeddings")
-    # cast + norm computed ONCE per vector below the join (projections
-    # do not collapse through joins), not per candidate pair; the
-    # cosine expression is the same dot/(|a|·|b|) fold in the same
-    # order, so values stay bit-identical to the per-pair formulation
-    # the oracle rounds against.
-    v = similarity.as_double(F.col("embedding"))
-    a = em.select(
-        F.col("vec_id").alias("id_a"), F.col("label"),
-        v.alias("__va"), similarity.l2_norm(v).alias("__na"),
+    pairs = similarity.lsh_candidate_pairs(
+        em, n_planes=6, n_tables=8, scheme="rademacher"
     )
-    b = em.select(
-        F.col("vec_id").alias("id_b"), F.col("label"),
-        v.alias("__vb"), similarity.l2_norm(v).alias("__nb"),
-    )
-    cos = F.round(
-        similarity.dot(F.col("__va"), F.col("__vb"))
-        / (F.col("__na") * F.col("__nb")),
-        4,
-    )
-    return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "label", cos.alias("cos"))
-        .where(F.col("cos") >= 0.35)
-    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
+    ).where(F.col("cos") >= 0.35)
 
 
 # ------------------------------------------------------- similarity search
@@ -254,14 +268,24 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_sim_ann_lsh", oracle=None)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH near-neighbor pairs (4 hash-derived
-    hyperplanes × 8 tables; capture p = 1−(1−(1−θ/π)⁴)⁸) with exact
-    cosine re-rank — the ANN scale path (candidates ∝ bucket sizes).
-    Hash planes have no DuckDB equivalent → rows-only; recall vs brute
-    force is asserted in tests/test_llm_ops.py."""
+    """Multi-table sign-LSH near-neighbor pairs (8 hash-derived
+    hyperplanes × 16 tables; capture p = 1−(1−(1−θ/π)⁸)¹⁶) with exact
+    cosine re-rank — the ANN scale path (candidates ∝ Σ bucket² per
+    table, never N²).  8 planes → 256 buckets/table is what bounds the
+    candidate join: a 4-plane (16-bucket) config turns ~40 % of ALL
+    pairs into candidates — a near-cartesian at 100 TB (that loose
+    form survives only as a recall test in tests/test_llm_ops.py).
+    The 0.4 output threshold is fixture-calibrated (the synthetic
+    embeddings are near-random; max pairwise cos ≈ 0.51, so a real-
+    corpus 0.8+ near-dup cut would return nothing to check) — capture
+    p rises steeply with similarity: ≈ 0.33 at cos 0.4, ≈ 0.63 at 0.6,
+    ≈ 0.99 at 0.9, so at production thresholds the same plan has
+    near-total recall.  Hash planes have no DuckDB equivalent →
+    rows-only; recall at exactly these settings is asserted in
+    tests/test_llm_ops.py::test_lsh_registered_settings_recall."""
     em = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_candidate_pairs(em, n_planes=4, n_tables=8).where(
-        F.col("cos") >= 0.3
+    return similarity.lsh_candidate_pairs(em, n_planes=8, n_tables=16).where(
+        F.col("cos") >= 0.4
     )
 
 
