@@ -63,6 +63,64 @@ def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_scan",
+    # Oracle works straight off the parquet view: the JSONL file the
+    # Spark side reads is a pure function of events (same projection,
+    # same deterministic corruption rule), so the parsed result is
+    # expressible without DuckDB ever touching the file.
+    oracle="""
+    SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END
+               AS event_id,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END
+               AS event_type,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+           CASE WHEN event_id % 97 = 0
+                THEN '{"event_id": <truncated' ELSE NULL END AS corrupt_raw
+    FROM events
+    """,
+)
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch JSON-lines scan with explicit schema + per-record corrupt-
+    row capture (SURVEY.md §2 B1) — the batch twin of the streaming
+    path's dead-letter isolation (streaming/ingest.py::dead_letters;
+    reference main.rs:75-107 drops undecodable frames, here they are
+    RETAINED with the raw payload for replay).
+
+    The fixture ships parquet only, so the query materializes a JSONL
+    derivation of ``events`` first (1-in-97 lines deterministically
+    corrupted), then reads it back with ``spark.read.schema(...)
+    .json`` in PERMISSIVE mode: parseable lines land typed, corrupt
+    lines land whole in ``columnNameOfCorruptRecord`` with every data
+    field null.  At scale this is the pattern for raw-log ingestion:
+    explicit schema (no sampling pass over 100 TB), per-record error
+    isolation, corrupt payloads quarantined not dropped.
+    """
+    import hashlib
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.lit('{"event_id": <truncated'),  # structurally invalid JSON
+    ).otherwise(
+        F.to_json(F.struct("event_id", "event_type", "value"))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/l2c_json_scan_{tag}"
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, "
+            "corrupt_raw string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .json(path)
+    )
+    return parsed.select("event_id", "event_type", "value", "corrupt_raw")
+
+
+@register(
     "q_filter_predicates",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -75,9 +75,9 @@ DRIVER_ORDER = (
     # -- driver-green r01+r02, kept in-cap: either r03-FAIL casualties of
     # the catalog bug (must re-earn green) or the non-redundant core ----
     "q_scan_project_filter",
+    "q_json_scan",
     "q_agg_basic",
     "q_agg_conditional",
-    "q_agg_approx",
     "q_sql_star_revenue",
     "q_agg_rollup",
     "q_agg_percentile",
@@ -134,10 +134,13 @@ DRIVER_ORDER = (
     "q_join_semi",
     "q_join_anti",
     # -- twice-green (r01+r02), untouched, coverage-redundant ----------
-    # (q_sim_ann_ivf / q_agg_approx_percentile are rows-only by design —
-    # a driver row adds no oracle signal beyond local tolerance/recall)
+    # (q_sim_ann_ivf / q_agg_approx_percentile / q_agg_approx are
+    # rows-only by design — a driver row adds no oracle signal beyond
+    # local tolerance/recall tests; q_agg_approx made room for the
+    # oracle-backed q_json_scan)
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
+    "q_agg_approx",
     "q_set_ops_all",
     "q_agg_cube",
     "q_agg_stats",

@@ -24,6 +24,8 @@ NEVER_DRIVER_CHECKED = {
     "q_contamination", "q_dedup_keep", "q_agg_bitmap_distinct",
     "q_udaf_trimmed_mean", "q_window_range_frame",
     "q_sql_grouping_sets", "q_text_editdist",
+    # new in r04
+    "q_json_scan",
 }
 
 # Driver-green in at least two rounds (or rows-only by design), each
@@ -43,6 +45,7 @@ SAFE_TO_ROTATE_OUT = {
     # beyond the local recall/tolerance tests
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
+    "q_agg_approx",
     # r03 additions WITH oracles awaiting a rotation slot; checked by
     # the local replica harness (tests/test_queries_oracle.py) each run
     "q_domain_cap", "q_ngram_counts", "q_token_histogram",
