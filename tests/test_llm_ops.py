@@ -549,3 +549,42 @@ def test_lsh_buckets_agg_matches_column_form(spark):
             "vec_id", "table", "bucket").collect()
     }
     assert agg == col
+
+
+@pytest.mark.parametrize("scheme", ["hash", "rademacher"])
+def test_lsh_buckets_np_matches_jvm_forms(spark, scheme):
+    """The Arrow/numpy bucketizer must reproduce the canonical column
+    form's (id, table, bucket) rows EXACTLY under BOTH plane schemes —
+    the sequential-fold bit-identity argument in its docstring —
+    including the NULL/empty/short-vector bucket-0 fallback (the
+    column form's fold nulls out for all three; the agg form is
+    documented to diverge on SHORT vectors, so the malformed-row
+    comparison is against the column form).  This is the guard that
+    lets the oracle-checked q_llm_dedup_embed run on the numpy path."""
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, []), (900003, [0.5, -0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    both = em.unionByName(extra)
+    np_form = {
+        (r.vec_id, r.table): r.bucket
+        for r in similarity.lsh_buckets_np(
+            both, "vec_id", "embedding", 6, 8, scheme=scheme).collect()
+    }
+    col = {
+        (r.vec_id, r.table): r.bucket
+        for r in similarity.lsh_bucketize(
+            both, 6, 8, scheme=scheme, dim=64).select(
+            "vec_id", "table", "bucket").collect()
+    }
+    assert np_form == col
+    # and the agg form agrees everywhere it is defined to (well-formed
+    # vectors) — the three-way triangle np == column == agg
+    agg = {
+        (r.vec_id, r.table): r.bucket
+        for r in similarity.lsh_buckets_agg(
+            both, "vec_id", "embedding", 6, 8, scheme=scheme).collect()
+        if r.vec_id < 900003
+    }
+    assert {k: v for k, v in np_form.items() if k[0] < 900003} == agg
