@@ -175,11 +175,24 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
             for b in range(64)
         ],
     )
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.when(
-            F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(_bit_mask(b))
-        ).otherwise(F.lit(0))
+    # Assemble fp as ONE shallow array-fold (zip votes with the
+    # disjoint bit masks, OR the survivors) instead of a 64-deep nested
+    # Add-of-When chain: execution cost is identical (64 compares per
+    # doc row either way) but Catalyst walks a depth-64 expression tree
+    # on every analysis/optimization pass — measured ~0.65 s of pure
+    # driver plan time per query at ANY data size.  Bit-identical: the
+    # masks are disjoint, so OR-of-selected == sum-of-selected.
+    arr = F.array(*[F.col(f"__o{b}") for b in range(64)])
+    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(64)])
+    fp = F.aggregate(
+        F.zip_with(
+            arr, masks,
+            lambda o, m: F.when(o * 2 > F.col("__n"), m)
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
     fps = votes.select(F.col(id_col), fp.alias("fp"))
     return spread.select(id_col).join(fps, id_col, "left").select(
         F.col(id_col), F.coalesce("fp", F.lit(0)).alias("fp")
