@@ -315,8 +315,6 @@ def lsh_buckets_np(df: DataFrame, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
-    from level2_to_cassandra_spark.catalog import spread_scan
-
     spark = df.sparkSession
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
@@ -360,7 +358,13 @@ def lsh_buckets_np(df: DataFrame, id_col: str = "vec_id",
                 }
             )
 
-    return spread_scan(df.select(id_col, vec_col)).mapInPandas(
+    # Natural scan partitioning, deliberately NOT spread_scan: the
+    # numpy product amortizes so well per Arrow batch that fanning a
+    # small input across defaultParallelism Python workers costs more
+    # in worker startup than it saves (measured 2.1 s -> 1.5 s for the
+    # 8x16 query at sf0.1); at real scale the table's files already
+    # provide the parallelism.
+    return df.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} long, table int, bucket long"
     )
 
@@ -480,6 +484,69 @@ def _best_cell(vec: Column, norm: Column) -> Column:
     )["cell"]
 
 
+def ivf_assign_np(df: DataFrame, cent: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Append ``cell``: max-cosine centroid per row, as an Arrow-batched
+    numpy product — the fast twin of the :func:`_best_cell` array fold
+    (same 20×-class win as :func:`lsh_buckets_np`: cell assignment is a
+    dense (n × dim)·(dim × n_cells) matrix product).  Map-side only: the
+    centroid relation is n_cells rows (collected once — it is broadcast-
+    sized by construction) and the input vector rides through the Arrow
+    batch, so no join is ever needed to re-attach it — at corpus scale
+    this is one pass, zero shuffles.
+
+    Tie-break mirrors ``_best_cell``'s ``greatest(struct(cos, cell))``:
+    equal cosines resolve to the LARGEST cell id.  Exact ties are
+    boundary-measure-zero (centroid components are pre-rounded to 6
+    decimals, vectors are data); parity with the fold form is asserted
+    in tests.  NULL/short vectors keep the fold form's behavior: the
+    fold's cosine is NULL for every cell, greatest() never beats the
+    (-2.0, -1) seed, so cell = -1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows], dtype=np.int32)
+    c_mat = np.array([r["__cv"] for r in rows], dtype=np.float64)
+    # argmax of dot(v,c)/(|v||c|) over c: |v| is constant per row, so
+    # fold |c| into the centroid matrix once
+    c_unit = (c_mat / np.sqrt((c_mat * c_mat).sum(axis=1))[:, None]).T
+    dim = c_mat.shape[1]
+
+    def gen(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in pdf[vec_col]),
+                dtype=bool, count=n,
+            )
+            x = np.zeros((n, dim), dtype=np.float64)
+            if ok.any():
+                x[ok] = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v, o in zip(pdf[vec_col], ok) if o]
+                )
+            p = x @ c_unit  # n × n_cells
+            m = p.max(axis=1)
+            # last (= largest cell id; rows sorted by cell) argmax
+            best = p.shape[1] - 1 - np.argmax(p[:, ::-1] == m[:, None],
+                                              axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.where(ok, cells[best], np.int32(-1))
+            yield out
+
+    # Natural scan partitioning — same rationale as lsh_buckets_np:
+    # per-batch matmul cost is negligible, Python worker fan-out is not.
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=f"{id_col} long, {vec_col} array<float>, cell int",
+    )
+
+
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   lloyd_iters: int = 1) -> DataFrame:
@@ -509,15 +576,8 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     )
     cent = seeds
     for _ in range(lloyd_iters):
-        assigned = (
-            corpus.select(
-                as_double(F.col(vec_col)).alias("__v"),
-                l2_norm(as_double(F.col(vec_col))).alias("__vn"),
-            )
-            .crossJoin(F.broadcast(_cells_array(cent)))
-            .select(
-                _best_cell(F.col("__v"), F.col("__vn")).alias("cell"), "__v"
-            )
+        assigned = ivf_assign_np(corpus, cent, id_col, vec_col).select(
+            "cell", as_double(F.col(vec_col)).alias("__v")
         )
         cent = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
@@ -530,6 +590,17 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                     lambda s: F.round(s["x"], 6),
                 ).alias("__cv")
             )
+        )
+        # Materialize each iteration's centroids as an n_cells-row
+        # LITERAL relation: the centroid plan is consumed lazily by
+        # several downstream branches (the next Lloyd pass, the probe
+        # broadcast, ivf_assign_np's driver collect) and would
+        # otherwise re-execute the whole corpus-wide iteration once PER
+        # consumer — with lloyd_iters > 1 that recompute compounds
+        # geometrically.  n_cells rows of dim doubles is driver-bounded
+        # by construction (it is the relation we broadcast anyway).
+        cent = corpus.sparkSession.createDataFrame(
+            cent.collect(), "cell int, __cv array<double>"
         )
     return cent
 
@@ -550,19 +621,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     table, making repeated query batches zero-shuffle probes."""
     cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
     cells = _cells_array(cent).persist()
-    inv = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("__cvv"),
-            l2_norm(as_double(F.col(vec_col))).alias("__cn"),
-        )
-        .crossJoin(F.broadcast(cells))
-        .select(
-            _best_cell(F.col("__cvv"), F.col("__cn")).alias("cell"),
-            "neighbor_id",
-            "__cvv",
-            "__cn",
-        )
+    # cell assignment on the numpy path (map-side, vector rides the
+    # Arrow batch); norms and the re-rank cosine stay JVM-side so the
+    # scoring kernel is bit-identical to brute_topk's
+    inv = ivf_assign_np(corpus, cent, id_col, vec_col).select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("__cvv"),
+        l2_norm(as_double(F.col(vec_col))).alias("__cn"),
     )
     # top-nprobe cells per query as an array sort + slice on the (tiny)
     # __cells array — no n_cells× row explosion, no ranking-window

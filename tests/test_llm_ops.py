@@ -588,3 +588,41 @@ def test_lsh_buckets_np_matches_jvm_forms(spark, scheme):
         if r.vec_id < 900003
     }
     assert {k: v for k, v in np_form.items() if k[0] < 900003} == agg
+
+
+def test_ivf_assign_np_matches_fold_form(spark):
+    """The numpy cell assignment must agree with the JVM greatest-fold
+    (_best_cell) on every fixture vector, including its tie-break
+    (largest cell id) and the NULL-vector cell = -1 fallback."""
+    from pyspark.sql import functions as FF
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(900001, None)], "vec_id long, embedding array<float>",
+    )
+    both = em.unionByName(extra)
+    cent = similarity.ivf_centroids(em, n_cells=16)
+    np_form = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_np(both, cent).collect()
+    }
+    fold = {
+        r.vec_id: r.cell
+        for r in both.select(
+            "vec_id",
+            similarity.as_double(FF.col("embedding")).alias("__v"),
+            similarity.l2_norm(
+                similarity.as_double(FF.col("embedding"))
+            ).alias("__vn"),
+        )
+        .crossJoin(FF.broadcast(similarity._cells_array(cent)))
+        .select(
+            "vec_id",
+            similarity._best_cell(
+                FF.col("__v"), FF.col("__vn")
+            ).alias("cell"),
+        )
+        .collect()
+    }
+    assert np_form == fold
+    assert np_form[900001] == -1

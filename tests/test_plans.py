@@ -65,12 +65,13 @@ _PYTHON_ALLOWED = {
     "q_multimodal_features",   # mapInPandas feature extraction
     "q_udf_pandas_cosine",     # scalar pandas UDF (ArrowEvalPython)
     "q_udtf_tokenize",         # Python UDTF
-    # sign-LSH bucketize = dense matrix product: Arrow-batched numpy
-    # (operators/similarity.py::lsh_buckets_np) beats the JVM
-    # 128-accumulator HashAggregate ~20x; bit-identity with the JVM
-    # and DuckDB forms is parity-tested
+    # sign-LSH bucketize / IVF cell assignment = dense matrix products:
+    # Arrow-batched numpy (operators/similarity.py::lsh_buckets_np,
+    # ::ivf_assign_np) beats the JVM accumulator/fold forms ~20x;
+    # bit-identity/parity with the JVM forms is tested
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
+    "q_sim_ann_ivf",
 }
 
 
