@@ -88,6 +88,39 @@ def test_events_nanos_era_fixture(spark, tmp_path):
     ]
 
 
+@pytest.mark.parametrize(
+    "unit,to_us", [("ns", 1e-3), ("us", 1.0), ("ms", 1e3), ("s", 1e6)]
+)
+def test_events_int64_unit_autodetect(spark, tmp_path, unit, to_us):
+    """If the fixture ever ships ts as raw int64 in ANY epoch unit, the
+    loader infers the unit from magnitude instead of assuming nanos."""
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    raw = {
+        "ns": base_us * 1000, "us": base_us,
+        "ms": base_us // 1000, "s": base_us // 1_000_000,
+    }[unit]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([raw], pa.int64()),
+            "user_id": pa.array([10], pa.int64()),
+            "event_type": pa.array(["a"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, sf / "events.parquet", store_schema=False)
+    import datetime as dt
+
+    [r] = load_table(spark, str(sf), "events").select("ts").collect()
+    want = dt.datetime.fromtimestamp(
+        raw * to_us / 1e6, dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert r["ts"].replace(tzinfo=None) == want
+
+
 def test_all_tables_load(spark):
     for name in TABLES:
         df = load_table(spark, SF_SMOKE, name)
