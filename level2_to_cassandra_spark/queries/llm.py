@@ -119,6 +119,111 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: with hamming ≤ 7 has at least one identical band, so recall is 1.0
 #: for the ≤7 threshold; the pair join is bucketed (band, value), never
 #: N².  For looser thresholds use more/narrower bands or multi-probe.
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND NOT EXISTS (SELECT 1 FROM documents s
+                      WHERE s.doc_id % 10 != 0 AND s.text = d.text)
+      AND d.doc_id = (SELECT MIN(d2.doc_id) FROM documents d2
+                      WHERE d2.doc_id % 10 = 0 AND d2.text = d.text)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup: admit a new batch against an already-
+    ingested corpus — the production shape of training-data ingest,
+    where the seen corpus is never re-deduplicated (at 100 TB you
+    cannot re-scan history per batch; you anti-join the batch against
+    a staging table of content hashes).  Here 'new' = doc_id % 10 = 0,
+    'seen' = the rest.  A new doc is admitted iff (a) it is the first
+    of its content within the batch (lowest doc_id) and (b) its
+    content never appeared in the seen corpus.
+
+    Scale shape: both sides shuffle on a 256-bit content hash (fixed-
+    width key — megabyte documents never become shuffle keys), the
+    seen side reduced to DISTINCT hashes before the LEFT ANTI hash
+    join; in production that distinct-hash relation IS the incremental
+    staging table, bucketed by hash so each batch's anti join is
+    shuffle-free on the corpus side."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    new = docs.where(F.col("doc_id") % 10 == 0).withColumn("__h", h)
+    seen_h = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    first_in_batch = (
+        new.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    return (
+        first_in_batch.join(seen_h, "__h", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+_INCR_FUZZY_ORACLE = """
+    WITH postings AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM postings a JOIN postings b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    dup_pairs AS (
+        SELECT id_a, id_b
+        FROM co
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.8),
+    flagged AS (
+        SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id
+        FROM dup_pairs
+        WHERE (id_a % 10 = 0) != (id_b % 10 = 0))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@register("q_dedup_incremental_fuzzy", oracle=_INCR_FUZZY_ORACLE)
+def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: admit new-batch docs (doc_id % 10
+    = 0) that are not 3-shingle Jaccard ≥ 0.8 near-dups of any SEEN
+    doc — the fuzzy layer an ingest pipeline runs after the exact-hash
+    layer (q_dedup_incremental).  Candidates come from the same
+    prefix-filtered inverted shingle index as q_llm_dedup_fuzzy; only
+    CROSS-side pairs flag a new doc (new-vs-new dups are the batch
+    dedup's job, seen-vs-seen are history).  At production scale the
+    seen side's shingle postings are the incremental staging table and
+    the index join is bucketed by shingle, so each batch probes rather
+    than rebuilds the corpus index."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.exact_jaccard_pairs(docs, threshold=0.79, k=3,
+                                        max_shingle_frac=0.01)
+    j = F.round(F.col("jaccard"), 6)
+    cross = pairs.where(j >= 0.8).where(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    flagged = cross.select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    return new.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 _SIMHASH_BANDS = 8
 _SIMHASH_MAX_HAMMING = _SIMHASH_BANDS - 1
 

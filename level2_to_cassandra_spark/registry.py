@@ -153,8 +153,10 @@ DRIVER_ORDER = (
     "q_sort_nulls",
     "q_subquery_correlated",
     "q_window_lag",
-    # -- r03 additions awaiting a future rotation slot; oracle-checked
-    # by the local replica harness every run ---------------------------
+    # -- r03/r04 additions awaiting a future rotation slot; oracle-
+    # checked by the local replica harness every run -------------------
+    "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

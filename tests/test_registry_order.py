@@ -46,11 +46,13 @@ SAFE_TO_ROTATE_OUT = {
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
     "q_agg_approx",
-    # r03 additions WITH oracles awaiting a rotation slot; checked by
-    # the local replica harness (tests/test_queries_oracle.py) each run
+    # r03/r04 additions WITH oracles awaiting a rotation slot; checked
+    # by the local replica harness (tests/test_queries_oracle.py) each
+    # run
     "q_domain_cap", "q_ngram_counts", "q_token_histogram",
     "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
-    "q_agg_hll_sketch",
+    "q_agg_hll_sketch", "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
 }
 
 
