@@ -145,18 +145,33 @@ def _bit_mask(bit: int) -> int:
 def simhash_fingerprints(docs, id_col: str = "doc_id",
                          text_col: str = "text"):
     """(id_col, fp) SimHash table — bit-identical to :func:`simhash64`
-    but one-pass: explode tokens, hash each token ONCE in a projection,
-    then 64 conditional-sum vote aggregates in a single codegen'd
-    groupBy (map-side partial combine, so the shuffle carries 64 longs
-    per doc per map partition, not tokens).  The column-expression twin
-    re-hashes every token once per bit (64 interpreted filter passes
-    per row — measured ~6× slower at sf0.1); it remains for inline use
-    on small inputs and as the property-test reference.
+    but one-pass: explode tokens, hash each token ONCE in a JVM
+    projection (xxhash64 has no Python twin in this environment, so
+    hashing stays JVM-side), collect each doc's hash list through ONE
+    map-side-combining aggregate, then run the 64-bit VOTE as an
+    Arrow-batched numpy popcount (``mapInPandas``).  The vote is the
+    same dense-integer-kernel shape as the LSH projection
+    (similarity.py::lsh_buckets_np): the JVM 64-accumulator
+    HashAggregate paid ~250 ns per (token, bit) update — ~2 s at
+    sf0.1 — where numpy's ``(h >> bits) & 1`` table sums in ~0.1 s.
+    Bit-identity is trivial: votes are integer counts, order-free
+    (``collect_list`` order is irrelevant), and the mask set is
+    disjoint, so no float or fold-order concerns exist.  The
+    column-expression twin (:func:`simhash64`) re-hashes every token
+    once per bit; it remains the inline/property-test reference.
+
+    Shuffle shape: one exchange on id_col carrying each doc's token
+    hashes (8 B/token — the raw text never shuffles); a doc's hash
+    list is memory-bounded by its own token count, the same bound the
+    64-column partial-agg row had per doc per partition.
 
     NULL-text documents: explode would silently drop them, where the
     column twin yields fp = 0 (every vote is NULL → no bit set) — the
     left join below restores exactly that, so the two forms stay
     bit-identical on any input."""
+    import numpy as np
+    import pandas as pd
+
     from level2_to_cassandra_spark.catalog import spread_scan
 
     spread = spread_scan(docs)
@@ -164,36 +179,23 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(tokens(text_col)).alias("__tok"),
     ).select(id_col, F.xxhash64("__tok").alias("__h"))
-    # ones_b = Σ (h >>> b) & 1, branchless (a CASE WHEN per bit costs
-    # ~25 % more in the codegen'd aggregate); vote_b = 2·ones_b − n.
-    votes = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(
-                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))
-            ).alias(f"__o{b}")
-            for b in range(64)
-        ],
-    )
-    # Assemble fp as ONE shallow array-fold (zip votes with the
-    # disjoint bit masks, OR the survivors) instead of a 64-deep nested
-    # Add-of-When chain: execution cost is identical (64 compares per
-    # doc row either way) but Catalyst walks a depth-64 expression tree
-    # on every analysis/optimization pass — measured ~0.65 s of pure
-    # driver plan time per query at ANY data size.  Bit-identical: the
-    # masks are disjoint, so OR-of-selected == sum-of-selected.
-    arr = F.array(*[F.col(f"__o{b}") for b in range(64)])
-    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(64)])
-    fp = F.aggregate(
-        F.zip_with(
-            arr, masks,
-            lambda o, m: F.when(o * 2 > F.col("__n"), m)
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a.bitwiseOR(x),
-    )
-    fps = votes.select(F.col(id_col), fp.alias("fp"))
+    hashes = toks.groupBy(id_col).agg(F.collect_list("__h").alias("__hs"))
+
+    def vote(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        masks = np.array([_bit_mask(b) for b in range(64)], dtype=np.int64)
+        for pdf in it:
+            fps = []
+            for hs in pdf["__hs"]:
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                fps.append(masks[(ones * 2) > len(h)].sum())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col],
+                 "fp": np.array(fps, dtype=np.int64)}
+            )
+
+    fps = hashes.mapInPandas(vote, schema=f"{id_col} long, fp long")
     return spread.select(id_col).join(fps, id_col, "left").select(
         F.col(id_col), F.coalesce("fp", F.lit(0)).alias("fp")
     )
