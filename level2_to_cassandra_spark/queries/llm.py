@@ -471,6 +471,66 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- text analysis
 
+_REDACT_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_REDACT_PHONE = "\\+?[0-9][0-9 ()-]{5,}[0-9]"
+
+
+@register(
+    "q_text_redact",
+    # Same synthetic-PII construction on both sides (the fixture corpus
+    # carries no natural PII, so the check would otherwise never
+    # exercise the substitutions), then identical redaction passes.
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, lang,
+             concat(substr(text, 1, 80), ' reach user', doc_id,
+                    '@ex-', lang, '.org or +1 415 ',
+                    lpad((doc_id % 100000)::VARCHAR, 5, '0'),
+                    ' now') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_REDACT_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_REDACT_PHONE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '{_REDACT_EMAIL}', '<EMAIL>', 'g'),
+             '{_REDACT_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub stage every training-data pipeline
+    runs before anything else sees the text: emails then phone-shaped
+    number runs replaced with typed placeholders, plus per-doc match
+    counts for audit.  Pure JVM ``regexp_replace``/``regexp_count``
+    (global substitution, single codegen'd pass per pattern) — at
+    100 TB this is embarrassingly parallel map-side work with zero
+    shuffles; patterns are deliberately RE2-compatible so the same
+    expressions run on Spark (java.util.regex) and the DuckDB oracle
+    (RE2) with identical semantics.  Email redaction runs FIRST so
+    digit runs inside addresses are consumed before the phone pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@ex-"), F.col("lang"), F.lit(".org or +1 415 "),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+        F.lit(" now"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_REDACT_EMAIL))
+        .cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_REDACT_PHONE))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _REDACT_EMAIL, "<EMAIL>"),
+            _REDACT_PHONE, "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
 @register(
     "q_text_stats",
     oracle="""

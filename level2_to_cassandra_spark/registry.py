@@ -157,6 +157,7 @@ DRIVER_ORDER = (
     # checked by the local replica harness every run -------------------
     "q_dedup_incremental",
     "q_dedup_incremental_fuzzy",
+    "q_text_redact",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

@@ -106,6 +106,24 @@ def test_map_side_corpus_queries_have_no_exchange(spark):
     assert "Filter" in plan
 
 
+def test_incremental_dedup_plan_shape(spark):
+    """q_dedup_incremental: the seen corpus joins via LEFT ANTI on the
+    content hash (fixed-width key), never a cartesian; the batch-side
+    doc_id % 10 predicate must reach the scan as a data filter."""
+    plan = plan_of(all_queries()["q_dedup_incremental"].fn(spark, SF),
+                   "simple")
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Filter" in plan
+
+
+def test_redact_is_map_side_only(spark):
+    """q_text_redact claims embarrassingly parallel scrubbing: its plan
+    must contain NO shuffle — regex passes fused into the scan stage."""
+    plan = plan_of(all_queries()["q_text_redact"].fn(spark, SF), "simple")
+    assert "Exchange" not in plan
+
+
 def test_range_frame_single_shuffle(spark):
     """q_window_range_frame: exactly one hash exchange (on user_id)
     feeds the RANGE-framed window — no extra sort/exchange pairs."""
