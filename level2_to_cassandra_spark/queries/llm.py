@@ -575,7 +575,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_sql_parts() -> tuple[str, str, str]:
+    """(score columns, best-score expr, argmax-lang expr) for the
+    marker-vote language ID, in DuckDB SQL — shared by the langid
+    oracle and the curation-funnel oracle so both stay in lockstep
+    with ``text.LANG_MARKERS``."""
     score = {
         lang: (
             "len(list_intersect(list_distinct(string_split(text, ' ')), "
@@ -593,6 +597,11 @@ def _langid_oracle() -> str:
     for lang in langs[1:]:
         case = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {case} END"
         best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return cols, best, case
+
+
+def _langid_oracle() -> str:
+    cols, best, case = _langid_sql_parts()
     return f"""
     WITH scored AS (
         SELECT doc_id, lang,
@@ -615,6 +624,82 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("actual_lang"),
         text.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+def _curation_oracle() -> str:
+    cols, best, case = _langid_sql_parts()
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+           {cols}
+        FROM documents),
+    flags AS (
+        SELECT doc_id,
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')) > 0.2
+                THEN 1 ELSE 0 END)::BIGINT AS quality_ok,
+           (CASE WHEN (CASE WHEN {best} > 0 THEN {case} ELSE 'und' END)
+                     = lang THEN 1 ELSE 0 END)::BIGINT AS lang_match,
+           (CASE WHEN COALESCE(
+                    (len(g3) - len(list_distinct(g3)))
+                    / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0) <= 0.2
+                THEN 1 ELSE 0 END)::BIGINT AS low_repetition,
+           (CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+                THEN 1 ELSE 0 END)::BIGINT AS is_canonical
+        FROM (
+            SELECT *, list_transform(range(1, len(w) - 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+            FROM (SELECT *, string_split(text, ' ') AS w FROM scored)
+        ))
+    SELECT doc_id, quality_ok, lang_match, low_repetition, is_canonical,
+           (quality_ok * lang_match * low_repetition * is_canonical)::BIGINT
+               AS admit
+    FROM flags
+    """
+
+
+@register("q_curate_corpus", oracle=_curation_oracle())
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION FUNNEL, end to end in one DataFrame: every
+    pre-training quality gate this engine implements, composed the way
+    a corpus pipeline actually runs them — C4-style length+diversity
+    (q_text_stats), language-ID agreement (q_text_langid), Gopher-style
+    duplicated-trigram fraction (q_text_repetition), and exact-dup
+    canonicalization (q_llm_dedup_exact) — emitting per-doc flag
+    columns plus the final admit bit, so rejects are AUDITABLE by
+    reason rather than silently dropped.
+
+    Plan shape: all four flags except canonicality are map-side
+    expressions fused into the single scan stage; canonicality adds
+    the one shuffle the semantics require (hash window on sha2-256 of
+    the content — fixed-width key).  One pass over the corpus total:
+    at 100 TB this runs at scan speed plus one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    ttr = text.distinct_token_count("text").cast("double") / n_tok
+    g3 = text.word_shingles("text", 3)
+    n3 = F.size(g3)
+    dup3 = F.when(n3 <= 0, F.lit(0.0)).otherwise(
+        (n3 - F.size(F.array_distinct(g3))).cast("double") / n3
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    flags = docs.select(
+        "doc_id",
+        F.when(n_tok.between(20, 1000) & (ttr > 0.2), 1)
+        .otherwise(0).cast("long").alias("quality_ok"),
+        F.when(text.predict_lang("text") == F.col("lang"), 1)
+        .otherwise(0).cast("long").alias("lang_match"),
+        F.when(dup3 <= 0.2, 1).otherwise(0).cast("long")
+        .alias("low_repetition"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("long")
+        .alias("is_canonical"),
+    )
+    return flags.withColumn(
+        "admit",
+        F.col("quality_ok") * F.col("lang_match")
+        * F.col("low_repetition") * F.col("is_canonical"),
     )
 
 

@@ -158,6 +158,7 @@ DRIVER_ORDER = (
     "q_dedup_incremental",
     "q_dedup_incremental_fuzzy",
     "q_text_redact",
+    "q_curate_corpus",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

@@ -52,7 +52,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_domain_cap", "q_ngram_counts", "q_token_histogram",
     "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
     "q_agg_hll_sketch", "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy", "q_text_redact",
+    "q_dedup_incremental_fuzzy", "q_text_redact", "q_curate_corpus",
 }
 
 
