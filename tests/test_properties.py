@@ -190,3 +190,96 @@ def test_salted_agg_correct_on_adversarial_narrow_frames(spark, vals,
         ).collect()
     ]
     assert all(0 <= s < n_salts for s in salts)
+
+
+# ------------------------------------------------- r04 curation invariants
+
+def test_redaction_is_idempotent_and_complete(spark):
+    """Redaction laws on the real fixture-derived query: (a) running the
+    redaction passes over already-redacted text changes nothing — the
+    placeholders contain no email/phone-shaped substrings; (b) no
+    email/phone pattern survives in the output; (c) audit counts are
+    positive wherever the synthetic construction planted PII."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _REDACT_EMAIL,
+        _REDACT_PHONE,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    out = all_queries()["q_text_redact"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    again = out.select(
+        "doc_id",
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace("redacted", _REDACT_EMAIL, "<EMAIL>"),
+            _REDACT_PHONE, "<PHONE>",
+        ).alias("twice"),
+    )
+    rows = again.withColumn(
+        "survivors",
+        F.regexp_count("redacted", F.lit(_REDACT_EMAIL))
+        + F.regexp_count("redacted", F.lit(_REDACT_PHONE)),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.redacted == r.twice, r.doc_id     # idempotent
+        assert r.survivors == 0, r.doc_id          # complete
+    counts = out.agg(
+        F.min("n_emails").alias("e"), F.min("n_phones").alias("p")
+    ).collect()[0]
+    assert counts.e >= 1 and counts.p >= 1  # synthetic PII was exercised
+
+
+def test_incremental_dedup_admits_only_unseen_unique_content(spark):
+    """Set laws: admitted content is disjoint from seen content, unique
+    within the admitted set, and admitted ∪ rejected == the new batch."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    seen_content = {t for i, t in texts.items() if i % 10 != 0}
+    new_ids = {i for i in texts if i % 10 == 0}
+    admitted = {
+        r.doc_id
+        for r in all_queries()["q_dedup_incremental"].fn(spark, sf).collect()
+    }
+    assert admitted <= new_ids
+    admitted_content = [texts[i] for i in admitted]
+    assert len(set(admitted_content)) == len(admitted_content)  # unique
+    assert not (set(admitted_content) & seen_content)           # unseen
+    # every rejected new doc has a reason: seen content or a smaller
+    # admitted doc with the same content
+    for i in new_ids - admitted:
+        dup_of_seen = texts[i] in seen_content
+        dup_in_batch = any(
+            j < i and texts[j] == texts[i] for j in new_ids
+        )
+        assert dup_of_seen or dup_in_batch, i
+
+
+def test_curation_admit_implies_every_flag(spark):
+    """admit == product of flags, and each flag agrees with its
+    standalone query (quality_ok with q_text_stats, lang_match with
+    q_text_langid, canonicality with q_llm_dedup_exact's survivors)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    cur = {r.doc_id: r for r in
+           all_queries()["q_curate_corpus"].fn(spark, sf).collect()}
+    stats = {r.doc_id: r.quality_ok for r in
+             all_queries()["q_text_stats"].fn(spark, sf).collect()}
+    langid = {r.doc_id: int(r.predicted_lang == r.actual_lang) for r in
+              all_queries()["q_text_langid"].fn(spark, sf).collect()}
+    canon = {r.doc_id for r in
+             all_queries()["q_llm_dedup_exact"].fn(spark, sf).collect()}
+    assert cur
+    for i, r in cur.items():
+        assert r.admit == (r.quality_ok * r.lang_match
+                           * r.low_repetition * r.is_canonical)
+        assert r.quality_ok == stats[i]
+        assert r.lang_match == langid[i]
+        assert r.is_canonical == (1 if i in canon else 0)
