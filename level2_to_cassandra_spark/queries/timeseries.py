@@ -203,3 +203,77 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), _SCALE).alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("n_hour"),
     )
+
+
+@register(
+    "q_resample_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts),
+    b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+      FROM b)
+    SELECT g.user_id, g.gts, e.value AS locf_value
+    FROM grid g ASOF LEFT JOIN e
+      ON g.user_id = e.user_id AND g.gts >= e.ts
+    """,
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a regular per-key grid with LOCF gap-fill (the
+    classic irregular→regular time-series transform the reference's
+    `(symbol, time DESC)` storage layout exists to serve): per user an
+    hourly grid spans [trunc(min ts), max ts], and each grid point
+    carries the latest event value at-or-before it — NULL before the
+    first event, exactly DuckDB's ASOF LEFT JOIN semantics.
+
+    Plan: events pre-deduped to one value per (user, ts) — MAX, so the
+    grid-point tie is deterministic on both engines — then grid points
+    and events UNION into one relation and a single
+    last(value, ignoreNulls) window walks each user's timeline once.
+    ONE hash shuffle on user_id total: the sort-merge ASOF machinery
+    (operators/asof.py) would also work, but grid∪events + one window
+    needs no join at all — at 100 TB the grid side is generated
+    in-plan (sequence/explode), never materialized or shuffled
+    separately.  Events at a grid instant sort BEFORE the grid row
+    (is_grid tiebreak), so an exact-timestamp event is visible to its
+    own grid point, matching `gts >= ts`."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 hour"))
+            ).alias("gts"),
+        )
+    )
+    merged = grid.select(
+        "user_id", F.col("gts").alias("pt"), F.lit(None).cast("double")
+        .alias("value"), F.lit(1).alias("is_grid"),
+    ).unionByName(
+        e.select(
+            "user_id", F.col("ts").alias("pt"), "value",
+            F.lit(0).alias("is_grid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "locf_value", F.last("value", ignorenulls=True).over(w)
+        )
+        .where(F.col("is_grid") == 1)
+        .select("user_id", F.col("pt").alias("gts"), "locf_value")
+    )

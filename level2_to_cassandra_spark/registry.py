@@ -159,6 +159,7 @@ DRIVER_ORDER = (
     "q_dedup_incremental_fuzzy",
     "q_text_redact",
     "q_curate_corpus",
+    "q_resample_locf",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

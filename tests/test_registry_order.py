@@ -53,6 +53,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
     "q_agg_hll_sketch", "q_dedup_incremental",
     "q_dedup_incremental_fuzzy", "q_text_redact", "q_curate_corpus",
+    "q_resample_locf",
 }
 
 
