@@ -57,6 +57,10 @@ HEADLINE = [
     "q_sim_ann_lsh",         # sign-LSH bucketed ANN pairs
     "q_sim_ann_ivf",         # IVF coarse-quantizer ANN top-k
     "q_text_tfidf",          # explode+agg+join text pipeline
+    # r04 additions
+    "q_dedup_incremental_fuzzy",  # cross-corpus PPJoin + anti join
+    "q_curate_corpus",       # composed curation funnel (4 gates, 1 pass)
+    "q_resample_locf",       # grid resample + LOCF window fill
 ]
 
 
