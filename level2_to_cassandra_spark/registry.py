@@ -60,18 +60,20 @@ DRIVER_ORDER = (
     # -- first driver rows earned in r03; in-cap for a confirming round
     # (the four that err'd in r03 — multimodal output shape, the three
     # events-based via the catalog ts bug — are fixed and must re-check)
-    "q_text_langid",
     "q_text_tfidf",
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
     "q_multimodal_features",
-    "q_text_tokens_bpe",
-    "q_text_rolling_hash",
-    "q_sample_split",
-    "q_text_fingerprint",
     "q_ohlc_bars",
     "q_time_bucket_agg",
     "q_sessionize",
+    # -- r04 additions, never driver-checked: earn their first row now
+    # (5 slots freed by once-green, untouched text queries below) -----
+    "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
+    "q_text_redact",
+    "q_curate_corpus",
+    "q_resample_locf",
     # -- driver-green r01+r02, kept in-cap: either r03-FAIL casualties of
     # the catalog bug (must re-earn green) or the non-redundant core ----
     "q_scan_project_filter",
@@ -133,6 +135,16 @@ DRIVER_ORDER = (
     "q_window_rank",
     "q_join_semi",
     "q_join_anti",
+    # -- r03-green once, untouched since, evicted for the r04 cohort
+    # (each redundant with an in-cap sibling: langid↔curate's
+    # lang_match flag, tokens_bpe/rolling_hash/fingerprint↔the other
+    # in-cap text rows, sample_split↔q_sample_stratified's local
+    # oracle) ----------------------------------------------------------
+    "q_text_langid",
+    "q_text_tokens_bpe",
+    "q_text_rolling_hash",
+    "q_sample_split",
+    "q_text_fingerprint",
     # -- twice-green (r01+r02), untouched, coverage-redundant ----------
     # (q_sim_ann_ivf / q_agg_approx_percentile / q_agg_approx are
     # rows-only by design — a driver row adds no oracle signal beyond
@@ -155,11 +167,6 @@ DRIVER_ORDER = (
     "q_window_lag",
     # -- r03/r04 additions awaiting a future rotation slot; oracle-
     # checked by the local replica harness every run -------------------
-    "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy",
-    "q_text_redact",
-    "q_curate_corpus",
-    "q_resample_locf",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

@@ -25,7 +25,8 @@ NEVER_DRIVER_CHECKED = {
     "q_udaf_trimmed_mean", "q_window_range_frame",
     "q_sql_grouping_sets", "q_text_editdist",
     # new in r04
-    "q_json_scan",
+    "q_json_scan", "q_dedup_incremental", "q_dedup_incremental_fuzzy",
+    "q_text_redact", "q_curate_corpus", "q_resample_locf",
 }
 
 # Driver-green in at least two rounds (or rows-only by design), each
@@ -36,6 +37,10 @@ SAFE_TO_ROTATE_OUT = {
     "q_filter_predicates", "q_agg_distinct", "q_agg_salted",
     "q_set_ops", "q_scalar_string", "q_scalar_math", "q_scalar_array",
     "q_window_rank", "q_join_semi", "q_join_anti",
+    # once-green in r03, untouched, evicted to give the r04 cohort
+    # first driver rows; each redundant with an in-cap sibling
+    "q_text_langid", "q_text_tokens_bpe", "q_text_rolling_hash",
+    "q_sample_split", "q_text_fingerprint",
     # twice-green (r01+r02), untouched, coverage-redundant
     "q_set_ops_all", "q_agg_cube", "q_agg_stats", "q_agg_pivot",
     "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
@@ -51,9 +56,7 @@ SAFE_TO_ROTATE_OUT = {
     # run
     "q_domain_cap", "q_ngram_counts", "q_token_histogram",
     "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
-    "q_agg_hll_sketch", "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy", "q_text_redact", "q_curate_corpus",
-    "q_resample_locf",
+    "q_agg_hll_sketch",
 }
 
 
