@@ -277,3 +277,108 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_grid") == 1)
         .select("user_id", F.col("pt").alias("gts"), "locf_value")
     )
+
+
+@register(
+    "q_resample_interp",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts),
+    b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+      FROM b),
+    gneg AS (SELECT user_id, gts, -epoch(gts) AS gneg FROM grid),
+    eneg AS (SELECT user_id, ts, value, -epoch(ts) AS tneg FROM e),
+    prev AS (
+      SELECT g.user_id, g.gts, e.ts AS pts, e.value AS pv
+      FROM grid g ASOF LEFT JOIN e
+        ON g.user_id = e.user_id AND g.gts >= e.ts),
+    nxt AS (
+      SELECT g.user_id, g.gts, e2.ts AS nts, e2.value AS nv
+      FROM gneg g ASOF LEFT JOIN eneg e2
+        ON g.user_id = e2.user_id AND g.gneg >= e2.tneg)
+    SELECT p.user_id, p.gts,
+           CASE WHEN p.pv IS NULL OR n.nv IS NULL THEN NULL
+                WHEN n.nts = p.pts THEN p.pv
+                ELSE ROUND(p.pv + (n.nv - p.pv) *
+                     (epoch(p.gts) - epoch(p.pts))
+                     / (epoch(n.nts) - epoch(p.pts)), 6)
+           END AS interp_value
+    FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.gts = n.gts
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — q_resample_locf's companion:
+    each hourly grid point carries the value linearly interpolated
+    between the bracketing events (NULL outside the observed range).
+    A grid point coinciding with an event takes the event's value
+    exactly: the interpolation factor is 0, bit-identically on both
+    engines, so the LOCF/ASOF tie conventions cannot diverge.
+
+    Plan: same grid∪events relation as LOCF, but walked by TWO window
+    frames over ONE (user_id, pt) sort — last-non-null looking back
+    (prev event value+ts) and first-non-null looking forward (next
+    event).  Still a single hash exchange and a single in-partition
+    sort; both WindowExecs reuse it.  The oracle is a double ASOF LEFT
+    JOIN (the forward direction via negated epochs, since ASOF binds
+    greatest-at-or-before).  Timestamps enter the arithmetic as
+    micros/1e6 doubles — the same value DuckDB's epoch() produces —
+    and the result is rounded at 6 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 hour"))
+            ).alias("gts"),
+        )
+    )
+    merged = grid.select(
+        "user_id", F.col("gts").alias("pt"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("evt_ts"),
+        F.lit(1).alias("is_grid"),
+    ).unionByName(
+        e.select(
+            "user_id", F.col("ts").alias("pt"), "value",
+            F.col("ts").alias("evt_ts"), F.lit(0).alias("is_grid"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("pt", "is_grid")
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sec = lambda c: (F.unix_micros(F.col(c)).cast("double") / F.lit(1e6))  # noqa: E731
+    out = (
+        merged.withColumn("pv", F.last("value", ignorenulls=True).over(back))
+        .withColumn("pts", F.last("evt_ts", ignorenulls=True).over(back))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(fwd))
+        .withColumn("nts", F.first("evt_ts", ignorenulls=True).over(fwd))
+        .where(F.col("is_grid") == 1)
+    )
+    interp = (
+        F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(F.col("nts") == F.col("pts"), F.col("pv"))
+        .otherwise(
+            F.round(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (sec("pt") - sec("pts"))
+                / (sec("nts") - sec("pts")),
+                6,
+            )
+        )
+    )
+    return out.select(
+        "user_id", F.col("pt").alias("gts"),
+        interp.cast("double").alias("interp_value"),
+    )
