@@ -234,13 +234,15 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-point tie is deterministic on both engines — then grid points
     and events UNION into one relation and a single
     last(value, ignoreNulls) window walks each user's timeline once.
-    ONE hash shuffle on user_id total: the sort-merge ASOF machinery
-    (operators/asof.py) would also work, but grid∪events + one window
-    needs no join at all — at 100 TB the grid side is generated
-    in-plan (sequence/explode), never materialized or shuffled
-    separately.  Events at a grid instant sort BEFORE the grid row
-    (is_grid tiebreak), so an exact-timestamp event is visible to its
-    own grid point, matching `gts >= ts`."""
+    Three key-aligned hash exchanges total (the (user, ts) dedup agg,
+    the per-user bounds agg, the fill window's user_id partitioning) —
+    and NO join: the sort-merge ASOF machinery (operators/asof.py)
+    would also work, but the grid side is generated in-plan
+    (sequence/explode), never materialized or shuffled as a separate
+    relation, and the fill is one window pass.  Events at a grid
+    instant sort BEFORE the grid row (is_grid tiebreak), so an
+    exact-timestamp event is visible to its own grid point, matching
+    `gts >= ts`."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
     grid = (
@@ -322,8 +324,9 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: same grid∪events relation as LOCF, but walked by TWO window
     frames over ONE (user_id, pt) sort — last-non-null looking back
     (prev event value+ts) and first-non-null looking forward (next
-    event).  Still a single hash exchange and a single in-partition
-    sort; both WindowExecs reuse it.  The oracle is a double ASOF LEFT
+    event).  The fill adds a single hash exchange and one in-partition
+    sort; both WindowExecs reuse them (same three-exchange total as
+    LOCF — dedup agg, bounds agg, fill window).  The oracle is a double ASOF LEFT
     JOIN (the forward direction via negated epochs, since ASOF binds
     greatest-at-or-before).  Timestamps enter the arithmetic as
     micros/1e6 doubles — the same value DuckDB's epoch() produces —

@@ -124,6 +124,24 @@ def test_redact_is_map_side_only(spark):
     assert "Exchange" not in plan
 
 
+def test_curation_funnel_single_shuffle(spark):
+    """q_curate_corpus claims one shuffle total (the canonicality
+    window's content-hash exchange); every other gate must stay fused
+    into the scan stage."""
+    plan = plan_of(all_queries()["q_curate_corpus"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_exchange_budget(spark):
+    """Both resample forms: exactly the three key-aligned exchanges
+    their docstrings claim (dedup agg, bounds agg, fill window) and no
+    join in the fill path."""
+    for name in ("q_resample_locf", "q_resample_interp"):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert plan.count("Exchange hashpartitioning") == 3, name
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, name
+
+
 def test_range_frame_single_shuffle(spark):
     """q_window_range_frame: exactly one hash exchange (on user_id)
     feeds the RANGE-framed window — no extra sort/exchange pairs."""
