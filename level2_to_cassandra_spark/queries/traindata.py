@@ -570,3 +570,58 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= _ED_MAX)
     )
+
+
+@register(
+    "q_text_span_dedup",
+    oracle="""
+    WITH postings AS (
+        SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4],
+                                 w[i+5], w[i+6], w[i+7], w[i+8], w[i+9],
+                                 w[i+10], w[i+11], w[i+12]) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+        WHERE len(w) >= 13),
+    counts AS (SELECT gram, COUNT(*) AS n FROM postings GROUP BY gram)
+    SELECT p.doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS repeated_frac
+    FROM postings p JOIN counts c ON p.gram = c.gram
+    GROUP BY p.doc_id
+    """,
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN measurement — the exact-substring
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): per document, how many of its 13-token
+    spans occur more than once ANYWHERE in the corpus (including its
+    own other positions), and the repeated fraction.  A span-dedup pass
+    trims exactly those spans; this query is the measurement stage that
+    decides where.
+
+    Scale shape: spans never shuffle as strings — occurrences keyed by
+    ``xxhash64(gram)`` (the same fixed-width-key discipline as the
+    content-hash dedups; a 13-word span can be hundreds of bytes), one
+    map-side-combined count per span hash, then the per-doc rollup
+    joins counts back on the hash.  The oracle counts raw strings;
+    hash collisions (2⁻⁶⁴) are the only divergence mode."""
+    docs = load_table(spark, sf_dir, "documents")
+    posts = docs.select(
+        "doc_id",
+        F.explode(text.word_shingles("text", 13)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("__g"))
+    counts = posts.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    rep = F.when(F.col("__n") > 1, 1).otherwise(0)
+    return (
+        posts.join(counts, "__g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(rep).cast("long").alias("n_repeated"),
+            F.round(
+                F.sum(rep).cast("double") / F.count(F.lit(1)), 6
+            ).alias("repeated_frac"),
+        )
+    )

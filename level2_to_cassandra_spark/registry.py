@@ -168,6 +168,7 @@ DRIVER_ORDER = (
     # -- r03/r04 additions awaiting a future rotation slot; oracle-
     # checked by the local replica harness every run -------------------
     "q_resample_interp",
+    "q_text_span_dedup",
     "q_domain_cap",
     "q_ngram_counts",
     "q_token_histogram",

@@ -54,7 +54,7 @@ SAFE_TO_ROTATE_OUT = {
     # r03/r04 additions WITH oracles awaiting a rotation slot; checked
     # by the local replica harness (tests/test_queries_oracle.py) each
     # run
-    "q_resample_interp",
+    "q_resample_interp", "q_text_span_dedup",
     "q_domain_cap", "q_ngram_counts", "q_token_histogram",
     "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
     "q_agg_hll_sketch",
