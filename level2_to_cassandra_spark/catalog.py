@@ -41,11 +41,20 @@ def _int_ts_to_micros(df: DataFrame) -> str:
     thresholds cannot misclassify any timestamp between 1973 and 5000.
     The fixture has already shipped two different units across rounds;
     inferring beats assuming.  Integer ``div`` (never ``/``: DOUBLE
-    loses µs precision on 19-digit nanos).  One 1-row probe action,
-    only on the int64-ts path.
+    loses µs precision on 19-digit nanos).  The probe takes the MAX
+    |ts| over a bounded non-null sample — a single-NULL or epoch-zero
+    first row must not misclassify the unit (under ANSI mode a
+    nanos-as-seconds misread would overflow `ts * 1000000` and kill
+    every events query).  One bounded probe action, only on the
+    int64-ts path.
     """
-    probe = df.select("ts").first()
-    v = abs(probe["ts"]) if probe and probe["ts"] is not None else 0
+    sample = (
+        df.select(F.abs(F.col("ts")).alias("v"))
+        .where(F.col("ts").isNotNull())
+        .limit(100)
+        .collect()
+    )
+    v = max((r["v"] for r in sample), default=0)
     if v >= 10**17:
         return "ts div 1000"      # nanoseconds
     if v >= 10**14:

@@ -106,12 +106,20 @@ def _rademacher_component(table: int, plane: int, d: int) -> float:
     a standard random-hyperplane family (sign-LSH needs only symmetric
     zero-mean weights); the portability is what lets a DuckDB oracle
     replicate the FULL candidate generation instead of settling for a
-    rows-only check.  SQL twin (same formula, inline):
-    ``CASE WHEN ((1103515245*(t*65536 + p*256 + d) + 12345)//65536)%2
-    = 0 THEN 1.0 ELSE -1.0 END``."""
+    rows-only check.
+
+    Seed packing is ``t·2²⁴ + p·2¹⁶ + d``: injective for d < 65536 and
+    p, t < 256 (a narrower ``p·256 + d`` packing would alias adjacent
+    planes' weights for dims > 256 and silently correlate hyperplanes),
+    and the LCG product stays < 2⁶² — no int64 overflow on any engine.
+    SQL twin (same formula, inline):
+    ``CASE WHEN ((1103515245*(t*16777216 + p*65536 + d) + 12345)
+    //65536)%2 = 0 THEN 1.0 ELSE -1.0 END``."""
+    if d >= 65536 or plane >= 256 or table >= 256:
+        raise ValueError("rademacher packing bounds: d<65536, p<256, t<256")
     return (
         1.0
-        if ((1103515245 * (table * 65536 + plane * 256 + d) + 12345)
+        if ((1103515245 * (table * 16777216 + plane * 65536 + d) + 12345)
             // 65536) % 2 == 0
         else -1.0
     )
@@ -372,7 +380,8 @@ def lsh_buckets_np(df: DataFrame, id_col: str = "vec_id",
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         n_planes: int = 4, n_tables: int = 8,
-                        scheme: str = "hash") -> DataFrame:
+                        scheme: str = "hash",
+                        dim: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs = same bucket in ANY table, with
     exact cosine attached for re-ranking/thresholding.  The join key is
     (table, bucket) — one shuffle; candidate count ∝ Σ bucket² per
@@ -406,7 +415,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     branches."""
     b = (
         lsh_buckets_np(df, id_col, vec_col, n_planes, n_tables,
-                       scheme=scheme)
+                       dim=dim, scheme=scheme)
         .select("table", "bucket", F.col(id_col).alias("__id"))
         .persist()
     )

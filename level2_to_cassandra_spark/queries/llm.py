@@ -147,7 +147,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; in production that distinct-hash relation IS the incremental
     staging table, bucketed by hash so each batch's anti join is
     shuffle-free on the corpus side."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs are excluded outright: sha2(NULL) is NULL, which a
+    # LEFT ANTI join can never match (so a null-text doc would sail
+    # through), while the oracle's `text = d.text` predicate is NULL
+    # for them (so IT admits none) — dropping them makes both engines
+    # agree and matches ingest reality (no content, nothing to admit).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     h = F.sha2(F.col("text"), 256)
     new = docs.where(F.col("doc_id") % 10 == 0).withColumn("__h", h)
     seen_h = (
@@ -295,7 +302,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(range(0, 6), p ->
                  CASE WHEN list_reduce(
                         list_transform(range(0, 64), d -> ve[d+1] *
-                          (CASE WHEN ((1103515245*(tbl*65536 + p*256 + d)
+                          (CASE WHEN ((1103515245*(tbl*16777216 + p*65536 + d)
                                        + 12345)//65536)%2 = 0
                                 THEN 1.0 ELSE -1.0 END)),
                         (a, x) -> a + x) >= 0
@@ -328,8 +335,13 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the planes exactly, so recall is part of WHAT IS
     CHECKED, not a source of mismatch."""
     em = load_table(spark, sf_dir, "embeddings")
+    # dim=64 EXPLICIT, matching the oracle's range(0, 64): the SQL twin
+    # cannot infer dim from data, so pinning it here means a fixture
+    # regenerated at another width fails loudly in tests
+    # (tests/test_catalog.py pins the fixture dim) instead of silently
+    # bucketing with a different plane count than the oracle.
     pairs = similarity.lsh_candidate_pairs(
-        em, n_planes=6, n_tables=8, scheme="rademacher"
+        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
@@ -510,7 +522,11 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RE2) with identical semantics.  Email redaction runs FIRST so
     digit runs inside addresses are consumed before the phone pass."""
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
+    # concat_ws, not concat: DuckDB's concat SKIPS null pieces where
+    # Spark's concat null-propagates — a NULL text (or lang) would
+    # null the whole synthetic row on this side only
+    raw = F.concat_ws(
+        "",
         F.substring("text", 1, 80),
         F.lit(" reach user"), F.col("doc_id").cast("string"),
         F.lit("@ex-"), F.col("lang"), F.lit(".org or +1 415 "),

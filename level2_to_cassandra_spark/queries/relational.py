@@ -95,7 +95,6 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (no sampling pass over 100 TB), per-record error
     isolation, corrupt payloads quarantined not dropped.
     """
-    import hashlib
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
@@ -105,8 +104,10 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.to_json(F.struct("event_id", "event_type", "value"))
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/l2c_json_scan_{tag}"
+    # fresh dir per invocation: a path shared across sessions would let
+    # one session's mode("overwrite") delete files under another
+    # session's concurrent scan (bench + pytest race)
+    path = tempfile.mkdtemp(prefix="l2c_json_scan_")
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read.schema(

@@ -205,6 +205,49 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared relation for the resample queries: per-user hourly grid
+    points ∪ (user, ts)-deduped events, one row each, with an ``evt``
+    STRUCT MARKER — non-null for every event row even when the event's
+    VALUE is null, so window fills can distinguish "no event yet"
+    (marker null) from "event with null value" (marker non-null, value
+    null) and reproduce ASOF join semantics exactly.  (A bare
+    ``last(value, ignorenulls)`` would skip null-VALUED events, where
+    an ASOF join matches the event and returns its NULL.)
+
+    Dedup uses MAX(value) so grid-point ties are deterministic on both
+    engines; both engines' MAX skip nulls identically.  The queries
+    built on this must stay in lockstep with each other and with the
+    oracles' shared CTE prefix — that is why this is ONE helper."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 hour"))
+            ).alias("gts"),
+        )
+    )
+    evt = F.struct(F.col("value").alias("value"), F.col("ts").alias("ts"))
+    return grid.select(
+        "user_id",
+        F.col("gts").alias("pt"),
+        F.lit(None).cast("struct<value:double,ts:timestamp>").alias("evt"),
+        F.lit(1).alias("is_grid"),
+    ).unionByName(
+        e.select(
+            "user_id", F.col("ts").alias("pt"), evt.alias("evt"),
+            F.lit(0).alias("is_grid"),
+        )
+    )
+
+
 @register(
     "q_resample_locf",
     oracle="""
@@ -227,57 +270,33 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic irregular→regular time-series transform the reference's
     `(symbol, time DESC)` storage layout exists to serve): per user an
     hourly grid spans [trunc(min ts), max ts], and each grid point
-    carries the latest event value at-or-before it — NULL before the
-    first event, exactly DuckDB's ASOF LEFT JOIN semantics.
+    carries the latest event's value at-or-before it — NULL before the
+    first event, and the EVENT'S OWN null when the matched event's
+    value is null — exactly DuckDB's ASOF LEFT JOIN semantics (the
+    struct-marker mechanics are in :func:`_grid_union_events`).
 
-    Plan: events pre-deduped to one value per (user, ts) — MAX, so the
-    grid-point tie is deterministic on both engines — then grid points
-    and events UNION into one relation and a single
-    last(value, ignoreNulls) window walks each user's timeline once.
+    Plan: grid∪events walked by one last-non-null-MARKER window.
     Three key-aligned hash exchanges total (the (user, ts) dedup agg,
     the per-user bounds agg, the fill window's user_id partitioning) —
-    and NO join: the sort-merge ASOF machinery (operators/asof.py)
-    would also work, but the grid side is generated in-plan
-    (sequence/explode), never materialized or shuffled as a separate
-    relation, and the fill is one window pass.  Events at a grid
-    instant sort BEFORE the grid row (is_grid tiebreak), so an
-    exact-timestamp event is visible to its own grid point, matching
-    `gts >= ts`."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
-    grid = (
-        e.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("t0"),
-            F.max("ts").alias("t1"),
-        )
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("t0", "t1", F.expr("interval 1 hour"))
-            ).alias("gts"),
-        )
-    )
-    merged = grid.select(
-        "user_id", F.col("gts").alias("pt"), F.lit(None).cast("double")
-        .alias("value"), F.lit(1).alias("is_grid"),
-    ).unionByName(
-        e.select(
-            "user_id", F.col("ts").alias("pt"), "value",
-            F.lit(0).alias("is_grid"),
-        )
-    )
+    and NO join: the grid side is generated in-plan (sequence/
+    explode), never materialized or shuffled as a separate relation.
+    Events at a grid instant sort BEFORE the grid row (is_grid
+    tiebreak), so an exact-timestamp event is visible to its own grid
+    point, matching `gts >= ts`."""
+    merged = _grid_union_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("pt", "is_grid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        merged.withColumn(
-            "locf_value", F.last("value", ignorenulls=True).over(w)
-        )
+        merged.withColumn("__p", F.last("evt", ignorenulls=True).over(w))
         .where(F.col("is_grid") == 1)
-        .select("user_id", F.col("pt").alias("gts"), "locf_value")
+        .select(
+            "user_id",
+            F.col("pt").alias("gts"),
+            F.col("__p")["value"].alias("locf_value"),
+        )
     )
 
 
@@ -316,57 +335,52 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling — q_resample_locf's companion:
     each hourly grid point carries the value linearly interpolated
-    between the bracketing events (NULL outside the observed range).
-    A grid point coinciding with an event takes the event's value
-    exactly: the interpolation factor is 0, bit-identically on both
-    engines, so the LOCF/ASOF tie conventions cannot diverge.
+    between the bracketing events (NULL outside the observed range, or
+    when either bracketing event's value is null — the oracle's
+    ``pv IS NULL OR nv IS NULL`` gate, reproduced exactly via the
+    struct markers of :func:`_grid_union_events`).
 
-    Plan: same grid∪events relation as LOCF, but walked by TWO window
-    frames over ONE (user_id, pt) sort — last-non-null looking back
-    (prev event value+ts) and first-non-null looking forward (next
-    event).  The fill adds a single hash exchange and one in-partition
-    sort; both WindowExecs reuse them (same three-exchange total as
-    LOCF — dedup agg, bounds agg, fill window).  The oracle is a double ASOF LEFT
-    JOIN (the forward direction via negated epochs, since ASOF binds
-    greatest-at-or-before).  Timestamps enter the arithmetic as
-    micros/1e6 doubles — the same value DuckDB's epoch() produces —
-    and the result is rounded at 6 on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
-    grid = (
-        e.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("t0"),
-            F.max("ts").alias("t1"),
-        )
+    Tie discipline: DuckDB's two ASOF joins are both INCLUSIVE
+    (`gts >= ts` back, negated-epoch `>=` forward), so an event at the
+    grid instant is simultaneously prev AND next (``nts = pts`` → take
+    its value unrounded).  The Spark twin makes the forward window
+    inclusive too by ordering it (pt, is_grid DESC) — grid before
+    event at equal pt — where the backward window orders (pt, is_grid
+    ASC); with a single shared exchange and two sorts.  An earlier
+    version ordered both windows ASC, which silently EXCLUDED the
+    coincident event from the forward frame and diverged from the
+    oracle at every exact-grid-time event.
+
+    Plan: grid∪events, two window frames, one user_id exchange (plus
+    the dedup-agg and bounds-agg exchanges of the shared relation —
+    same three-exchange budget as LOCF, one extra in-partition sort).
+    Timestamps enter the arithmetic as micros/1e6 doubles — the same
+    value DuckDB's epoch() produces — and the interpolated result is
+    rounded at 6 on both engines."""
+    merged = _grid_union_events(spark, sf_dir)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", F.desc("is_grid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sec = lambda c: (F.unix_micros(c).cast("double") / F.lit(1e6))  # noqa: E731
+    out = (
+        merged.withColumn("__p", F.last("evt", ignorenulls=True).over(back))
+        .withColumn("__n", F.first("evt", ignorenulls=True).over(fwd))
+        .where(F.col("is_grid") == 1)
         .select(
             "user_id",
-            F.explode(
-                F.sequence("t0", "t1", F.expr("interval 1 hour"))
-            ).alias("gts"),
+            F.col("pt").alias("gts"),
+            F.col("__p")["value"].alias("pv"),
+            F.col("__p")["ts"].alias("pts"),
+            F.col("__n")["value"].alias("nv"),
+            F.col("__n")["ts"].alias("nts"),
         )
-    )
-    merged = grid.select(
-        "user_id", F.col("gts").alias("pt"),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(None).cast("timestamp").alias("evt_ts"),
-        F.lit(1).alias("is_grid"),
-    ).unionByName(
-        e.select(
-            "user_id", F.col("ts").alias("pt"), "value",
-            F.col("ts").alias("evt_ts"), F.lit(0).alias("is_grid"),
-        )
-    )
-    base = Window.partitionBy("user_id").orderBy("pt", "is_grid")
-    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    sec = lambda c: (F.unix_micros(F.col(c)).cast("double") / F.lit(1e6))  # noqa: E731
-    out = (
-        merged.withColumn("pv", F.last("value", ignorenulls=True).over(back))
-        .withColumn("pts", F.last("evt_ts", ignorenulls=True).over(back))
-        .withColumn("nv", F.first("value", ignorenulls=True).over(fwd))
-        .withColumn("nts", F.first("evt_ts", ignorenulls=True).over(fwd))
-        .where(F.col("is_grid") == 1)
     )
     interp = (
         F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
@@ -375,13 +389,12 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("pv")
                 + (F.col("nv") - F.col("pv"))
-                * (sec("pt") - sec("pts"))
-                / (sec("nts") - sec("pts")),
+                * (sec(F.col("gts")) - sec(F.col("pts")))
+                / (sec(F.col("nts")) - sec(F.col("pts"))),
                 6,
             )
         )
     )
     return out.select(
-        "user_id", F.col("pt").alias("gts"),
-        interp.cast("double").alias("interp_value"),
+        "user_id", "gts", interp.cast("double").alias("interp_value")
     )

@@ -137,3 +137,15 @@ def test_register_temp_views_only_subset(spark):
 def test_unknown_table_rejected(spark):
     with pytest.raises(KeyError):
         load_table(spark, SF_SMOKE, "nope")
+
+
+def test_embeddings_dim_matches_oracle_assumption(spark):
+    """q_llm_dedup_embed's DuckDB oracle hardcodes range(0, 64) for
+    the portable-plane projection (SQL cannot infer dim from data);
+    the Spark side pins dim=64 to match.  If the driver regenerates
+    embeddings at another width, THIS failure explains the mismatch."""
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    from pyspark.sql import functions as F
+
+    dims = em.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]

@@ -206,9 +206,9 @@ def test_redaction_is_idempotent_and_complete(spark):
     )
     from level2_to_cassandra_spark.registry import all_queries
 
-    out = all_queries()["q_text_redact"].fn(
-        spark, "/root/testdata/sf0.001"
-    )
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["q_text_redact"].fn(spark, SF_SMOKE)
     again = out.select(
         "doc_id",
         "redacted",
@@ -238,7 +238,8 @@ def test_incremental_dedup_admits_only_unseen_unique_content(spark):
     from level2_to_cassandra_spark.catalog import load_table
     from level2_to_cassandra_spark.registry import all_queries
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf
+
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     texts = {r.doc_id: r.text for r in docs.collect()}
     seen_content = {t for i, t in texts.items() if i % 10 != 0}
@@ -267,7 +268,8 @@ def test_curation_admit_implies_every_flag(spark):
     q_text_langid, canonicality with q_llm_dedup_exact's survivors)."""
     from level2_to_cassandra_spark.registry import all_queries
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf
+
     cur = {r.doc_id: r for r in
            all_queries()["q_curate_corpus"].fn(spark, sf).collect()}
     stats = {r.doc_id: r.quality_ok for r in
