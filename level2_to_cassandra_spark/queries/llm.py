@@ -282,16 +282,32 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
 
 
+def _rademacher_weight_sql(tbl: str = "tbl", p: str = "p",
+                           d: str = "d") -> str:
+    """DuckDB expression for operators/similarity.py::
+    _rademacher_component — the SAME LCG→xorshift→LCG→xorshift chain,
+    generated rather than hand-copied so the two can't drift.  The
+    xorshift steps are what keep planes decorrelated (an affine-only
+    chain collapses plane pairs into copies/complements — see the
+    component's docstring)."""
+    s = f"({tbl}*1000003 + {p}*7919 + {d})"
+    x1 = f"((1103515245*{s} + 12345) % 2147483648)"
+    x1m = f"xor({x1}, {x1} >> 13)"
+    x2 = f"((1103515245*{x1m} + 12345) % 2147483648)"
+    x2m = f"xor({x2}, {x2} >> 7)"
+    return f"(CASE WHEN (({x2m} >> 16) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+
+
 @register(
     "q_llm_dedup_embed",
     # The oracle replicates the FULL LSH candidate generation: the
-    # Rademacher (±1) hyperplanes come from a portable integer LCG
-    # (operators/similarity.py::_rademacher_component — identical
-    # formula inline below), so DuckDB derives bit-identical buckets,
-    # the same candidate pairs, and the same rounded cosines.  That
-    # upgrades embedding near-dup from "rows-only demo" to a
-    # hash-verified end-to-end pipeline.
-    oracle="""
+    # Rademacher (±1) hyperplanes come from a portable integer
+    # generator (operators/similarity.py::_rademacher_component; its
+    # SQL twin is GENERATED by _rademacher_weight_sql above), so DuckDB
+    # derives bit-identical buckets, the same candidate pairs, and the
+    # same rounded cosines.  That upgrades embedding near-dup from
+    # "rows-only demo" to a hash-verified end-to-end pipeline.
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
@@ -302,9 +318,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(range(0, 6), p ->
                  CASE WHEN list_reduce(
                         list_transform(range(0, 64), d -> ve[d+1] *
-                          (CASE WHEN ((1103515245*(tbl*16777216 + p*65536 + d)
-                                       + 12345)//65536)%2 = 0
-                                THEN 1.0 ELSE -1.0 END)),
+                          {_rademacher_weight_sql()}),
                         (a, x) -> a + x) >= 0
                       THEN (1::BIGINT << p) ELSE 0::BIGINT END),
                (a, x) -> a + x) AS bucket

@@ -590,6 +590,49 @@ def test_lsh_buckets_np_matches_jvm_forms(spark, scheme):
     assert {k: v for k, v in np_form.items() if k[0] < 900003} == agg
 
 
+def test_rademacher_planes_decorrelated():
+    """The portable plane generator must not produce copied/complement
+    planes (the affine-LCG failure mode that collapsed tables to two
+    buckets and made the candidate join near-cartesian).  Pure-Python
+    check over every plane pair of a 16×8 config."""
+    import itertools
+
+    planes = {
+        (t, p): [similarity._rademacher_component(t, p, d)
+                 for d in range(64)]
+        for t in range(16)
+        for p in range(8)
+    }
+    for a, b in itertools.combinations(planes, 2):
+        agree = sum(
+            x == y for x, y in zip(planes[a], planes[b])
+        ) / 64
+        assert 0.15 < agree < 0.85, (a, b, agree)
+    ones = sum(v.count(1.0) for v in planes.values()) / (128 * 64)
+    assert 0.4 < ones < 0.6  # balanced signs
+
+
+def test_rademacher_buckets_well_spread(spark):
+    """On the live fixture, every table's bucket histogram must look
+    like independent planes: no table may collapse below half the
+    possible buckets or put most vectors into one bucket."""
+    em = load_table(spark, SF, "embeddings")
+    n = em.count()
+    b = similarity.lsh_buckets_np(
+        em, "vec_id", "embedding", 6, 8, scheme="rademacher"
+    )
+    stats = (
+        b.groupBy("table", "bucket").count()
+        .groupBy("table")
+        .agg(F.max("count").alias("mx"), F.count("*").alias("nb"))
+        .collect()
+    )
+    assert len(stats) == 8
+    for r in stats:
+        assert r["nb"] >= 32, (r["table"], r["nb"])   # of 64 possible
+        assert r["mx"] <= n * 0.3, (r["table"], r["mx"])
+
+
 def test_ivf_assign_np_matches_fold_form(spark):
     """The numpy cell assignment must agree with the JVM greatest-fold
     (_best_cell) on every fixture vector, including its tie-break
