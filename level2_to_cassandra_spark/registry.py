@@ -57,55 +57,29 @@ _REGISTRY: dict[str, Query] = {}
 DRIVER_CAP = 50
 
 DRIVER_ORDER = (
-    # -- first driver rows earned in r03; in-cap for a confirming round
-    # (the four that err'd in r03 — multimodal output shape, the three
-    # events-based via the catalog ts bug — are fixed and must re-check)
-    "q_text_tfidf",
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
+    # -- rotated IN for r05 (VERDICT r04 "Next round" #1): oracle-backed
+    # since they landed in r03/r04 but never inside the driver cap;
+    # each earns its first driver row now ------------------------------
+    "q_resample_interp",
+    "q_text_span_dedup",
+    "q_domain_cap",
+    "q_ngram_counts",
+    "q_token_histogram",
+    "q_embed_quantize",
+    "q_sample_stratified",
+    "q_text_repetition",
+    # -- r05 upgrades: r04 rows-only / no_oracle queries that gained a
+    # real DuckDB oracle this round (VERDICT #2/#3/#5) — must re-check
     "q_multimodal_features",
-    "q_ohlc_bars",
-    "q_time_bucket_agg",
-    "q_sessionize",
-    # -- r04 additions, never driver-checked: earn their first row now
-    # (5 slots freed by once-green, untouched text queries below) -----
+    "q_llm_dedup_simhash",
+    "q_sim_ann_lsh",
+    # -- once-green in r04 (first driver rows); in-cap for a confirming
+    # round --------------------------------------------------------------
     "q_dedup_incremental",
     "q_dedup_incremental_fuzzy",
     "q_text_redact",
     "q_curate_corpus",
     "q_resample_locf",
-    # -- driver-green r01+r02, kept in-cap: either r03-FAIL casualties of
-    # the catalog bug (must re-earn green) or the non-redundant core ----
-    "q_scan_project_filter",
-    "q_json_scan",
-    "q_agg_basic",
-    "q_agg_conditional",
-    "q_sql_star_revenue",
-    "q_agg_rollup",
-    "q_agg_percentile",
-    "q_window_distribution",
-    "q_dedup_lww",
-    "q_sort_limit",
-    "q_topk_per_group",
-    "q_scalar_datetime",
-    "q_scalar_json",
-    "q_window_cumulative",
-    "q_window_moving_avg",
-    "q_join_inner",
-    "q_join_outer",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_asof",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_embed",
-    "q_sim_topk",
-    "q_sim_ann_lsh",
-    "q_text_stats",
-    # -- rotated IN for r04: r03 additions that have never had a driver
-    # row; each oracle-backed and locally green since they landed ------
     "q_dedup_cluster",
     "q_chunk_docs",
     "q_pack_sequences",
@@ -116,7 +90,46 @@ DRIVER_ORDER = (
     "q_window_range_frame",
     "q_sql_grouping_sets",
     "q_text_editdist",
+    # -- the non-redundant core (driver-green r01+r02+r04) --------------
+    "q_scan_project_filter",
+    "q_json_scan",
+    "q_agg_basic",
+    "q_agg_conditional",
+    "q_sql_star_revenue",
+    "q_agg_percentile",
+    "q_window_distribution",
+    "q_dedup_lww",
+    "q_sort_limit",
+    "q_topk_per_group",
+    "q_scalar_datetime",
+    "q_scalar_json",
+    "q_window_cumulative",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_asof",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_embed",
+    "q_sim_topk",
+    "q_text_stats",
     # ======================= past the cap ==============================
+    # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
+    # multi-round-green, untouched, each redundant with an in-cap
+    # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;
+    # ohlc/time_bucket/sessionize↔q_resample_locf/q_window_range_frame
+    # on events; q_agg_rollup↔q_sql_grouping_sets;
+    # q_window_moving_avg↔q_window_range_frame) -------------------------
+    "q_text_tfidf",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
+    "q_ohlc_bars",
+    "q_time_bucket_agg",
+    "q_sessionize",
+    "q_agg_rollup",
+    "q_window_moving_avg",
     # -- rotated OUT for r04: green in r01+r02+r03 (three full hash
     # matches), untouched since, each redundant with an in-cap sibling
     # covering the same SURVEY.md §2 row (q_filter_predicates↔
@@ -138,18 +151,16 @@ DRIVER_ORDER = (
     # -- r03-green once, untouched since, evicted for the r04 cohort
     # (each redundant with an in-cap sibling: langid↔curate's
     # lang_match flag, tokens_bpe/rolling_hash/fingerprint↔the other
-    # in-cap text rows, sample_split↔q_sample_stratified's local
-    # oracle) ----------------------------------------------------------
+    # in-cap text rows, sample_split↔q_sample_stratified) ---------------
     "q_text_langid",
     "q_text_tokens_bpe",
     "q_text_rolling_hash",
     "q_sample_split",
     "q_text_fingerprint",
     # -- twice-green (r01+r02), untouched, coverage-redundant ----------
-    # (q_sim_ann_ivf / q_agg_approx_percentile / q_agg_approx are
-    # rows-only by design — a driver row adds no oracle signal beyond
-    # local tolerance/recall tests; q_agg_approx made room for the
-    # oracle-backed q_json_scan)
+    # (q_sim_ann_ivf / q_agg_approx_percentile / q_agg_approx /
+    # q_agg_hll_sketch are rows-only by design — a driver row adds no
+    # oracle signal beyond local tolerance/recall tests)
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
     "q_agg_approx",
@@ -165,16 +176,6 @@ DRIVER_ORDER = (
     "q_sort_nulls",
     "q_subquery_correlated",
     "q_window_lag",
-    # -- r03/r04 additions awaiting a future rotation slot; oracle-
-    # checked by the local replica harness every run -------------------
-    "q_resample_interp",
-    "q_text_span_dedup",
-    "q_domain_cap",
-    "q_ngram_counts",
-    "q_token_histogram",
-    "q_embed_quantize",
-    "q_sample_stratified",
-    "q_text_repetition",
     "q_agg_hll_sketch",
 )
 

@@ -10,29 +10,28 @@ from __future__ import annotations
 
 from level2_to_cassandra_spark import registry
 
-# Queries with no driver oracle row through CORRECTNESS_r03, or whose
-# r03 row was an `err` that the r04 fixes must re-verify — must be
-# inside the cap until a round records them green.
+# Queries with no driver hash-green row through CORRECTNESS_r04, or
+# whose oracle changed this round and must (re-)verify — must be inside
+# the cap until a round records them green.
 NEVER_DRIVER_CHECKED = {
-    # r03 err rows, fixed in r04 (catalog ts bug / output shape)
-    "q_multimodal_features", "q_ohlc_bars", "q_time_bucket_agg",
-    "q_sessionize", "q_agg_conditional", "q_sql_star_revenue",
-    "q_dedup_lww", "q_scalar_datetime", "q_scalar_json",
-    "q_window_cumulative", "q_window_moving_avg", "q_join_asof",
-    # rotated in for r04: r03 additions never driver-checked
-    "q_dedup_cluster", "q_chunk_docs", "q_pack_sequences",
-    "q_contamination", "q_dedup_keep", "q_agg_bitmap_distinct",
-    "q_udaf_trimmed_mean", "q_window_range_frame",
-    "q_sql_grouping_sets", "q_text_editdist",
-    # new in r04
-    "q_json_scan", "q_dedup_incremental", "q_dedup_incremental_fuzzy",
-    "q_text_redact", "q_curate_corpus", "q_resample_locf",
+    # oracle-backed since r03/r04 but never inside the cap; rotated in
+    # for r05 per VERDICT r04 "Next round" #1
+    "q_resample_interp", "q_text_span_dedup", "q_domain_cap",
+    "q_ngram_counts", "q_token_histogram", "q_embed_quantize",
+    "q_sample_stratified", "q_text_repetition",
+    # r04 no_oracle rows that gained real DuckDB oracles in r05
+    # (VERDICT #2/#3/#5) — their first hash check happens now
+    "q_multimodal_features", "q_llm_dedup_simhash", "q_sim_ann_lsh",
 }
 
-# Driver-green in at least two rounds (or rows-only by design), each
-# with an in-cap sibling covering the same SURVEY.md §2 row — may sit
-# past the cap.
+# Driver-green in at least one prior round (or rows-only by design),
+# each with an in-cap sibling covering the same SURVEY.md §2 row — may
+# sit past the cap.
 SAFE_TO_ROTATE_OUT = {
+    # rotated out for r05 (VERDICT r04 #1 names the first six)
+    "q_text_tfidf", "q_udf_pandas_cosine", "q_udtf_tokenize",
+    "q_ohlc_bars", "q_time_bucket_agg", "q_sessionize",
+    "q_agg_rollup", "q_window_moving_avg",
     # thrice-green (r01+r02+r03), rotated out for r04
     "q_filter_predicates", "q_agg_distinct", "q_agg_salted",
     "q_set_ops", "q_scalar_string", "q_scalar_math", "q_scalar_array",
@@ -51,12 +50,6 @@ SAFE_TO_ROTATE_OUT = {
     "q_sim_ann_ivf",
     "q_agg_approx_percentile",
     "q_agg_approx",
-    # r03/r04 additions WITH oracles awaiting a rotation slot; checked
-    # by the local replica harness (tests/test_queries_oracle.py) each
-    # run
-    "q_resample_interp", "q_text_span_dedup",
-    "q_domain_cap", "q_ngram_counts", "q_token_histogram",
-    "q_embed_quantize", "q_sample_stratified", "q_text_repetition",
     "q_agg_hll_sketch",
 }
 
