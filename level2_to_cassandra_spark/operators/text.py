@@ -119,14 +119,41 @@ def normalized_fingerprint(text: Column | str) -> Column:
     )
 
 
-def simhash64(text: Column | str) -> Column:
+def portable_hash64(c: Column) -> Column:
+    """64-bit token hash BOTH engines can compute bit-identically:
+    the top 16 hex chars of md5, assembled from two 32-bit ``conv``
+    halves (``conv(…,16,10)`` yields a decimal STRING, and a single
+    16-hex-char conversion would overflow the signed-long cast for
+    values ≥ 2⁶³; ``shiftleft`` wraps two's-complement, so
+    ``(hi << 32) | lo`` reproduces the unsigned bit pattern exactly).
+    DuckDB twin: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` —
+    same UTF-8 md5, same lowercase hex, same 64 bits.  Pure JVM on
+    the Spark side (md5/substring/conv are codegen'd built-ins);
+    xxhash64 stays the cheaper non-oracle mode."""
+    m = F.md5(c.cast("binary"))
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _token_hash(c: Column, hasher: str) -> Column:
+    if hasher == "xxhash":
+        return F.xxhash64(c)
+    if hasher == "md5":
+        return portable_hash64(c)
+    raise ValueError(f"unknown hasher {hasher!r} (use 'xxhash' or 'md5')")
+
+
+def simhash64(text: Column | str, hasher: str = "xxhash") -> Column:
     """64-bit SimHash over tokens (Charikar): per token a 64-bit
-    xxhash; each bit votes ±1; fingerprint bit = sign of the vote sum.
+    hash; each bit votes ±1; fingerprint bit = sign of the vote sum.
     Pure JVM: 64 filter/size aggregates over the token array.
 
     Near-duplicate docs differ in few bits — pair candidates by
-    hamming distance (see ``hamming64``).  Not oracle-expressible
-    (DuckDB lacks xxhash64), covered by property tests instead.
+    hamming distance (see ``hamming64``).  ``hasher="md5"`` selects
+    the engine-portable token hash (:func:`portable_hash64`) that a
+    DuckDB oracle can replicate; ``"xxhash"`` is the cheaper default
+    for non-oracle use.
     """
     t = tokens(text)
     fp = F.lit(0).cast("long")
@@ -134,7 +161,9 @@ def simhash64(text: Column | str) -> Column:
         # bit 63 is the sign bit: 1<<63 overflows signed long, so use
         # its two's-complement representation instead
         mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
-        ones = F.size(F.filter(t, lambda x: F.xxhash64(x).bitwiseAND(mask) != 0))
+        ones = F.size(
+            F.filter(t, lambda x: _token_hash(x, hasher).bitwiseAND(mask) != 0)
+        )
         vote = (ones * 2) - F.size(t)  # ones - zeros
         fp = fp + F.when(vote > 0, mask).otherwise(F.lit(0))
     return fp
@@ -152,7 +181,8 @@ def _bit_mask(bit: int) -> int:
 
 
 def simhash_fingerprints(docs, id_col: str = "doc_id",
-                         text_col: str = "text"):
+                         text_col: str = "text",
+                         hasher: str = "xxhash"):
     """(id_col, fp) SimHash table — bit-identical to :func:`simhash64`
     but one-pass: explode tokens, hash each token ONCE in a JVM
     projection (xxhash64 has no Python twin in this environment, so
@@ -187,7 +217,7 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
     toks = spread.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("__tok"),
-    ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    ).select(id_col, _token_hash(F.col("__tok"), hasher).alias("__h"))
     hashes = toks.groupBy(id_col).agg(F.collect_list("__h").alias("__hs"))
 
     def vote(it):

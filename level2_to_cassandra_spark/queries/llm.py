@@ -235,19 +235,54 @@ _SIMHASH_BANDS = 8
 _SIMHASH_MAX_HAMMING = _SIMHASH_BANDS - 1
 
 
-@register("q_llm_dedup_simhash", oracle=None)
+@register(
+    "q_llm_dedup_simhash",
+    # The oracle recomputes fingerprints FROM RAW TEXT on the portable
+    # md5 token hash (operators/text.py::portable_hash64 — identical
+    # 64 bits via ('0x' || substr(md5(tok),1,16))::UBIGINT), then does
+    # the brute-force O(N²) hamming scan.  Banded join ≡ brute force
+    # at hamming ≤ 7 by pigeonhole (8 bands × 8 bits: ≤7 differing
+    # bits cannot touch all 8 bands), so the oracle checks BOTH the
+    # fingerprint math and the banding's zero-loss guarantee.
+    oracle="""
+    WITH bits AS (SELECT UNNEST(range(0, 64)) AS bit),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             CASE WHEN 2 * SUM(((h >> bit) & 1)::INT) > COUNT(*)
+                  THEN 1 ELSE 0 END AS s
+      FROM th CROSS JOIN bits GROUP BY doc_id, bit
+    ),
+    fpu AS (SELECT doc_id, SUM((s::UBIGINT << bit)::HUGEINT) AS f
+            FROM votes GROUP BY doc_id),
+    fps AS (SELECT d.doc_id, COALESCE(f.f::UBIGINT, 0::UBIGINT) AS fp
+            FROM documents d LEFT JOIN fpu f USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp))::INT AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 7
+    """,
+)
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded candidate
     join, pairs within hamming ≤ 7 (guaranteed-recall threshold for
-    8×8-bit banding).  xxhash64-based → rows-only here; exactness vs a
-    brute-force hamming scan is proven in tests/test_llm_ops.py."""
+    8×8-bit banding).  Fingerprints use the engine-portable md5 token
+    hash (text.py::portable_hash64) so the DuckDB oracle recomputes
+    them from raw text bit-for-bit; the xxhash64 mode remains for
+    non-oracle use and the banded-vs-brute-force exactness test in
+    tests/test_llm_ops.py."""
     # Persisted: the banded relation feeds BOTH sides of the self-join
     # and ReuseExchange does not match across alias branches — without
     # this the explode+64-agg fingerprint pass runs twice (same
     # discipline as lsh_candidate_pairs' bucket persist).  doc_id+fp is
     # 16 bytes/doc — negligible at any corpus size.
     docs = text.simhash_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        hasher="md5"
     ).persist()
     width = 64 // _SIMHASH_BANDS
     mask = (1 << width) - 1
@@ -397,9 +432,47 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_ann_lsh", oracle=None)
+@register(
+    "q_sim_ann_lsh",
+    # Same full-pipeline oracle technique as q_llm_dedup_embed: the
+    # Rademacher planes come from the engine-portable integer chain
+    # (similarity.py::_rademacher_component; SQL twin GENERATED by
+    # _rademacher_weight_sql), so DuckDB rebuilds the identical
+    # 8-plane × 16-table buckets, the same candidate pairs, and the
+    # same rounded cosines — the flagship ANN path is hash-verified
+    # end-to-end, not rows-only.
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, tbl,
+             list_reduce(
+               list_transform(range(0, 8), p ->
+                 CASE WHEN list_reduce(
+                        list_transform(range(0, 64), d -> ve[d+1] *
+                          {_rademacher_weight_sql()}),
+                        (a, x) -> a + x) >= 0
+                      THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+               (a, x) -> a + x) AS bucket
+      FROM v, (SELECT UNNEST(range(0, 16)) AS tbl)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(va.ve, vb.ve), 4) AS cos
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(va.ve, vb.ve), 4) >= 0.4
+    """,
+)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH near-neighbor pairs (8 hash-derived
+    """Multi-table sign-LSH near-neighbor pairs (8 portable ±1
     hyperplanes × 16 tables; capture p = 1−(1−(1−θ/π)⁸)¹⁶) with exact
     cosine re-rank — the ANN scale path (candidates ∝ Σ bucket² per
     table, never N²).  8 planes → 256 buckets/table is what bounds the
@@ -411,13 +484,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus 0.8+ near-dup cut would return nothing to check) — capture
     p rises steeply with similarity: ≈ 0.33 at cos 0.4, ≈ 0.63 at 0.6,
     ≈ 0.99 at 0.9, so at production thresholds the same plan has
-    near-total recall.  Hash planes have no DuckDB equivalent →
-    rows-only; recall at exactly these settings is asserted in
-    tests/test_llm_ops.py::test_lsh_registered_settings_recall."""
+    near-total recall.  The xxhash64-plane variant (scheme="hash")
+    remains an operator mode, recall-tested in tests/test_llm_ops.py;
+    the registered query pins scheme="rademacher" so the DuckDB twin
+    replicates candidate generation bit-for-bit (recall is part of
+    WHAT IS CHECKED, not a source of mismatch)."""
     em = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_candidate_pairs(em, n_planes=8, n_tables=16).where(
-        F.col("cos") >= 0.4
+    pairs = similarity.lsh_candidate_pairs(
+        em, n_planes=8, n_tables=16, scheme="rademacher", dim=64
     )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
+    ).where(F.col("cos") >= 0.4)
 
 
 @register("q_sim_ann_ivf", oracle=None)
@@ -896,16 +974,47 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None)
+_MM_FEATURE_COLS = ", ".join(
+    "ROUND(CASE WHEN length(d.text) = 0 THEN 0.0 ELSE "
+    f"COALESCE(SUM(CASE WHEN h.bin = {i} THEN h.c END), 0)"
+    " / length(d.text) END, 6)"
+    f" AS f{i:02d}"
+    for i in range(16)
+)
+
+
+@register(
+    "q_multimodal_features",
+    # The fake decoder is pure arithmetic over the payload bytes
+    # (16-bin histogram of byte % 16, normalized by length), and the
+    # fixture text is pure ASCII (pinned in tests/test_catalog.py), so
+    # a char-level DuckDB twin recomputes the features exactly: same
+    # integer counts, same double division, same ROUND(.,6).
+    oracle=f"""
+    WITH hist AS (
+      SELECT doc_id, ord(ch) % 16 AS bin, COUNT(*)::DOUBLE AS c
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+            FROM documents)
+      GROUP BY doc_id, bin
+    )
+    SELECT d.doc_id,
+           'application/octet-stream' AS mime,
+           length(d.text)::BIGINT AS n_bytes,
+           {_MM_FEATURE_COLS}
+    FROM documents d LEFT JOIN hist h USING (doc_id)
+    GROUP BY d.doc_id, d.text
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline plumbing: documents → binary assets with
     typed metadata → Arrow-batched feature extraction (deterministic
-    fake decoder — see operators/multimodal.py).  Rows-only check; the
-    data-flow invariants are asserted in tests/test_llm_ops.py.
+    fake decoder — see operators/multimodal.py).
 
-    The feature vector is emitted as ``to_json(features)`` — the
-    harness canonicalizes results through pandas, where a raw
-    ``array<double>`` cell is unhashable/unsortable; library callers
+    The 16-dim feature vector is emitted as per-element ROUNDED scalar
+    columns f00..f15 — the harness canonicalizes results through
+    pandas, where a raw ``array<double>`` cell is unhashable/
+    unsortable, and scalar columns additionally let the DuckDB oracle
+    hash-verify every feature value (VERDICT r04 #5); library callers
     use ``extract_features`` directly for the typed array."""
     from level2_to_cassandra_spark.operators import multimodal
 
@@ -916,7 +1025,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "mime",
         "n_bytes",
-        F.to_json("features").alias("features_json"),
+        *[
+            F.round(F.col("features")[i], 6).alias(f"f{i:02d}")
+            for i in range(16)
+        ],
     )
 
 

@@ -149,3 +149,34 @@ def test_embeddings_dim_matches_oracle_assumption(spark):
 
     dims = em.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r["d"] for r in dims] == [64]
+
+
+def test_documents_text_is_ascii(spark):
+    """q_multimodal_features' DuckDB oracle recomputes the fake
+    decoder's BYTE histogram at CHAR level (SQL has no per-byte blob
+    unnest) — exact only while the fixture text is pure ASCII (byte
+    count == char count).  If the driver regenerates documents with
+    multi-byte text, THIS failure explains the mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bad = docs.where(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert bad == 0
+
+
+def test_events_values_are_finite(spark):
+    """q_json_scan round-trips events.value through to_json; a
+    NaN/Infinity double serializes as non-standard JSON that corrupts
+    the whole line Spark-side while DuckDB still parses the row — a
+    latent hash mismatch.  Pin fixture finiteness so drift fails HERE
+    with an explanation (ADVICE r04 #2)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bad = ev.where(
+        F.isnan(F.col("value")) | F.col("value").isin(
+            float("inf"), float("-inf"))
+    ).count()
+    assert bad == 0

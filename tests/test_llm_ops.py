@@ -44,14 +44,16 @@ def test_simhash_identical_and_near_docs(spark):
 
 def test_simhash_banding_is_exact_for_its_threshold(spark):
     """8×8-bit banding guarantees recall for hamming ≤ 7 (pigeonhole):
-    the banded query must equal a brute-force hamming scan exactly."""
+    the banded query must equal a brute-force hamming scan exactly.
+    Brute force uses the same portable md5 hasher the registered
+    query pins (its DuckDB oracle recomputes the same fingerprints)."""
     from level2_to_cassandra_spark.registry import all_queries
 
     pairs = all_queries()["q_llm_dedup_simhash"].fn(spark, SF)
     got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
 
     fps = load_table(spark, SF, "documents").select(
-        "doc_id", text.simhash64("text").alias("fp")
+        "doc_id", text.simhash64("text", hasher="md5").alias("fp")
     )
     a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
     b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
@@ -79,7 +81,11 @@ def test_simhash_catches_most_jaccard_neardups(spark):
     }
     assert exact, "fixture should contain jaccard≥0.8 near-dups"
     recall = len(exact & sim) / len(exact)
-    assert recall >= 0.9  # simhash is a different signal; near-1 here
+    # simhash (hamming ≤ 7/64) is a different signal than 3-shingle
+    # jaccard ≥ 0.8 — recall is high but not 1, and the marginal pair
+    # set shifts with the token hasher (measured: 0.93 xxhash, 0.89
+    # portable-md5 at sf0.01)
+    assert recall >= 0.85
 
 
 # ------------------------------------------------------- sign-LSH recall
@@ -115,8 +121,10 @@ def test_lsh_registered_settings_recall(spark):
     0.8+ near-dup similarities the same plan captures ≈ 0.99).
     Tight buckets (256/table) are what keep the candidate join
     bucket-bounded at scale; this pins that the tightening did not
-    hollow the query out.  Deterministic (hash-seeded planes):
-    measured recall 0.273 at sf0.001 / 0.305 at sf0.01."""
+    hollow the query out.  Deterministic (portable Rademacher
+    planes, same generator the DuckDB oracle replicates).  Truth
+    rounds cos to 4 dp exactly as the registered query does, so the
+    zero-false-positive assertion compares like with like."""
     from level2_to_cassandra_spark.registry import all_queries
 
     got_rows = all_queries()["q_sim_ann_lsh"].fn(spark, SF).collect()
@@ -128,7 +136,8 @@ def test_lsh_registered_settings_recall(spark):
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                similarity.cosine(F.col("va"), F.col("vb")).alias("cos"))
+                F.round(similarity.cosine(F.col("va"), F.col("vb")), 4)
+                .alias("cos"))
         .where(F.col("cos") >= 0.4)
         .collect()
     )
@@ -518,13 +527,16 @@ def test_simhash_fingerprints_null_text_parity(spark):
         [(1, "a b c d"), (2, None), (3, None)],
         "doc_id long, text string",
     )
-    table = {r.doc_id: r.fp for r in
-             T.simhash_fingerprints(docs, "doc_id", "text").collect()}
-    column = {r.doc_id: r.fp for r in
-              docs.select("doc_id",
-                          T.simhash64("text").alias("fp")).collect()}
-    assert table == column
-    assert table[2] == 0 and table[3] == 0
+    for hasher in ("xxhash", "md5"):
+        table = {r.doc_id: r.fp for r in
+                 T.simhash_fingerprints(docs, "doc_id", "text",
+                                        hasher=hasher).collect()}
+        column = {r.doc_id: r.fp for r in
+                  docs.select("doc_id",
+                              T.simhash64("text", hasher=hasher)
+                              .alias("fp")).collect()}
+        assert table == column, hasher
+        assert table[2] == 0 and table[3] == 0
 
 
 def test_lsh_buckets_agg_matches_column_form(spark):
