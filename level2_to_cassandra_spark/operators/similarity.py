@@ -562,10 +562,14 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
     )
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
-                  id_col: str = "vec_id", vec_col: str = "embedding",
-                  lloyd_iters: int = 1) -> DataFrame:
-    """Deterministic coarse quantizer: (cell, __cv) centroid rows.
+def ivf_index(corpus: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              lloyd_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer + inverted file in ``lloyd_iters``
+    corpus passes TOTAL: ``(cent, assigned)`` where ``assigned`` is the
+    LAST Lloyd iteration's cell assignment (persisted — at cluster
+    scale this is the bucketed-by-cell staging table) and ``cent`` are
+    the per-cell MEANS of exactly that assignment.
 
     Seeds are the ``n_cells`` corpus vectors with the smallest
     xxhash64(id) — a reproducible pseudo-random sample picked with a
@@ -575,9 +579,18 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     posexplode → avg → re-assemble.  Centroid components are rounded to
     6 decimals so cell-assignment boundaries are stable across
     summation orders (same engine-invariance trick as ``round_cos`` in
-    :func:`brute_topk`).  Cells that lose every member vanish — probes
-    simply never select them.  The result is n_cells rows of dim
-    doubles: always broadcastable."""
+    :func:`brute_topk`).
+
+    Returning the assignment that PRODUCED the final centroids (rather
+    than re-assigning against them, as rounds ≤ 4 did) both removes a
+    full corpus ``mapInPandas`` pass (VERDICT r04 #4: similarity.py ran
+    ivf_assign_np twice at lloyd_iters=1) and makes the index
+    internally coherent: each inverted list's representative is the
+    true mean of exactly its members, and every list cell exists in
+    ``cent`` (a cell with no members vanishes from both — probes never
+    select it).  The persist is what keeps it one pass: the means
+    collect() materializes the cache; the probe join then reads the
+    staging table instead of re-running the Arrow kernel."""
     w = Window.orderBy(F.asc("__h"))
     seeds = (
         corpus.select(
@@ -590,12 +603,14 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         .select("cell", "__cv")
     )
     cent = seeds
+    assigned = None
     for _ in range(lloyd_iters):
-        assigned = ivf_assign_np(corpus, cent, id_col, vec_col).select(
-            "cell", as_double(F.col(vec_col)).alias("__v")
-        )
-        cent = (
-            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+        if assigned is not None:
+            assigned.unpersist()
+        assigned = ivf_assign_np(corpus, cent, id_col, vec_col).persist()
+        means = (
+            assigned.select("cell", as_double(F.col(vec_col)).alias("__v"))
+            .select("cell", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("x"))
             .groupBy("cell")
@@ -615,8 +630,19 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         # geometrically.  n_cells rows of dim doubles is driver-bounded
         # by construction (it is the relation we broadcast anyway).
         cent = corpus.sparkSession.createDataFrame(
-            cent.collect(), "cell int, __cv array<double>"
+            means.collect(), "cell int, __cv array<double>"
         )
+    return cent, assigned
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 1) -> DataFrame:
+    """Centroids only — see :func:`ivf_index`.  Releases the staging
+    assignment for callers that just want the quantizer."""
+    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                               lloyd_iters)
+    assigned.unpersist()
     return cent
 
 
@@ -629,17 +655,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     :func:`brute_topk`, against which recall is tested.
 
     Scale shape: the centroid relation is n_cells rows (broadcast
-    everywhere); the corpus is assigned to cells in ONE pass and joined
+    everywhere); the corpus is assigned to cells in ONE pass total
+    (:func:`ivf_index` — the inverted file IS the last Lloyd
+    assignment, read back from its persisted staging form) and joined
     on cell with the probe list (queries × nprobe rows, broadcast by
     AQE).  Per query only ~nprobe/n_cells of the corpus is scanned; at
     cluster scale the assigned corpus is the bucketed-by-cell staging
     table, making repeated query batches zero-shuffle probes."""
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col)
     cells = _cells_array(cent).persist()
-    # cell assignment on the numpy path (map-side, vector rides the
-    # Arrow batch); norms and the re-rank cosine stay JVM-side so the
-    # scoring kernel is bit-identical to brute_topk's
-    inv = ivf_assign_np(corpus, cent, id_col, vec_col).select(
+    # norms and the re-rank cosine stay JVM-side so the scoring kernel
+    # is bit-identical to brute_topk's
+    inv = assigned.select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("__cvv"),

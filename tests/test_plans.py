@@ -149,3 +149,17 @@ def test_range_frame_single_shuffle(spark):
                    "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_ivf_single_corpus_pass(spark):
+    """VERDICT r04 #4: the corpus must cross the Arrow boundary ONCE.
+    The inverted file is the persisted last-Lloyd assignment
+    (similarity.py::ivf_index), so the only MapInPandas in the final
+    plan sits INSIDE the cached staging relation — materialized once
+    by the centroid-means collect, never re-executed live."""
+    df = all_queries()["q_sim_ann_ivf"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "InMemoryTableScan" in plan
+    # the one MapInPandas is the cached build plan, not a live node
+    assert plan.index("InMemoryRelation") < plan.index("MapInPandas")
