@@ -119,16 +119,38 @@ def write_upsert_cassandra(df: DataFrame, keyspace: str, topic: str,
     )
 
 
+#: Hard ceiling on distinct topics a micro-batch may route to.  The
+#: reference subscribes a FIXED, config-enumerated topic list
+#: (main.rs: one SUB socket per configured topic), so topic
+#: cardinality is operator-bounded by design — this guard turns a
+#: corrupt/unbounded topic column (which would make the per-batch
+#: driver collect and the table fan-out unbounded) into a loud error
+#: instead of a silent driver OOM.
+MAX_SINK_TOPICS = 1000
+
+
 def foreach_batch_cassandra(keyspace: str, table_suffix: str,
                             connector: dict[str, str] | None = None):
     """foreachBatch callback for the Cassandra sink: dynamic per-topic
     routing (one table per topic, the reference's DDL-per-topic
     semantics) — topics in a micro-batch are few, so the driver-side
-    loop is over table names, never rows."""
+    loop is over table names, never rows.  The collect is provably
+    bounded: at most ``MAX_SINK_TOPICS + 1`` topic rows are ever
+    pulled to the driver, and exceeding the ceiling raises."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         deduped = upsert_dedup(batch_df.withColumn(BATCH_COL, F.lit(batch_id)))
-        topics = [r.topic for r in deduped.select("topic").distinct().collect()]
+        topics = [
+            r.topic
+            for r in deduped.select("topic").distinct()
+            .limit(MAX_SINK_TOPICS + 1).collect()
+        ]
+        if len(topics) > MAX_SINK_TOPICS:
+            raise ValueError(
+                f"micro-batch routes to more than {MAX_SINK_TOPICS} "
+                "distinct topics — topic column is unbounded or corrupt "
+                "(reference topics are a fixed config list)"
+            )
         for topic in topics:
             write_upsert_cassandra(
                 deduped.where(F.col("topic") == topic),

@@ -435,3 +435,32 @@ def test_topic_prefix_filter(spark, fixture_dir):
                          out_path="", checkpoint="")
     out = build_batch_pipeline(env, cfg)["book"]
     assert [r.topic for r in out.collect()] == ["ethusd"]
+
+
+def test_cassandra_sink_topic_routing_bounded(spark, monkeypatch):
+    """The per-batch driver collect in foreach_batch_cassandra is
+    bounded by MAX_SINK_TOPICS (VERDICT r04 #6): routing loops over
+    the few configured topics, and an unbounded/corrupt topic column
+    raises instead of silently pulling unbounded rows to the driver."""
+    import pytest as _pytest
+    from level2_to_cassandra_spark.streaming import sink as S
+
+    written = []
+    monkeypatch.setattr(
+        S, "write_upsert_cassandra",
+        lambda df, ks, topic, suffix, connector=None: written.append(topic),
+    )
+
+    def batch(n_topics):
+        return spark.range(n_topics).selectExpr(
+            "concat('t', id) AS topic", "'BTC' AS symbol",
+            "CAST(id AS double) AS time", "1.0 AS price", "id AS seq",
+        )
+
+    cb = S.foreach_batch_cassandra("ks", "tick")
+    cb(batch(3), batch_id=1)
+    assert sorted(written) == ["t0", "t1", "t2"]
+
+    monkeypatch.setattr(S, "MAX_SINK_TOPICS", 10)
+    with _pytest.raises(ValueError, match="distinct topics"):
+        cb(batch(11), batch_id=2)
