@@ -12,6 +12,7 @@ DataFrame and the scan narrows automatically.
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -130,8 +131,8 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     physical planning is forced on the driver at plan-build time.  File
     count under-counts splits (a multi-row-group file scans as several
     tasks), so the heuristic can only over-spread — and a SIZE guard
-    from the optimized plan's statistics (also pure metadata: the file
-    index's byte total) limits that over-spread to genuinely small
+    (also pure metadata: os.stat over the same file list) limits that
+    over-spread to genuinely small
     inputs: a large single-file table with many row groups already
     scans as many parallel tasks, and round-robin-shuffling gigabytes
     to "spread" them would cost more than it saved.  Streaming inputs
@@ -141,12 +142,25 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     if df.isStreaming:
         return df
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
+    files = df.inputFiles()
+    n_files = len(files)
     if not 0 < n_files < target:
         return df
-    size_bytes = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    # Size from the same PUBLIC file index that gave the count (a
+    # private-API plan probe — df._jdf.queryExecution().…stats() —
+    # broke across Spark upgrades; VERDICT r04 #7).  Local paths stat
+    # directly; for remote filesystems (hdfs://, s3://…) stay
+    # conservative and skip the spread — a remote table small enough
+    # to need it is rare, and no repartition is always correct.
+    size_bytes = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return df
+        try:
+            size_bytes += os.stat(parsed.path or uri).st_size
+        except OSError:
+            return df
     # half a maxPartitionBytes split per target core: above this the
     # scan's own row-group splits (or the caller's shuffles) provide
     # the parallelism and an extra exchange is pure cost
