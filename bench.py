@@ -93,6 +93,18 @@ def main() -> None:
         ).save()
     except Exception as e:  # noqa: BLE001 — warmup must never kill the run
         print(f"warmup failed: {e}", file=sys.stderr)
+    # Python-worker warmup: fork the Arrow worker pool on every core
+    # BEFORE pass 1 — otherwise the first mapInPandas query in the set
+    # pays the whole fan-out (measured 15-25 s first-pass spikes on the
+    # Arrow-path queries, which poisons their MEDIANS; worker startup
+    # is session overhead, not query cost).
+    try:
+        spark.range(10_000, numPartitions=int(
+            spark.sparkContext.defaultParallelism)
+        ).mapInPandas(lambda it: it, schema="id long").write.format(
+            "noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"python warmup failed: {e}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -138,19 +150,59 @@ def main() -> None:
         n: (round(statistics.median(ts), 3) if ts else None)
         for n, ts in samples.items()
     }
+    # The headline total is comparable across rounds ONLY when every
+    # query ran: with failures it would silently cover fewer queries
+    # and read as a speedup (ADVICE r04 #3) — emit null instead and
+    # let per-query timings + the failed map carry the signal.
+    # `complete`/`n_queries` make the coverage explicit either way.
     out = {
         "metric": "headline-queries-total",
-        "value": round(sum(t for t in timings.values() if t is not None), 3),
+        "value": (
+            round(sum(t for t in timings.values() if t is not None), 3)
+            if not failed else None
+        ),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "n_queries": len(names),
+        "complete": not failed,
         "queries_median": medians,
         "queries_samples": {
             n: [round(t, 3) for t in ts] for n, ts in samples.items()
         },
         "failed": failed,
     }
+    # Diff against the pinned driver-recorded baseline (VERDICT r04
+    # #8): BASELINE_DRIVER.json holds the last clean driver bench's
+    # per-query MEDIANS (its min map was log-truncated).  The ratio is
+    # median-to-median over the common query set at the same sf —
+    # same bench.py estimator on both sides, so < 1.0 means genuinely
+    # faster than the driver's recorded measurement.
+    bl_path = REPO / "BASELINE_DRIVER.json"
+    if bl_path.exists():
+        try:
+            bl = json.loads(bl_path.read_text())
+            if bl.get("sf") == sf:
+                bl_med = bl.get("queries_median", {})
+                common = [
+                    n for n in names
+                    if medians.get(n) is not None and n in bl_med
+                ]
+                cur_total = sum(medians[n] for n in common)
+                bl_total = sum(bl_med[n] for n in common)
+                out["baseline"] = {
+                    "source": bl.get("source"),
+                    "estimator": "median",
+                    "n_common": len(common),
+                    "common_total": round(cur_total, 3),
+                    "baseline_total": round(bl_total, 3),
+                    "vs_baseline": (
+                        round(cur_total / bl_total, 3) if bl_total else None
+                    ),
+                }
+        except (ValueError, OSError) as e:
+            print(f"baseline diff skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

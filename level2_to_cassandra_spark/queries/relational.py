@@ -95,6 +95,8 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (no sampling pass over 100 TB), per-record error
     isolation, corrupt payloads quarantined not dropped.
     """
+    import atexit
+    import shutil
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
@@ -106,8 +108,13 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fresh dir per invocation: a path shared across sessions would let
     # one session's mode("overwrite") delete files under another
-    # session's concurrent scan (bench + pytest race)
+    # session's concurrent scan (bench + pytest race).  Deleting
+    # eagerly is unsafe while the lazy read below is pending, so each
+    # dir is reclaimed at interpreter exit (ADVICE r04 #1 — without
+    # this every bench rep / oracle check leaked a JSONL copy of
+    # events to /tmp for the host to accumulate across rounds).
     path = tempfile.mkdtemp(prefix="l2c_json_scan_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read.schema(
