@@ -501,7 +501,8 @@ def _best_cell(vec: Column, norm: Column) -> Column:
 
 def ivf_assign_np(df: DataFrame, cent: DataFrame,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  round_assign: int | None = None) -> DataFrame:
     """Append ``cell``: max-cosine centroid per row, as an Arrow-batched
     numpy product — the fast twin of the :func:`_best_cell` array fold
     (same 20×-class win as :func:`lsh_buckets_np`: cell assignment is a
@@ -518,6 +519,20 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
     in tests.  NULL/short vectors keep the fold form's behavior: the
     fold's cosine is NULL for every cell, greatest() never beats the
     (-2.0, -1) seed, so cell = -1.
+
+    ``round_assign`` selects the ENGINE-PORTABLE assignment mode: the
+    full cosine (divided by |v| too — scaling moves rounding
+    boundaries, so the argmax must round the same quantity another
+    engine computes) is rounded half-away-from-zero to that many
+    decimals BEFORE the argmax.  Without rounding, an external oracle
+    recomputing cosines with a different summation order flips the
+    argmax whenever two cells sit within float-jitter of each other;
+    with it, near-ties collapse to EQUAL rounded keys on both engines
+    and the shared largest-cell tie-break decides identically.  The
+    residual risk is a raw cosine within one ulp of a rounding
+    boundary — measure-zero on data (same argument as ``round_cos``
+    in :func:`brute_topk`).  Zero-norm vectors get cell -1 (cosine
+    undefined — mirrors the NULL behavior above).
     """
     import numpy as np
     import pandas as pd
@@ -546,6 +561,14 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
                      for v, o in zip(pdf[vec_col], ok) if o]
                 )
             p = x @ c_unit  # n × n_cells
+            if round_assign is not None:
+                vn = np.sqrt((x * x).sum(axis=1))
+                ok &= vn > 0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    p = p / np.where(vn > 0, vn, 1.0)[:, None]
+                # ROUND half-away-from-zero, matching Spark/DuckDB
+                scale = 10.0 ** round_assign
+                p = np.trunc(np.abs(p) * scale + 0.5) * np.sign(p) / scale
             m = p.max(axis=1)
             # last (= largest cell id; rows sorted by cell) argmax
             best = p.shape[1] - 1 - np.argmax(p[:, ::-1] == m[:, None],
@@ -564,7 +587,8 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
 
 def ivf_index(corpus: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              lloyd_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+              lloyd_iters: int = 1, scheme: str = "hash",
+              round_assign: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Deterministic coarse quantizer + inverted file in ``lloyd_iters``
     corpus passes TOTAL: ``(cent, assigned)`` where ``assigned`` is the
     LAST Lloyd iteration's cell assignment (persisted — at cluster
@@ -590,14 +614,30 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     ``cent`` (a cell with no members vanishes from both — probes never
     select it).  The persist is what keeps it one pass: the means
     collect() materializes the cache; the probe join then reads the
-    staging table instead of re-running the Arrow kernel."""
-    w = Window.orderBy(F.asc("__h"))
+    staging table instead of re-running the Arrow kernel.
+
+    ``scheme="portable"`` switches the seed-picking hash from xxhash64
+    to the lowercase-hex md5 of the DECIMAL id string, ordered
+    lexicographically — fixed-width hex compares identically as a
+    binary string and as the unsigned 64/128-bit integer it encodes,
+    and both Spark and DuckDB produce the same md5 hex of the same
+    digits, so an external oracle reproduces the exact seed set and
+    numbering.  ``round_assign`` (see :func:`ivf_assign_np`) makes the
+    Lloyd assignment itself engine-invariant."""
+    if scheme == "portable":
+        hcol = F.md5(F.col(id_col).cast("string"))
+    elif scheme == "hash":
+        hcol = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown ivf scheme {scheme!r}")
+    w = Window.orderBy(F.asc("__h"), F.asc("__hid"))
     seeds = (
         corpus.select(
             as_double(F.col(vec_col)).alias("__cv"),
-            F.xxhash64(F.col(id_col)).alias("__h"),
+            hcol.alias("__h"),
+            F.col(id_col).alias("__hid"),
         )
-        .orderBy("__h")
+        .orderBy("__h", "__hid")
         .limit(n_cells)
         .withColumn("cell", F.row_number().over(w))
         .select("cell", "__cv")
@@ -607,7 +647,8 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     for _ in range(lloyd_iters):
         if assigned is not None:
             assigned.unpersist()
-        assigned = ivf_assign_np(corpus, cent, id_col, vec_col).persist()
+        assigned = ivf_assign_np(corpus, cent, id_col, vec_col,
+                                 round_assign=round_assign).persist()
         means = (
             assigned.select("cell", as_double(F.col(vec_col)).alias("__v"))
             .select("cell", F.posexplode("__v").alias("pos", "x"))
@@ -649,7 +690,9 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_cells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_cos: int | None = None) -> DataFrame:
+             round_cos: int | None = None, scheme: str = "hash",
+             round_assign: int | None = None,
+             round_probe: int | None = None) -> DataFrame:
     """Approximate top-k cosine neighbors per query via IVF probing.
     Output: (query_id, neighbor_id, cos, rank) — the same contract as
     :func:`brute_topk`, against which recall is tested.
@@ -661,8 +704,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     on cell with the probe list (queries × nprobe rows, broadcast by
     AQE).  Per query only ~nprobe/n_cells of the corpus is scanned; at
     cluster scale the assigned corpus is the bucketed-by-cell staging
-    table, making repeated query batches zero-shuffle probes."""
-    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col)
+    table, making repeated query batches zero-shuffle probes.
+
+    ``scheme``/``round_assign``/``round_probe`` select the
+    engine-portable index + probe (see :func:`ivf_index` /
+    :func:`ivf_assign_np`): probe-cell ranking rounds the
+    query-centroid cosine before the (cos DESC, cell ASC) cut, for
+    the same cross-engine argmax-stability reason as the assignment."""
+    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                               scheme=scheme, round_assign=round_assign)
     cells = _cells_array(cent).persist()
     # norms and the re-rank cosine stay JVM-side so the scoring kernel
     # is bit-identical to brute_topk's
@@ -676,11 +726,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     # __cells array — no n_cells× row explosion, no ranking-window
     # shuffle; struct asc order on (−cos, cell) ≡ (cos DESC, cell ASC),
     # the same deterministic cut as the previous row_number form
+    def _probe_key(c):
+        cos_qc = dot(F.col("__qv"), c["__cv"]) / (F.col("__qn") * c["__cn"])
+        if round_probe is not None:
+            cos_qc = F.round(cos_qc, round_probe)
+        return cos_qc
+
     probe_order = F.transform(
         F.col("__cells"),
         lambda c: F.struct(
-            (-(dot(F.col("__qv"), c["__cv"]) / (F.col("__qn") * c["__cn"])))
-            .alias("__neg"),
+            (-_probe_key(c)).alias("__neg"),
             c["cell"].alias("cell"),
         ),
     )

@@ -498,20 +498,95 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos") >= 0.4)
 
 
-@register("q_sim_ann_ivf", oracle=None)
+@register(
+    "q_sim_ann_ivf",
+    # Full-pipeline oracle, same philosophy as q_llm_dedup_embed /
+    # q_sim_ann_lsh: every lossy step of the index is made
+    # engine-portable, so DuckDB rebuilds the IDENTICAL quantizer —
+    # seeds = 16 vectors with the lexicographically-smallest
+    # md5(CAST(vec_id AS VARCHAR)) hex (fixed-width lowercase hex
+    # orders the same as the unsigned integer it encodes, and both
+    # engines md5 the same decimal digits); one Lloyd step whose
+    # argmax rounds the cosine to 6 decimals with a largest-cell
+    # tie-break (near-ties collapse to equal keys on both engines);
+    # centroids = per-component means rounded to 6; probe-cell
+    # ranking rounds to 6 with a smallest-cell tie-break; final
+    # re-rank rounds to 4 (the q_sim_topk-proven cut).  Recall vs
+    # brute force stays asserted in tests/test_llm_ops.py — the
+    # oracle checks that the APPROXIMATE answer is bit-reproducible,
+    # the recall test that it is a good approximation.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ve AS cv,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    a0 AS (
+      SELECT vec_id, ve, cell FROM (
+        SELECT v.vec_id, v.ve, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.ve, s.cv), 6) DESC,
+                          s.cell DESC) AS rn
+        FROM v CROSS JOIN seeds s)
+      WHERE rn = 1
+    ),
+    comp AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+      GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(x ORDER BY pos) AS cv FROM comp GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 6
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.ve), 4) AS cos
+      FROM probes p JOIN a0 a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for 5 query vectors: hash-seeded spherical
+    """IVF ANN top-10 for 5 query vectors: md5-seeded spherical
     k-means coarse quantizer (16 cells, 1 Lloyd step), each query
     probes its 6 nearest cells, exact cosine re-ranks — the query-side
     ANN scale path (per query ~nprobe/n_cells of the corpus is
     scanned; at cluster scale the cell-assigned corpus is a
     bucketed-by-cell staging table and probes are broadcast joins).
-    The quantizer has no DuckDB equivalent → rows-only; recall vs
-    brute force is asserted in tests/test_llm_ops.py."""
+    The registered query pins scheme="portable" + rounded argmax so
+    the DuckDB twin replicates the ENTIRE index construction
+    bit-for-bit (see the oracle comment); the xxhash64-seeded mode
+    remains the cheaper operator default, recall-tested in
+    tests/test_llm_ops.py.  Oracle pins dim=64 (range(0,64) /
+    64-component means) — tests/test_catalog.py pins the fixture
+    width, so a regenerated fixture fails loudly, not silently."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(
-        em, queries, k=10, n_cells=16, nprobe=6, round_cos=4
+        em, queries, k=10, n_cells=16, nprobe=6, round_cos=4,
+        scheme="portable", round_assign=6, round_probe=6,
     ).select(
         "query_id", "neighbor_id", "cos",
         F.col("rank").cast("long").alias("rank"),

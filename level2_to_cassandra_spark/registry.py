@@ -69,10 +69,12 @@ DRIVER_ORDER = (
     "q_sample_stratified",
     "q_text_repetition",
     # -- r05 upgrades: r04 rows-only / no_oracle queries that gained a
-    # real DuckDB oracle this round (VERDICT #2/#3/#5) — must re-check
+    # real DuckDB oracle this round (VERDICT #2/#3/#5, plus the IVF
+    # portable-quantizer oracle) — must (re-)check
     "q_multimodal_features",
     "q_llm_dedup_simhash",
     "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -102,7 +104,6 @@ DRIVER_ORDER = (
     "q_sort_limit",
     "q_topk_per_group",
     "q_scalar_datetime",
-    "q_scalar_json",
     "q_window_cumulative",
     "q_join_inner",
     "q_join_outer",
@@ -116,6 +117,10 @@ DRIVER_ORDER = (
     "q_sim_topk",
     "q_text_stats",
     # ======================= past the cap ==============================
+    # -- evicted for the IVF oracle's first driver row: thrice-green
+    # (r01+r02+r04), untouched, JSON coverage carried in-cap by
+    # q_json_scan + q_scalar_datetime ----------------------------------
+    "q_scalar_json",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;
@@ -158,10 +163,9 @@ DRIVER_ORDER = (
     "q_sample_split",
     "q_text_fingerprint",
     # -- twice-green (r01+r02), untouched, coverage-redundant ----------
-    # (q_sim_ann_ivf / q_agg_approx_percentile / q_agg_approx /
-    # q_agg_hll_sketch are rows-only by design — a driver row adds no
-    # oracle signal beyond local tolerance/recall tests)
-    "q_sim_ann_ivf",
+    # (q_agg_approx_percentile / q_agg_approx / q_agg_hll_sketch are
+    # rows-only by design — a driver row adds no oracle signal beyond
+    # local tolerance/recall tests)
     "q_agg_approx_percentile",
     "q_agg_approx",
     "q_set_ops_all",

@@ -20,8 +20,10 @@ NEVER_DRIVER_CHECKED = {
     "q_ngram_counts", "q_token_histogram", "q_embed_quantize",
     "q_sample_stratified", "q_text_repetition",
     # r04 no_oracle rows that gained real DuckDB oracles in r05
-    # (VERDICT #2/#3/#5) — their first hash check happens now
+    # (VERDICT #2/#3/#5, plus the portable IVF quantizer) — their
+    # first hash check happens now
     "q_multimodal_features", "q_llm_dedup_simhash", "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
 }
 
 # Driver-green in at least one prior round (or rows-only by design),
@@ -45,9 +47,11 @@ SAFE_TO_ROTATE_OUT = {
     "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
     "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
     "q_window_lag",
+    # evicted for the IVF oracle's first driver row: thrice-green,
+    # JSON coverage carried in-cap by q_json_scan + q_scalar_datetime
+    "q_scalar_json",
     # rows-only by design: a driver row would add no oracle signal
     # beyond the local recall/tolerance tests
-    "q_sim_ann_ivf",
     "q_agg_approx_percentile",
     "q_agg_approx",
     "q_agg_hll_sketch",
