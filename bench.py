@@ -61,6 +61,10 @@ HEADLINE = [
     "q_dedup_incremental_fuzzy",  # cross-corpus PPJoin + anti join
     "q_curate_corpus",       # composed curation funnel (4 gates, 1 pass)
     "q_resample_locf",       # grid resample + LOCF window fill
+    # r05 additions
+    "q_semdedup",            # cluster-bounded embedding-space dedup
+    "q_text_bigram_lm",      # self-trained bigram LM scoring
+    "q_vocab_coverage",      # vocab induction + per-doc OOV rate
 ]
 
 

@@ -498,25 +498,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos") >= 0.4)
 
 
-@register(
-    "q_sim_ann_ivf",
-    # Full-pipeline oracle, same philosophy as q_llm_dedup_embed /
-    # q_sim_ann_lsh: every lossy step of the index is made
-    # engine-portable, so DuckDB rebuilds the IDENTICAL quantizer —
-    # seeds = 16 vectors with the lexicographically-smallest
-    # md5(CAST(vec_id AS VARCHAR)) hex (fixed-width lowercase hex
-    # orders the same as the unsigned integer it encodes, and both
-    # engines md5 the same decimal digits); one Lloyd step whose
-    # argmax rounds the cosine to 6 decimals with a largest-cell
-    # tie-break (near-ties collapse to equal keys on both engines);
-    # centroids = per-component means rounded to 6; probe-cell
-    # ranking rounds to 6 with a smallest-cell tie-break; final
-    # re-rank rounds to 4 (the q_sim_topk-proven cut).  Recall vs
-    # brute force stays asserted in tests/test_llm_ops.py — the
-    # oracle checks that the APPROXIMATE answer is bit-reproducible,
-    # the recall test that it is a good approximation.
-    oracle="""
-    WITH v AS (
+#: Portable IVF quantizer as DuckDB CTEs — the SQL twin of
+#: similarity.ivf_index(scheme="portable", round_assign=6, n_cells=16):
+#: seeds = 16 vectors with the lexicographically-smallest
+#: md5(CAST(vec_id AS VARCHAR)) hex (fixed-width lowercase hex orders
+#: the same as the unsigned integer it encodes, and both engines md5
+#: the same decimal digits); one Lloyd step whose argmax rounds the
+#: cosine to 6 decimals with a largest-cell tie-break (near-ties
+#: collapse to equal keys on both engines).  Shared by the IVF ANN and
+#: SemDeDup oracles — both consume the cell assignment ``a0``.
+_IVF_PORTABLE_CTES = """
+    v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
     ),
@@ -537,7 +529,24 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           s.cell DESC) AS rn
         FROM v CROSS JOIN seeds s)
       WHERE rn = 1
-    ),
+    )
+"""
+
+
+@register(
+    "q_sim_ann_ivf",
+    # Full-pipeline oracle, same philosophy as q_llm_dedup_embed /
+    # q_sim_ann_lsh: every lossy step of the index is made
+    # engine-portable, so DuckDB rebuilds the IDENTICAL quantizer
+    # (see _IVF_PORTABLE_CTES); centroids = per-component means
+    # rounded to 6; probe-cell ranking rounds to 6 with a
+    # smallest-cell tie-break; final re-rank rounds to 4 (the
+    # q_sim_topk-proven cut).  Recall vs brute force stays asserted
+    # in tests/test_llm_ops.py — the oracle checks that the
+    # APPROXIMATE answer is bit-reproducible, the recall test that it
+    # is a good approximation.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
     comp AS (
       SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
       FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
@@ -590,6 +599,82 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", "cos",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+@register(
+    "q_semdedup",
+    # Reuses the portable-quantizer CTEs (cell assignment a0) and the
+    # ROUND(cos, 4) pair cut proven on q_llm_dedup_embed, so the
+    # whole cluster-then-prune pipeline is hash-checked end-to-end.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a0 a JOIN a0 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 4)
+            >= {_SEMDEDUP_THRESHOLD}
+    ),
+    pruned AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+    SELECT a0.vec_id, CAST(a0.cell AS BIGINT) AS cell
+    FROM a0 LEFT JOIN pruned p USING (vec_id)
+    WHERE p.vec_id IS NULL
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): cluster embeddings with
+    the portable IVF coarse quantizer (16 cells, 1 Lloyd step — the
+    same index q_sim_ann_ivf probes), then WITHIN each cluster prune
+    every vector that has a lower-id neighbor at rounded cosine ≥
+    0.35; survivors are the kept corpus.  This is the
+    embedding-space dedup that catches paraphrases exact/minhash text
+    dedup cannot.
+
+    Scale shape: the pair join is cell-bounded — candidates ∝
+    Σ cell_size², never N², and n_cells grows with the corpus so cell
+    sizes stay constant (at 100 TB: thousands of cells, each a
+    shuffle-local pairwise pass; a pathologically hot cell gets the
+    operators/skew.py salting treatment).  The pair scan runs on
+    NARROW (cell, id, vec) rows off the persisted assignment staging
+    table; the keep-side anti-join shuffles ids only.  Threshold
+    0.35 is fixture-tuned (near-random vectors — real
+    corpora use ~0.95+); the keep rule (prune the higher id of a
+    qualifying pair) is the same deterministic canonical-survivor rule
+    as q_dedup_keep."""
+    em = load_table(spark, sf_dir, "embeddings")
+    _cent, assigned = similarity.ivf_index(
+        em, n_cells=16, scheme="portable", round_assign=6
+    )
+    v = similarity.as_double(F.col("embedding"))
+    narrow = assigned.select(
+        "cell",
+        F.col("vec_id"),
+        v.alias("__dv"),
+        similarity.l2_norm(v).alias("__n"),
+    )
+    cos = similarity.dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
+    )
+    pruned = (
+        narrow.select("cell", F.col("vec_id").alias("id_a"),
+                      F.col("__dv").alias("__va"), F.col("__n").alias("__na"))
+        .join(
+            narrow.select("cell", F.col("vec_id").alias("id_b"),
+                          F.col("__dv").alias("__vb"),
+                          F.col("__n").alias("__nb")),
+            "cell",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cos, 4) >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(pruned, "vec_id", "left_anti")
     )
 
 

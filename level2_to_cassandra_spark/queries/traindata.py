@@ -625,3 +625,136 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeated_frac"),
         )
     )
+
+
+@register(
+    "q_text_bigram_lm",
+    # Every count the model trains on is an exact integer on both
+    # engines; the only float steps are the smoothed probability
+    # (a ratio of exact ints — identical doubles), ln (correctly
+    # rounded within 1 ulp on both), and the per-doc mean, whose
+    # summation-order jitter (≲1e-13) the ROUND(.,6) absorbs.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, concat_ws(' ', w[i], w[i+1]) AS ngram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+    model AS (SELECT w1, ngram, COUNT(*) AS c FROM bg GROUP BY w1, ngram),
+    ctx AS (SELECT w1, SUM(c) AS cw FROM model GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT t) AS v FROM
+                (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents)),
+    scored AS (
+      SELECT b.doc_id,
+             ln((m.c + 1)::DOUBLE / (x.cw + vocab.v)::DOUBLE) AS lnp
+      FROM bg b JOIN model m USING (ngram)
+      JOIN ctx x ON m.w1 = x.w1
+      CROSS JOIN vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lnp), 6) AS avg_lnp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring (the KenLM-style
+    perplexity filter of CCNet/Gopher pipelines, self-trained): fit an
+    add-one-smoothed bigram model on the corpus itself, then score
+    each document by its mean token log-probability
+    avg ln((c(w1,w2)+1)/(c(w1·)+V)) — low scorers are the gibberish /
+    boilerplate a perplexity cut removes.  Docs with < 2 tokens have
+    no bigrams and drop out on both engines.
+
+    Scale shape: train and score are each ONE map-side-combined
+    aggregation over the exploded bigram stream; scoring re-joins the
+    model on the bigram key — a shuffle join where the model side has
+    one row per DISTINCT bigram (Zipf: far smaller than the
+    occurrence stream) and AQE handles hot-bigram skew on the probe
+    side.  V and the context totals ride the model rows / a 1-row
+    broadcast, so nothing wide ever shuffles.  At 100 TB the model
+    relation is the reusable staging table: train once, score every
+    incoming shard with broadcast-or-bucketed joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = spread_scan(docs).select(
+        "doc_id", F.explode(text.word_shingles("text", 2)).alias("ngram")
+    )
+    model = (
+        bg.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__w1", F.split("ngram", " ")[0])
+    )
+    ctx = model.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
+    vocab = (
+        docs.select(F.explode(text.tokens("text")).alias("__t"))
+        .agg(F.countDistinct("__t").alias("__v"))
+    )
+    lnp = F.log(
+        (F.col("__c") + 1).cast("double")
+        / (F.col("__cw") + F.col("__v")).cast("double")
+    )
+    return (
+        bg.join(model, "ngram")
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lnp), 6).alias("avg_lnp"),
+        )
+    )
+
+
+_VOCAB_SIZE = 100
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    vocab AS (SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+                             ORDER BY c DESC, t LIMIT {_VOCAB_SIZE}))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(v.t) AS BIGINT) AS n_in_vocab,
+           ROUND(1.0 - COUNT(v.t)::DOUBLE / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction + coverage: take the top-100
+    corpus tokens by frequency (count DESC, token ASC — a
+    deterministic cut) as the induced vocabulary, then measure each
+    document's out-of-vocabulary rate.  This is the coverage check run
+    before committing a tokenizer/vocab to a training corpus: a
+    domain whose OOV rate spikes is about to fragment into bytes.
+
+    Scale shape: vocabulary induction is one map-side-combined count
+    + a TakeOrdered cut (no global sort materializes); the induced
+    vocab is by construction top-K-small, so coverage scoring is a
+    BROADCAST join against the exploded token stream followed by one
+    per-doc aggregation — the token stream shuffles once, on doc_id,
+    and only (doc_id, flag) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_scan(docs).select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("t"))
+        .limit(_VOCAB_SIZE)
+        .select("t", F.lit(1).alias("__in"))
+    )
+    hit = F.coalesce(F.col("__in"), F.lit(0))
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).cast("long").alias("n_in_vocab"),
+            F.round(
+                F.lit(1.0) - F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -75,6 +75,10 @@ DRIVER_ORDER = (
     "q_llm_dedup_simhash",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
+    # -- NEW in r05: each needs its first driver row ---------------------
+    "q_semdedup",
+    "q_text_bigram_lm",
+    "q_vocab_coverage",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -96,12 +100,9 @@ DRIVER_ORDER = (
     "q_scan_project_filter",
     "q_json_scan",
     "q_agg_basic",
-    "q_agg_conditional",
     "q_sql_star_revenue",
     "q_agg_percentile",
-    "q_window_distribution",
     "q_dedup_lww",
-    "q_sort_limit",
     "q_topk_per_group",
     "q_scalar_datetime",
     "q_window_cumulative",
@@ -117,10 +118,16 @@ DRIVER_ORDER = (
     "q_sim_topk",
     "q_text_stats",
     # ======================= past the cap ==============================
-    # -- evicted for the IVF oracle's first driver row: thrice-green
-    # (r01+r02+r04), untouched, JSON coverage carried in-cap by
-    # q_json_scan + q_scalar_datetime ----------------------------------
+    # -- evicted for the r05 additions' first driver rows: each
+    # thrice-green (r01+r02+r04), untouched, with an in-cap sibling
+    # (q_scalar_json↔q_json_scan+q_scalar_datetime,
+    # q_agg_conditional↔q_agg_basic, q_window_distribution↔
+    # q_window_range_frame/q_window_cumulative,
+    # q_sort_limit↔q_topk_per_group) ------------------------------------
     "q_scalar_json",
+    "q_agg_conditional",
+    "q_window_distribution",
+    "q_sort_limit",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;

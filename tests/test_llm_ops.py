@@ -681,3 +681,41 @@ def test_ivf_assign_np_matches_fold_form(spark):
     }
     assert np_form == fold
     assert np_form[900001] == -1
+
+
+def test_semdedup_keeps_lowest_id_and_prunes_no_survivor_pairs(spark):
+    """Brute-force replica of the keep rule: an id is pruned iff SOME
+    lower id in the same cell is within the rounded-cosine threshold
+    (the witness itself may later be pruned by an even lower id —
+    that does not un-prune anyone).  The kept set must match exactly,
+    and both sides must be non-degenerate on the fixture."""
+    from level2_to_cassandra_spark.operators import similarity
+    from level2_to_cassandra_spark.queries.llm import (
+        _SEMDEDUP_THRESHOLD, q_semdedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    _cent, assigned = similarity.ivf_index(
+        em, n_cells=16, scheme="portable", round_assign=6
+    )
+    cells = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    vecs = {r.vec_id: r.embedding for r in em.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    expected_pruned = set()
+    for b, cb in cells.items():
+        for a, ca in cells.items():
+            if a < b and ca == cb and cos(vecs[a], vecs[b]) >= _SEMDEDUP_THRESHOLD:
+                expected_pruned.add(b)
+                break
+    kept = {r.vec_id for r in q_semdedup(spark, SF_SMOKE).collect()}
+    assert kept == set(cells) - expected_pruned
+    assert kept  # non-degenerate: something survives
+    assert expected_pruned  # non-degenerate: something was pruned

@@ -24,6 +24,8 @@ NEVER_DRIVER_CHECKED = {
     # first hash check happens now
     "q_multimodal_features", "q_llm_dedup_simhash", "q_sim_ann_lsh",
     "q_sim_ann_ivf",
+    # brand-new in r05
+    "q_semdedup", "q_text_bigram_lm", "q_vocab_coverage",
 }
 
 # Driver-green in at least one prior round (or rows-only by design),
@@ -47,9 +49,10 @@ SAFE_TO_ROTATE_OUT = {
     "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
     "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
     "q_window_lag",
-    # evicted for the IVF oracle's first driver row: thrice-green,
-    # JSON coverage carried in-cap by q_json_scan + q_scalar_datetime
-    "q_scalar_json",
+    # evicted for the r05 additions' first driver rows: each
+    # thrice-green with an in-cap sibling (see registry.py)
+    "q_scalar_json", "q_agg_conditional", "q_window_distribution",
+    "q_sort_limit",
     # rows-only by design: a driver row would add no oracle signal
     # beyond the local recall/tolerance tests
     "q_agg_approx_percentile",

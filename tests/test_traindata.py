@@ -158,3 +158,56 @@ def test_contamination_exact_duplicate_across_split_is_flagged(spark):
     assert hashlib.md5(b"1").hexdigest()[:2] < "cd"      # train
     assert hashlib.md5(b"5").hexdigest()[:2] >= "cd"     # eval
     assert 5 in out and out[5].contam_frac == 1.0
+
+
+def test_bigram_lm_scores_are_valid_log_probs(spark):
+    """Add-one smoothing keeps every probability in (0, 1], so each
+    doc's mean log-prob is ≤ 0; bigram count is token count − 1."""
+    from level2_to_cassandra_spark.queries.traindata import q_text_bigram_lm
+    from tests.conftest import SF_SMOKE
+
+    rows = q_text_bigram_lm(spark, SF_SMOKE).collect()
+    assert rows
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r.avg_lnp <= 0.0
+        assert r.n_bigrams == docs[r.doc_id] - 1
+
+
+def test_bigram_lm_repetitive_doc_scores_higher(spark):
+    """A doc made of one repeated bigram must out-score (higher mean
+    log-prob) a doc of corpus-unique bigrams — the property the
+    perplexity filter relies on."""
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.traindata import q_text_bigram_lm
+
+    rows = [(1, "a b " * 50 + "a b"), (2, "q w e r t y u i o p")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {r.doc_id: r.avg_lnp for r in q_text_bigram_lm(spark, d).collect()}
+    assert out[1] > out[2]
+
+
+def test_vocab_coverage_bounds_and_known_tokens(spark):
+    """oov_rate ∈ [0,1], n_in_vocab ≤ n_tokens, and a doc written
+    entirely in top-frequency tokens has oov_rate 0."""
+    from level2_to_cassandra_spark.queries.traindata import q_vocab_coverage
+    from tests.conftest import SF_SMOKE
+
+    rows = q_vocab_coverage(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+        assert r.n_in_vocab <= r.n_tokens
+    # fixture text is drawn from a small token pool; with vocab=100 the
+    # overall OOV mass must be small (the pool is < 100 words)
+    total = sum(r.n_tokens for r in rows)
+    oov = sum(r.n_tokens - r.n_in_vocab for r in rows)
+    assert oov / total < 0.5
