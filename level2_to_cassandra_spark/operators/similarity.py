@@ -585,6 +585,36 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
     )
 
 
+def ivf_seeds(corpus: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              scheme: str = "hash") -> DataFrame:
+    """(cell, __cv) seed centroids: the ``n_cells`` corpus vectors with
+    the smallest seed hash, numbered by that same order — a
+    reproducible pseudo-random sample picked with a TakeOrdered top-N
+    (no global sort materialized).  Callers that only need a CLUSTER
+    ASSIGNMENT (e.g. SemDeDup's cluster-then-prune) feed these straight
+    to :func:`ivf_assign_np`, skipping :func:`ivf_index`'s mean
+    recomputation pass entirely."""
+    if scheme == "portable":
+        hcol = F.md5(F.col(id_col).cast("string"))
+    elif scheme == "hash":
+        hcol = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown ivf scheme {scheme!r}")
+    w = Window.orderBy(F.asc("__h"), F.asc("__hid"))
+    return (
+        corpus.select(
+            as_double(F.col(vec_col)).alias("__cv"),
+            hcol.alias("__h"),
+            F.col(id_col).alias("__hid"),
+        )
+        .orderBy("__h", "__hid")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(w))
+        .select("cell", "__cv")
+    )
+
+
 def ivf_index(corpus: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               lloyd_iters: int = 1, scheme: str = "hash",
@@ -624,25 +654,7 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     digits, so an external oracle reproduces the exact seed set and
     numbering.  ``round_assign`` (see :func:`ivf_assign_np`) makes the
     Lloyd assignment itself engine-invariant."""
-    if scheme == "portable":
-        hcol = F.md5(F.col(id_col).cast("string"))
-    elif scheme == "hash":
-        hcol = F.xxhash64(F.col(id_col))
-    else:
-        raise ValueError(f"unknown ivf scheme {scheme!r}")
-    w = Window.orderBy(F.asc("__h"), F.asc("__hid"))
-    seeds = (
-        corpus.select(
-            as_double(F.col(vec_col)).alias("__cv"),
-            hcol.alias("__h"),
-            F.col(id_col).alias("__hid"),
-        )
-        .orderBy("__h", "__hid")
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(w))
-        .select("cell", "__cv")
-    )
-    cent = seeds
+    cent = ivf_seeds(corpus, n_cells, id_col, vec_col, scheme)
     assigned = None
     for _ in range(lloyd_iters):
         if assigned is not None:

@@ -645,9 +645,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair) is the same deterministic canonical-survivor rule
     as q_dedup_keep."""
     em = load_table(spark, sf_dir, "embeddings")
-    _cent, assigned = similarity.ivf_index(
-        em, n_cells=16, scheme="portable", round_assign=6
-    )
+    # Seeds → assignment directly: SemDeDup consumes the CLUSTER
+    # ASSIGNMENT only, so the centroid-mean recomputation pass that
+    # ivf_index runs for probing indexes is skipped outright (one
+    # fewer corpus-wide aggregation in the plan).
+    seeds = similarity.ivf_seeds(em, n_cells=16, scheme="portable")
+    assigned = similarity.ivf_assign_np(em, seeds, round_assign=6).persist()
     v = similarity.as_double(F.col("embedding"))
     narrow = assigned.select(
         "cell",
