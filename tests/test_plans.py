@@ -72,6 +72,7 @@ _PYTHON_ALLOWED = {
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
     "q_sim_ann_ivf",
+    "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # simhash VOTE (64-bit popcount over per-doc hash lists) is the
     # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
     "q_llm_dedup_simhash",
