@@ -65,6 +65,8 @@ HEADLINE = [
     "q_semdedup",            # cluster-bounded embedding-space dedup
     "q_text_bigram_lm",      # self-trained bigram LM scoring
     "q_vocab_coverage",      # vocab induction + per-doc OOV rate
+    "q_classifier_score",    # shuffle-free linear-model inference
+    "q_tokenize_ids",        # tokens->vocab-ids export stage
 ]
 
 

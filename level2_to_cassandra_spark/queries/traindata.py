@@ -758,3 +758,148 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+def _classifier_weights() -> list[float]:
+    """64 deterministic ±1 weights from the engine-portable LCG-xorshift
+    chain (operators/similarity.py::_rademacher_component, table=0
+    plane=0) — a stand-in for trained fasttext-style classifier weights
+    with the property that matters here: both engines can reproduce
+    them exactly, so inference itself is what gets hash-checked."""
+    from level2_to_cassandra_spark.operators.similarity import (
+        _rademacher_component,
+    )
+
+    return [_rademacher_component(0, 0, b) for b in range(64)]
+
+
+@register(
+    "q_classifier_score",
+    # Bit-for-bit portable inference: the token→bucket hash is the low
+    # 6 bits of the md5-derived 64-bit hash (identical two's-complement
+    # low bits whether the 64 bits are held signed (Spark) or unsigned
+    # (DuckDB)); the weights are ±1 (exact in double, so the sequential
+    # left-fold sum is EXACT integer arithmetic on both engines — no
+    # rounding dance needed until the sigmoid's exp, absorbed by
+    # ROUND(.,6)).
+    oracle=f"""
+    WITH w AS (SELECT {_classifier_weights()!r}::DOUBLE[] AS l),
+    scored AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(string_split(text, ' '), t ->
+                 w.l[((('0x' || substr(md5(t), 1, 16))::UBIGINT & 63)
+                      + 1)::INT]),
+               (a, x) -> a + x) AS s,
+             len(string_split(text, ' ')) AS n
+      FROM documents CROSS JOIN w)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(s / n, 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-(s / n))), 6) AS p_keep
+    FROM scored
+    """,
+)
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier batch inference (the fasttext-shaped
+    quality/toxicity scorer of CCNet-style pipelines): hash each token
+    into one of 64 feature buckets (hashing trick), score = mean bucket
+    weight, p_keep = sigmoid(score).  The weight vector here is the
+    deterministic portable chain rather than trained parameters — the
+    engine surface under test is INFERENCE: model-as-literal broadcast,
+    per-token feature hashing, fold-accumulate, link function.
+
+    Scale shape: completely shuffle-free — the 64-weight model rides
+    the plan as an array literal (a real model of any broadcastable
+    size works the same way), each document scores itself inside the
+    scan stage via one higher-order fold, and no explode ever
+    materializes a token row.  At 100 TB this is the ideal operator:
+    map-only, whole-stage-codegen, scales with scan parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(x) for x in _classifier_weights()])
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (text.portable_hash64(t).bitwiseAND(F.lit(63)) + 1).cast("int"),
+    )
+    toks = text.tokens("text")
+    s = F.aggregate(
+        F.transform(toks, bucket_w), F.lit(0.0), lambda a, x: a + x
+    )
+    n = F.size(toks)
+    score = s / n
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p_keep"),
+    )
+
+
+_TOKENIZE_VOCAB = 100
+
+
+@register(
+    "q_tokenize_ids",
+    # The id string is built by explicit concat on both engines
+    # (avoiding to_json's engine-specific formatting): ids are exact
+    # ints, order is pinned by token position, OOV is id 0.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w[i] AS t, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+    vocab AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS id
+      FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+            ORDER BY c DESC, t LIMIT {_TOKENIZE_VOCAB})),
+    ids AS (
+      SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+      FROM tok LEFT JOIN vocab v USING (t))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           '[' || array_to_string(list(id ORDER BY pos), ',') || ']'
+               AS ids_json
+    FROM ids GROUP BY doc_id
+    """,
+)
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids export — the LAST hop of the corpus pipeline,
+    where curated text becomes the integer sequences a training job
+    consumes: map each token to its id in the induced top-100
+    vocabulary (rank by count DESC, token ASC — deterministic; id 0 =
+    out-of-vocabulary), preserving token order, and emit the id
+    sequence as a JSON-array string (complex columns stay
+    driver-hashable).
+
+    Scale shape: vocabulary induction is the same TakeOrdered cut as
+    q_vocab_coverage; id assignment is a BROADCAST join against the
+    posexploded token stream (real BPE vocabs are ~10⁵ rows — still
+    broadcast-sized); re-assembly shuffles (doc_id, pos, id) triples
+    once and sorts inside the per-doc aggregate, exactly the
+    chunk/pack discipline.  In production the vocab relation is the
+    pinned artifact shared by every shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_scan(docs).select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.desc("__c"), F.asc("t"))
+    vocab = (
+        counts.orderBy(F.desc("__c"), F.asc("t"))
+        .limit(_TOKENIZE_VOCAB)
+        .withColumn("id", F.row_number().over(w))
+        .select("t", "id")
+    )
+    ids = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))),
+        lambda s: s["id"],
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.transform(seq, lambda x: x.cast("string"))),
+            F.lit("]"),
+        ).alias("ids_json"),
+    )

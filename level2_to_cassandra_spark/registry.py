@@ -79,6 +79,8 @@ DRIVER_ORDER = (
     "q_semdedup",
     "q_text_bigram_lm",
     "q_vocab_coverage",
+    "q_classifier_score",
+    "q_tokenize_ids",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -101,13 +103,11 @@ DRIVER_ORDER = (
     "q_json_scan",
     "q_agg_basic",
     "q_sql_star_revenue",
-    "q_agg_percentile",
     "q_dedup_lww",
     "q_topk_per_group",
     "q_scalar_datetime",
     "q_window_cumulative",
     "q_join_inner",
-    "q_join_outer",
     "q_join_broadcast",
     "q_join_range",
     "q_join_asof",
@@ -123,11 +123,15 @@ DRIVER_ORDER = (
     # (q_scalar_json↔q_json_scan+q_scalar_datetime,
     # q_agg_conditional↔q_agg_basic, q_window_distribution↔
     # q_window_range_frame/q_window_cumulative,
-    # q_sort_limit↔q_topk_per_group) ------------------------------------
+    # q_sort_limit↔q_topk_per_group, q_agg_percentile↔
+    # q_udaf_trimmed_mean/q_agg_stats, q_join_outer↔
+    # q_join_right/q_join_full) -----------------------------------------
     "q_scalar_json",
     "q_agg_conditional",
     "q_window_distribution",
     "q_sort_limit",
+    "q_agg_percentile",
+    "q_join_outer",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;

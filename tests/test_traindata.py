@@ -211,3 +211,52 @@ def test_vocab_coverage_bounds_and_known_tokens(spark):
     total = sum(r.n_tokens for r in rows)
     oov = sum(r.n_tokens - r.n_in_vocab for r in rows)
     assert oov / total < 0.5
+
+
+def test_classifier_score_bounds_and_plan(spark):
+    """±1 bucket weights bound the mean score to [-1,1] and the sigmoid
+    to (0,1); the plan must be shuffle-free (map-only inference)."""
+    from level2_to_cassandra_spark.queries.traindata import q_classifier_score
+    from tests.conftest import SF_SMOKE
+
+    from level2_to_cassandra_spark.plans import plan_of
+
+    df = q_classifier_score(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.score <= 1.0
+        assert 0.0 < r.p_keep < 1.0
+    assert "Exchange" not in plan_of(df, "simple")
+
+
+def test_tokenize_ids_roundtrip(spark):
+    """ids_json must parse to exactly n_tokens ids; every non-zero id
+    decodes back to the original token via the induced vocabulary, and
+    id 0 appears only for tokens outside the top-100 vocab."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.traindata import (
+        _TOKENIZE_VOCAB, q_tokenize_ids,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # rebuild the vocabulary exactly as the query does
+    counts = {}
+    for r in docs.select(F.explode(text.tokens("text")).alias("t")).collect():
+        counts[r.t] = counts.get(r.t, 0) + 1
+    vocab = sorted(counts, key=lambda t: (-counts[t], t))[:_TOKENIZE_VOCAB]
+    id_of = {t: i + 1 for i, t in enumerate(vocab)}
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    out = q_tokenize_ids(spark, SF_SMOKE).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        ids = json.loads(r.ids_json)
+        toks = texts[r.doc_id]
+        assert r.n_tokens == len(toks) == len(ids)
+        for tok, i in zip(toks, ids):
+            assert i == id_of.get(tok, 0)
