@@ -813,8 +813,16 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     size works the same way), each document scores itself inside the
     scan stage via one higher-order fold, and no explode ever
     materializes a token row.  At 100 TB this is the ideal operator:
-    map-only, whole-stage-codegen, scales with scan parallelism."""
-    docs = load_table(spark, sf_dir, "documents")
+    map-only, whole-stage-codegen, scales with scan parallelism.
+    Stateless and shuffle-free also means STREAM-COMPATIBLE: the same
+    transform scores a readStream of documents unchanged
+    (tests/test_streaming.py asserts stream/batch parity)."""
+    return classifier_transform(load_table(spark, sf_dir, "documents"))
+
+
+def classifier_transform(docs: DataFrame) -> DataFrame:
+    """The pure transform behind q_classifier_score — works on batch
+    AND streaming DataFrames (no shuffle, no state)."""
     warr = F.array(*[F.lit(x) for x in _classifier_weights()])
     bucket_w = lambda t: F.element_at(  # noqa: E731
         warr,

@@ -464,3 +464,38 @@ def test_cassandra_sink_topic_routing_bounded(spark, monkeypatch):
     monkeypatch.setattr(S, "MAX_SINK_TOPICS", 10)
     with _pytest.raises(ValueError, match="distinct topics"):
         cb(batch(11), batch_id=2)
+
+
+def test_classifier_inference_on_stream_matches_batch(spark, tmp_path):
+    """Batch operators that are stateless and shuffle-free must run on
+    a stream UNCHANGED — the unified-API property the engine's
+    map-side curation/scoring stages rely on to serve both the bulk
+    corpus pass and the live ingest path.  Score the documents fixture
+    through the same classifier transform via readStream (availableNow
+    drain to a memory sink) and via batch; results must be identical."""
+    import shutil
+
+    from level2_to_cassandra_spark.queries.traindata import (
+        classifier_transform,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+
+    batch = classifier_transform(spark.read.parquet(str(d))).collect()
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    q = (
+        classifier_transform(stream)
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("clf_stream").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
