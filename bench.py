@@ -203,8 +203,14 @@ def main() -> None:
                     "n_common": len(common),
                     "common_total": round(cur_total, 3),
                     "baseline_total": round(bl_total, 3),
+                    # A failed query silently shrinks the common set —
+                    # and failures correlate with regressions, so the
+                    # ratio would skip exactly the suspect query (same
+                    # trap as the nulled headline total): emit null +
+                    # `complete` so partial ratios can't read as wins.
                     "vs_baseline": (
-                        round(cur_total / bl_total, 3) if bl_total else None
+                        round(cur_total / bl_total, 3)
+                        if bl_total and not failed else None
                     ),
                 }
         except (ValueError, OSError) as e:

@@ -561,9 +561,13 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
                      for v, o in zip(pdf[vec_col], ok) if o]
                 )
             p = x @ c_unit  # n × n_cells
+            # zero-norm vectors have undefined cosine → cell -1 in
+            # EVERY mode (the fold form's NULL cosine never beats its
+            # (-2.0, -1) seed; without this mask the all-zero p row
+            # would tie-argmax to the largest cell instead)
+            vn = np.sqrt((x * x).sum(axis=1))
+            ok &= vn > 0
             if round_assign is not None:
-                vn = np.sqrt((x * x).sum(axis=1))
-                ok &= vn > 0
                 with np.errstate(divide="ignore", invalid="ignore"):
                     p = p / np.where(vn > 0, vn, 1.0)[:, None]
                 # ROUND half-away-from-zero, matching Spark/DuckDB
@@ -692,10 +696,13 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   lloyd_iters: int = 1) -> DataFrame:
     """Centroids only — see :func:`ivf_index`.  Releases the staging
-    assignment for callers that just want the quantizer."""
+    assignment for callers that just want the quantizer.  At
+    lloyd_iters=0 there is no assignment and the seeds ARE the
+    centroids (the pre-refactor contract)."""
     cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
                                lloyd_iters)
-    assigned.unpersist()
+    if assigned is not None:
+        assigned.unpersist()
     return cent
 
 
@@ -722,7 +729,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     engine-portable index + probe (see :func:`ivf_index` /
     :func:`ivf_assign_np`): probe-cell ranking rounds the
     query-centroid cosine before the (cos DESC, cell ASC) cut, for
-    the same cross-engine argmax-stability reason as the assignment."""
+    the same cross-engine argmax-stability reason as the assignment.
+
+    Cache ownership: the persisted assignment + cell array ARE the
+    index — they deliberately outlive this call so repeated query
+    batches probe without rebuilding (the advertised use).  A caller
+    that is done with the index releases it with
+    ``spark.catalog.clearCache()`` (what bench.py does per query) or
+    by unpersisting the returned plan's sources; nothing re-persists
+    on later calls with the same corpus because each call builds a
+    fresh staging relation."""
     cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
                                scheme=scheme, round_assign=round_assign)
     cells = _cells_array(cent).persist()

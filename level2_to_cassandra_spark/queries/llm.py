@@ -643,7 +643,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.35 is fixture-tuned (near-random vectors — real
     corpora use ~0.95+); the keep rule (prune the higher id of a
     qualifying pair) is the same deterministic canonical-survivor rule
-    as q_dedup_keep."""
+    as q_dedup_keep.  The persisted assignment is the per-call staging
+    table (released by the harness's per-query clearCache; a
+    long-lived service would build it once and reuse it across
+    batches)."""
     em = load_table(spark, sf_dir, "embeddings")
     # Seeds → assignment directly: SemDeDup consumes the CLUSTER
     # ASSIGNMENT only, so the centroid-mean recomputation pass that

@@ -479,7 +479,9 @@ def test_classifier_inference_on_stream_matches_batch(spark, tmp_path):
         classifier_transform,
     )
 
-    src = "/root/testdata/sf0.001/documents.parquet"
+    from tests.conftest import SF_SMOKE
+
+    src = f"{SF_SMOKE}/documents.parquet"
     d = tmp_path / "docs_stream"
     d.mkdir()
     shutil.copy(src, d / "part-0.parquet")
