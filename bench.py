@@ -67,6 +67,7 @@ HEADLINE = [
     "q_vocab_coverage",      # vocab induction + per-doc OOV rate
     "q_classifier_score",    # shuffle-free linear-model inference
     "q_tokenize_ids",        # tokens->vocab-ids export stage
+    "q_corpus_pipeline",     # curate->dedup->tokenize->chunk, one plan
 ]
 
 

@@ -901,10 +901,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_oracle() -> str:
+def _curation_ctes() -> str:
+    """The curation funnel as reusable DuckDB CTEs (``scored`` →
+    ``flags``): shared by the q_curate_corpus oracle and the
+    end-to-end q_corpus_pipeline oracle, which gates on the
+    flags.admit-equivalent product before tokenizing."""
     cols, best, case = _langid_sql_parts()
-    return f"""
-    WITH scored AS (
+    return f"""scored AS (
         SELECT doc_id, lang, text,
            {cols}
         FROM documents),
@@ -926,7 +929,12 @@ def _curation_oracle() -> str:
             SELECT *, list_transform(range(1, len(w) - 1),
                        i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
             FROM (SELECT *, string_split(text, ' ') AS w FROM scored)
-        ))
+        ))"""
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH {_curation_ctes()}
     SELECT doc_id, quality_ok, lang_match, low_repetition, is_canonical,
            (quality_ok * lang_match * low_repetition * is_canonical)::BIGINT
                AS admit
@@ -950,7 +958,14 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shuffle the semantics require (hash window on sha2-256 of
     the content — fixed-width key).  One pass over the corpus total:
     at 100 TB this runs at scan speed plus one exchange."""
-    docs = load_table(spark, sf_dir, "documents")
+    return curate_flags(load_table(spark, sf_dir, "documents"))
+
+
+def curate_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The pure curation-funnel transform behind q_curate_corpus:
+    per-doc gate flags + admit bit, with ``keep`` passthrough columns
+    (q_corpus_pipeline keeps ``text`` so it can gate-and-tokenize
+    without re-joining the corpus)."""
     n_tok = text.token_count("text")
     ttr = text.distinct_token_count("text").cast("double") / n_tok
     g3 = text.word_shingles("text", 3)
@@ -961,6 +976,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     flags = docs.select(
         "doc_id",
+        *keep,
         F.when(n_tok.between(20, 1000) & (ttr > 0.2), 1)
         .otherwise(0).cast("long").alias("quality_ok"),
         F.when(text.predict_lang("text") == F.col("lang"), 1)

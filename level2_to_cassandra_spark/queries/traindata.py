@@ -923,3 +923,116 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]"),
         ).alias("ids_json"),
     )
+
+
+def _pipeline_oracle() -> str:
+    from level2_to_cassandra_spark.queries.llm import _curation_ctes
+
+    return f"""
+    WITH {_curation_ctes()},
+    admitted AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN flags f USING (doc_id)
+      WHERE f.quality_ok * f.lang_match * f.low_repetition
+            * f.is_canonical = 1),
+    tok AS (
+      SELECT doc_id, w[i] AS t, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM admitted),
+           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+    vocab AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS id
+      FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+            ORDER BY c DESC, t LIMIT {_TOKENIZE_VOCAB})),
+    ids AS (
+      SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+      FROM tok LEFT JOIN vocab v USING (t)),
+    seqs AS (SELECT doc_id, list(id ORDER BY pos) AS ids
+             FROM ids GROUP BY doc_id)
+    SELECT doc_id,
+           (i - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+           CAST(LEAST({_CHUNK_SIZE}, len(ids) - i + 1) AS BIGINT) AS n_ids,
+           '[' || array_to_string(
+               list_slice(ids, i, i + {_CHUNK_SIZE} - 1), ',') || ']'
+               AS ids_json
+    FROM seqs,
+         LATERAL (SELECT unnest(range(1, len(ids) + 1, {_CHUNK_STRIDE})) AS i)
+    """
+
+
+@register("q_corpus_pipeline", oracle=_pipeline_oracle())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CORPUS PIPELINE in one plan: curation funnel
+    (C4 quality + langid agreement + Gopher repetition + exact-dup
+    canonicalization, queries/llm.py::curate_flags) gates the corpus;
+    the survivors induce the vocabulary; every admitted document is
+    tokenized to ids (OOV=0) and chunked into overlapping 8-id training
+    windows (same stride-6 convention as q_chunk_docs).  This is the
+    raw-documents → trainable-sequences path a user runs as ONE lazy
+    plan — each stage's oracle is already verified standalone; this
+    query verifies their COMPOSITION end to end.
+
+    Plan shape stays the sum of its parts: the gate is scan-fused map
+    work plus the one content-hash window shuffle; vocab induction is
+    a map-side-combined count + TakeOrdered cut; id assignment is a
+    broadcast join on the exploded token stream; sequence re-assembly
+    shuffles narrow (doc_id, pos, id) triples once; chunking is pure
+    map-side array slicing.  Two corpus-scale shuffles total at any
+    data size."""
+    from level2_to_cassandra_spark.queries.llm import curate_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    admitted = (
+        curate_flags(spread_scan(docs), keep=("text",))
+        .where(F.col("admit") == 1)
+        .select("doc_id", "text")
+    )
+    tok = admitted.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.desc("__c"), F.asc("t"))
+    vocab = (
+        counts.orderBy(F.desc("__c"), F.asc("t"))
+        .limit(_TOKENIZE_VOCAB)
+        .withColumn("id", F.row_number().over(w))
+        .select("t", "id")
+    )
+    seqs = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .select("doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids")
+        )
+    )
+    n = F.size("ids")
+    return (
+        seqs.select(
+            "doc_id",
+            "ids",
+            F.posexplode(
+                F.sequence(F.lit(1), n, F.lit(_CHUNK_STRIDE))
+            ).alias("pos", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_SIZE), n - F.col("start") + 1)
+            .cast("long")
+            .alias("n_ids"),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("ids"), F.col("start"), _CHUNK_SIZE),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                F.lit("]"),
+            ).alias("ids_json"),
+        )
+    )

@@ -81,6 +81,7 @@ DRIVER_ORDER = (
     "q_vocab_coverage",
     "q_classifier_score",
     "q_tokenize_ids",
+    "q_corpus_pipeline",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -103,7 +104,6 @@ DRIVER_ORDER = (
     "q_json_scan",
     "q_agg_basic",
     "q_sql_star_revenue",
-    "q_dedup_lww",
     "q_topk_per_group",
     "q_scalar_datetime",
     "q_window_cumulative",
@@ -132,6 +132,8 @@ DRIVER_ORDER = (
     "q_sort_limit",
     "q_agg_percentile",
     "q_join_outer",
+    # (q_dedup_lww↔q_llm_dedup_exact — same window-canonical shape)
+    "q_dedup_lww",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;

@@ -265,3 +265,42 @@ def test_tokenize_ids_roundtrip(spark):
             assert i == id_of.get(tok, 0)
             saw_oov = saw_oov or i == 0
     assert saw_oov, "fixture never exercised the OOV branch"
+
+
+def test_corpus_pipeline_covers_exactly_admitted_docs(spark):
+    """The end-to-end pipeline must emit chunks for EXACTLY the docs
+    the curation funnel admits, with per-doc chunk counts matching the
+    stride convention and id sequences reconstructing to the doc's
+    token count."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.queries.llm import curate_flags
+    from level2_to_cassandra_spark.queries.traindata import (
+        _CHUNK_SIZE, _CHUNK_STRIDE, q_corpus_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    admitted = {
+        r.doc_id: len(r.text.split(" "))
+        for r in curate_flags(docs, keep=("text",))
+        .where(F.col("admit") == 1).collect()
+    }
+    assert admitted  # funnel admits something on the fixture
+    out = q_corpus_pipeline(spark, SF_SMOKE).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(admitted)
+    for doc_id, rows in per_doc.items():
+        n = admitted[doc_id]
+        # starts at 1, step stride, while start <= n
+        assert len(rows) == len(range(1, n + 1, _CHUNK_STRIDE))
+        rows = sorted(rows, key=lambda r: r.chunk_idx)
+        for r in rows:
+            assert len(json.loads(r.ids_json)) == r.n_ids
+        # stride-prefixes of all but the last chunk + the whole last
+        # chunk reconstruct the doc exactly: no id lost or invented
+        assert (len(rows) - 1) * _CHUNK_STRIDE + rows[-1].n_ids == n
