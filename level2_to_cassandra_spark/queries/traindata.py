@@ -976,15 +976,26 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side-combined count + TakeOrdered cut; id assignment is a
     broadcast join on the exploded token stream; sequence re-assembly
     shuffles narrow (doc_id, pos, id) triples once; chunking is pure
-    map-side array slicing.  Two corpus-scale shuffles total at any
-    data size."""
+    map-side array slicing.  Three corpus-scale shuffles total at any
+    data size (content-hash window, token-count agg, sequence
+    re-assembly), one corpus materialization (the persisted admitted
+    staging table serves both post-barrier branches)."""
     from level2_to_cassandra_spark.queries.llm import curate_flags
 
     docs = load_table(spark, sf_dir, "documents")
+    # Persisted: the admitted relation feeds BOTH the vocab-induction
+    # branch and the id-assignment branch, and vocab induction is a
+    # hard barrier (ids cannot assign until the cut exists) — without
+    # the cache the whole gate (scan + content-hash window shuffle)
+    # re-executes per branch (observed: two FileScan+Window subtrees).
+    # (doc_id, text) is the narrowest thing worth caching: both
+    # consumers re-explode it map-side, which is cheaper than caching
+    # the exploded token stream.
     admitted = (
         curate_flags(spread_scan(docs), keep=("text",))
         .where(F.col("admit") == 1)
         .select("doc_id", "text")
+        .persist()
     )
     tok = admitted.select(
         "doc_id", F.posexplode(text.tokens("text")).alias("pos", "t")

@@ -164,3 +164,27 @@ def test_ivf_single_corpus_pass(spark):
     assert "InMemoryTableScan" in plan
     # the one MapInPandas is the cached build plan, not a live node
     assert plan.index("InMemoryRelation") < plan.index("MapInPandas")
+
+
+def test_vocab_queries_broadcast_and_exchange_budget(spark):
+    """q_vocab_coverage / q_tokenize_ids: exactly two hash exchanges
+    (token-count agg + per-doc agg); the induced vocab must attach via
+    BROADCAST join (never a sort-merge shuffle of the token stream
+    against a 20-row relation)."""
+    for name in ("q_vocab_coverage", "q_tokenize_ids"):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert plan.count("Exchange hashpartitioning") == 2, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_corpus_pipeline_caches_admitted_once(spark):
+    """q_corpus_pipeline's vocab and id branches must BOTH read the
+    persisted admitted staging table (InMemoryTableScan) instead of
+    re-running the curation gate per branch; the vocab attaches via
+    broadcast."""
+    plan = plan_of(all_queries()["q_corpus_pipeline"].fn(spark, SF),
+                   "simple")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
