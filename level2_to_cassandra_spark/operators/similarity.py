@@ -622,7 +622,8 @@ def ivf_seeds(corpus: DataFrame, n_cells: int = 16,
 def ivf_index(corpus: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               lloyd_iters: int = 1, scheme: str = "hash",
-              round_assign: int | None = None) -> tuple[DataFrame, DataFrame]:
+              round_assign: int | None = None,
+              ) -> tuple[DataFrame, DataFrame | None]:
     """Deterministic coarse quantizer + inverted file in ``lloyd_iters``
     corpus passes TOTAL: ``(cent, assigned)`` where ``assigned`` is the
     LAST Lloyd iteration's cell assignment (persisted — at cluster
@@ -657,7 +658,9 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     and both Spark and DuckDB produce the same md5 hex of the same
     digits, so an external oracle reproduces the exact seed set and
     numbering.  ``round_assign`` (see :func:`ivf_assign_np`) makes the
-    Lloyd assignment itself engine-invariant."""
+    Lloyd assignment itself engine-invariant.  At ``lloyd_iters=0``
+    no assignment exists: returns ``(seeds, None)`` (``ivf_centroids``
+    handles this; direct callers must too)."""
     cent = ivf_seeds(corpus, n_cells, id_col, vec_col, scheme)
     assigned = None
     for _ in range(lloyd_iters):

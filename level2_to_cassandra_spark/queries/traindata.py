@@ -857,15 +857,16 @@ def classifier_transform(docs: DataFrame) -> DataFrame:
 _TOKENIZE_VOCAB = 20  # same liveness rationale as _VOCAB_SIZE
 
 
-@register(
-    "q_tokenize_ids",
-    # The id string is built by explicit concat on both engines
-    # (avoiding to_json's engine-specific formatting): ids are exact
-    # ints, order is pinned by token position, OOV is id 0.
-    oracle=f"""
-    WITH tok AS (
+def _tokenize_ctes(src: str) -> str:
+    """Tokenize-to-ids as DuckDB CTEs over source relation ``src``
+    (``tok`` → ``vocab`` → ``ids``): THE single place the oracle-side
+    tokenize semantics live — q_tokenize_ids runs it over the raw
+    corpus, q_corpus_pipeline over the curated ``admitted`` CTE, so a
+    semantics change (tie-break, OOV id, vocab size) cannot drift
+    between the standalone stage and the composition."""
+    return f"""tok AS (
       SELECT doc_id, w[i] AS t, i AS pos
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
            LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
     vocab AS (
       SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS id
@@ -873,7 +874,58 @@ _TOKENIZE_VOCAB = 20  # same liveness rationale as _VOCAB_SIZE
             ORDER BY c DESC, t LIMIT {_TOKENIZE_VOCAB})),
     ids AS (
       SELECT doc_id, pos, COALESCE(v.id, 0) AS id
-      FROM tok LEFT JOIN vocab v USING (t))
+      FROM tok LEFT JOIN vocab v USING (t))"""
+
+
+def _token_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, t) posexploded token stream — Spark twin of the
+    ``tok`` CTE (1-based pos on both sides)."""
+    return docs.select(
+        "doc_id",
+        (F.posexplode(text.tokens("text"))).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+
+
+def _induce_vocab(tok: DataFrame) -> DataFrame:
+    """(t, id) induced vocabulary: top-``_TOKENIZE_VOCAB`` tokens by
+    (count DESC, token ASC), ids 1..V in that same order — Spark twin
+    of the ``vocab`` CTE.  TakeOrdered cut; no global sort."""
+    w = Window.orderBy(F.desc("__c"), F.asc("t"))
+    return (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("t"))
+        .limit(_TOKENIZE_VOCAB)
+        .withColumn("id", F.row_number().over(w))
+        .select("t", "id")
+    )
+
+
+def _id_rows(tok: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, pos, id) with OOV → 0 — Spark twin of the ``ids`` CTE;
+    the vocab is top-K-small by construction, so always broadcast."""
+    return tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+
+
+def _ids_json(arr) -> object:
+    """'[1,2,3]' by explicit concat — identical text on both engines
+    (to_json's formatting is engine-specific)."""
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(arr, lambda x: x.cast("string"))),
+        F.lit("]"),
+    )
+
+
+@register(
+    "q_tokenize_ids",
+    # The id string is built by explicit concat on both engines
+    # (avoiding to_json's engine-specific formatting): ids are exact
+    # ints, order is pinned by token position, OOV is id 0.
+    oracle=f"""
+    WITH {_tokenize_ctes("documents")}
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            '[' || array_to_string(list(id ORDER BY pos), ',') || ']'
                AS ids_json
@@ -895,33 +947,20 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized); re-assembly shuffles (doc_id, pos, id) triples
     once and sorts inside the per-doc aggregate, exactly the
     chunk/pack discipline.  In production the vocab relation is the
-    pinned artifact shared by every shard."""
+    pinned artifact shared by every shard.  The tokenize transforms
+    (_token_stream/_induce_vocab/_id_rows and _tokenize_ctes) are
+    SHARED with q_corpus_pipeline so stage and composition cannot
+    drift."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = spread_scan(docs).select(
-        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "t")
-    )
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy(F.desc("__c"), F.asc("t"))
-    vocab = (
-        counts.orderBy(F.desc("__c"), F.asc("t"))
-        .limit(_TOKENIZE_VOCAB)
-        .withColumn("id", F.row_number().over(w))
-        .select("t", "id")
-    )
-    ids = tok.join(F.broadcast(vocab), "t", "left").select(
-        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
-    )
+    tok = _token_stream(spread_scan(docs))
+    ids = _id_rows(tok, _induce_vocab(tok))
     seq = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "id"))),
         lambda s: s["id"],
     )
     return ids.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.concat(
-            F.lit("["),
-            F.concat_ws(",", F.transform(seq, lambda x: x.cast("string"))),
-            F.lit("]"),
-        ).alias("ids_json"),
+        _ids_json(seq).alias("ids_json"),
     )
 
 
@@ -935,17 +974,7 @@ def _pipeline_oracle() -> str:
       FROM documents d JOIN flags f USING (doc_id)
       WHERE f.quality_ok * f.lang_match * f.low_repetition
             * f.is_canonical = 1),
-    tok AS (
-      SELECT doc_id, w[i] AS t, i AS pos
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM admitted),
-           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
-    vocab AS (
-      SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS id
-      FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
-            ORDER BY c DESC, t LIMIT {_TOKENIZE_VOCAB})),
-    ids AS (
-      SELECT doc_id, pos, COALESCE(v.id, 0) AS id
-      FROM tok LEFT JOIN vocab v USING (t)),
+    {_tokenize_ctes("admitted")},
     seqs AS (SELECT doc_id, list(id ORDER BY pos) AS ids
              FROM ids GROUP BY doc_id)
     SELECT doc_id,
@@ -969,7 +998,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (same stride-6 convention as q_chunk_docs).  This is the
     raw-documents → trainable-sequences path a user runs as ONE lazy
     plan — each stage's oracle is already verified standalone; this
-    query verifies their COMPOSITION end to end.
+    query verifies their COMPOSITION end to end.  The tokenize stage
+    is the SAME code on both sides (_token_stream/_induce_vocab/
+    _id_rows; _tokenize_ctes in the oracle) q_tokenize_ids uses.
 
     Plan shape stays the sum of its parts: the gate is scan-fused map
     work plus the one content-hash window shuffle; vocab induction is
@@ -997,20 +1028,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .persist()
     )
-    tok = admitted.select(
-        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "t")
-    )
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy(F.desc("__c"), F.asc("t"))
-    vocab = (
-        counts.orderBy(F.desc("__c"), F.asc("t"))
-        .limit(_TOKENIZE_VOCAB)
-        .withColumn("id", F.row_number().over(w))
-        .select("t", "id")
-    )
+    tok = _token_stream(admitted)
     seqs = (
-        tok.join(F.broadcast(vocab), "t", "left")
-        .select("doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id"))
+        _id_rows(tok, _induce_vocab(tok))
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -1034,16 +1054,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(_CHUNK_SIZE), n - F.col("start") + 1)
             .cast("long")
             .alias("n_ids"),
-            F.concat(
-                F.lit("["),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("ids"), F.col("start"), _CHUNK_SIZE),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-                F.lit("]"),
+            _ids_json(
+                F.slice(F.col("ids"), F.col("start"), _CHUNK_SIZE)
             ).alias("ids_json"),
         )
     )
