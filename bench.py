@@ -68,6 +68,7 @@ HEADLINE = [
     "q_classifier_score",    # shuffle-free linear-model inference
     "q_tokenize_ids",        # tokens->vocab-ids export stage
     "q_corpus_pipeline",     # curate->dedup->tokenize->chunk, one plan
+    "q_text_entropy",        # char-entropy gibberish gate
 ]
 
 

@@ -806,6 +806,59 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_entropy",
+    # Counts are exact ints on both engines; p = c/n is an identical
+    # double division; log2 is within 1 ulp on both; the ~30-term sum's
+    # order jitter (~1e-14) is absorbed by ROUND(.,6).  The 0.0 - SUM
+    # form (instead of unary minus) normalizes the single-distinct-char
+    # edge to +0.0 on both engines (-0.0 would hash differently).
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+            FROM documents)
+      GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM ch GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           ROUND(0.0 - SUM((c::DOUBLE / n) * log2(c::DOUBLE / n)), 6)
+               AS char_entropy
+    FROM ch JOIN tot USING (doc_id)
+    GROUP BY doc_id, n
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    Gopher-style gibberish gate q_text_stats' token ratios miss:
+    base64 blobs, repeated-char padding, and mojibake all sit at
+    entropy extremes while passing length/TTR checks.
+
+    Uses the identity H = log2(n) − (Σ c·log2 c)/n so the whole
+    computation is TWO map-side-combined hash aggregations over narrow
+    (doc_id, char) rows — per-(doc,char) count, then one per-doc sum.
+    (A shuffle-free array-fold form was measured 6.4 s at sf0.1: the
+    count-per-distinct-char filter is O(len·alphabet) interpreted
+    per-element work; the exploded JVM hash-agg is ~20× cheaper and
+    also handles unbounded alphabets.)  The single-distinct-char edge
+    lands on exact +0.0 (log2(n) − log2(n)); the oracle's direct
+    −Σ p·log2 p differs only by float-jitter ROUND(.,6) absorbs."""
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        spread_scan(docs)
+        .select("doc_id", F.explode(F.split("text", "")).alias("__ch"))
+        .groupBy("doc_id", "__ch")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n = F.sum("__c")
+    s_clog = F.sum(F.col("__c").cast("double") * F.log2("__c"))
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.round(F.log2(n) - s_clog / n, 6).alias("char_entropy"),
+    )
+
+
+@register(
     "q_text_stats",
     oracle="""
     SELECT doc_id, lang,

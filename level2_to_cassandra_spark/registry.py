@@ -82,6 +82,7 @@ DRIVER_ORDER = (
     "q_classifier_score",
     "q_tokenize_ids",
     "q_corpus_pipeline",
+    "q_text_entropy",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -115,7 +116,6 @@ DRIVER_ORDER = (
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
     "q_llm_dedup_embed",
-    "q_sim_topk",
     "q_text_stats",
     # ======================= past the cap ==============================
     # -- evicted for the r05 additions' first driver rows: each
@@ -132,8 +132,11 @@ DRIVER_ORDER = (
     "q_sort_limit",
     "q_agg_percentile",
     "q_join_outer",
-    # (q_dedup_lww↔q_llm_dedup_exact — same window-canonical shape)
+    # (q_dedup_lww↔q_llm_dedup_exact — same window-canonical shape;
+    # q_sim_topk↔the in-cap ANN rows, whose exact re-rank shares its
+    # cosine kernel)
     "q_dedup_lww",
+    "q_sim_topk",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;

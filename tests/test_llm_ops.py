@@ -719,3 +719,30 @@ def test_semdedup_keeps_lowest_id_and_prunes_no_survivor_pairs(spark):
     assert kept == set(cells) - expected_pruned
     assert kept  # non-degenerate: something survives
     assert expected_pruned  # non-degenerate: something was pruned
+
+
+def test_text_entropy_bounds_and_extremes(spark):
+    """Entropy ∈ [0, log2(alphabet)]; a single-repeated-char doc hits
+    exactly 0.0 (the -0.0 normalization edge) and a doc of all-distinct
+    chars hits exactly log2(n)."""
+    import math
+    import tempfile
+
+    from level2_to_cassandra_spark.plans import plan_of
+    from level2_to_cassandra_spark.queries.llm import q_text_entropy
+    from tests.conftest import SF_SMOKE
+
+    df = q_text_entropy(spark, SF_SMOKE)
+    # two map-side-combined aggs (per-(doc,char) count + per-doc sum)
+    assert plan_of(df, "simple").count("Exchange hashpartitioning") == 2
+    for r in df.collect():
+        assert 0.0 <= r.char_entropy <= math.log2(max(r.n_chars, 2))
+    rows = [(1, "aaaaaaaa"), (2, "abcdefgh")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {r.doc_id: r.char_entropy
+               for r in q_text_entropy(spark, d).collect()}
+    assert got[1] == 0.0 and math.copysign(1.0, got[1]) == 1.0
+    assert got[2] == 3.0
