@@ -816,7 +816,7 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ch AS (
       SELECT doc_id, ch, COUNT(*) AS c
       FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
-            FROM documents)
+            FROM documents WHERE length(text) > 0)
       GROUP BY doc_id, ch),
     tot AS (SELECT doc_id, SUM(c) AS n FROM ch GROUP BY doc_id)
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
@@ -843,7 +843,13 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     −Σ p·log2 p differs only by float-jitter ROUND(.,6) absorbs."""
     from level2_to_cassandra_spark.catalog import spread_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # length > 0 on BOTH sides: the engines' char-splits disagree only
+    # on the empty string (Spark [] drops the doc, DuckDB [''] keeps a
+    # one-char row) — entropy of nothing is undefined, so neither
+    # emits it, explicitly.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
     cnt = (
         spread_scan(docs)
         .select("doc_id", F.explode(F.split("text", "")).alias("__ch"))
