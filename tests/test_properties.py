@@ -285,3 +285,48 @@ def test_curation_admit_implies_every_flag(spark):
         assert r.quality_ok == stats[i]
         assert r.lang_match == langid[i]
         assert r.is_canonical == (1 if i in canon else 0)
+
+
+def test_round_half_away_three_engine_parity(spark):
+    """The portable-oracle stack rests on one assumption: the numpy
+    kernel's trunc-based half-away rounding (similarity.py::
+    ivf_assign_np), Spark's F.round, and DuckDB's ROUND produce the
+    SAME double for the same input at the same scale.  Pin it on a
+    seeded sample of cosine-like doubles (plus near-boundary values
+    built by perturbing exact k/10⁶ decimals by ±1 ulp)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(20260814)
+    xs = list(rng.uniform(-1.0, 1.0, 2000))
+    for k in (-999999, -500000, -1, 0, 1, 499999, 999999):
+        base = k / 1e6
+        xs += [base, math.nextafter(base, 2.0), math.nextafter(base, -2.0)]
+    xs = [float(x) for x in xs]
+
+    scale = 10.0 ** 6
+    np_r = (np.trunc(np.abs(np.array(xs)) * scale + 0.5)
+            * np.sign(np.array(xs)) / scale)
+
+    duck = duckdb.connect()
+    duck_r = [
+        duck.execute("SELECT ROUND(?::DOUBLE, 6)", [x]).fetchone()[0]
+        for x in xs
+    ]
+    duck.close()
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x double")
+    spark_r = [
+        r.r for r in df.select(F.round("x", 6).alias("r"))
+        .orderBy("i").collect()
+    ]
+
+    mism = [
+        (x, a, b, c)
+        for x, a, b, c in zip(xs, np_r.tolist(), duck_r, spark_r)
+        if not (a == b == c)
+    ]
+    assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
