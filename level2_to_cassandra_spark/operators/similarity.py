@@ -499,6 +499,27 @@ def _best_cell(vec: Column, norm: Column) -> Column:
     )["cell"]
 
 
+def np_round_half_away(a, nd: int):
+    """Vectorized ROUND half-away-from-zero of the BINARY double value
+    (trunc(|x|·10^nd + 0.5)·sign(x)/10^nd) — bit-identical to DuckDB's
+    scaled ROUND, including sign of zero, and the rounding the
+    Arrow-side IVF assignment uses so its argmax keys match the DuckDB
+    oracle's.  Intentionally NOT Spark's ``F.round``: that HALF_UPs
+    the double's SHORTEST DECIMAL REPR via BigDecimal, so the two
+    disagree on repr-tie values (repr ends in '5' at the target scale
+    — measure ~1e-10 among computed doubles, but exact short decimals
+    hit it; see functions.round_half_up for the FLOOR form that is
+    bitwise-portable across all three engines) and BigDecimal
+    normalizes −0.0 to +0.0.  tests/test_properties.py pins all of
+    this empirically."""
+    import numpy as np
+
+    scale = 10.0 ** nd
+    # copysign, not sign-multiply: preserves -0.0 for a == -0.0
+    # exactly as DuckDB does (np.sign(-0.0) is +0.0 and would flip it)
+    return np.copysign(np.trunc(np.abs(a) * scale + 0.5), a) / scale
+
+
 def ivf_assign_np(df: DataFrame, cent: DataFrame,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
@@ -570,9 +591,7 @@ def ivf_assign_np(df: DataFrame, cent: DataFrame,
             if round_assign is not None:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     p = p / np.where(vn > 0, vn, 1.0)[:, None]
-                # ROUND half-away-from-zero, matching Spark/DuckDB
-                scale = 10.0 ** round_assign
-                p = np.trunc(np.abs(p) * scale + 0.5) * np.sign(p) / scale
+                p = np_round_half_away(p, round_assign)
             m = p.max(axis=1)
             # last (= largest cell id; rows sorted by cell) argmax
             best = p.shape[1] - 1 - np.argmax(p[:, ::-1] == m[:, None],

@@ -839,7 +839,9 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-per-distinct-char filter is O(len·alphabet) interpreted
     per-element work; the exploded JVM hash-agg is ~20× cheaper and
     also handles unbounded alphabets.)  The single-distinct-char edge
-    lands on exact +0.0 (log2(n) − log2(n)); the oracle's direct
+    leaves a ±ulp-scale residual, not exact zero ((n·log2 n)/n ≠
+    log2 n in doubles for many n) — +0.0 is restored by F.round's
+    BigDecimal path, which cannot represent −0.0; the oracle's direct
     −Σ p·log2 p differs only by float-jitter ROUND(.,6) absorbs."""
     from level2_to_cassandra_spark.catalog import spread_scan
 
