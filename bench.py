@@ -69,6 +69,8 @@ HEADLINE = [
     "q_tokenize_ids",        # tokens->vocab-ids export stage
     "q_corpus_pipeline",     # curate->dedup->tokenize->chunk, one plan
     "q_text_entropy",        # char-entropy gibberish gate
+    "q_funnel",              # ordered-sequence conversion funnel
+    "q_retention",           # weekly cohort retention
 ]
 
 

@@ -398,3 +398,143 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "gts", interp.cast("double").alias("interp_value")
     )
+
+
+@register(
+    "q_funnel",
+    # Pure timestamp comparisons and exact counts — no float step at
+    # all, so the engines cannot disagree on anything but semantics.
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SEQUENCE FUNNEL (view → click → purchase): per user the
+    earliest view, the earliest click strictly AFTER it, the earliest
+    purchase strictly after that; report how many users survive each
+    stage — the conversion-funnel query every event store serves.
+
+    Scale shape: ONE hash shuffle (user_id) feeds three chained
+    conditional-min window passes over the same partitioning (each
+    stage's threshold is just a column the next windowed min
+    references — no self-joins, no re-shuffle between stages, unlike
+    the oracle's 3-join formulation), then a 3-row global rollup.
+    Skew-safe: per-user state is three timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    stage = ev.withColumn("__t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("__t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stage = stage.withColumn("__t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("__t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        stage.withColumn("__t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.first("__t1").alias("t1"),
+            F.first("__t2").alias("t2"),
+            F.first("__t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").alias("__n1"),
+        F.count("t2").alias("__n2"),
+        F.count("t3").alias("__n3"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("__n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("view>click").alias("stage"),
+                    F.col("__n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("view>click>purchase").alias("stage"),
+                    F.col("__n3").alias("n_users"),
+                ),
+            )
+        ).alias("__s")
+    ).select("__s.stage_idx", "__s.stage", "__s.n_users")
+
+
+_RETENTION_MAX_OFFSET = 3
+
+
+@register(
+    "q_retention",
+    # date_trunc('week') is Monday-start on both engines; offsets are
+    # exact integer day arithmetic — no float anywhere.
+    oracle=f"""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+      FROM events)
+    SELECT cohort_week,
+           CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohort JOIN active USING (user_id)
+    WHERE (week - cohort_week) // 7 <= {_RETENTION_MAX_OFFSET}
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION: bucket each user into the Monday-start week
+    of their first event, then count how many of each cohort are
+    active 0..3 weeks later — the other half of the classic
+    event-analytics pair with q_funnel.
+
+    Scale shape: one user_id shuffle computes cohort + distinct active
+    weeks together (the active set is DISTINCT per (user, week) before
+    anything joins, so the join input is bounded by users×weeks, not
+    raw events); the cohort relation re-attaches by user hash join;
+    the final rollup is a map-side-combined count on a tiny
+    (cohort_week, offset) key space."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    off = (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long")
+    return (
+        active.join(cohort, "user_id")
+        .select("cohort_week", off.alias("week_offset"))
+        .where(F.col("week_offset") <= _RETENTION_MAX_OFFSET)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -83,6 +83,8 @@ DRIVER_ORDER = (
     "q_tokenize_ids",
     "q_corpus_pipeline",
     "q_text_entropy",
+    "q_funnel",
+    "q_retention",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental",
@@ -109,8 +111,6 @@ DRIVER_ORDER = (
     "q_scalar_datetime",
     "q_window_cumulative",
     "q_join_inner",
-    "q_join_broadcast",
-    "q_join_range",
     "q_join_asof",
     "q_llm_dedup_exact",
     "q_llm_dedup_fuzzy",
@@ -134,9 +134,12 @@ DRIVER_ORDER = (
     "q_join_outer",
     # (q_dedup_lww↔q_llm_dedup_exact — same window-canonical shape;
     # q_sim_topk↔the in-cap ANN rows, whose exact re-rank shares its
-    # cosine kernel)
+    # cosine kernel; q_join_broadcast/q_join_range↔q_join_inner/
+    # q_join_asof + the broadcast/bucketing plan tests)
     "q_dedup_lww",
     "q_sim_topk",
+    "q_join_broadcast",
+    "q_join_range",
     # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
     # multi-round-green, untouched, each redundant with an in-cap
     # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;

@@ -188,3 +188,13 @@ def test_corpus_pipeline_caches_admitted_once(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_shuffle_three_windows(spark):
+    """q_funnel: the three chained stage thresholds must ride ONE
+    user_id exchange as successive window passes — never the oracle's
+    3-join formulation (which would be three shuffles of raw events)."""
+    plan = plan_of(all_queries()["q_funnel"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
+    assert "SortMergeJoin" not in plan

@@ -27,7 +27,7 @@ NEVER_DRIVER_CHECKED = {
     # brand-new in r05
     "q_semdedup", "q_text_bigram_lm", "q_vocab_coverage",
     "q_classifier_score", "q_tokenize_ids", "q_corpus_pipeline",
-    "q_text_entropy",
+    "q_text_entropy", "q_funnel", "q_retention",
 }
 
 # Driver-green in at least one prior round (or rows-only by design),
@@ -55,7 +55,7 @@ SAFE_TO_ROTATE_OUT = {
     # thrice-green with an in-cap sibling (see registry.py)
     "q_scalar_json", "q_agg_conditional", "q_window_distribution",
     "q_sort_limit", "q_agg_percentile", "q_join_outer", "q_dedup_lww",
-    "q_sim_topk",
+    "q_sim_topk", "q_join_broadcast", "q_join_range",
     # rows-only by design: a driver row would add no oracle signal
     # beyond the local recall/tolerance tests
     "q_agg_approx_percentile",

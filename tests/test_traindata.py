@@ -304,3 +304,35 @@ def test_corpus_pipeline_covers_exactly_admitted_docs(spark):
         # stride-prefixes of all but the last chunk + the whole last
         # chunk reconstruct the doc exactly: no id lost or invented
         assert (len(rows) - 1) * _CHUNK_STRIDE + rows[-1].n_ids == n
+
+
+def test_funnel_monotone_and_retention_cohort_identity(spark):
+    """Funnel stages can only shrink (each stage conditions on the
+    previous); retention at offset 0 must equal the cohort size
+    (every user is active in their own first week)."""
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    stages = {r.stage_idx: r.n_users
+              for r in qs["q_funnel"].fn(spark, SF_SMOKE).collect()}
+    assert stages[1] >= stages[2] >= stages[3] >= 0
+    assert stages[1] > 0  # fixture has views
+
+    ret = qs["q_retention"].fn(spark, SF_SMOKE).collect()
+    cohort_sizes: dict = {}
+    week0: dict = {}
+    for r in ret:
+        if r.week_offset == 0:
+            week0[r.cohort_week] = r.n_users
+    docs = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from pyspark.sql import functions as F
+
+    truth = {
+        r.cohort_week: r.n for r in docs.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date")
+             .alias("cohort_week"))
+        .groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert week0 == truth
