@@ -404,15 +404,21 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_funnel",
     # Pure timestamp comparisons and exact counts — no float step at
     # all, so the engines cannot disagree on anything but semantics.
+    # NULL ts rows are excluded on BOTH sides: an all-NULL-ts view
+    # group would otherwise count on the oracle side (GROUP BY keeps
+    # the group, COUNT(*) counts it) but not on the Spark side
+    # (count of a NULL min skips it) — same latent-fixture-drift
+    # class as the entropy query's empty-text pin.
     oracle="""
-    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+    WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM ev
                WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, MIN(e.ts) AS t2
-          FROM events e JOIN v USING (user_id)
+          FROM ev e JOIN v USING (user_id)
           WHERE e.event_type = 'click' AND e.ts > v.t1
           GROUP BY e.user_id),
     p AS (SELECT e.user_id, MIN(e.ts) AS t3
-          FROM events e JOIN c USING (user_id)
+          FROM ev e JOIN c USING (user_id)
           WHERE e.event_type = 'purchase' AND e.ts > c.t2
           GROUP BY e.user_id)
     SELECT * FROM (
@@ -436,7 +442,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     references — no self-joins, no re-shuffle between stages, unlike
     the oracle's 3-join formulation), then a 3-row global rollup.
     Skew-safe: per-user state is three timestamps."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     stage = ev.withColumn("__t1", t1)

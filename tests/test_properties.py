@@ -287,7 +287,7 @@ def test_curation_admit_implies_every_flag(spark):
         assert r.is_canonical == (1 if i in canon else 0)
 
 
-def test_rounding_kernel_matches_duckdb_bitwise(spark):
+def test_rounding_kernel_matches_duckdb_bitwise():
     """The portable IVF/semdedup assignment depends on ONE bitwise
     pairing: the numpy kernel (similarity.np_round_half_away — the
     actual production code, not a copy) must equal DuckDB's ROUND on

@@ -320,16 +320,16 @@ def test_funnel_monotone_and_retention_cohort_identity(spark):
     assert stages[1] > 0  # fixture has views
 
     ret = qs["q_retention"].fn(spark, SF_SMOKE).collect()
-    cohort_sizes: dict = {}
-    week0: dict = {}
-    for r in ret:
-        if r.week_offset == 0:
-            week0[r.cohort_week] = r.n_users
-    docs = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    week0 = {r.cohort_week: r.n_users for r in ret if r.week_offset == 0}
+    # load_table, not a raw read: events is the table whose ts unit has
+    # drifted across fixture eras, and the truth computation must see
+    # the same normalized timestamps the query does
+    from level2_to_cassandra_spark.catalog import load_table
     from pyspark.sql import functions as F
 
+    events = load_table(spark, SF_SMOKE, "events")
     truth = {
-        r.cohort_week: r.n for r in docs.groupBy("user_id")
+        r.cohort_week: r.n for r in events.groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).cast("date")
              .alias("cohort_week"))
         .groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n"))
