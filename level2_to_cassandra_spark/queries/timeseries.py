@@ -524,21 +524,24 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active 0..3 weeks later — the other half of the classic
     event-analytics pair with q_funnel.
 
-    Scale shape: one user_id shuffle computes cohort + distinct active
-    weeks together (the active set is DISTINCT per (user, week) before
-    anything joins, so the join input is bounded by users×weeks, not
-    raw events); the cohort relation re-attaches by user hash join;
-    the final rollup is a map-side-combined count on a tiny
-    (cohort_week, offset) key space."""
+    Scale shape: NO JOIN AT ALL — one user_id shuffle computes the
+    cohort week and the distinct active-week set in the same
+    aggregate (collect_set is bounded by weeks-per-user, a small
+    constant), the set explodes map-side into offsets, and the final
+    rollup is a map-side-combined count on a tiny (cohort_week,
+    offset) key space.  The cohort↔active join this replaces is a
+    trap at scale: the cohort side is user-count-sized, far past
+    broadcastability, so it would cost a third corpus-scale shuffle.
+    The oracle keeps the join formulation (clarity over speed)."""
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts")).cast("date")
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.collect_set(wk).alias("__weeks"),
     )
-    active = ev.select("user_id", wk.alias("week")).distinct()
     off = (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long")
     return (
-        active.join(cohort, "user_id")
+        per_user.select("cohort_week", F.explode("__weeks").alias("week"))
         .select("cohort_week", off.alias("week_offset"))
         .where(F.col("week_offset") <= _RETENTION_MAX_OFFSET)
         .groupBy("cohort_week", "week_offset")

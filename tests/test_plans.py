@@ -198,3 +198,13 @@ def test_funnel_single_shuffle_three_windows(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_retention_has_no_join(spark):
+    """q_retention: cohort week and active weeks come from ONE user_id
+    aggregate (collect_set) — the plan must contain no join of any
+    kind and exactly two hash exchanges (per-user agg + final
+    rollup)."""
+    plan = plan_of(all_queries()["q_retention"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
