@@ -751,12 +751,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread_scan(docs).select(
         "doc_id", F.explode(text.tokens("text")).alias("t")
     )
-    vocab = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.desc("__c"), F.asc("t"))
-        .limit(_VOCAB_SIZE)
-        .select("t", F.lit(1).alias("__in"))
+    vocab = _induce_vocab(tok, _VOCAB_SIZE).select(
+        "t", F.lit(1).alias("__in")
     )
     hit = F.coalesce(F.col("__in"), F.lit(0))
     return (
@@ -886,16 +882,18 @@ def _token_stream(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
 
 
-def _induce_vocab(tok: DataFrame) -> DataFrame:
-    """(t, id) induced vocabulary: top-``_TOKENIZE_VOCAB`` tokens by
-    (count DESC, token ASC), ids 1..V in that same order — Spark twin
-    of the ``vocab`` CTE.  TakeOrdered cut; no global sort."""
+def _induce_vocab(tok: DataFrame, size: int = _TOKENIZE_VOCAB) -> DataFrame:
+    """(t, id) induced vocabulary: top-``size`` tokens by (count DESC,
+    token ASC), ids 1..V in that same order — Spark twin of the
+    ``vocab`` CTE.  TakeOrdered cut; no global sort.  Also the
+    induction step of q_vocab_coverage (membership-only callers drop
+    the id column)."""
     w = Window.orderBy(F.desc("__c"), F.asc("t"))
     return (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy(F.desc("__c"), F.asc("t"))
-        .limit(_TOKENIZE_VOCAB)
+        .limit(size)
         .withColumn("id", F.row_number().over(w))
         .select("t", "id")
     )
