@@ -1057,3 +1057,126 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_json"),
         )
     )
+
+
+#: q_shuffle_epoch constants: epoch seed baked into the hash input (a
+#: new epoch = a new seed string = an entirely different permutation)
+#: and the shard fan-out of the exported training data.
+_EPOCH_SEED = "ep7"
+_N_SHARDS = 16
+
+#: Portable hex-nibble → int: 1-based position of the first md5 hex
+#: char in the nibble alphabet, minus 1.  Spark ``instr`` and DuckDB
+#: ``strpos`` agree exactly (1-based, 0 when absent — impossible here).
+_NIBBLES = "0123456789abcdef"
+
+
+@register(
+    "q_shuffle_epoch",
+    oracle=f"""
+    SELECT doc_id, shard_id, CAST(pos AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, shard_id,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY h, doc_id) AS pos
+      FROM (SELECT doc_id,
+                   md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS h,
+                   strpos('{_NIBBLES}',
+                          substring(md5('{_EPOCH_SEED}:'
+                                        || CAST(doc_id AS VARCHAR)), 1, 1))
+                   - 1 AS shard_id
+            FROM documents)
+    )
+    """,
+)
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE + SHARD EXPORT: every document gets
+    a pseudo-random but reproducible position — shard = first md5
+    nibble of a seed-keyed hash ({_N_SHARDS} shards), position = rank
+    of the full hash within the shard.  This is the global-shuffle
+    step before writing training shards: epoch N's permutation is
+    fully determined by the seed string, so a preempted 1000-executor
+    job re-runs bit-identically, and NO global sort ever happens —
+    the md5 key is uniform, so each shard gets ~1/{_N_SHARDS} of the
+    corpus and the rank window runs per-shard in parallel (a single
+    ``row_number`` over a global ORDER BY would funnel 100 TB through
+    one partition; sharding first is what makes epoch shuffling
+    distributable).  Downstream, ``partitionBy(shard_id)
+    .sortWithinPartitions(pos)`` writes ready-to-stream shard files.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_EPOCH_SEED + ":"),
+                       F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", h.alias("__h")).withColumn(
+        "shard_id",
+        F.expr(
+            f"cast(instr('{_NIBBLES}', substring(__h, 1, 1)) - 1 as bigint)"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+#: q_length_buckets boundaries: power-of-two context buckets.  A CASE
+#: chain (not ceil(log2(n))) so bucket edges are exact integer
+#: comparisons on both engines — no float rounding at 2^k boundaries.
+_LEN_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN n_tokens <= {c} THEN {c}" for c in _LEN_BUCKETS
+    )
+    return f"CASE {arms} ELSE {2 * _LEN_BUCKETS[-1]} END"
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)  AS sum_tokens,
+           ROUND(1.0 - SUM(n_tokens)
+                 / CAST(COUNT(*) * bucket_cap AS DOUBLE), 6) AS pad_waste
+    FROM (
+      SELECT {_bucket_case_sql()} AS bucket_cap, n_tokens
+      FROM (SELECT len(string_split(text, ' ')) AS n_tokens
+            FROM documents)
+    )
+    GROUP BY bucket_cap
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH BUCKETING for batch-efficiency planning: assign
+    each document to the smallest power-of-two context bucket that
+    holds its token count, then report per-bucket document count,
+    token mass, and padding waste (the fraction of bucket slots a
+    naive pad-to-cap batcher would burn).  Length-bucketed batching is
+    the standard fix for padding blow-up in training loaders; this
+    query is the planning pass that picks the bucket mix.  Plan shape:
+    token counts and bucket caps are map-side scan expressions, the
+    rollup is one map-side-combined hash agg shuffling ≤ ~6 rows per
+    task — scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(text.tokens("text"))
+    cap = F.lit(2 * _LEN_BUCKETS[-1])
+    for c in reversed(_LEN_BUCKETS):
+        cap = F.when(n <= c, F.lit(c)).otherwise(cap)
+    return (
+        docs.select(cap.alias("bucket_cap"), n.alias("n_tokens"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens")
+                / (F.count("*") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("pad_waste"),
+        )
+    )

@@ -85,15 +85,15 @@ DRIVER_ORDER = (
     "q_text_entropy",
     "q_funnel",
     "q_retention",
+    "q_shuffle_epoch",
+    "q_length_buckets",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
-    "q_dedup_incremental",
     "q_dedup_incremental_fuzzy",
     "q_text_redact",
     "q_curate_corpus",
     "q_resample_locf",
     "q_dedup_cluster",
-    "q_chunk_docs",
     "q_pack_sequences",
     "q_contamination",
     "q_dedup_keep",
@@ -136,6 +136,13 @@ DRIVER_ORDER = (
     # q_sim_topk↔the in-cap ANN rows, whose exact re-rank shares its
     # cosine kernel; q_join_broadcast/q_join_range↔q_join_inner/
     # q_join_asof + the broadcast/bucketing plan tests)
+    # -- evicted mid-r05 for q_shuffle_epoch/q_length_buckets's first
+    # rows: once-green r04, each with an in-cap sibling
+    # (q_dedup_incremental↔q_dedup_incremental_fuzzy, whose exact
+    # anti-join layer it is; q_chunk_docs↔q_corpus_pipeline's chunk
+    # stage + q_pack_sequences)
+    "q_dedup_incremental",
+    "q_chunk_docs",
     "q_dedup_lww",
     "q_sim_topk",
     "q_join_broadcast",

@@ -336,3 +336,79 @@ def test_funnel_monotone_and_retention_cohort_identity(spark):
         .collect()
     }
     assert week0 == truth
+
+
+# ---------------------------------------------------------------------------
+# q_shuffle_epoch / q_length_buckets invariants (r05)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_epoch_is_a_permutation(spark):
+    """Every document appears exactly once; (shard_id, pos) is a dense
+    1..n numbering inside each shard; shard ids stay in [0, 16)."""
+    from level2_to_cassandra_spark.queries.traindata import (
+        _N_SHARDS,
+        q_shuffle_epoch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_shuffle_epoch(spark, SF_SMOKE).cache()
+    try:
+        n_docs = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        )
+        assert out.count() == n_docs
+        assert out.select("doc_id").distinct().count() == n_docs
+        bad_shard = out.where(
+            (F.col("shard_id") < 0) | (F.col("shard_id") >= _N_SHARDS)
+        )
+        assert bad_shard.count() == 0
+        per_shard = out.groupBy("shard_id").agg(
+            F.count("*").alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        assert per_shard.where(
+            (F.col("lo") != 1)
+            | (F.col("hi") != F.col("n"))
+            | (F.col("nd") != F.col("n"))
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_shuffle_epoch_deterministic_and_seed_sensitive(spark):
+    """Re-running yields the identical permutation (the whole point of
+    hash-keyed shuffling); changing the seed string moves documents."""
+    from level2_to_cassandra_spark.queries import traindata
+    from tests.conftest import SF_SMOKE
+
+    a = traindata.q_shuffle_epoch(spark, SF_SMOKE)
+    b = traindata.q_shuffle_epoch(spark, SF_SMOKE)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # seed sensitivity: patch the module seed, expect a different map
+    old = traindata._EPOCH_SEED
+    traindata._EPOCH_SEED = "ep8"
+    try:
+        c = traindata.q_shuffle_epoch(spark, SF_SMOKE)
+        assert c.exceptAll(a).count() > 0
+    finally:
+        traindata._EPOCH_SEED = old
+
+
+def test_length_buckets_conserve_docs_and_bound_waste(spark):
+    from level2_to_cassandra_spark.queries.traindata import (
+        _LEN_BUCKETS,
+        q_length_buckets,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_length_buckets(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    allowed = set(_LEN_BUCKETS) | {2 * _LEN_BUCKETS[-1]}
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_cap in allowed
+        assert 0.0 <= r.pad_waste < 1.0
+        assert r.sum_tokens <= r.n_docs * r.bucket_cap
