@@ -71,6 +71,8 @@ HEADLINE = [
     "q_text_entropy",        # char-entropy gibberish gate
     "q_funnel",              # ordered-sequence conversion funnel
     "q_retention",           # weekly cohort retention
+    "q_sim_ann_pq",          # PQ codebook train + ADC compressed scan
+    "q_shuffle_epoch",       # deterministic epoch shuffle + sharding
 ]
 
 

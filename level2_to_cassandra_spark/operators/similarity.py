@@ -823,3 +823,239 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN via ADC scans
+# ---------------------------------------------------------------------------
+#
+# A 64-d float32 vector is 256 bytes; its PQ code is M=8 one-byte code
+# ids plus one stored norm — ~30x less. At 100 TB of embeddings that is
+# the difference between "the index fits in cluster memory" and "every
+# query re-reads the lake": the ADC (asymmetric distance computation)
+# scan ranks candidates from the codes alone, and only the top-shortlist
+# rows ever touch the full-precision vectors again. Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+#
+# Everything is engine-portable by the same discipline as the IVF
+# quantizer above: seeds from the md5 order, one Lloyd step whose
+# argmin rounds the subspace L2^2 to 6 decimals (ties -> smallest
+# code), codebook means rounded to 6, per-subspace ADC partial dots
+# rounded to 6, the approximate cosine rounded to 6 before the
+# shortlist window, the exact re-rank rounded like brute_topk -- so a
+# DuckDB oracle replays the ENTIRE compressed pipeline bit-for-bit.
+
+_PQ_M = 8        #: subspaces (codes per vector)
+_PQ_SUBDIM = 8   #: dims per subspace (M * SUBDIM = fixture dim 64)
+_PQ_K = 16       #: codebook entries per subspace
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² — sequential left fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_cands(cb: dict[tuple[int, int], list[float]], sub: int) -> Column:
+    """Literal array<struct<dist-placeholder-free: code, cw>> of the
+    surviving codebook entries for one subspace, code-ascending (the
+    argmin tie-break scans it in code order either way)."""
+    entries = [
+        F.struct(
+            F.lit(code).alias("code"),
+            F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
+        )
+        for (s, code), cw in sorted(cb.items())
+        if s == sub
+    ]
+    return F.array(*entries)
+
+
+def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
+             sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             ) -> dict[tuple[int, int], list[float]]:
+    """Train per-subspace codebooks: seeds are the subvectors of the
+    ``k`` corpus rows with the smallest md5(id) (the IVF seed order —
+    one TakeOrdered, no global sort), then ONE Lloyd step over the
+    corpus assigns every subvector to its nearest seed (rounded L2²,
+    smallest-code ties) and recomputes each code as the member mean
+    rounded to 6 decimals.  Returns the driver-side dict
+    ``{(sub, code): [w₀…w_subdim)}`` — k·m rows of sub_dim doubles,
+    broadcast-sized by construction (it becomes a plan literal).
+    Codes with no members vanish (exactly like empty IVF cells);
+    every consumer enumerates survivors only, so both engines agree.
+    """
+    seeds = ivf_seeds(corpus, k, id_col, vec_col, scheme="portable").collect()
+    cb0: dict[tuple[int, int], list[float]] = {}
+    for r in seeds:
+        for s in range(m):
+            cb0[(s, r["cell"])] = list(r["__cv"][s * sub_dim:(s + 1) * sub_dim])
+
+    # one corpus pass: explode subspace index, argmin vs the seed
+    # literal, then a (sub, code, pos) mean — 8*16*8 = 1024 groups.
+    cb_lit = F.array(*[_pq_cands(cb0, s) for s in range(m)])
+    ve = as_double(F.col(vec_col))
+    sv = F.slice(F.col("__ve"), F.col("sub") * sub_dim + 1, F.lit(sub_dim))
+    best = F.array_min(
+        F.transform(
+            F.element_at(F.col("__cb"), F.col("sub") + 1),
+            lambda c: F.struct(
+                F.round(_l2sq(F.col("__sv"), c["cw"]), 6).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    assigned = (
+        corpus.select(ve.alias("__ve"))
+        .select("__ve", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"))
+        .select("sub", sv.alias("__sv"))
+        .withColumn("__cb", cb_lit)
+        .select("sub", "__sv", best["code"].alias("code"))
+    )
+    means = (
+        assigned.select("sub", "code", F.posexplode("__sv").alias("pos", "x"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("x"))
+        .collect()
+    )
+    cb: dict[tuple[int, int], list[float]] = {}
+    for r in means:
+        cb.setdefault((r["sub"], r["code"]), [0.0] * sub_dim)[r["pos"]] = r["x"]
+    return cb
+
+
+def pq_encode(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
+              m: int = _PQ_M, sub_dim: int = _PQ_SUBDIM,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """Encode the corpus against a trained codebook: one map-side pass
+    emitting the narrow staging relation (id, codes array<int>,
+    recon_norm) — THE relation a production index persists, bucketed
+    however the ADC consumers join it.  ``recon_norm`` is the exact L2
+    norm of the reconstruction (subspaces are orthogonal, so
+    ‖recon‖² = Σ_m ‖codeword_m‖²), rounded to 6; it is what turns ADC
+    inner products into approximate cosines without touching the full
+    vector."""
+    ve = as_double(F.col(vec_col))
+    row = corpus.select(F.col(id_col).alias("neighbor_id"), ve.alias("__ve"))
+    def _best(sv):
+        # closure, NOT a default arg: F.transform treats a second
+        # lambda parameter as the element INDEX and would clobber it
+        return lambda c: F.struct(
+            F.round(_l2sq(sv, c["cw"]), 6).alias("dist"),
+            c["code"].alias("code"),
+            F.aggregate(
+                c["cw"], F.lit(0.0), lambda a, x: a + x * x
+            ).alias("nsq"),
+        )
+
+    bests = []
+    for s in range(m):
+        sv = F.slice(F.col("__ve"), s * sub_dim + 1, sub_dim)
+        bests.append(F.array_min(F.transform(_pq_cands(cb, s), _best(sv))))
+    nsq_sum = bests[0]["nsq"]
+    for b in bests[1:]:
+        nsq_sum = nsq_sum + b["nsq"]
+    return row.select(
+        "neighbor_id",
+        F.array(*[b["code"] for b in bests]).alias("codes"),
+        F.round(F.sqrt(nsq_sum), 6).alias("recon_norm"),
+    )
+
+
+def _pq_full_literal(cb: dict[tuple[int, int], list[float]],
+                     m: int, k: int, sub_dim: int) -> Column:
+    """Code-indexed literal array[sub][code] → cw for ADC lookups.
+    Dead codes hold zero vectors — unreachable, since ``pq_encode``
+    only ever emits surviving codes."""
+    zeros = [0.0] * sub_dim
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cb.get((s, code), zeros)])
+            for code in range(1, k + 1)
+        ])
+        for s in range(m)
+    ])
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
+                shortlist: int = 30, m: int = _PQ_M, k_codes: int = _PQ_K,
+                sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
+                vec_col: str = "embedding", round_cos: int | None = 4,
+                ) -> DataFrame:
+    """PQ ANN: train → encode → ADC scan → exact re-rank.
+
+    The ADC scan ranks every corpus row per query from its codes alone
+    (per subspace: one partial dot of the full-precision query
+    subvector with the selected codeword, rounded to 6; summed and
+    normalized by ‖q‖·recon_norm into an approximate cosine, rounded
+    to 6 before the shortlist window with an id tie-break).  Only the
+    top-``shortlist`` rows per query are joined back (broadcast — the
+    shortlist is queries×shortlist rows) to full vectors for the exact
+    top-``topk`` cosine re-rank.  Corpus passes: 1 train + 1 encode +
+    1 ADC + 1 filtered re-rank join; at cluster scale the encode
+    output is the persisted index and steady-state queries run only
+    the last two, reading ~m bytes per corpus row instead of the
+    vector itself."""
+    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
+    enc = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__qv"),
+            l2_norm(as_double(F.col(vec_col))).alias("__qn"),
+        )
+    )
+    cb_lit = _pq_full_literal(cb, m, k_codes, sub_dim)
+    adot = F.lit(0.0)
+    for s in range(m):
+        qs = F.slice(F.col("__qv"), s * sub_dim + 1, sub_dim)
+        cw = F.element_at(
+            F.element_at(F.col("__cb"), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        )
+        adot = adot + F.round(dot(qs, cw), 6)
+    scored = (
+        enc.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cb", cb_lit)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                adot / (F.col("__qn") * F.col("recon_norm")), 6
+            ).alias("acos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("acos"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= shortlist)
+        .select("query_id", "neighbor_id", "acos")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv2")
+    )
+    cos = cosine(F.col("__qv2"), F.col("__cv"))
+    if round_cos is not None:
+        cos = F.round(cos, round_cos)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        full.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= topk)
+    )

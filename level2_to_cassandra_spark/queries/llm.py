@@ -684,6 +684,147 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable product-quantizer CTEs shared semantics with
+#: operators/similarity.py pq_train/pq_encode (M=8 subspaces × 8 dims,
+#: K=16 codes): seed codewords are subvectors of the md5-order seed
+#: rows (reuses the IVF seeds CTE), one Lloyd step with ROUND(L2², 6)
+#: argmin + smallest-code ties, codebook means ROUND 6.  ``sv`` is the
+#: exploded (vec, subspace) relation both the train and encode argmins
+#: scan; ``enc``/``cb``/``rnorm`` are the DuckDB twins of the engine's
+#: encoded staging relation.
+_PQ_PORTABLE_CTES = """
+    subs AS (SELECT UNNEST(range(0, 8)) AS sub),
+    cb0 AS (
+      SELECT sub, s.cell AS code,
+             list_slice(s.cv, sub*8 + 1, sub*8 + 8) AS cw
+      FROM seeds s CROSS JOIN subs
+    ),
+    sv AS (
+      SELECT vec_id, sub, list_slice(ve, sub*8 + 1, sub*8 + 8) AS svec
+      FROM v CROSS JOIN subs
+    ),
+    tr AS (
+      SELECT vec_id, sub, code, svec FROM (
+        SELECT sv.vec_id, sv.sub, c.code, sv.svec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY ROUND(list_reduce(
+                     list_transform(range(1, 9),
+                       i -> (sv.svec[i] - c.cw[i]) * (sv.svec[i] - c.cw[i])),
+                     (a, x) -> a + x), 6) ASC, c.code ASC) AS rn
+        FROM sv JOIN cb0 c USING (sub))
+      WHERE rn = 1
+    ),
+    comp_pq AS (
+      SELECT sub, code, pos, ROUND(AVG(svec[pos + 1]), 6) AS x
+      FROM tr CROSS JOIN (SELECT UNNEST(range(0, 8)) AS pos)
+      GROUP BY sub, code, pos
+    ),
+    cb AS (SELECT sub, code, list(x ORDER BY pos) AS cw
+           FROM comp_pq GROUP BY sub, code),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT sv.vec_id, sv.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY ROUND(list_reduce(
+                     list_transform(range(1, 9),
+                       i -> (sv.svec[i] - c.cw[i]) * (sv.svec[i] - c.cw[i])),
+                     (a, x) -> a + x), 6) ASC, c.code ASC) AS rn
+        FROM sv JOIN cb c USING (sub))
+      WHERE rn = 1
+    ),
+    nsq AS (SELECT sub, code,
+                   list_reduce(list_transform(cw, x -> x * x),
+                               (a, x) -> a + x) AS nsq
+            FROM cb),
+    rnorm AS (SELECT vec_id, ROUND(sqrt(SUM(nsq)), 6) AS recon_norm
+              FROM enc JOIN nsq USING (sub, code) GROUP BY vec_id)
+"""
+
+
+@register(
+    "q_sim_ann_pq",
+    # Full-replay oracle in the q_sim_ann_ivf tradition: every lossy
+    # step of the compressed index — seed pick, Lloyd argmin, codebook
+    # means, encoding, per-subspace ADC partial dots, the approximate-
+    # cosine shortlist cut, the exact re-rank — is rounded/tie-broken
+    # identically on both engines, so DuckDB rebuilds the byte-exact
+    # codes and the same final top-10.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    {_PQ_PORTABLE_CTES},
+    q AS (SELECT vec_id AS query_id, ve AS qv,
+                 sqrt(list_reduce(list_transform(ve, x -> x * x),
+                                  (a, x) -> a + x)) AS qn
+          FROM v WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             SUM(ROUND(list_reduce(
+                 list_transform(range(1, 9),
+                   i -> q.qv[e.sub*8 + i] * c.cw[i]),
+                 (a, x) -> a + x), 6)) AS adot
+      FROM enc e JOIN cb c USING (sub, code) CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.query_id
+                 ORDER BY ROUND(a.adot / (q.qn * r.recon_norm), 6) DESC,
+                          a.neighbor_id ASC) AS rn
+        FROM adc a
+        JOIN q USING (query_id)
+        JOIN rnorm r ON r.vec_id = a.neighbor_id)
+      WHERE rn <= 30
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, v.ve), 4) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(q.qv, v.ve), 4) DESC,
+                        s.neighbor_id ASC) AS rank
+      FROM short s
+      JOIN q USING (query_id)
+      JOIN v ON v.vec_id = s.neighbor_id)
+    WHERE rank <= 10
+    """,
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (ADC scan + exact re-rank): train
+    md5-seeded per-subspace codebooks (8 subspaces × 8 dims, 16 codes,
+    1 Lloyd step), encode every corpus vector as 8 one-byte codes plus
+    a stored reconstruction norm (~30× less than the 256-byte float
+    vector), rank candidates per query from the CODES ALONE
+    (asymmetric distance: per-subspace query·codeword partial dots),
+    then re-rank only the top-30 shortlist with exact cosines for the
+    final top-10 — the compressed-domain ANN path that complements
+    q_sim_ann_ivf's cell-pruning path (production IVF-PQ composes
+    both; Jégou et al., TPAMI 2011).
+
+    Scale shape: the trained codebook is k·m rows → a plan literal
+    (nothing is broadcast-joined, let alone shuffled); the encoded
+    relation is the persisted narrow staging index; steady-state
+    queries run one ADC scan over ~9 bytes/row + a shortlist-sized
+    (queries × 30 rows, broadcast) re-rank join back to the full
+    vectors — at 100 TB the full-precision corpus is read ~30 rows
+    per query instead of once per query.  Recall floor + exactness at
+    shortlist ≥ corpus are pinned in tests/test_llm_ops.py; the
+    oracle pins bit-reproducibility of the whole compressed pipeline.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    return similarity.pq_adc_topk(em, queries, topk=10, shortlist=30).select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @register(
     "q_embed_quantize",
     oracle="""

@@ -87,6 +87,7 @@ DRIVER_ORDER = (
     "q_retention",
     "q_shuffle_epoch",
     "q_length_buckets",
+    "q_sim_ann_pq",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental_fuzzy",
@@ -96,7 +97,6 @@ DRIVER_ORDER = (
     "q_dedup_cluster",
     "q_pack_sequences",
     "q_contamination",
-    "q_dedup_keep",
     "q_agg_bitmap_distinct",
     "q_udaf_trimmed_mean",
     "q_window_range_frame",
@@ -140,9 +140,11 @@ DRIVER_ORDER = (
     # rows: once-green r04, each with an in-cap sibling
     # (q_dedup_incremental↔q_dedup_incremental_fuzzy, whose exact
     # anti-join layer it is; q_chunk_docs↔q_corpus_pipeline's chunk
-    # stage + q_pack_sequences)
+    # stage + q_pack_sequences; q_dedup_keep↔q_dedup_cluster +
+    # q_semdedup's identical min-id keep rule)
     "q_dedup_incremental",
     "q_chunk_docs",
+    "q_dedup_keep",
     "q_dedup_lww",
     "q_sim_topk",
     "q_join_broadcast",

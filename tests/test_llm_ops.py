@@ -746,3 +746,52 @@ def test_text_entropy_bounds_and_extremes(spark):
                for r in q_text_entropy(spark, d).collect()}
     assert got[1] == 0.0 and math.copysign(1.0, got[1]) == 1.0
     assert got[2] == 3.0
+
+
+def test_pq_adc_recall_and_exactness_at_full_shortlist(spark):
+    """PQ ADC with the registered shortlist must recover a usable slice
+    of the exact top-10 even on incompressible near-random fixtures;
+    with shortlist >= corpus the ADC ordering is irrelevant (everything
+    reaches the exact re-rank) and the result must EQUAL brute force —
+    the approximation is ONLY the shortlist cut."""
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(em, queries, k=10,
+                                       round_cos=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_adc_topk(em, queries, topk=10,
+                                        shortlist=30).collect()
+    }
+    assert len(got & want) / len(want) >= 0.25
+    n = em.count()
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_adc_topk(em, queries, topk=10,
+                                        shortlist=n).collect()
+    }
+    assert full == want
+
+
+def test_pq_codebook_deterministic_and_codes_bounded(spark):
+    """Training twice yields the bit-identical codebook (md5 seeds +
+    rounded means); every emitted code is a surviving codebook key and
+    the reconstruction norm is positive."""
+    em = load_table(spark, SF, "embeddings")
+    cb1 = similarity.pq_train(em)
+    cb2 = similarity.pq_train(em)
+    assert cb1 == cb2
+    assert all(len(cw) == similarity._PQ_SUBDIM for cw in cb1.values())
+    enc = similarity.pq_encode(em, cb1)
+    rows = enc.collect()
+    assert len(rows) == em.count()
+    surviving = {s: {c for (ss, c) in cb1 if ss == s}
+                 for s in range(similarity._PQ_M)}
+    for r in rows:
+        assert len(r.codes) == similarity._PQ_M
+        for s, code in enumerate(r.codes):
+            assert code in surviving[s]
+        assert r.recon_norm > 0

@@ -28,7 +28,7 @@ NEVER_DRIVER_CHECKED = {
     "q_semdedup", "q_text_bigram_lm", "q_vocab_coverage",
     "q_classifier_score", "q_tokenize_ids", "q_corpus_pipeline",
     "q_text_entropy", "q_funnel", "q_retention",
-    "q_shuffle_epoch", "q_length_buckets",
+    "q_shuffle_epoch", "q_length_buckets", "q_sim_ann_pq",
 }
 
 # Driver-green in at least one prior round (or rows-only by design),
@@ -60,7 +60,7 @@ SAFE_TO_ROTATE_OUT = {
     # once-green r04, evicted mid-r05 for the epoch-shuffle/length-
     # bucket first rows (in-cap siblings: q_dedup_incremental_fuzzy,
     # q_corpus_pipeline/q_pack_sequences)
-    "q_dedup_incremental", "q_chunk_docs",
+    "q_dedup_incremental", "q_chunk_docs", "q_dedup_keep",
     # rows-only by design: a driver row would add no oracle signal
     # beyond the local recall/tolerance tests
     "q_agg_approx_percentile",
