@@ -859,19 +859,38 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_cands(cb: dict[tuple[int, int], list[float]], sub: int) -> Column:
-    """Literal array<struct<dist-placeholder-free: code, cw>> of the
-    surviving codebook entries for one subspace, code-ascending (the
-    argmin tie-break scans it in code order either way)."""
-    entries = [
-        F.struct(
-            F.lit(code).alias("code"),
-            F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
-        )
-        for (s, code), cw in sorted(cb.items())
-        if s == sub
+def _cb_relation(spark, cb: dict[tuple[int, int], list[float]],
+                 m: int, k: int, sub_dim: int) -> DataFrame:
+    """The codebook as a ONE-ROW relation, crossJoin(broadcast)-ed onto
+    corpus rows — codebook values ride the plan as DATA, not as
+    expression nodes.  (The first cut embedded them as ~1000-node
+    CreateArray/CreateStruct literal trees per consumer; Catalyst
+    analysis of those trees cost multiple driver-side SECONDS per plan
+    while the actual compute was milliseconds.)  Columns:
+
+    * ``__cands``: array[sub] of array<struct<code, cw>>, survivors
+      only, code-ascending — what the encode argmin scans;
+    * ``__lut``:   array[sub][code] → cw, dead codes as zero vectors
+      (unreachable: encode only emits survivors) — O(1) ADC lookups.
+    """
+    zeros = [0.0] * sub_dim
+    cands = [
+        [
+            {"code": code, "cw": cw}
+            for (ss, code), cw in sorted(cb.items())
+            if ss == s
+        ]
+        for s in range(m)
     ]
-    return F.array(*entries)
+    lut = [
+        [cb.get((s, code), zeros) for code in range(1, k + 1)]
+        for s in range(m)
+    ]
+    return spark.createDataFrame(
+        [(cands, lut)],
+        "__cands array<array<struct<code:int,cw:array<double>>>>, "
+        "__lut array<array<array<double>>>",
+    )
 
 
 def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
@@ -885,7 +904,8 @@ def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
     smallest-code ties) and recomputes each code as the member mean
     rounded to 6 decimals.  Returns the driver-side dict
     ``{(sub, code): [w₀…w_subdim)}`` — k·m rows of sub_dim doubles,
-    broadcast-sized by construction (it becomes a plan literal).
+    broadcast-sized by construction (it rides plans as a one-row
+    broadcast relation, see :func:`_cb_relation`).
     Codes with no members vanish (exactly like empty IVF cells);
     every consumer enumerates survivors only, so both engines agree.
     """
@@ -895,27 +915,10 @@ def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
         for s in range(m):
             cb0[(s, r["cell"])] = list(r["__cv"][s * sub_dim:(s + 1) * sub_dim])
 
-    # one corpus pass: explode subspace index, argmin vs the seed
-    # literal, then a (sub, code, pos) mean — 8*16*8 = 1024 groups.
-    cb_lit = F.array(*[_pq_cands(cb0, s) for s in range(m)])
-    ve = as_double(F.col(vec_col))
-    sv = F.slice(F.col("__ve"), F.col("sub") * sub_dim + 1, F.lit(sub_dim))
-    best = F.array_min(
-        F.transform(
-            F.element_at(F.col("__cb"), F.col("sub") + 1),
-            lambda c: F.struct(
-                F.round(_l2sq(F.col("__sv"), c["cw"]), 6).alias("dist"),
-                c["code"].alias("code"),
-            ),
-        )
-    )
-    assigned = (
-        corpus.select(ve.alias("__ve"))
-        .select("__ve", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"))
-        .select("sub", sv.alias("__sv"))
-        .withColumn("__cb", cb_lit)
-        .select("sub", "__sv", best["code"].alias("code"))
-    )
+    # one Arrow corpus pass: per-subspace rounded-L2² argmin vs the
+    # seed codebook, then a (sub, code, pos) mean — 8*16*8 = 1024 groups.
+    assigned = pq_assign_np(corpus, cb0, mode="train", m=m,
+                            sub_dim=sub_dim, id_col=id_col, vec_col=vec_col)
     means = (
         assigned.select("sub", "code", F.posexplode("__sv").alias("pos", "x"))
         .groupBy("sub", "code", "pos")
@@ -928,20 +931,131 @@ def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
     return cb
 
 
+def _cb_np(cb: dict[tuple[int, int], list[float]], m: int):
+    """Per-subspace ``(codes, codeword-matrix)`` numpy pairs,
+    code-ascending — argmin's first-minimum then IS the smallest
+    surviving code, the shared tie-break."""
+    import numpy as np
+
+    per = []
+    for s in range(m):
+        items = sorted((code, cw) for (ss, code), cw in cb.items() if ss == s)
+        per.append((
+            np.array([c for c, _ in items], dtype=np.int64),
+            np.array([cw for _, cw in items], dtype=np.float64),
+        ))
+    return per
+
+
+def pq_assign_np(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
+                 mode: str, m: int = _PQ_M, sub_dim: int = _PQ_SUBDIM,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> DataFrame:
+    """Arrow-batched per-subspace codebook assignment — the fast twin
+    of :func:`pq_encode_fold`'s array fold (same ~20× class win as
+    :func:`lsh_buckets_np` / :func:`ivf_assign_np`: the per-subspace
+    distance table is a dense broadcasting subtract-square-sum, and the
+    interpreted higher-order-function fold was the dominant cost of
+    the JVM form).  The L2² table is rounded half-away-from-zero to 6
+    (``np_round_half_away`` — bit-identical to DuckDB's ROUND, see its
+    docstring) before ``argmin``, whose first-minimum resolves ties to
+    the smallest code exactly like the fold's ``array_min(struct(dist,
+    code))`` and the oracle's ``ORDER BY dist, code``.
+
+    ``mode="train"`` emits the exploded ``(sub, code, __sv)`` member
+    rows the Lloyd mean aggregates; ``mode="encode"`` emits the narrow
+    index relation ``(neighbor_id, codes, recon_norm)``.  Rows whose
+    vector is NULL/mis-sized are dropped (fixture width is pinned in
+    tests/test_catalog.py)."""
+    import numpy as np
+    import pandas as pd
+
+    per = _cb_np(cb, m)
+    dim = m * sub_dim
+
+    def gen(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in pdf[vec_col]),
+                dtype=bool, count=n,
+            )
+            pdf = pdf[ok]
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(n, m, sub_dim)
+            codes_out = np.empty((n, m), dtype=np.int64)
+            nsq = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                codes_s, mat = per[s]
+                d = ((x[:, s, None, :] - mat[None, :, :]) ** 2).sum(-1)
+                idx = np.argmin(np_round_half_away(d, 6), axis=1)
+                codes_out[:, s] = codes_s[idx]
+                nsq += (mat * mat).sum(axis=1)[idx]
+            if mode == "train":
+                yield pd.DataFrame({
+                    "sub": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes_out.reshape(-1),
+                    "__sv": [x[i, s].tolist()
+                             for i in range(n) for s in range(m)],
+                })
+            else:
+                yield pd.DataFrame({
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "codes": [c.tolist()
+                              for c in codes_out.astype(np.int32)],
+                    "recon_norm": np_round_half_away(np.sqrt(nsq), 6),
+                })
+
+    if mode == "train":
+        schema = "sub int, code long, __sv array<double>"
+    elif mode == "encode":
+        schema = "neighbor_id long, codes array<int>, recon_norm double"
+    else:
+        raise ValueError(f"unknown pq_assign_np mode {mode!r}")
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def pq_encode(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
-              m: int = _PQ_M, sub_dim: int = _PQ_SUBDIM,
+              m: int = _PQ_M, k: int = _PQ_K, sub_dim: int = _PQ_SUBDIM,
               id_col: str = "vec_id", vec_col: str = "embedding",
               ) -> DataFrame:
-    """Encode the corpus against a trained codebook: one map-side pass
-    emitting the narrow staging relation (id, codes array<int>,
-    recon_norm) — THE relation a production index persists, bucketed
-    however the ADC consumers join it.  ``recon_norm`` is the exact L2
-    norm of the reconstruction (subspaces are orthogonal, so
-    ‖recon‖² = Σ_m ‖codeword_m‖²), rounded to 6; it is what turns ADC
-    inner products into approximate cosines without touching the full
-    vector."""
+    """Encode the corpus against a trained codebook: one Arrow pass
+    (:func:`pq_assign_np`) emitting the narrow staging relation
+    (id, codes array<long>, recon_norm) — THE relation a production
+    index persists, bucketed however the ADC consumers join it.
+    ``recon_norm`` is the exact L2 norm of the reconstruction
+    (subspaces are orthogonal, so ‖recon‖² = Σ_m ‖codeword_m‖²),
+    rounded to 6; it is what turns ADC inner products into approximate
+    cosines without touching the full vector.  :func:`pq_encode_fold`
+    is the pure-JVM reference form, parity-tested against this one."""
+    return pq_assign_np(corpus, cb, mode="encode", m=m, sub_dim=sub_dim,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode_fold(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
+                   m: int = _PQ_M, k: int = _PQ_K, sub_dim: int = _PQ_SUBDIM,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """Pure-JVM reference form of :func:`pq_encode` (array-fold argmin
+    over the broadcast codebook relation) — kept as the semantic spec
+    the Arrow kernel is parity-tested against, exactly like
+    ``_best_cell`` vs ``ivf_assign_np``."""
     ve = as_double(F.col(vec_col))
-    row = corpus.select(F.col(id_col).alias("neighbor_id"), ve.alias("__ve"))
+    row = corpus.select(
+        F.col(id_col).alias("neighbor_id"), ve.alias("__ve")
+    ).crossJoin(
+        F.broadcast(
+            _cb_relation(corpus.sparkSession, cb, m, k, sub_dim)
+            .select("__cands")
+        )
+    )
+
     def _best(sv):
         # closure, NOT a default arg: F.transform treats a second
         # lambda parameter as the element INDEX and would clobber it
@@ -956,7 +1070,8 @@ def pq_encode(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
     bests = []
     for s in range(m):
         sv = F.slice(F.col("__ve"), s * sub_dim + 1, sub_dim)
-        bests.append(F.array_min(F.transform(_pq_cands(cb, s), _best(sv))))
+        cands = F.element_at(F.col("__cands"), s + 1)
+        bests.append(F.array_min(F.transform(cands, _best(sv))))
     nsq_sum = bests[0]["nsq"]
     for b in bests[1:]:
         nsq_sum = nsq_sum + b["nsq"]
@@ -965,21 +1080,6 @@ def pq_encode(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
         F.array(*[b["code"] for b in bests]).alias("codes"),
         F.round(F.sqrt(nsq_sum), 6).alias("recon_norm"),
     )
-
-
-def _pq_full_literal(cb: dict[tuple[int, int], list[float]],
-                     m: int, k: int, sub_dim: int) -> Column:
-    """Code-indexed literal array[sub][code] → cw for ADC lookups.
-    Dead codes hold zero vectors — unreachable, since ``pq_encode``
-    only ever emits surviving codes."""
-    zeros = [0.0] * sub_dim
-    return F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in cb.get((s, code), zeros)])
-            for code in range(1, k + 1)
-        ])
-        for s in range(m)
-    ])
 
 
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
@@ -1001,34 +1101,70 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     output is the persisted index and steady-state queries run only
     the last two, reading ~m bytes per corpus row instead of the
     vector itself."""
-    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
-    enc = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    import numpy as np
+    import pandas as pd
 
-    q = F.broadcast(
+    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
+    enc = pq_encode(corpus, cb, m, k_codes, sub_dim, id_col, vec_col)
+
+    # Query batch to the driver — same bounded-collect discipline as
+    # the LSH plane matrices / IVF centroids (queries are a batch, not
+    # a second corpus; brute_topk broadcasts the same relation).
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    per = _cb_np(cb, m)
+    # THE classic ADC lookup tables (one per subspace): every partial
+    # dot any corpus row can contribute is precomputed as
+    # T[s][query, code] = q_sub·codeword, rounded to 6 — scoring a
+    # corpus row is then m table lookups + adds per query, touching
+    # only its codes.  Bit-parity with the JVM per-row dot: the dot is
+    # the same fused multiply-add chain, rounded by the DuckDB-twin
+    # rounding (np_round_half_away docstring).
+    qsub = qmat.reshape(len(qids), m, sub_dim)
+    luts = [np_round_half_away(qsub[:, s, :] @ per[s][1].T, 6)
+            for s in range(m)]
+
+    def adc(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            c = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+            )
+            adot = np.zeros((len(qids), n), dtype=np.float64)
+            for s in range(m):
+                pos = np.searchsorted(per[s][0], c[:, s])
+                adot += luts[s][:, pos]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, n),
+                "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(),
+                                       len(qids)),
+                "recon_norm": np.tile(pdf["recon_norm"].to_numpy(),
+                                      len(qids)),
+                "__adot": adot.reshape(-1),
+            })
+
+    q_norms = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
-            as_double(F.col(vec_col)).alias("__qv"),
             l2_norm(as_double(F.col(vec_col))).alias("__qn"),
         )
     )
-    cb_lit = _pq_full_literal(cb, m, k_codes, sub_dim)
-    adot = F.lit(0.0)
-    for s in range(m):
-        qs = F.slice(F.col("__qv"), s * sub_dim + 1, sub_dim)
-        cw = F.element_at(
-            F.element_at(F.col("__cb"), s + 1),
-            F.element_at(F.col("codes"), s + 1),
-        )
-        adot = adot + F.round(dot(qs, cw), 6)
     scored = (
-        enc.crossJoin(q)
+        enc.mapInPandas(
+            adc,
+            schema="query_id long, neighbor_id long, "
+                   "recon_norm double, __adot double",
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cb", cb_lit)
+        .join(q_norms, "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                adot / (F.col("__qn") * F.col("recon_norm")), 6
+                F.col("__adot") / (F.col("__qn") * F.col("recon_norm")), 6
             ).alias("acos"),
         )
     )

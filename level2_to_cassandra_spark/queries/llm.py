@@ -805,15 +805,19 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_ann_ivf's cell-pruning path (production IVF-PQ composes
     both; Jégou et al., TPAMI 2011).
 
-    Scale shape: the trained codebook is k·m rows → a plan literal
-    (nothing is broadcast-joined, let alone shuffled); the encoded
-    relation is the persisted narrow staging index; steady-state
-    queries run one ADC scan over ~9 bytes/row + a shortlist-sized
-    (queries × 30 rows, broadcast) re-rank join back to the full
-    vectors — at 100 TB the full-precision corpus is read ~30 rows
-    per query instead of once per query.  Recall floor + exactness at
-    shortlist ≥ corpus are pinned in tests/test_llm_ops.py; the
-    oracle pins bit-reproducibility of the whole compressed pipeline.
+    Scale shape: the trained codebook is k·m rows riding the Arrow
+    kernels as a closure (nothing is shuffled for it); encode and ADC
+    are two vectorized corpus passes (similarity.py::pq_assign_np and
+    the ADC lookup-table kernel — per subspace every possible partial
+    dot is precomputed per query, so scoring a corpus row is m table
+    lookups over ~9 bytes of codes); the encoded relation is the
+    persisted narrow staging index; the only full-vector reads after
+    encoding are the shortlist-sized (queries × 30 rows, broadcast)
+    re-rank join — at 100 TB the full-precision corpus is read ~30
+    rows per query instead of once per query.  Recall floor +
+    exactness at shortlist ≥ corpus + Arrow/JVM-fold encode parity are
+    pinned in tests/test_llm_ops.py; the oracle pins
+    bit-reproducibility of the whole compressed pipeline.
     """
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 5)

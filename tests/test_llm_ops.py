@@ -795,3 +795,17 @@ def test_pq_codebook_deterministic_and_codes_bounded(spark):
         for s, code in enumerate(r.codes):
             assert code in surviving[s]
         assert r.recon_norm > 0
+
+
+def test_pq_encode_np_matches_fold_form(spark):
+    """The Arrow encode kernel and the pure-JVM fold form must agree
+    exactly on codes; recon_norm may differ only at the round-half
+    boundary class (np rounds the binary double like DuckDB, F.round
+    the decimal repr — no fixture value sits on a boundary)."""
+    em = load_table(spark, SF, "embeddings")
+    cb = similarity.pq_train(em)
+    a = {r.neighbor_id: (tuple(r.codes), r.recon_norm)
+         for r in similarity.pq_encode(em, cb).collect()}
+    b = {r.neighbor_id: (tuple(r.codes), r.recon_norm)
+         for r in similarity.pq_encode_fold(em, cb).collect()}
+    assert a == b

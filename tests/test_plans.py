@@ -73,6 +73,11 @@ _PYTHON_ALLOWED = {
     "q_llm_dedup_embed",
     "q_sim_ann_ivf",
     "q_semdedup",              # IVF cell assignment (ivf_assign_np)
+    # PQ codebook assignment + ADC lookup-table scoring are dense
+    # numpy table ops (similarity.py::pq_assign_np, the adc kernel in
+    # pq_adc_topk); the JVM fold form (pq_encode_fold) is the
+    # parity-tested spec, ~20x slower interpreted-HOF evaluation
+    "q_sim_ann_pq",
     # simhash VOTE (64-bit popcount over per-doc hash lists) is the
     # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
     "q_llm_dedup_simhash",
@@ -208,3 +213,35 @@ def test_retention_has_no_join(spark):
     plan = plan_of(all_queries()["q_retention"].fn(spark, SF), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_shuffle_epoch_no_global_sort(spark):
+    """q_shuffle_epoch's whole claim is that epoch shuffling never
+    funnels the corpus through one partition: the rank window must run
+    per shard (one hash exchange on shard_id), with no SinglePartition
+    exchange and no global Sort outside it."""
+    plan = plan_of(all_queries()["q_shuffle_epoch"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_length_buckets_single_rollup_shuffle(spark):
+    """q_length_buckets: bucket caps and token counts are scan-stage
+    expressions; the only exchange is the tiny rollup's."""
+    plan = plan_of(all_queries()["q_length_buckets"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_pq_rerank_joins_are_broadcast(spark):
+    """q_sim_ann_pq: the ADC scan is the only corpus-wide pass in the
+    query phase (two Arrow kernels: encode + ADC lookup-table scoring);
+    the shortlist re-rank must join back to full vectors via broadcast
+    (shortlist and query relations are driver-bounded), never a
+    shuffled or nested-loop join over the corpus."""
+    plan = plan_of(all_queries()["q_sim_ann_pq"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") == 2
