@@ -1,0 +1,69 @@
+"""Training-shard export: materialize a deterministic epoch shuffle as
+ready-to-stream parquet shards.
+
+The query twin (queries/traindata.py::q_shuffle_epoch) verifies the
+permutation itself against DuckDB; this module is the WRITE path — the
+step that turns the permutation into the physical layout a training
+loader consumes: one directory per shard, rows inside each file already
+in stream order, so an epoch is "read shard directories in any
+assignment, stream each file top to bottom" with zero sorting at load
+time.  The same layout discipline as the ingest sink's per-topic
+partitioning (streaming/sink.py, reference main.rs:87-88), applied to
+the corpus-export side.
+
+No reference counterpart (the reference is an ingest daemon); cites the
+fixture schema only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hex-nibble alphabet shared with the q_shuffle_epoch oracle: Spark
+#: ``instr`` and DuckDB ``strpos`` are both 1-based, so nibble value =
+#: position − 1 on either engine.
+NIBBLES = "0123456789abcdef"
+
+
+def epoch_permutation(docs: DataFrame, seed: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Append ``shard_id`` (first md5 nibble of the seed-keyed hash —
+    16 uniform shards) and ``pos`` (dense 1..n rank of the full hash
+    within the shard) to ``docs``.  Reproducible: the permutation is a
+    pure function of (seed, id), so re-runs and other engines agree
+    bit-for-bit.  Scale shape: NO global sort — the rank window runs
+    per shard; a single global ``row_number`` would funnel the corpus
+    through one partition."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    keyed = docs.withColumn("__h", h).withColumn(
+        "shard_id",
+        F.expr(
+            f"cast(instr('{NIBBLES}', substring(__h, 1, 1)) - 1 as bigint)"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__h", id_col)
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def export_shards(docs: DataFrame, path: str, seed: str,
+                  id_col: str = "doc_id") -> None:
+    """Write ``docs`` as training shards under ``path``: directory
+    partition per ``shard_id``, every file internally sorted by
+    ``pos`` (``repartition(shard_id)`` + ``sortWithinPartitions`` —
+    one shuffle, no global sort, exactly the partitioned-sorted write
+    contract the ingest sink uses for per-symbol time order).  A
+    loader streams each file top-to-bottom and gets the epoch order;
+    re-running the export with the same seed rewrites byte-identical
+    shard contents."""
+    (
+        epoch_permutation(docs, seed, id_col)
+        .repartition("shard_id")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

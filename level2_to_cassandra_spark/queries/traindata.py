@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table, spread_scan
-from level2_to_cassandra_spark.operators import dedup, minhash, text
+from level2_to_cassandra_spark.operators import dedup, export, minhash, text
 from level2_to_cassandra_spark.registry import register
 
 #: Same pair relation as q_llm_dedup_fuzzy (queries/llm.py) — the
@@ -1101,24 +1101,14 @@ def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and the rank window runs per-shard in parallel (a single
     ``row_number`` over a global ORDER BY would funnel 100 TB through
     one partition; sharding first is what makes epoch shuffling
-    distributable).  Downstream, ``partitionBy(shard_id)
-    .sortWithinPartitions(pos)`` writes ready-to-stream shard files.
+    distributable).  operators/export.py::export_shards is the write
+    path that materializes this permutation as per-shard sorted
+    parquet (contract-tested in tests/test_traindata.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit(_EPOCH_SEED + ":"),
-                       F.col("doc_id").cast("string")))
-    keyed = docs.select("doc_id", h.alias("__h")).withColumn(
-        "shard_id",
-        F.expr(
-            f"cast(instr('{_NIBBLES}', substring(__h, 1, 1)) - 1 as bigint)"
-        ),
-    )
-    w = Window.partitionBy("shard_id").orderBy("__h", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "shard_id",
-        F.row_number().over(w).cast("long").alias("pos"),
-    )
+    return export.epoch_permutation(
+        docs.select("doc_id"), _EPOCH_SEED
+    ).select("doc_id", "shard_id", "pos")
 
 
 #: q_length_buckets boundaries: power-of-two context buckets.  A CASE

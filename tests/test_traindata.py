@@ -412,3 +412,48 @@ def test_length_buckets_conserve_docs_and_bound_waste(spark):
         assert r.bucket_cap in allowed
         assert 0.0 <= r.pad_waste < 1.0
         assert r.sum_tokens <= r.n_docs * r.bucket_cap
+
+
+def test_export_shards_layout_and_stream_order(spark, tmp_path):
+    """export_shards materializes the q_shuffle_epoch permutation as
+    the physical training-shard contract: one directory per shard_id,
+    every parquet file internally sorted by pos, per-shard doc sets
+    identical to the query twin's assignment."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from level2_to_cassandra_spark.operators.export import export_shards
+    from level2_to_cassandra_spark.queries.traindata import (
+        _EPOCH_SEED,
+        q_shuffle_epoch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, _EPOCH_SEED)
+
+    dirs = {p.name for p in pathlib.Path(path).iterdir()
+            if p.is_dir() and p.name.startswith("shard_id=")}
+    assert dirs, "no shard directories written"
+    assert dirs <= {f"shard_id={i}" for i in range(16)}
+
+    want = {}
+    for r in q_shuffle_epoch(spark, SF_SMOKE).collect():
+        want.setdefault(r.shard_id, {})[r.doc_id] = r.pos
+
+    got_docs = 0
+    for d in sorted(pathlib.Path(path).glob("shard_id=*")):
+        shard = int(d.name.split("=")[1])
+        ids_in_shard = set()
+        for f in sorted(d.glob("*.parquet")):
+            t = pq.read_table(f, columns=["doc_id", "pos"])
+            pos = t["pos"].to_pylist()
+            assert pos == sorted(pos), f"{f} not pos-sorted"
+            for doc_id, p in zip(t["doc_id"].to_pylist(), pos):
+                assert want[shard][doc_id] == p
+                ids_in_shard.add(doc_id)
+        assert ids_in_shard == set(want[shard])
+        got_docs += len(ids_in_shard)
+    assert got_docs == docs.count()
