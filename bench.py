@@ -197,9 +197,15 @@ def main() -> None:
             bl = json.loads(bl_path.read_text())
             if bl.get("sf") == sf:
                 bl_med = bl.get("queries_median", {})
+                # numeric-only on BOTH sides: a baseline recorded from
+                # a round with a failed query carries null medians
+                # (bench.py's own emission), and summing one would
+                # TypeError after the whole bench ran, discarding
+                # every timing
                 common = [
                     n for n in names
-                    if medians.get(n) is not None and n in bl_med
+                    if isinstance(medians.get(n), (int, float))
+                    and isinstance(bl_med.get(n), (int, float))
                 ]
                 cur_total = sum(medians[n] for n in common)
                 bl_total = sum(bl_med[n] for n in common)

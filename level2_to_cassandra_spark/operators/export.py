@@ -58,11 +58,20 @@ def export_shards(docs: DataFrame, path: str, seed: str,
     contract the ingest sink uses for per-symbol time order).  A
     loader streams each file top-to-bottom and gets the epoch order;
     re-running the export with the same seed rewrites byte-identical
-    shard contents."""
+    shard contents.
+
+    The in-partition sort leads with ``shard_id``: the partitioned
+    writer REQUIRES rows clustered by the partition column and inserts
+    its own shard_id sort if the data isn't already sorted that way —
+    and a writer-inserted sort only promises order on shard_id, so
+    under spill-merge the pos order within a shard could interleave.
+    Sorting (shard_id, pos) ourselves satisfies the writer's
+    requirement (no second sort) AND guarantees the per-file pos
+    contract."""
     (
         epoch_permutation(docs, seed, id_col)
         .repartition("shard_id")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard_id", "pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)

@@ -860,20 +860,15 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _cb_relation(spark, cb: dict[tuple[int, int], list[float]],
-                 m: int, k: int, sub_dim: int) -> DataFrame:
+                 m: int) -> DataFrame:
     """The codebook as a ONE-ROW relation, crossJoin(broadcast)-ed onto
     corpus rows — codebook values ride the plan as DATA, not as
     expression nodes.  (The first cut embedded them as ~1000-node
     CreateArray/CreateStruct literal trees per consumer; Catalyst
     analysis of those trees cost multiple driver-side SECONDS per plan
-    while the actual compute was milliseconds.)  Columns:
-
-    * ``__cands``: array[sub] of array<struct<code, cw>>, survivors
-      only, code-ascending — what the encode argmin scans;
-    * ``__lut``:   array[sub][code] → cw, dead codes as zero vectors
-      (unreachable: encode only emits survivors) — O(1) ADC lookups.
-    """
-    zeros = [0.0] * sub_dim
+    while the actual compute was milliseconds.)  One column,
+    ``__cands``: array[sub] of array<struct<code, cw>>, survivors
+    only, code-ascending — what the fold-form encode argmin scans."""
     cands = [
         [
             {"code": code, "cw": cw}
@@ -882,14 +877,9 @@ def _cb_relation(spark, cb: dict[tuple[int, int], list[float]],
         ]
         for s in range(m)
     ]
-    lut = [
-        [cb.get((s, code), zeros) for code in range(1, k + 1)]
-        for s in range(m)
-    ]
     return spark.createDataFrame(
-        [(cands, lut)],
-        "__cands array<array<struct<code:int,cw:array<double>>>>, "
-        "__lut array<array<array<double>>>",
+        [(cands,)],
+        "__cands array<array<struct<code:int,cw:array<double>>>>",
     )
 
 
@@ -996,7 +986,8 @@ def pq_assign_np(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
                 d = ((x[:, s, None, :] - mat[None, :, :]) ** 2).sum(-1)
                 idx = np.argmin(np_round_half_away(d, 6), axis=1)
                 codes_out[:, s] = codes_s[idx]
-                nsq += (mat * mat).sum(axis=1)[idx]
+                if mode != "train":  # recon norm is encode-only output
+                    nsq += (mat * mat).sum(axis=1)[idx]
             if mode == "train":
                 yield pd.DataFrame({
                     "sub": np.tile(np.arange(m, dtype=np.int32), n),
@@ -1050,10 +1041,7 @@ def pq_encode_fold(corpus: DataFrame, cb: dict[tuple[int, int], list[float]],
     row = corpus.select(
         F.col(id_col).alias("neighbor_id"), ve.alias("__ve")
     ).crossJoin(
-        F.broadcast(
-            _cb_relation(corpus.sparkSession, cb, m, k, sub_dim)
-            .select("__cands")
-        )
+        F.broadcast(_cb_relation(corpus.sparkSession, cb, m))
     )
 
     def _best(sv):

@@ -1065,14 +1065,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_SEED = "ep7"
 _N_SHARDS = 16
 
-#: Portable hex-nibble → int: 1-based position of the first md5 hex
-#: char in the nibble alphabet, minus 1.  Spark ``instr`` and DuckDB
-#: ``strpos`` agree exactly (1-based, 0 when absent — impossible here).
-_NIBBLES = "0123456789abcdef"
-
-
 @register(
     "q_shuffle_epoch",
+    # export.NIBBLES (not a local copy) so the oracle's strpos alphabet
+    # can never drift from the one epoch_permutation's instr uses —
+    # Spark instr and DuckDB strpos are both 1-based, so nibble value =
+    # position − 1 on either engine.
     oracle=f"""
     SELECT doc_id, shard_id, CAST(pos AS BIGINT) AS pos
     FROM (
@@ -1081,7 +1079,7 @@ _NIBBLES = "0123456789abcdef"
                                 ORDER BY h, doc_id) AS pos
       FROM (SELECT doc_id,
                    md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS h,
-                   strpos('{_NIBBLES}',
+                   strpos('{export.NIBBLES}',
                           substring(md5('{_EPOCH_SEED}:'
                                         || CAST(doc_id AS VARCHAR)), 1, 1))
                    - 1 AS shard_id

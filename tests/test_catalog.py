@@ -180,3 +180,23 @@ def test_events_values_are_finite(spark):
             float("inf"), float("-inf"))
     ).count()
     assert bad == 0
+
+
+def test_documents_text_never_empty(spark):
+    """Spark and DuckDB disagree on splitting the empty string
+    (split('', ' ') = [] vs string_split('', ' ') = ['']) — the
+    divergence q_text_entropy pins engine-side.  Every other
+    oracle-backed text query (classifier, tokenize_ids, vocab
+    coverage, bigram LM, length buckets, simhash fingerprints) would
+    silently diverge if the driver ever regenerated the fixture with
+    an empty or NULL text, so pin non-emptiness HERE with an
+    explanation.  Also rejects whitespace-only text (its split is
+    ['', ''] vs ['', ''] — equal, but a zero-token doc by any
+    stopword-stripping reading; no fixture era has shipped one)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bad = docs.where(
+        F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    ).count()
+    assert bad == 0
