@@ -72,6 +72,7 @@ HEADLINE = [
     "q_funnel",              # ordered-sequence conversion funnel
     "q_retention",           # weekly cohort retention
     "q_sim_ann_pq",          # PQ codebook train + ADC compressed scan
+    "q_sim_ann_ivfpq",       # cell-pruned compressed scan (IVF x PQ)
     "q_shuffle_epoch",       # deterministic epoch shuffle + sharding
 ]
 

@@ -830,6 +830,107 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_ann_ivfpq",
+    # Composes the two proven portable bundles: the IVF CTEs rebuild
+    # the identical coarse cells/centroids/probes (q_sim_ann_ivf's
+    # oracle), the PQ CTEs the identical codebooks/codes/norms
+    # (q_sim_ann_pq's oracle); the ADC sum is simply restricted to
+    # probed (query, cell) pairs via the a0 cell assignment.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    {_PQ_PORTABLE_CTES},
+    comp_c AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+      GROUP BY cell, pos
+    ),
+    cent_c AS (SELECT cell, list(x ORDER BY pos) AS cv
+               FROM comp_c GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, ve AS qv,
+                 sqrt(list_reduce(list_transform(ve, x -> x * x),
+                                  (a, x) -> a + x)) AS qn
+          FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM q CROSS JOIN cent_c c)
+      WHERE rn <= 6
+    ),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             SUM(ROUND(list_reduce(
+                 list_transform(range(1, 9),
+                   i -> q.qv[e.sub*8 + i] * c.cw[i]),
+                 (a, x) -> a + x), 6)) AS adot
+      FROM enc e
+      JOIN a0 ON a0.vec_id = e.vec_id
+      JOIN probes p ON p.cell = a0.cell
+      JOIN q ON q.query_id = p.query_id
+      JOIN cb c ON c.sub = e.sub AND c.code = e.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.query_id
+                 ORDER BY ROUND(a.adot / (q.qn * r.recon_norm), 6) DESC,
+                          a.neighbor_id ASC) AS rn
+        FROM adc a
+        JOIN q USING (query_id)
+        JOIN rnorm r ON r.vec_id = a.neighbor_id)
+      WHERE rn <= 30
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, v.ve), 4) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(q.qv, v.ve), 4) DESC,
+                        s.neighbor_id ASC) AS rank
+      FROM short s
+      JOIN q USING (query_id)
+      JOIN v ON v.vec_id = s.neighbor_id)
+    WHERE rank <= 10
+    """,
+)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — THE production large-scale ANN layout (FAISS's
+    IndexIVFPQ, by_residual=false): the coarse quantizer prunes to 6
+    of 16 cells per query, product-quantization codes score the
+    surviving rows in the compressed domain (ADC lookup tables), and
+    only the top-30 shortlist touches full-precision vectors for the
+    exact top-10 re-rank.  Composes q_sim_ann_ivf's cell index (the
+    persisted inverted file IS the staging table the codes ride on)
+    with q_sim_ann_pq's codebooks; at 100 TB the steady-state read is
+    ~(nprobe/n_cells)·9 bytes per corpus row — the cell cut and the
+    code compression multiply.
+
+    Index build: one Lloyd corpus pass (persisted cell assignment) +
+    one Arrow pass appending codes/norms to it; probes are picked
+    driver-side from the collected centroids (n_cells rows — the same
+    bounded collect every IVF probe path makes).  Recall floor and
+    brute-force equality at nprobe=n_cells ∧ shortlist≥corpus are
+    pinned in tests/test_llm_ops.py; the oracle replays the ENTIRE
+    composed index bit-for-bit (see oracle comment)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        em, queries, topk=10, shortlist=30, n_cells=16, nprobe=6,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
     "q_embed_quantize",
     oracle="""
     SELECT vec_id,

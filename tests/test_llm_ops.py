@@ -809,3 +809,31 @@ def test_pq_encode_np_matches_fold_form(spark):
     b = {r.neighbor_id: (tuple(r.codes), r.recon_norm)
          for r in similarity.pq_encode_fold(em, cb).collect()}
     assert a == b
+
+
+def test_ivfpq_recall_and_exactness(spark):
+    """IVF-PQ composes two approximations (cell cut × code
+    compression); with every knob opened (nprobe=n_cells,
+    shortlist>=corpus) both vanish and the result must EQUAL brute
+    force — at the registered settings only a recall floor holds on
+    the incompressible random fixture."""
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(em, queries, k=10,
+                                       round_cos=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=30, nprobe=6).collect()
+    }
+    assert len(got & want) / len(want) >= 0.2
+    n = em.count()
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=n, nprobe=16).collect()
+    }
+    assert full == want

@@ -78,6 +78,7 @@ _PYTHON_ALLOWED = {
     # pq_adc_topk); the JVM fold form (pq_encode_fold) is the
     # parity-tested spec, ~20x slower interpreted-HOF evaluation
     "q_sim_ann_pq",
+    "q_sim_ann_ivfpq",     # cell-restricted ADC over the same kernels
     # simhash VOTE (64-bit popcount over per-doc hash lists) is the
     # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
     "q_llm_dedup_simhash",
@@ -245,3 +246,13 @@ def test_pq_rerank_joins_are_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_ivfpq_probe_restricted_and_broadcast_rerank(spark):
+    """q_sim_ann_ivfpq: the inverted file (cell+codes staging) feeds
+    the ADC kernel; the re-rank joins are broadcast; no corpus-wide
+    shuffled join or cartesian anywhere."""
+    plan = plan_of(all_queries()["q_sim_ann_ivfpq"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
