@@ -547,3 +547,61 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_event_transitions",
+    # Exact counts + one rounded division — the only float step is the
+    # per-source probability, rounded to 6 on both engines.  NULL ts
+    # rows are excluded on both sides (same pin as q_funnel: ordering
+    # by a NULL timestamp is engine-defined).  The (ts, event_id)
+    # ordering makes the lag deterministic under same-timestamp ties.
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM ev)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+                                 AS DOUBLE), 6) AS prob
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TRANSITION MATRIX (first-order Markov view of the event
+    stream): for every ordered per-user pair of consecutive events,
+    count (prev_type → next_type) and normalize each source row into
+    transition probabilities — the "what do users do next" analytics
+    that complements q_funnel's fixed path and q_retention's cohort
+    view, and the input to next-event-prediction baselines.
+
+    Scale shape: ONE user_id shuffle feeds the lag window (state per
+    row is a single previous value), the transition rollup is a
+    map-side-combined count on a |event_types|² key space (25 cells
+    here), and the probability normalization is a window over that
+    tiny aggregate — cost is the one shuffle, independent of the
+    transition-matrix math.  Deterministic under timestamp ties via
+    the (ts, event_id) ordering."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    agg = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("prob"),
+    )

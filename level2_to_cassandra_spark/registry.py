@@ -89,6 +89,7 @@ DRIVER_ORDER = (
     "q_length_buckets",
     "q_sim_ann_pq",
     "q_sim_ann_ivfpq",
+    "q_event_transitions",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental_fuzzy",
@@ -101,7 +102,6 @@ DRIVER_ORDER = (
     "q_agg_bitmap_distinct",
     "q_udaf_trimmed_mean",
     "q_window_range_frame",
-    "q_sql_grouping_sets",
     # -- the non-redundant core (driver-green r01+r02+r04) --------------
     "q_scan_project_filter",
     "q_json_scan",
@@ -143,10 +143,13 @@ DRIVER_ORDER = (
     # stage + q_pack_sequences; q_dedup_keep↔q_dedup_cluster +
     # q_semdedup's identical min-id keep rule; q_text_editdist↔the
     # in-cap fuzzy/minhash pairwise-text rows)
+    # (q_sql_grouping_sets↔q_agg_rollup, thrice-green, same GROUPING
+    # SETS machinery through the SQL surface)
     "q_dedup_incremental",
     "q_chunk_docs",
     "q_dedup_keep",
     "q_text_editdist",
+    "q_sql_grouping_sets",
     "q_dedup_lww",
     "q_sim_topk",
     "q_join_broadcast",

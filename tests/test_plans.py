@@ -256,3 +256,14 @@ def test_ivfpq_probe_restricted_and_broadcast_rerank(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_transitions_no_join_three_exchanges(spark):
+    """q_event_transitions: one user_id shuffle (lag window), the tiny
+    transition rollup, and the per-source probability window — three
+    key-aligned exchanges, never a join (the matrix normalization is a
+    window over the 25-cell aggregate, not a self-join)."""
+    plan = plan_of(all_queries()["q_event_transitions"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan
