@@ -132,3 +132,55 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             break
     sym.unpersist()
     return labels
+
+
+def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id"):
+    """``foreachBatch`` sink factory: STREAMING incremental corpus
+    dedup — the micro-batch twin of q_dedup_incremental (queries/
+    llm.py), which verifies the same admit rule against DuckDB in
+    batch form.  Per micro-batch: keep the first-of-content row
+    (lowest ``id_col`` per sha2(text)), LEFT ANTI join against the
+    hash staging table at ``store_path``, append the admitted rows to
+    ``admitted_path`` and ONLY THEN their hashes to the store — so a
+    replayed batch (foreachBatch is at-least-once) re-admits rather
+    than silently dropping rows whose hashes landed before a crash;
+    duplicate admitted rows are reconciled by the same content-hash
+    dedup downstream, duplicate store hashes are harmless (the anti
+    join is set-semantics).
+
+    Admit rule across the stream: a document is admitted iff its
+    content has never been seen in any earlier micro-batch, and it has
+    the lowest id among same-content rows of its own batch —
+    first-arrival-batch wins, exactly the sequential generalization of
+    the batch query's new-vs-seen split.
+
+    Scale shape per batch: one shuffle on the 256-bit content hash
+    (fixed-width key) + an anti join against the store, which in
+    production is bucketed by hash so the corpus side never
+    re-shuffles; the store grows by admitted hashes only.  NULL-text
+    rows are dropped (same reasoning as the batch twin: sha2(NULL) is
+    NULL and can never anti-match)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.where(F.col(text_col).isNotNull())
+            .withColumn("__h", content_hash(text_col))
+        )
+        first = latest_by_key(batch, ["__h"], [F.asc(id_col)])
+        try:
+            seen = spark.read.parquet(store_path).select("__h").distinct()
+            admitted = first.join(seen, "__h", "left_anti")
+        except Exception:  # first batch: no store yet
+            admitted = first
+        # rows BEFORE hashes — replay-safe ordering (see docstring)
+        admitted.persist()
+        try:
+            admitted.drop("__h").write.mode("append").parquet(admitted_path)
+            admitted.select("__h").write.mode("append").parquet(store_path)
+        finally:
+            admitted.unpersist()
+
+    return fn

@@ -501,3 +501,62 @@ def test_classifier_inference_on_stream_matches_batch(spark, tmp_path):
     got = spark.table("clf_stream").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) > 0
+
+
+def test_streaming_incremental_dedup_parity(spark, tmp_path):
+    """The foreachBatch incremental-dedup sink must admit exactly the
+    docs the sequential batch spec admits: first arrival batch wins,
+    lowest doc_id within that batch wins — across THREE micro-batches
+    with overlapping content (maxFilesPerTrigger=1 forces one batch
+    per file; mtimes pin the file order)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from level2_to_cassandra_spark.operators.dedup import (
+        foreach_batch_incremental_dedup,
+    )
+
+    batches = [
+        # (doc_id, text)
+        [(1, "alpha"), (2, "alpha"), (3, "beta")],          # b0
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],      # b1
+        [(20, "beta"), (21, "gamma"), (22, "delta")],       # b2
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.jsonl"
+        p.write_text("\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in rows))
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    admitted_path = str(tmp_path / "admitted")
+    store_path = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_incremental_dedup(admitted_path, store_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(admitted_path).collect()
+    }
+    # sequential spec: alpha first in b0 (id 1), beta in b0 (id 3),
+    # gamma first in b1 (id 11), delta in b2 (id 22)
+    assert got == {(1, "alpha"), (3, "beta"), (11, "gamma"),
+                   (22, "delta")}
+    # the store holds exactly the admitted contents' hashes
+    n_hashes = spark.read.parquet(store_path).distinct().count()
+    assert n_hashes == 4
