@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -171,9 +172,18 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
         )
         first = latest_by_key(batch, ["__h"], [F.asc(id_col)])
         try:
-            seen = spark.read.parquet(store_path).select("__h").distinct()
+            # no .distinct(): LEFT ANTI is set-semantics on the build
+            # side already, and a distinct would shuffle the whole
+            # ever-growing store every micro-batch
+            seen = spark.read.parquet(store_path).select("__h")
             admitted = first.join(seen, "__h", "left_anti")
-        except Exception:  # first batch: no store yet
+        except AnalysisException as e:
+            # ONLY path-absence means "first batch".  Any other read
+            # failure (corrupt footer, permissions, transient FS error)
+            # must fail the batch and be retried — swallowing it would
+            # silently re-admit already-seen content.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             admitted = first
         # rows BEFORE hashes — replay-safe ordering (see docstring)
         admitted.persist()

@@ -642,6 +642,7 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               lloyd_iters: int = 1, scheme: str = "hash",
               round_assign: int | None = None,
+              seed_cent: DataFrame | None = None,
               ) -> tuple[DataFrame, DataFrame | None]:
     """Deterministic coarse quantizer + inverted file in ``lloyd_iters``
     corpus passes TOTAL: ``(cent, assigned)`` where ``assigned`` is the
@@ -680,7 +681,11 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     Lloyd assignment itself engine-invariant.  At ``lloyd_iters=0``
     no assignment exists: returns ``(seeds, None)`` (``ivf_centroids``
     handles this; direct callers must too)."""
-    cent = ivf_seeds(corpus, n_cells, id_col, vec_col, scheme)
+    # seed_cent: caller-supplied (cell, __cv) seed relation — IVF-PQ
+    # shares one collected seed set between the coarse quantizer and
+    # the PQ codebooks, saving a TakeOrdered corpus scan
+    cent = (seed_cent if seed_cent is not None
+            else ivf_seeds(corpus, n_cells, id_col, vec_col, scheme))
     assigned = None
     for _ in range(lloyd_iters):
         if assigned is not None:
@@ -885,7 +890,7 @@ def _cb_relation(spark, cb: dict[tuple[int, int], list[float]],
 
 def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
              sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
-             vec_col: str = "embedding",
+             vec_col: str = "embedding", seed_rows: list | None = None,
              ) -> dict[tuple[int, int], list[float]]:
     """Train per-subspace codebooks: seeds are the subvectors of the
     ``k`` corpus rows with the smallest md5(id) (the IVF seed order —
@@ -898,8 +903,14 @@ def pq_train(corpus: DataFrame, m: int = _PQ_M, k: int = _PQ_K,
     broadcast relation, see :func:`_cb_relation`).
     Codes with no members vanish (exactly like empty IVF cells);
     every consumer enumerates survivors only, so both engines agree.
+    ``seed_rows``: pre-collected ``ivf_seeds(..., k, scheme="portable")``
+    rows — pass when the caller already has them (IVF-PQ shares the
+    same 16 md5-order rows with its coarse quantizer, saving one
+    TakeOrdered corpus scan per index build).
     """
-    seeds = ivf_seeds(corpus, k, id_col, vec_col, scheme="portable").collect()
+    seeds = seed_rows if seed_rows is not None else ivf_seeds(
+        corpus, k, id_col, vec_col, scheme="portable"
+    ).collect()
     cb0: dict[tuple[int, int], list[float]] = {}
     for r in seeds:
         for s in range(m):
@@ -1105,40 +1116,55 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
 def _adc_scored(enc: DataFrame, queries: DataFrame,
                 cb: dict[tuple[int, int], list[float]],
                 m: int, sub_dim: int, id_col: str, vec_col: str,
-                probes: dict[int, set] | None = None) -> DataFrame:
+                probes: dict[int, set] | None = None,
+                qrows: list | None = None) -> DataFrame:
     """ADC lookup-table scan → (query_id, neighbor_id, acos).
 
     Query batch to the driver — same bounded-collect discipline as the
     LSH plane matrices / IVF centroids (queries are a batch, not a
-    second corpus; brute_topk broadcasts the same relation).  THE
-    classic ADC lookup tables (one per subspace): every partial dot
-    any corpus row can contribute is precomputed as T[s][query, code]
-    = q_sub·codeword, rounded to 6 — scoring a corpus row is then m
-    table lookups + adds per query, touching only its codes.
-    Bit-parity with the JVM per-row dot: the dot is the same fused
-    multiply-add chain, rounded by the DuckDB-twin rounding
-    (np_round_half_away docstring).
+    second corpus; brute_topk broadcasts the same relation; pass
+    ``qrows`` if the caller already collected it).  THE classic ADC
+    lookup tables (one per subspace): every partial dot any corpus row
+    can contribute is precomputed as T[s][query, code] = q_sub·codeword,
+    rounded to 6 — scoring a corpus row is then m table lookups + adds
+    per query, touching only its codes.  Bit-parity with the JVM
+    per-row dot: the dot is the same fused multiply-add chain, rounded
+    by the DuckDB-twin rounding (np_round_half_away docstring).
 
     ``probes`` (query_id → allowed cell set) turns the full scan into
     the IVF-PQ inverted-file scan: ``enc`` must then carry a ``cell``
-    column, and a (query, row) pair is scored only when the row's cell
-    is probed by that query — per query ~nprobe/n_cells of the codes
-    are touched, nothing else."""
+    column.  Rows outside EVERY query's probe set are dropped before
+    any scoring; rows inside the probed union are scored batched for
+    all queries (the LUT batching) and masked per query afterwards —
+    at scale the union filter is what shrinks the scan to
+    ~nprobe/n_cells of the codes."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    if qrows is None:
+        qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qmat = np.array(
+        [r[vec_col] for r in qrows], dtype=np.float64
+    ).reshape(len(qids), m * sub_dim)
     per = _cb_np(cb, m)
     qsub = qmat.reshape(len(qids), m, sub_dim)
     luts = [np_round_half_away(qsub[:, s, :] @ per[s][1].T, 6)
             for s in range(m)]
+    if probes is not None:
+        # hoisted per-query probe arrays + their union — sorted once,
+        # not once per Arrow batch
+        probe_arrs = [np.array(sorted(probes.get(int(qid), ())),
+                               dtype=np.int64) for qid in qids]
+        probe_union = (np.unique(np.concatenate(probe_arrs))
+                       if probe_arrs else np.empty(0, dtype=np.int64))
 
     def adc(it):
         for pdf in it:
+            if probes is not None and len(pdf):
+                pdf = pdf[np.isin(pdf["cell"].to_numpy(), probe_union)]
             n = len(pdf)
-            if n == 0:
+            if n == 0 or len(qids) == 0:
                 continue
             c = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
@@ -1148,13 +1174,19 @@ def _adc_scored(enc: DataFrame, queries: DataFrame,
                 pos = np.searchsorted(per[s][0], c[:, s])
                 adot += luts[s][:, pos]
             if probes is None:
-                keep = np.ones((len(qids), n), dtype=bool)
-            else:
-                cells = pdf["cell"].to_numpy()
-                keep = np.stack([
-                    np.isin(cells, sorted(probes.get(int(qid), ())))
-                    for qid in qids
-                ])
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(),
+                                           len(qids)),
+                    "recon_norm": np.tile(pdf["recon_norm"].to_numpy(),
+                                          len(qids)),
+                    "__adot": adot.reshape(-1),
+                })
+                continue
+            cells = pdf["cell"].to_numpy()
+            keep = np.zeros((len(qids), n), dtype=bool)
+            for i, pa in enumerate(probe_arrs):
+                keep[i] = np.isin(cells, pa)
             km = keep.reshape(-1)
             yield pd.DataFrame({
                 "query_id": np.repeat(qids, n)[km],
@@ -1258,10 +1290,18 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     composition exactly."""
     import numpy as np
 
+    # one TakeOrdered seed scan, shared between the coarse quantizer
+    # and the PQ codebooks when their seed counts coincide
+    seed_rows = ivf_seeds(corpus, n_cells, id_col, vec_col,
+                          scheme="portable").collect()
+    seed_cent = corpus.sparkSession.createDataFrame(
+        seed_rows, "cell int, __cv array<double>"
+    )
     cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
                                lloyd_iters=1, scheme="portable",
-                               round_assign=6)
-    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
+                               round_assign=6, seed_cent=seed_cent)
+    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col,
+                  seed_rows=seed_rows if k_codes == n_cells else None)
     index = pq_assign_np(assigned, cb, mode="encode", m=m,
                          sub_dim=sub_dim, id_col=id_col, vec_col=vec_col,
                          carry_cell=True)
@@ -1282,7 +1322,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
         probes[int(r[id_col])] = {int(c) for c in cells[order]}
 
     scored = _adc_scored(index, queries, cb, m, sub_dim, id_col, vec_col,
-                         probes=probes)
+                         probes=probes, qrows=qrows)
     # `assigned` (the persisted inverted file) is consumed lazily by
     # `index` — an eager unpersist here would force a live recompute at
     # materialization time, so its release is the session's clearCache

@@ -837,3 +837,12 @@ def test_ivfpq_recall_and_exactness(spark):
                                        shortlist=n, nprobe=16).collect()
     }
     assert full == want
+
+
+def test_pq_paths_handle_empty_query_batch(spark):
+    """An empty query relation must yield an empty result, not an
+    Arrow-worker crash (np.stack of zero arrays)."""
+    em = load_table(spark, SF, "embeddings")
+    empty = em.where(F.col("vec_id") < 0)
+    assert similarity.pq_adc_topk(em, empty, topk=5).count() == 0
+    assert similarity.ivfpq_topk(em, empty, topk=5).count() == 0
