@@ -74,6 +74,7 @@ HEADLINE = [
     "q_sim_ann_pq",          # PQ codebook train + ADC compressed scan
     "q_sim_ann_ivfpq",       # cell-pruned compressed scan (IVF x PQ)
     "q_shuffle_epoch",       # deterministic epoch shuffle + sharding
+    "q_event_transitions",   # lag window + Markov transition rollup
 ]
 
 

@@ -1168,3 +1168,93 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+#: q_mixture_plan constants: upweighted sources and the token budget as
+#: a fraction of the corpus.  Literal CASE weights (not a config table)
+#: so the oracle is self-contained; a production pipeline would join a
+#: broadcast weights dimension instead.
+_MIX_UPWEIGHTED = ("src0", "src1", "src2", "src3", "src4")
+_MIX_UPWEIGHT = 3.0
+_MIX_BUDGET_FRAC = 0.5
+
+
+@register(
+    "q_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens,
+             CASE WHEN source IN {_MIX_UPWEIGHTED}
+                  THEN {_MIX_UPWEIGHT} ELSE 1.0 END AS w
+      FROM documents
+      GROUP BY source
+    ),
+    planned AS (
+      SELECT source, avail_tokens,
+             ROUND({_MIX_BUDGET_FRAC}
+                   * SUM(avail_tokens) OVER ()
+                   * w / SUM(w) OVER (), 2) AS target_tokens
+      FROM per
+    )
+    SELECT source, avail_tokens, target_tokens,
+           ROUND(LEAST(1.0, target_tokens
+                            / CAST(avail_tokens AS DOUBLE)), 6) AS rate,
+           target_tokens > avail_tokens AS capped
+    FROM planned
+    """,
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-MIXTURE PLANNING: given per-source weights and a token
+    budget (here {_MIX_BUDGET_FRAC:.0%} of the corpus, upweighting
+    {len(_MIX_UPWEIGHTED)} premium sources {_MIX_UPWEIGHT}×), compute
+    each source's available tokens, its weighted target allocation,
+    the sampling rate that achieves it, and whether the source is
+    CAPPED (target exceeds supply — the shortfall a mixing pipeline
+    redistributes or accepts).  This is the planning pass behind
+    Pile/Dolma-style training mixtures; the emitted rate column feeds
+    the same hash-cut predicate q_sample_stratified executes.
+
+    Scale shape: one map-side-combined token-count agg shuffles
+    #sources rows; the share normalization is a window over that tiny
+    aggregate (the empty-frame SUM() OVER () runs on #sources rows,
+    never the corpus).  Rates derive from the ROUNDED targets on both
+    engines so the plan is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(text.tokens("text")).alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("long").alias("avail_tokens"))
+        .withColumn(
+            "__w",
+            F.when(
+                F.col("source").isin(*_MIX_UPWEIGHTED), F.lit(_MIX_UPWEIGHT)
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    tot = Window.partitionBy()
+    planned = per.withColumn(
+        "target_tokens",
+        F.round(
+            F.lit(_MIX_BUDGET_FRAC)
+            * F.sum("avail_tokens").over(tot)
+            * F.col("__w")
+            / F.sum("__w").over(tot),
+            2,
+        ),
+    )
+    return planned.select(
+        "source",
+        "avail_tokens",
+        "target_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens")
+                / F.col("avail_tokens").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+        (F.col("target_tokens") > F.col("avail_tokens")).alias("capped"),
+    )

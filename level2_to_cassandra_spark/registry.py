@@ -90,12 +90,12 @@ DRIVER_ORDER = (
     "q_sim_ann_pq",
     "q_sim_ann_ivfpq",
     "q_event_transitions",
+    "q_mixture_plan",
     # -- once-green in r04 (first driver rows); in-cap for a confirming
     # round --------------------------------------------------------------
     "q_dedup_incremental_fuzzy",
     "q_text_redact",
     "q_curate_corpus",
-    "q_resample_locf",
     "q_dedup_cluster",
     "q_pack_sequences",
     "q_contamination",
@@ -144,8 +144,11 @@ DRIVER_ORDER = (
     # q_semdedup's identical min-id keep rule; q_text_editdist↔the
     # in-cap fuzzy/minhash pairwise-text rows)
     # (q_sql_grouping_sets↔q_agg_rollup, thrice-green, same GROUPING
-    # SETS machinery through the SQL surface)
+    # SETS machinery through the SQL surface; q_resample_locf↔
+    # q_resample_interp, same grid/window machinery, interp stays
+    # in-cap for its first row)
     "q_dedup_incremental",
+    "q_resample_locf",
     "q_chunk_docs",
     "q_dedup_keep",
     "q_text_editdist",

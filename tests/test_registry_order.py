@@ -29,7 +29,7 @@ NEVER_DRIVER_CHECKED = {
     "q_classifier_score", "q_tokenize_ids", "q_corpus_pipeline",
     "q_text_entropy", "q_funnel", "q_retention",
     "q_shuffle_epoch", "q_length_buckets", "q_sim_ann_pq",
-    "q_sim_ann_ivfpq", "q_event_transitions",
+    "q_sim_ann_ivfpq", "q_event_transitions", "q_mixture_plan",
 }
 
 # Driver-green in at least one prior round (or rows-only by design),
@@ -62,7 +62,7 @@ SAFE_TO_ROTATE_OUT = {
     # bucket first rows (in-cap siblings: q_dedup_incremental_fuzzy,
     # q_corpus_pipeline/q_pack_sequences)
     "q_dedup_incremental", "q_chunk_docs", "q_dedup_keep",
-    "q_text_editdist", "q_sql_grouping_sets",
+    "q_text_editdist", "q_sql_grouping_sets", "q_resample_locf",
     # rows-only by design: a driver row would add no oracle signal
     # beyond the local recall/tolerance tests
     "q_agg_approx_percentile",
