@@ -1201,7 +1201,7 @@ _MIX_BUDGET_FRAC = 0.5
     SELECT source, avail_tokens, target_tokens,
            ROUND(LEAST(1.0, target_tokens
                             / CAST(avail_tokens AS DOUBLE)), 6) AS rate,
-           target_tokens > avail_tokens AS capped
+           CAST(target_tokens > avail_tokens AS BIGINT) AS capped
     FROM planned
     """,
 )
@@ -1256,5 +1256,10 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rate"),
-        (F.col("target_tokens") > F.col("avail_tokens")).alias("capped"),
+        # BIGINT 0/1, not boolean: no boolean column has ever been
+        # through a driver hash check (q_curate_corpus casts its flags
+        # the same way) — don't let this query be the experiment
+        (F.col("target_tokens") > F.col("avail_tokens"))
+        .cast("long")
+        .alias("capped"),
     )
