@@ -383,3 +383,68 @@ def test_spark_round_divergence_confined_to_repr_ties(spark):
     # −ulp: DuckDB keeps the sign (−0.0), Spark's BigDecimal drops it
     assert math.copysign(1.0, want[-1]) == -1.0
     assert math.copysign(1.0, got[-1]) == 1.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=30, unique=True))
+def test_epoch_permutation_is_bijection_on_arbitrary_ids(spark, ids):
+    """epoch_permutation must be a bijection with dense per-shard
+    ranks for ANY unique id set (negatives, huge values, singletons) —
+    not just the fixture's 0..n ids."""
+    from level2_to_cassandra_spark.operators.export import (
+        epoch_permutation,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = epoch_permutation(df, "prop-seed").collect()
+    assert len(out) == len(ids)
+    assert {r.doc_id for r in out} == set(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard_id < 16
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6),   # user_id
+              st.integers(min_value=0, max_value=3 * DAY),  # ts offset
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=2, max_size=40))
+def test_event_transitions_row_conservation_and_prob_simplex(spark, rows):
+    """For ANY event stream: transition count mass equals (rows −
+    distinct users with ≥1 event), and each source's probabilities sum
+    to 1 — the Markov simplex invariant the fixture can't stress with
+    adversarial shapes (single-user streams, all-same-type runs)."""
+    from level2_to_cassandra_spark.queries import timeseries
+
+    df = spark.createDataFrame(
+        [(i, u, BASE + off, t, 1.0, "{}")
+         for i, (u, off, t) in enumerate(rows)],
+        "event_id long, user_id long, __epoch long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("__epoch").alias("ts"),
+        "event_type", "value", "props",
+    )
+    # patch the module's own binding (timeseries imports load_table by
+    # name, so patching the catalog module wouldn't take)
+    orig = timeseries.load_table
+    timeseries.load_table = lambda spark_, sf, name: df
+    try:
+        out = timeseries.q_event_transitions(spark, "ignored").collect()
+    finally:
+        timeseries.load_table = orig
+    n_users = len({u for u, _, _ in rows})
+    assert sum(r.n for r in out) == len(rows) - n_users
+    by_src: dict[str, float] = {}
+    for r in out:
+        by_src[r.prev_type] = by_src.get(r.prev_type, 0.0) + r.prob
+    for total in by_src.values():
+        assert abs(total - 1.0) < 1e-4
