@@ -178,11 +178,23 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
             seen = spark.read.parquet(store_path).select("__h")
             admitted = first.join(seen, "__h", "left_anti")
         except AnalysisException as e:
-            # ONLY path-absence means "first batch".  Any other read
-            # failure (corrupt footer, permissions, transient FS error)
-            # must fail the batch and be retried — swallowing it would
+            # Classify by the STRUCTURED error condition (a message
+            # substring match could be spoofed by a path that happens
+            # to contain the error name).  Empty-store conditions mean
+            # "nothing seen yet": PATH_NOT_FOUND is the true first
+            # batch; UNABLE_TO_INFER_SCHEMA is the directory a crash
+            # left with no readable footer (e.g. died between the rows
+            # write and the store write) — retrying the read can never
+            # succeed there, and re-admitting is exactly the documented
+            # at-least-once replay behavior.  Everything else
+            # (permissions, transient FS, corrupt footer on a populated
+            # store) fails the batch for retry — swallowing it would
             # silently re-admit already-seen content.
-            if "PATH_NOT_FOUND" not in str(e):
+            try:
+                cond = e.getCondition() or ""
+            except Exception:
+                cond = ""
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
             admitted = first
         # rows BEFORE hashes — replay-safe ordering (see docstring)

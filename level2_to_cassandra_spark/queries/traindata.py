@@ -1207,8 +1207,8 @@ _MIX_BUDGET_FRAC = 0.5
 )
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-MIXTURE PLANNING: given per-source weights and a token
-    budget (here {_MIX_BUDGET_FRAC:.0%} of the corpus, upweighting
-    {len(_MIX_UPWEIGHTED)} premium sources {_MIX_UPWEIGHT}×), compute
+    budget (here 50 % of the corpus, upweighting five premium sources
+    3× — the _MIX_* constants above), compute
     each source's available tokens, its weighted target allocation,
     the sampling rate that achieves it, and whether the source is
     CAPPED (target exceeds supply — the shortfall a mixing pipeline
