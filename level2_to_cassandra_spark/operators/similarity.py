@@ -1265,15 +1265,26 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                m: int = _PQ_M, k_codes: int = _PQ_K,
                sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
                vec_col: str = "embedding", round_cos: int | None = 4,
-               ) -> DataFrame:
+               by_residual: bool = False) -> DataFrame:
     """IVF-PQ: the production composition of the coarse quantizer
     (cell pruning, :func:`ivf_index`) and product quantization
     (compressed-domain ADC scoring, :func:`pq_train`/:func:`pq_encode`)
     — per query only the ``nprobe`` nearest cells' CODES are scored,
     so the steady-state read is ~(nprobe/n_cells)·m bytes per corpus
-    row.  Codes are trained/encoded on the raw vectors (FAISS's
-    ``by_residual=false`` layout — residual encoding is a refinement
-    on the same plumbing).
+    row.  By default codes are trained/encoded on the raw vectors
+    (FAISS's ``by_residual=false`` layout — the engine-portable,
+    oracle-replayed mode q_sim_ann_ivfpq registers).
+
+    ``by_residual=True`` is FAISS's default refinement: codebooks are
+    trained on (vector − assigned centroid), so each cell's codes
+    spend their 16 levels on the LOCAL spread instead of the global
+    one.  The approximate vector becomes centroid + decoded residual;
+    its cosine against the query decomposes into driver-precomputable
+    tables — query·centroid per (query, cell), query·codeword and
+    centroid·codeword per (cell, subspace, code), codeword norms — so
+    scoring stays m lookups per row plus a per-row norm fold (the
+    ‖c + r̂‖ term).  Operator mode only: recall/exactness are pinned
+    in tests; no DuckDB oracle claims it.
 
     Index build: one Lloyd pass yields the persisted cell assignment
     (the inverted file), one Arrow pass over that staging relation
@@ -1300,11 +1311,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
                                lloyd_iters=1, scheme="portable",
                                round_assign=6, seed_cent=seed_cent)
-    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col,
-                  seed_rows=seed_rows if k_codes == n_cells else None)
-    index = pq_assign_np(assigned, cb, mode="encode", m=m,
-                         sub_dim=sub_dim, id_col=id_col, vec_col=vec_col,
-                         carry_cell=True)
 
     cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
     cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
@@ -1321,8 +1327,32 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
         order = np.lexsort((cells, -cos))[:nprobe]
         probes[int(r[id_col])] = {int(c) for c in cells[order]}
 
-    scored = _adc_scored(index, queries, cb, m, sub_dim, id_col, vec_col,
-                         probes=probes, qrows=qrows)
+    if by_residual:
+        # residual relation: one broadcast join against the 16-row
+        # centroid relation, subtraction fused into the scan stage
+        res = assigned.join(F.broadcast(cent), "cell").select(
+            id_col,
+            "cell",
+            F.zip_with(
+                as_double(F.col(vec_col)), F.col("__cv"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        cb = pq_train(res, m, k_codes, sub_dim, id_col, "__res")
+        index = pq_assign_np(res, cb, mode="encode", m=m,
+                             sub_dim=sub_dim, id_col=id_col,
+                             vec_col="__res", carry_cell=True)
+        scored = _adc_scored_residual(
+            index, cb, qrows, cells, cmat, m, sub_dim, id_col, vec_col,
+            probes)
+    else:
+        cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col,
+                      seed_rows=seed_rows if k_codes == n_cells else None)
+        index = pq_assign_np(assigned, cb, mode="encode", m=m,
+                             sub_dim=sub_dim, id_col=id_col,
+                             vec_col=vec_col, carry_cell=True)
+        scored = _adc_scored(index, queries, cb, m, sub_dim, id_col,
+                             vec_col, probes=probes, qrows=qrows)
     # `assigned` (the persisted inverted file) is consumed lazily by
     # `index` — an eager unpersist here would force a live recompute at
     # materialization time, so its release is the session's clearCache
