@@ -269,43 +269,100 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", oracle=None)
+@register(
+    "q_agg_approx",
+    # Verifiable projection (VERDICT r05 #1): sketch estimates differ
+    # across engines, so the driver-checked contract is (group, exact
+    # value, within-tolerance flag).  The flag is computed SPARK-side
+    # from the live HLL++ estimate — the sketch stays fully exercised —
+    # while DuckDB recomputes the exact value and asserts the ≤5 %
+    # bound holds by emitting TRUE.  A sketch regression flips the
+    # boolean and the driver hash catches it.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct counting (HyperLogLog++, rsd=0.02) next to
-    the exact count.  Sketches differ across engines, so no value
-    oracle — the ≤5% relative-error bound is asserted in
-    tests/test_approx.py, and the sketch (unlike exact distinct)
-    needs no per-key shuffle of raw values at scale."""
+    """Approximate distinct counting (HyperLogLog++, rsd=0.02) checked
+    against the exact count.  The sketch (unlike exact distinct) needs
+    no per-key shuffle of raw values at scale; the hash-checked output
+    is the verifiable projection — exact count + a Spark-computed
+    ``within_tol`` (relative error ≤5 %, >2σ headroom at rsd=0.02)
+    that the oracle pins to TRUE.  The raw estimate's error band is
+    additionally asserted in tests/test_approx.py."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+    rel_err = F.abs(
+        F.col("approx_customers") - F.col("exact_customers")
+    ) / F.greatest(F.col("exact_customers"), F.lit(1)).cast("double")
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (rel_err <= F.lit(0.05)).alias("within_tol"),
+    )
 
 
-@register("q_agg_approx_percentile", oracle=None)
+@register(
+    "q_agg_approx_percentile",
+    # Verifiable projection (VERDICT r05 #1): the GK sketch has no
+    # cross-engine hash twin, so the checked contract is the exact
+    # interpolated quantile (Spark `percentile` ≡ DuckDB
+    # `quantile_cont`, both linear interpolation at rank p·(n−1);
+    # rounded to 4 so last-ulp jitter in the interpolation fold cannot
+    # flip the hash) plus Spark-computed within-tolerance flags that
+    # the oracle pins to TRUE.
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5),  4) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (Greenwald-Khanna, accuracy=10000) next
-    to the exact percentiles.  Unlike exact percentile (which buffers
-    every value per group through the shuffle), the GK sketch is a
-    bounded-size mergeable summary — the only quantile formulation
-    that survives 100 TB groups.  Sketches differ across engines → no
-    value oracle; the error bound vs the exact quantile is asserted in
-    tests/test_approx.py."""
+    """Sketch-based quantiles (Greenwald-Khanna, accuracy=10000)
+    checked against the exact percentiles.  Unlike exact percentile
+    (which buffers every value per group through the shuffle), the GK
+    sketch is a bounded-size mergeable summary — the only quantile
+    formulation that survives 100 TB groups.  The hash-checked output
+    is the verifiable projection: exact p50/p95 plus per-quantile
+    ``within_tol`` flags (|approx−exact| ≤ 1 % of exact — loose value
+    translation of the ≤1/accuracy rank bound on this distribution)
+    that the oracle pins to TRUE; the raw sketch error band is
+    additionally asserted in tests/test_approx.py."""
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.array(F.lit(0.5), F.lit(0.95))
     agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", pcts, 10000).alias("approx_p"),
         F.percentile("l_extendedprice", pcts).alias("exact_p"),
     )
+
+    def within(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            F.abs(exact) * 0.01, F.lit(1e-9)
+        )
+
     # scalar columns, not array cells: the harness canonicalizes via
     # pandas sort_values, which cannot order list-typed cells
     return agg.select(
         "l_returnflag",
-        F.col("approx_p")[0].alias("approx_p50"),
-        F.col("approx_p")[1].alias("approx_p95"),
-        F.col("exact_p")[0].alias("exact_p50"),
-        F.col("exact_p")[1].alias("exact_p95"),
+        F.round(F.col("exact_p")[0], 4).alias("exact_p50"),
+        F.round(F.col("exact_p")[1], 4).alias("exact_p95"),
+        within(F.col("approx_p")[0], F.col("exact_p")[0]).alias(
+            "p50_within_tol"
+        ),
+        within(F.col("approx_p")[1], F.col("exact_p")[1]).alias(
+            "p95_within_tol"
+        ),
     )
 
 
@@ -352,7 +409,21 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_sketch", oracle=None)
+@register(
+    "q_agg_hll_sketch",
+    # Verifiable projection (VERDICT r05 #1): DataSketches bytes and
+    # estimates have no DuckDB twin, so the checked contract is the
+    # exact distinct count plus a Spark-computed within-tolerance flag
+    # on the MERGED estimate (≤5 % ≈ >3σ at lgK=12) that the oracle
+    # pins to TRUE — a merge-path regression flips the boolean.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Apache DataSketches): build one
     HLL per (status, month), union-merge the monthly sketches up to
@@ -360,11 +431,13 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental twin of :func:`q_agg_bitmap_distinct`: a fixed-size
     (1.5 KB at lgK=12) summary per cell regardless of cardinality, so
     daily partitions sketch independently and any window is a merge —
-    no raw-key reshuffle ever.  Sketch bytes differ across engines → no
-    value oracle; tests/test_approx.py asserts the ≤5 % error bound vs
-    exact AND that the merged estimate tracks the one-pass estimate
-    within the same band (the union re-encodes through HLL_8, so the
-    two are close but not bit-identical)."""
+    no raw-key reshuffle ever.  The hash-checked output is the
+    verifiable projection (exact count + ``within_tol`` on the merged
+    estimate, pinned TRUE by the oracle); tests/test_approx.py
+    additionally asserts the raw error band AND that the merged
+    estimate tracks the one-pass estimate within the same band (the
+    union re-encodes through HLL_8, so the two are close but not
+    bit-identical)."""
     o = load_table(spark, sf_dir, "orders")
     monthly = (
         o.select(
@@ -383,7 +456,15 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("exact_customers")
     )
-    return merged.join(exact, "o_orderstatus")
+    joined = merged.join(exact, "o_orderstatus")
+    rel_err = F.abs(
+        F.col("approx_customers") - F.col("exact_customers")
+    ) / F.greatest(F.col("exact_customers"), F.lit(1)).cast("double")
+    return joined.select(
+        "o_orderstatus",
+        "exact_customers",
+        (rel_err <= F.lit(0.05)).alias("within_tol"),
+    )
 
 
 @register(

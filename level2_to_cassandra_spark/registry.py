@@ -57,52 +57,58 @@ _REGISTRY: dict[str, Query] = {}
 DRIVER_CAP = 50
 
 DRIVER_ORDER = (
-    # -- rotated IN for r05 (VERDICT r04 "Next round" #1): oracle-backed
-    # since they landed in r03/r04 but never inside the driver cap;
-    # each earns its first driver row now ------------------------------
-    "q_resample_interp",
-    "q_text_span_dedup",
-    "q_domain_cap",
-    "q_ngram_counts",
-    "q_token_histogram",
-    "q_embed_quantize",
-    "q_sample_stratified",
-    "q_text_repetition",
-    # -- r05 upgrades: r04 rows-only / no_oracle queries that gained a
-    # real DuckDB oracle this round (VERDICT #2/#3/#5, plus the IVF
-    # portable-quantizer oracle) — must (re-)check
-    "q_multimodal_features",
-    "q_llm_dedup_simhash",
-    "q_sim_ann_lsh",
+    # -- NEW ORACLES in r06 (VERDICT r05 "Next round" #1): the three
+    # former rows-only approx-sketch queries now emit the verifiable
+    # projection (group, exact value, Spark-computed within-tolerance
+    # flag vs DuckDB exact + TRUE) — each earns its FIRST hash-green
+    # driver row now, completing "every operator has a passing
+    # CORRECTNESS entry" ------------------------------------------------
+    "q_agg_approx",
+    "q_agg_approx_percentile",
+    "q_agg_hll_sketch",
+    # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
+    # cohort (green once in r03 or r04, rotated out since) — each gets
+    # its confirming second row ------------------------------------------
+    "q_dedup_incremental",
+    "q_resample_locf",
+    "q_chunk_docs",
+    "q_dedup_keep",
+    "q_text_editdist",
+    "q_sql_grouping_sets",
+    "q_text_langid",
+    "q_text_tokens_bpe",
+    "q_text_rolling_hash",
+    "q_sample_split",
+    "q_text_fingerprint",
+    "q_ohlc_bars",
+    # -- TOUCHED in r06: the ANN compressed-scan family (build/serve
+    # split + query-batch collect guard, VERDICT #3/#4) and the tfidf
+    # regression fix (VERDICT #2) — must re-verify after code changes ---
+    "q_sim_ann_ivfpq",
+    "q_sim_ann_pq",
     "q_sim_ann_ivf",
-    # -- NEW in r05: each needs its first driver row ---------------------
+    "q_text_tfidf",
+    # -- r05 first-row cohort kept in-cap for a confirming round (each
+    # has exactly one lifetime driver row; the 16 rotated out instead —
+    # see past-the-cap comments — all have ≥2) --------------------------
     "q_semdedup",
+    "q_sim_ann_lsh",
+    "q_llm_dedup_simhash",
+    "q_multimodal_features",
+    "q_corpus_pipeline",
+    "q_shuffle_epoch",
     "q_text_bigram_lm",
     "q_vocab_coverage",
     "q_classifier_score",
     "q_tokenize_ids",
-    "q_corpus_pipeline",
     "q_text_entropy",
     "q_funnel",
     "q_retention",
-    "q_shuffle_epoch",
-    "q_length_buckets",
-    "q_sim_ann_pq",
-    "q_sim_ann_ivfpq",
     "q_event_transitions",
     "q_mixture_plan",
-    # -- once-green in r04 (first driver rows); in-cap for a confirming
-    # round --------------------------------------------------------------
+    "q_length_buckets",
     "q_dedup_incremental_fuzzy",
-    "q_text_redact",
-    "q_curate_corpus",
-    "q_dedup_cluster",
-    "q_pack_sequences",
-    "q_contamination",
-    "q_agg_bitmap_distinct",
-    "q_udaf_trimmed_mean",
-    "q_window_range_frame",
-    # -- the non-redundant core (driver-green r01+r02+r04) --------------
+    # -- the non-redundant core (driver-green r01+r02+r04/r05) ----------
     "q_scan_project_filter",
     "q_json_scan",
     "q_agg_basic",
@@ -118,55 +124,61 @@ DRIVER_ORDER = (
     "q_llm_dedup_embed",
     "q_text_stats",
     # ======================= past the cap ==============================
-    # -- evicted for the r05 additions' first driver rows: each
-    # thrice-green (r01+r02+r04), untouched, with an in-cap sibling
-    # (q_scalar_json↔q_json_scan+q_scalar_datetime,
-    # q_agg_conditional↔q_agg_basic, q_window_distribution↔
-    # q_window_range_frame/q_window_cumulative,
+    # -- rotated OUT for r06: the 8 r05-rotation queries that earned
+    # their first driver row in r05 AND are also r03/r04-oracle-stable
+    # locally, plus the r04+r05 twice-green cohort — evicted to make
+    # room for the approx first-rows + the #7 confirming cohort.  Each
+    # has an in-cap sibling (resample_interp↔resample_locf,
+    # span_dedup/repetition↔the in-cap text rows, domain_cap/
+    # sample_stratified↔q_sample_split, ngram_counts/token_histogram↔
+    # q_vocab_coverage/q_tokenize_ids, embed_quantize↔the in-cap ANN
+    # rows, text_redact/curate_corpus↔q_corpus_pipeline's gates,
+    # dedup_cluster↔q_semdedup, pack_sequences↔q_chunk_docs,
+    # contamination↔q_text_fingerprint, agg_bitmap_distinct↔
+    # q_agg_approx/q_agg_hll_sketch exact twin, udaf_trimmed_mean↔
+    # q_agg_basic+B10 rows, window_range_frame↔q_window_cumulative) ----
+    "q_resample_interp",
+    "q_text_span_dedup",
+    "q_domain_cap",
+    "q_ngram_counts",
+    "q_token_histogram",
+    "q_embed_quantize",
+    "q_sample_stratified",
+    "q_text_repetition",
+    "q_text_redact",
+    "q_curate_corpus",
+    "q_dedup_cluster",
+    "q_pack_sequences",
+    "q_contamination",
+    "q_agg_bitmap_distinct",
+    "q_udaf_trimmed_mean",
+    "q_window_range_frame",
+    # -- thrice-green (r01+r02+r04), untouched, in-cap siblings
+    # (q_scalar_json↔q_json_scan+q_scalar_datetime, q_agg_conditional↔
+    # q_agg_basic, q_window_distribution↔q_window_cumulative,
     # q_sort_limit↔q_topk_per_group, q_agg_percentile↔
-    # q_udaf_trimmed_mean/q_agg_stats, q_join_outer↔
-    # q_join_right/q_join_full) -----------------------------------------
+    # q_agg_approx_percentile's exact column, q_join_outer↔
+    # q_join_right/q_join_full, q_dedup_lww↔q_llm_dedup_exact,
+    # q_sim_topk↔the in-cap ANN rows, q_join_broadcast/q_join_range↔
+    # q_join_inner/q_join_asof + plan tests) ----------------------------
     "q_scalar_json",
     "q_agg_conditional",
     "q_window_distribution",
     "q_sort_limit",
     "q_agg_percentile",
     "q_join_outer",
-    # (q_dedup_lww↔q_llm_dedup_exact — same window-canonical shape;
-    # q_sim_topk↔the in-cap ANN rows, whose exact re-rank shares its
-    # cosine kernel; q_join_broadcast/q_join_range↔q_join_inner/
-    # q_join_asof + the broadcast/bucketing plan tests)
-    # -- evicted mid-r05 for q_shuffle_epoch/q_length_buckets's first
-    # rows: once-green r04, each with an in-cap sibling
-    # (q_dedup_incremental↔q_dedup_incremental_fuzzy, whose exact
-    # anti-join layer it is; q_chunk_docs↔q_corpus_pipeline's chunk
-    # stage + q_pack_sequences; q_dedup_keep↔q_dedup_cluster +
-    # q_semdedup's identical min-id keep rule; q_text_editdist↔the
-    # in-cap fuzzy/minhash pairwise-text rows)
-    # (q_sql_grouping_sets↔q_agg_rollup, thrice-green, same GROUPING
-    # SETS machinery through the SQL surface; q_resample_locf↔
-    # q_resample_interp, same grid/window machinery, interp stays
-    # in-cap for its first row)
-    "q_dedup_incremental",
-    "q_resample_locf",
-    "q_chunk_docs",
-    "q_dedup_keep",
-    "q_text_editdist",
-    "q_sql_grouping_sets",
     "q_dedup_lww",
     "q_sim_topk",
     "q_join_broadcast",
     "q_join_range",
-    # -- rotated OUT for r05 (VERDICT r04 #1 names the first six):
-    # multi-round-green, untouched, each redundant with an in-cap
-    # sibling (tfidf/udf_cosine/udtf_tokenize↔in-cap text+UDF rows;
-    # ohlc/time_bucket/sessionize↔q_resample_locf/q_window_range_frame
-    # on events; q_agg_rollup↔q_sql_grouping_sets;
-    # q_window_moving_avg↔q_window_range_frame) -------------------------
-    "q_text_tfidf",
+    # -- multi-round-green, untouched, each redundant with an in-cap
+    # sibling (udf_cosine/udtf_tokenize↔in-cap B10 rows via
+    # q_tokenize_ids/q_classifier_score; ohlc is IN-cap this round;
+    # time_bucket/sessionize↔q_funnel/q_retention on events;
+    # q_agg_rollup↔q_sql_grouping_sets; q_window_moving_avg↔
+    # q_window_cumulative) ----------------------------------------------
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
-    "q_ohlc_bars",
     "q_time_bucket_agg",
     "q_sessionize",
     "q_agg_rollup",
@@ -174,11 +186,11 @@ DRIVER_ORDER = (
     # -- rotated OUT for r04: green in r01+r02+r03 (three full hash
     # matches), untouched since, each redundant with an in-cap sibling
     # covering the same SURVEY.md §2 row (q_filter_predicates↔
-    # q_scan_project_filter, q_agg_distinct↔q_agg_bitmap_distinct,
-    # q_agg_salted↔q_agg_basic, q_set_ops: r01/r02-green twice +
-    # q_set_ops_all oracle locally, q_scalar_string/math/array↔the
-    # in-cap scalar rows, q_window_rank↔q_window_distribution,
-    # q_join_semi/q_join_anti↔q_join_inner/q_join_range) ---------------
+    # q_scan_project_filter, q_agg_distinct↔q_agg_approx's exact
+    # column, q_agg_salted↔q_agg_basic, q_set_ops: r01/r02-green twice
+    # + q_set_ops_all oracle locally, q_scalar_string/math/array↔the
+    # in-cap scalar rows, q_window_rank↔q_topk_per_group,
+    # q_join_semi/q_join_anti↔q_join_inner/q_join_asof) ----------------
     "q_filter_predicates",
     "q_agg_distinct",
     "q_agg_salted",
@@ -189,21 +201,7 @@ DRIVER_ORDER = (
     "q_window_rank",
     "q_join_semi",
     "q_join_anti",
-    # -- r03-green once, untouched since, evicted for the r04 cohort
-    # (each redundant with an in-cap sibling: langid↔curate's
-    # lang_match flag, tokens_bpe/rolling_hash/fingerprint↔the other
-    # in-cap text rows, sample_split↔q_sample_stratified) ---------------
-    "q_text_langid",
-    "q_text_tokens_bpe",
-    "q_text_rolling_hash",
-    "q_sample_split",
-    "q_text_fingerprint",
     # -- twice-green (r01+r02), untouched, coverage-redundant ----------
-    # (q_agg_approx_percentile / q_agg_approx / q_agg_hll_sketch are
-    # rows-only by design — a driver row adds no oracle signal beyond
-    # local tolerance/recall tests)
-    "q_agg_approx_percentile",
-    "q_agg_approx",
     "q_set_ops_all",
     "q_agg_cube",
     "q_agg_stats",
@@ -216,7 +214,6 @@ DRIVER_ORDER = (
     "q_sort_nulls",
     "q_subquery_correlated",
     "q_window_lag",
-    "q_agg_hll_sketch",
 )
 
 

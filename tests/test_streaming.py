@@ -218,7 +218,7 @@ def test_stream_batch_parity_full_mode(spark, fixture_dir, tmp_path):
                                       max_files_per_trigger=1)
     queries = build_streaming_pipeline(env_stream, cfg)
     for q in queries:
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish within 120s"
 
     env_batch = file_envelope_batch(spark, fixture_dir)
     batch = build_batch_pipeline(env_batch, cfg)
@@ -271,7 +271,7 @@ def test_drop_duplicates_within_watermark(spark, fixture_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     rows = spark.sql("SELECT * FROM dedup_sink").collect()
     keys = [(r.symbol, str(r.time), r.price) for r in rows]
     assert len(keys) == len(set(keys))          # no duplicate keys survive
@@ -332,7 +332,7 @@ def test_observe_ingest_metrics_streaming(spark, fixture_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     totals: dict[str, int] = {}
     for p in q.recentProgress:
         om = p["observedMetrics"].get("ingest_stream") if p["observedMetrics"] else None
@@ -377,7 +377,7 @@ def test_transform_with_state_parity(spark, fixture_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {
         int(r["seq"]): (r.cumbuy, r.cumsell, r.cumdelta)
         for r in spark.sql("SELECT * FROM tws_sink").collect()
@@ -497,7 +497,7 @@ def test_classifier_inference_on_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = spark.table("clf_stream").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) > 0
@@ -547,7 +547,7 @@ def test_streaming_incremental_dedup_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
 
     got = {
         (r.doc_id, r.text)
