@@ -854,6 +854,38 @@ _PQ_M = 8        #: subspaces (codes per vector)
 _PQ_SUBDIM = 8   #: dims per subspace (M * SUBDIM = fixture dim 64)
 _PQ_K = 16       #: codebook entries per subspace
 
+#: Fail-fast ceiling on the ADC paths' driver-side query-batch collect
+#: (VERDICT r05 #4, mirroring MAX_SINK_TOPICS at streaming/sink.py).
+#: The classic ADC formulation precomputes one lookup table PER QUERY
+#: driver-side and ships them in the kernel closure — linear driver
+#: memory and per-executor closure bloat in the batch size, so an
+#: unbounded query relation must error loudly, not OOM quietly.  For
+#: larger batches the distributed alternative is to chunk the query
+#: relation and union the per-chunk top-k results (each chunk bounded
+#: by this ceiling), or to flip to the symmetric formulation: join the
+#: encoded queries to the codebook relation and compute the LUT
+#: executor-side per (query-partition, subspace).
+MAX_QUERY_BATCH = 1024
+
+
+def _collect_query_batch(queries: DataFrame, id_col: str,
+                         vec_col: str) -> list:
+    """Collect the query batch driver-side with the
+    :data:`MAX_QUERY_BATCH` fail-fast guard.  ``limit(cap+1)`` bounds
+    the transfer itself — an over-limit relation moves at most cap+1
+    rows before erroring, never the full relation."""
+    rows = queries.select(id_col, vec_col).limit(
+        MAX_QUERY_BATCH + 1
+    ).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"ADC query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}: "
+            "the per-query lookup tables are built driver-side and ship "
+            "in the scan closure — chunk the query relation and union "
+            "the per-chunk results instead"
+        )
+    return rows
+
 
 def _l2sq(a: Column, b: Column) -> Column:
     """Σ (aᵢ−bᵢ)² — sequential left fold (deterministic order)."""
@@ -1142,7 +1174,7 @@ def _adc_scored(enc: DataFrame, queries: DataFrame,
     import pandas as pd
 
     if qrows is None:
-        qrows = queries.select(id_col, vec_col).collect()
+        qrows = _collect_query_batch(queries, id_col, vec_col)
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = np.array(
         [r[vec_col] for r in qrows], dtype=np.float64
@@ -1260,12 +1292,223 @@ def _adc_finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
     )
 
 
+def _adc_scored_residual(index: DataFrame,
+                         cb: dict[tuple[int, int], list[float]],
+                         qrows: list, cells, cmat,
+                         m: int, sub_dim: int, id_col: str, vec_col: str,
+                         probes: dict[int, set]) -> DataFrame:
+    """Residual-mode ADC scan → (query_id, neighbor_id, acos).
+
+    The approximate vector is centroid + decoded residual, so the
+    approximate cosine decomposes into driver-precomputable tables
+    (all tiny — n_q·k, n_q·n_cells, n_cells·k per subspace):
+
+    * numerator  q·(c + r̂) = QC[q, cell] + Σ_s LUT[s][q, code]
+      where QC = q·centroid and LUT[s] = q_sub·codeword (the same
+      per-subspace partial dots as :func:`_adc_scored`, but against
+      the RESIDUAL codebooks);
+    * denominator ‖q‖·‖c + r̂‖ with
+      ‖c + r̂‖² = ‖c‖² + 2·Σ_s CC[s][cell, code] + ‖r̂‖²
+      (CC[s] = centroid_sub·codeword; ‖r̂‖ is the stored
+      ``recon_norm`` — subspaces are orthogonal blocks, so the
+      residual reconstruction norm is exactly the codeword-norm fold
+      :func:`pq_assign_np` already emits).
+
+    Scoring a corpus row therefore stays m lookups per query plus a
+    per-row norm fold — same closure size class as the non-residual
+    LUTs.  ``probes`` is mandatory here (the IVF-PQ composition always
+    probe-restricts); rows outside every query's probe set are dropped
+    before scoring, rows inside the union are scored batched and
+    masked per query, exactly like :func:`_adc_scored`."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array(
+        [r[vec_col] for r in qrows], dtype=np.float64
+    ).reshape(len(qids), m * sub_dim)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    per = _cb_np(cb, m)
+    qsub = qmat.reshape(len(qids), m, sub_dim)
+    luts = [np_round_half_away(qsub[:, s, :] @ per[s][1].T, 6)
+            for s in range(m)]
+    cells = np.asarray(cells, dtype=np.int64)      # ascending (sorted)
+    cmat = np.asarray(cmat, dtype=np.float64)
+    cnorm_sq = (cmat * cmat).sum(axis=1)
+    qc = qmat @ cmat.T                              # (n_q, n_cells)
+    csub = cmat.reshape(len(cells), m, sub_dim)
+    cc = [csub[:, s, :] @ per[s][1].T for s in range(m)]  # (n_cells, k_s)
+    probe_arrs = [np.array(sorted(probes.get(int(qid), ())),
+                           dtype=np.int64) for qid in qids]
+    probe_union = (np.unique(np.concatenate(probe_arrs))
+                   if probe_arrs else np.empty(0, dtype=np.int64))
+
+    def adc_res(it):
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf[np.isin(pdf["cell"].to_numpy(), probe_union)]
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            c = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+            )
+            rowcells = pdf["cell"].to_numpy()
+            ci = np.searchsorted(cells, rowcells)
+            adot = np.zeros((len(qids), n), dtype=np.float64)
+            cdotr = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                pos = np.searchsorted(per[s][0], c[:, s])
+                adot += luts[s][:, pos]
+                cdotr += cc[s][ci, pos]
+            numer = qc[:, ci] + adot                       # (n_q, n)
+            rnsq = pdf["recon_norm"].to_numpy() ** 2
+            denom = np.sqrt(cnorm_sq[ci] + 2.0 * cdotr + rnsq)
+            acos = np_round_half_away(
+                numer / (qn[:, None] * denom[None, :]), 6
+            )
+            keep = np.zeros((len(qids), n), dtype=bool)
+            for i, pa in enumerate(probe_arrs):
+                keep[i] = np.isin(rowcells, pa)
+            km = keep.reshape(-1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, n)[km],
+                "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(),
+                                       len(qids))[km],
+                "acos": acos.reshape(-1)[km],
+            })
+
+    return (
+        index.mapInPandas(
+            adc_res,
+            schema="query_id long, neighbor_id long, acos double",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
+class IvfPqIndex:
+    """A built IVF-PQ index: the driver-side quantizers (centroids +
+    PQ codebooks — broadcast-sized by construction) plus the
+    distributed code relation ``(neighbor_id, codes, recon_norm,
+    cell)``.  Build once with :func:`ivfpq_build`, serve any number of
+    query batches with ``ivfpq_topk(..., index=...)``, release with
+    :meth:`unpersist` (ADVICE r05 #2 — callers no longer depend on the
+    session's ``clearCache`` to reclaim the cached relation).
+
+    With ``path`` the code relation is written to parquet and read
+    back, so the serve plan scans the materialized index file — the
+    production layout (at cluster scale: a table bucketed by ``cell``)
+    — and survives a ``spark.catalog.clearCache()`` between query
+    batches, which would silently re-run the whole build off a merely
+    ``persist()``-ed relation."""
+
+    def __init__(self, index: DataFrame, cb, cells, cmat, *,
+                 n_cells: int, m: int, k_codes: int, sub_dim: int,
+                 id_col: str, vec_col: str, by_residual: bool,
+                 path: str | None = None,
+                 _cached: tuple[DataFrame, ...] = ()):
+        self.index = index
+        self.cb = cb
+        self.cells = cells        # ascending cell ids (numpy int64)
+        self.cmat = cmat          # centroid matrix, row i ↔ cells[i]
+        self.n_cells = n_cells
+        self.m = m
+        self.k_codes = k_codes
+        self.sub_dim = sub_dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.by_residual = by_residual
+        self.path = path
+        self._cached = _cached
+
+    def unpersist(self) -> None:
+        """Release every relation this index holds cached.  A
+        path-backed index keeps its parquet files (delete the
+        directory to reclaim disk); serve plans created before this
+        call recompute lazily if re-executed."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached = ()
+
+
+def ivfpq_build(corpus: DataFrame, n_cells: int = 16, m: int = _PQ_M,
+                k_codes: int = _PQ_K, sub_dim: int = _PQ_SUBDIM,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                by_residual: bool = False,
+                path: str | None = None) -> IvfPqIndex:
+    """Build the IVF-PQ index (VERDICT r05 #3 — build/serve split):
+    one TakeOrdered seed scan, one Lloyd pass (the persisted cell
+    assignment = the inverted file), one Arrow encode pass appending
+    codes + reconstruction norm.  Deterministic end to end (md5 seed
+    order, rounded means/argmins), so serving from a prebuilt index is
+    bit-identical to the fused build+serve path — q_sim_ann_ivfpq's
+    oracle replays the build every time precisely because rebuilding
+    changes nothing.
+
+    ``path``: write the code relation there as parquet and serve from
+    the read-back scan (see :class:`IvfPqIndex`); otherwise the
+    relation is ``persist()``-ed and eagerly materialized."""
+    import numpy as np
+
+    # one TakeOrdered seed scan, shared between the coarse quantizer
+    # and the PQ codebooks when their seed counts coincide
+    seed_rows = ivf_seeds(corpus, n_cells, id_col, vec_col,
+                          scheme="portable").collect()
+    seed_cent = corpus.sparkSession.createDataFrame(
+        seed_rows, "cell int, __cv array<double>"
+    )
+    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                               lloyd_iters=1, scheme="portable",
+                               round_assign=6, seed_cent=seed_cent)
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["__cv"] for r in cent_rows], dtype=np.float64)
+
+    if by_residual:
+        # residual relation: one broadcast join against the n_cells-row
+        # centroid relation, subtraction fused into the scan stage
+        res = assigned.join(F.broadcast(cent), "cell").select(
+            id_col,
+            "cell",
+            F.zip_with(
+                as_double(F.col(vec_col)), F.col("__cv"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        cb = pq_train(res, m, k_codes, sub_dim, id_col, "__res")
+        index = pq_assign_np(res, cb, mode="encode", m=m,
+                             sub_dim=sub_dim, id_col=id_col,
+                             vec_col="__res", carry_cell=True)
+    else:
+        cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col,
+                      seed_rows=seed_rows if k_codes == n_cells else None)
+        index = pq_assign_np(assigned, cb, mode="encode", m=m,
+                             sub_dim=sub_dim, id_col=id_col,
+                             vec_col=vec_col, carry_cell=True)
+
+    if path is not None:
+        index.write.mode("overwrite").parquet(path)
+        assigned.unpersist()   # the encode pass just drained it
+        index = corpus.sparkSession.read.parquet(path)
+        cached: tuple[DataFrame, ...] = ()
+    else:
+        index = index.persist()
+        index.count()          # materialize: serve plans read the cache
+        cached = (index, assigned)
+    return IvfPqIndex(index, cb, cells, cmat, n_cells=n_cells, m=m,
+                      k_codes=k_codes, sub_dim=sub_dim, id_col=id_col,
+                      vec_col=vec_col, by_residual=by_residual,
+                      path=path, _cached=cached)
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                shortlist: int = 30, n_cells: int = 16, nprobe: int = 6,
                m: int = _PQ_M, k_codes: int = _PQ_K,
                sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
                vec_col: str = "embedding", round_cos: int | None = 4,
-               by_residual: bool = False) -> DataFrame:
+               by_residual: bool = False,
+               index: IvfPqIndex | None = None) -> DataFrame:
     """IVF-PQ: the production composition of the coarse quantizer
     (cell pruning, :func:`ivf_index`) and product quantization
     (compressed-domain ADC scoring, :func:`pq_train`/:func:`pq_encode`)
@@ -1280,43 +1523,38 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     spend their 16 levels on the LOCAL spread instead of the global
     one.  The approximate vector becomes centroid + decoded residual;
     its cosine against the query decomposes into driver-precomputable
-    tables — query·centroid per (query, cell), query·codeword and
-    centroid·codeword per (cell, subspace, code), codeword norms — so
-    scoring stays m lookups per row plus a per-row norm fold (the
-    ‖c + r̂‖ term).  Operator mode only: recall/exactness are pinned
-    in tests; no DuckDB oracle claims it.
+    tables (see :func:`_adc_scored_residual`), so scoring stays m
+    lookups per row plus a per-row norm fold (the ‖c + r̂‖ term).
+    Operator mode only: recall + exactness-at-open-knobs are pinned in
+    tests/test_llm_ops.py::test_ivfpq_residual_recall_and_exactness;
+    no DuckDB oracle claims it.
 
-    Index build: one Lloyd pass yields the persisted cell assignment
-    (the inverted file), one Arrow pass over that staging relation
-    appends codes + reconstruction norm — the combined (cell, codes,
-    recon_norm) relation is THE index a production deployment
-    persists, bucketed by cell.  Query: probe cells are chosen
-    driver-side from the collected centroids (n_cells rows, the same
-    bounded collect the IVF probe path broadcasts) with the IVF
-    ordering (rounded cosine DESC, cell ASC); the ADC kernel scores
-    only probed (query, cell) pairs; the exact re-rank touches
-    shortlist rows per query.  Engine-portable end to end: every
-    rounding/tie-break matches the q_sim_ann_ivf and q_sim_ann_pq
-    oracles' shared conventions, so a DuckDB twin replays the
-    composition exactly."""
+    ``index``: a prebuilt :class:`IvfPqIndex` (the build/serve split,
+    :func:`ivfpq_build` — the corpus passes run once, this call then
+    only probes + ADC-scans + re-ranks; the index's ``m``/``sub_dim``/
+    ``by_residual`` override the eponymous arguments).  With
+    ``index=None`` the index is built in-call (persist-backed, the
+    pre-split behavior); callers that need an explicit release build
+    the index themselves and hold the handle
+    (:meth:`IvfPqIndex.unpersist` — ADVICE r05 #2).
+
+    Query: probe cells are chosen driver-side from the index's
+    centroid matrix (n_cells rows — the same bounded collect every
+    IVF probe path makes) with the IVF ordering (rounded cosine DESC,
+    cell ASC); the ADC kernel scores only probed (query, cell) pairs;
+    the exact re-rank touches shortlist rows per query.
+    Engine-portable end to end: every rounding/tie-break matches the
+    q_sim_ann_ivf and q_sim_ann_pq oracles' shared conventions, so a
+    DuckDB twin replays the composition exactly."""
     import numpy as np
 
-    # one TakeOrdered seed scan, shared between the coarse quantizer
-    # and the PQ codebooks when their seed counts coincide
-    seed_rows = ivf_seeds(corpus, n_cells, id_col, vec_col,
-                          scheme="portable").collect()
-    seed_cent = corpus.sparkSession.createDataFrame(
-        seed_rows, "cell int, __cv array<double>"
-    )
-    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
-                               lloyd_iters=1, scheme="portable",
-                               round_assign=6, seed_cent=seed_cent)
-
-    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
-    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["__cv"] for r in cent_rows], dtype=np.float64)
+    if index is None:
+        index = ivfpq_build(corpus, n_cells, m, k_codes, sub_dim,
+                            id_col, vec_col, by_residual)
+    m, sub_dim = index.m, index.sub_dim
+    cells, cmat = index.cells, index.cmat
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_query_batch(queries, id_col, vec_col)
     probes: dict[int, set] = {}
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
@@ -1327,37 +1565,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
         order = np.lexsort((cells, -cos))[:nprobe]
         probes[int(r[id_col])] = {int(c) for c in cells[order]}
 
-    if by_residual:
-        # residual relation: one broadcast join against the 16-row
-        # centroid relation, subtraction fused into the scan stage
-        res = assigned.join(F.broadcast(cent), "cell").select(
-            id_col,
-            "cell",
-            F.zip_with(
-                as_double(F.col(vec_col)), F.col("__cv"),
-                lambda x, c: x - c,
-            ).alias("__res"),
-        )
-        cb = pq_train(res, m, k_codes, sub_dim, id_col, "__res")
-        index = pq_assign_np(res, cb, mode="encode", m=m,
-                             sub_dim=sub_dim, id_col=id_col,
-                             vec_col="__res", carry_cell=True)
+    if index.by_residual:
         scored = _adc_scored_residual(
-            index, cb, qrows, cells, cmat, m, sub_dim, id_col, vec_col,
-            probes)
+            index.index, index.cb, qrows, cells, cmat, m, sub_dim,
+            id_col, vec_col, probes)
     else:
-        cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col,
-                      seed_rows=seed_rows if k_codes == n_cells else None)
-        index = pq_assign_np(assigned, cb, mode="encode", m=m,
-                             sub_dim=sub_dim, id_col=id_col,
-                             vec_col=vec_col, carry_cell=True)
-        scored = _adc_scored(index, queries, cb, m, sub_dim, id_col,
-                             vec_col, probes=probes, qrows=qrows)
-    # `assigned` (the persisted inverted file) is consumed lazily by
-    # `index` — an eager unpersist here would force a live recompute at
-    # materialization time, so its release is the session's clearCache
-    # (the harness does this per query; a long-lived service keeps the
-    # index cached across batches by design).  Same lifetime discipline
-    # as q_semdedup's assignment staging table.
+        scored = _adc_scored(index.index, queries, index.cb, m, sub_dim,
+                             id_col, vec_col, probes=probes, qrows=qrows)
     return _adc_finish(scored, corpus, queries, topk, shortlist,
                        id_col, vec_col, round_cos)

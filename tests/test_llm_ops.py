@@ -846,3 +846,89 @@ def test_pq_paths_handle_empty_query_batch(spark):
     empty = em.where(F.col("vec_id") < 0)
     assert similarity.pq_adc_topk(em, empty, topk=5).count() == 0
     assert similarity.ivfpq_topk(em, empty, topk=5).count() == 0
+
+
+def test_ivfpq_residual_recall_and_exactness(spark):
+    """by_residual=True (FAISS's default refinement): codebooks train
+    on (vector − centroid) and the scorer reconstructs cos(q, c + r̂)
+    from driver-side tables (_adc_scored_residual).  Same contract as
+    the non-residual mode: with every knob opened (nprobe=n_cells,
+    shortlist≥corpus) the compression vanishes through the exact
+    re-rank and the result must EQUAL brute force; at the registered
+    knobs a recall floor holds."""
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(em, queries, k=10,
+                                       round_cos=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=30, nprobe=6,
+                                       by_residual=True).collect()
+    }
+    assert len(got & want) / len(want) >= 0.2
+    n = em.count()
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=n, nprobe=16,
+                                       by_residual=True).collect()
+    }
+    assert full == want
+
+
+def test_ivfpq_prebuilt_index_matches_inline_and_unpersists(spark):
+    """The build/serve split must be invisible to results: serving
+    from a prebuilt IvfPqIndex (persist-backed AND parquet-backed)
+    returns exactly the fused build+serve answer, and unpersist()
+    releases the cached relations without breaking later plans."""
+    import shutil
+    import tempfile
+
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=30, nprobe=6).collect()
+    }
+    idx = similarity.ivfpq_build(em)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                       shortlist=30, nprobe=6,
+                                       index=idx).collect()
+    }
+    assert got == want
+    idx.unpersist()
+    assert idx._cached == ()
+    # lazy recompute after release still works (lineage intact)
+    assert len(similarity.ivfpq_topk(em, queries, topk=10, shortlist=30,
+                                     nprobe=6, index=idx).collect()) > 0
+    path = tempfile.mkdtemp(prefix="l2c_test_ivfpq_")
+    try:
+        pidx = similarity.ivfpq_build(em, path=path)
+        got_p = {
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in similarity.ivfpq_topk(em, queries, topk=10,
+                                           shortlist=30, nprobe=6,
+                                           index=pidx).collect()
+        }
+        assert got_p == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_adc_query_batch_guard(spark, monkeypatch):
+    """The ADC paths build per-query lookup tables driver-side; an
+    unbounded query relation must fail fast at the MAX_QUERY_BATCH
+    ceiling (VERDICT r05 #4), not OOM the driver."""
+    em = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_QUERY_BATCH", 3)
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        similarity.pq_adc_topk(em, em.where(F.col("vec_id") < 10), topk=2)
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        similarity.ivfpq_topk(em, em.where(F.col("vec_id") < 10), topk=2)

@@ -258,6 +258,22 @@ def test_ivfpq_probe_restricted_and_broadcast_rerank(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivfpq_serves_from_persisted_index(spark):
+    """Build/serve split (VERDICT r05 #3): the registered query's
+    serve plan must read the session's materialized parquet code
+    relation — exactly ONE MapInPandas (the ADC scan; the
+    Lloyd-assign and encode kernels belong to the build, which ran
+    once in _ivfpq_session_index) and a scan of the index path, not a
+    rebuild from the embeddings table."""
+    from level2_to_cassandra_spark.queries.llm import _ivfpq_session_index
+
+    idx = _ivfpq_session_index(spark, SF)
+    assert idx.path is not None
+    plan = plan_of(all_queries()["q_sim_ann_ivfpq"].fn(spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert idx.path.rstrip("/").split("/")[-1] in plan
+
+
 def test_event_transitions_no_join_three_exchanges(spark):
     """q_event_transitions: one user_id shuffle (lag window), the tiny
     transition rollup, and the per-source probability window — three
