@@ -1502,6 +1502,70 @@ def ivfpq_build(corpus: DataFrame, n_cells: int = 16, m: int = _PQ_M,
                       path=path, _cached=cached)
 
 
+def ivfpq_append(index: IvfPqIndex, new_corpus: DataFrame) -> IvfPqIndex:
+    """Append a new vector batch to a built IVF-PQ index WITHOUT
+    retraining — the production ingest shape: the quantizers (coarse
+    centroids + PQ codebooks) are versioned artifacts refreshed on a
+    retrain schedule, while the inverted file grows with every
+    ingested batch.  Two Arrow passes over ONLY the new batch: assign
+    to the FROZEN cells (:func:`ivf_assign_np` vs the index's centroid
+    matrix, the portable rounded-argmax mode) and encode against the
+    FROZEN codebooks (:func:`pq_assign_np`).  Appending batch B to an
+    index built on batch A yields code-for-code the index that a
+    from-scratch encode of A∪B against A's quantizers would — pinned
+    by tests/test_llm_ops.py::test_ivfpq_append_matches_frozen_encode
+    — so recall properties degrade only as far as the quantizers age,
+    never from the append mechanism.
+
+    Path-backed index: the new codes are APPENDED to the same parquet
+    path (at cluster scale: an atomic partition add to the index
+    table) and the merged relation re-read; persist-backed: a union,
+    persisted and materialized (release via
+    :meth:`IvfPqIndex.unpersist` on the RETURNED index, which also
+    holds the parent's cached relations)."""
+    spark = new_corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in row])
+         for c, row in zip(index.cells, index.cmat)],
+        "cell int, __cv array<double>",
+    )
+    assigned = ivf_assign_np(new_corpus, cent, index.id_col,
+                             index.vec_col, round_assign=6)
+    if index.by_residual:
+        res = assigned.join(F.broadcast(cent), "cell").select(
+            index.id_col,
+            "cell",
+            F.zip_with(
+                as_double(F.col(index.vec_col)), F.col("__cv"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        new_codes = pq_assign_np(res, index.cb, mode="encode", m=index.m,
+                                 sub_dim=index.sub_dim, id_col=index.id_col,
+                                 vec_col="__res", carry_cell=True)
+    else:
+        new_codes = pq_assign_np(assigned, index.cb, mode="encode",
+                                 m=index.m, sub_dim=index.sub_dim,
+                                 id_col=index.id_col,
+                                 vec_col=index.vec_col, carry_cell=True)
+    if index.path is not None:
+        new_codes.write.mode("append").parquet(index.path)
+        merged = spark.read.parquet(index.path)
+        cached: tuple[DataFrame, ...] = ()
+    else:
+        merged = index.index.union(
+            new_codes.select(*index.index.columns)
+        ).persist()
+        merged.count()
+        cached = (merged,) + index._cached
+    return IvfPqIndex(merged, index.cb, index.cells, index.cmat,
+                      n_cells=index.n_cells, m=index.m,
+                      k_codes=index.k_codes, sub_dim=index.sub_dim,
+                      id_col=index.id_col, vec_col=index.vec_col,
+                      by_residual=index.by_residual, path=index.path,
+                      _cached=cached)
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                shortlist: int = 30, n_cells: int = 16, nprobe: int = 6,
                m: int = _PQ_M, k_codes: int = _PQ_K,

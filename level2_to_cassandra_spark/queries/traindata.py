@@ -467,6 +467,86 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < cut).select("doc_id", "lang", "source")
 
 
+#: q_sample_weighted knobs: per-source sample size and the salt that
+#: keys the deterministic uniform draw (changing it redraws the
+#: sample, exactly like q_shuffle_epoch's seed).
+_ES_TOPK = 5
+_ES_SALT = "es1:"
+_ES_TWO48 = float(2**48)
+
+
+@register(
+    "q_sample_weighted",
+    # Engine-portability: both engines parse the SAME first 12 md5 hex
+    # digits of the salted id as a 48-bit integer (exact in a double),
+    # map it to u ∈ (0,1) with a half-step offset, and compute the
+    # identical double expression ln(u)/w rounded to 9 — ties (and any
+    # last-ulp libm disagreement the rounding cannot absorb) break on
+    # doc_id in both engines.
+    oracle=f"""
+    SELECT source, doc_id, es_key, rk
+    FROM (
+        SELECT source, doc_id, es_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY es_key DESC, doc_id ASC) AS rk
+        FROM (
+            SELECT source, doc_id,
+                   ROUND(LN((v + 0.5) / {_ES_TWO48!r})
+                         / len(string_split(text, ' ')), 9) AS es_key
+            FROM (
+                SELECT source, doc_id, text,
+                       CAST(concat('0x',
+                            substring(md5('{_ES_SALT}'
+                                          || CAST(doc_id AS VARCHAR)),
+                                      1, 12)) AS BIGINT) AS v
+                FROM documents)))
+    WHERE rk <= {_ES_TOPK}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per source (Efraimidis-
+    Spirakis exponential race, the one-pass distributed formulation):
+    every row draws a deterministic uniform u from the salted md5 of
+    its stable id and enters the race with key u^(1/w) — here ranked
+    by the monotone-equivalent ln(u)/w — with w = token count, so
+    long documents win proportionally more often.  Taking the top-K
+    keys per source IS an exact w-weighted draw of K docs without
+    replacement (Efraimidis & Spirakis 2006), which is how a mixture
+    plan's per-source token budgets (q_mixture_plan) get EXECUTED as
+    an actual document selection.
+
+    Scale shape: the key is map-side arithmetic on the scan (no RNG
+    state, reproducible across runs/engines/partitionings — rerunning
+    at 100 TB redraws the identical sample); the only shuffle is the
+    per-source top-K ranking window, and a skewed giant source splits
+    cleanly because the window partitions by source alone.  At
+    cluster scale the window can be replaced by a per-partition
+    heap + merge (TakeOrdered per group); the fixture-size window
+    form keeps the oracle replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_ES_SALT), F.col("doc_id").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(_ES_TWO48)
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    es_key = F.round(F.log(u) / w, 9)
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("es_key"), F.asc("doc_id")
+        )
+    )
+    return (
+        docs.select("source", "doc_id", es_key.alias("es_key"))
+        .withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= _ES_TOPK)
+    )
+
+
 @register(
     "q_text_repetition",
     oracle="""

@@ -66,6 +66,11 @@ DRIVER_ORDER = (
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_hll_sketch",
+    # -- NEW QUERY in r06: Efraimidis-Spirakis weighted sampling — the
+    # mixture-plan execution step; first driver row now (in-cap slot
+    # freed by q_text_stats, 3-round-green, siblings q_text_entropy /
+    # q_curate_corpus's gates) ------------------------------------------
+    "q_sample_weighted",
     # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
     # cohort (green once in r03 or r04, rotated out since) — each gets
     # its confirming second row ------------------------------------------
@@ -122,8 +127,10 @@ DRIVER_ORDER = (
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
     "q_llm_dedup_embed",
-    "q_text_stats",
     # ======================= past the cap ==============================
+    # -- evicted for q_sample_weighted's first row: q_text_stats is
+    # 3-round-green and covered by the in-cap text-quality rows --------
+    "q_text_stats",
     # -- rotated OUT for r06: the 8 r05-rotation queries that earned
     # their first driver row in r05 AND are also r03/r04-oracle-stable
     # locally, plus the r04+r05 twice-green cohort — evicted to make

@@ -922,6 +922,56 @@ def test_ivfpq_prebuilt_index_matches_inline_and_unpersists(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_ivfpq_append_matches_frozen_encode(spark):
+    """Incremental ingest: appending batch B to an index built on A
+    must (a) leave A's rows code-for-code untouched, (b) give B
+    exactly the codes a one-pass encode against A's FROZEN quantizers
+    produces, and (c) serve correctly end-to-end — with open knobs the
+    exact re-rank makes the merged index equal brute force over A∪B
+    regardless of quantizer age."""
+    em = load_table(spark, SF, "embeddings")
+    em_a = em.where(F.col("vec_id") % 2 == 0)
+    em_b = em.where(F.col("vec_id") % 2 == 1)
+    idx_a = similarity.ivfpq_build(em_a)
+    idx_ab = similarity.ivfpq_append(idx_a, em_b)
+
+    def rows(df):
+        return {
+            (r.neighbor_id, tuple(r.codes), r.recon_norm, r.cell)
+            for r in df.collect()
+        }
+
+    a_rows = rows(idx_a.index)
+    ab_rows = rows(idx_ab.index)
+    assert a_rows <= ab_rows
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in row])
+         for c, row in zip(idx_a.cells, idx_a.cmat)],
+        "cell int, __cv array<double>",
+    )
+    ref_b = rows(
+        similarity.pq_assign_np(
+            similarity.ivf_assign_np(em_b, cent, round_assign=6),
+            idx_a.cb, mode="encode", carry_cell=True,
+        )
+    )
+    assert ab_rows - a_rows == ref_b
+    queries = em.where(F.col("vec_id") < 5)
+    n = em.count()
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em, queries, topk=10, shortlist=n,
+                                       nprobe=16, index=idx_ab).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(em, queries, k=10,
+                                       round_cos=4).collect()
+    }
+    assert got == want
+    idx_ab.unpersist()
+
+
 def test_adc_query_batch_guard(spark, monkeypatch):
     """The ADC paths build per-query lookup tables driver-side; an
     unbounded query relation must fail fast at the MAX_QUERY_BATCH

@@ -274,6 +274,16 @@ def test_ivfpq_serves_from_persisted_index(spark):
     assert idx.path.rstrip("/").split("/")[-1] in plan
 
 
+def test_sample_weighted_single_shuffle(spark):
+    """q_sample_weighted: the race key is map-side arithmetic on the
+    scan; the ONLY shuffle is the per-source top-K ranking window —
+    no join, no extra exchange."""
+    plan = plan_of(all_queries()["q_sample_weighted"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_event_transitions_no_join_three_exchanges(spark):
     """q_event_transitions: one user_id shuffle (lag window), the tiny
     transition rollup, and the per-source probability window — three

@@ -17,6 +17,8 @@ NEVER_DRIVER_CHECKED = {
     # former rows-only sketches that gained verifiable-projection
     # oracles in r06 (VERDICT r05 #1) — their first hash check is now
     "q_agg_approx", "q_agg_approx_percentile", "q_agg_hll_sketch",
+    # brand-new in r06
+    "q_sample_weighted",
 }
 
 # Queries whose implementation was touched in r06 (ANN build/serve
@@ -55,6 +57,9 @@ SAFE_TO_ROTATE_OUT = {
     "q_scalar_json", "q_agg_conditional", "q_window_distribution",
     "q_sort_limit", "q_agg_percentile", "q_join_outer", "q_dedup_lww",
     "q_sim_topk", "q_join_broadcast", "q_join_range",
+    # evicted for q_sample_weighted's r06 first row: 3-round-green,
+    # covered by the in-cap text-quality rows
+    "q_text_stats",
 }
 
 
