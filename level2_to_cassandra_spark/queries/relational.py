@@ -898,3 +898,103 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+#: q_zorder bit width per dimension (16+16 → 32-bit z-values) and the
+#: range-bucket shift (top 6 bits → 64 layout buckets).
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6
+
+#: The interleave as SQL text, shared verbatim by both engines: bit j
+#: of each quantized dimension lands at position 2j / 2j+1.  Generated
+#: once at import — 32 OR-terms, far below the literal-tree size that
+#: stalls Catalyst analysis (see operators/similarity.py::_cb_relation).
+_Z_INTERLEAVE_SQL = " | ".join(
+    f"(((sa >> {j}) & 1) << {2 * j}) | (((sb >> {j}) & 1) << {2 * j + 1})"
+    for j in range(_Z_BITS)
+)
+
+#: Quantize → interleave → bucket, as engine-shared SQL fragments.
+#: Integer-only math end to end: BIGINT casts make the ×65535 safe at
+#: any key range, integer division is exact on both engines (operands
+#: are non-negative), and a degenerate range (min = max) pins the
+#: coordinate to 0 instead of dividing by zero.
+_Z_QUANT_A = """CASE WHEN amx = amn THEN CAST(0 AS BIGINT)
+         ELSE ((CAST(l_partkey AS BIGINT) - amn) * 65535) // (amx - amn)
+    END AS sa"""
+_Z_QUANT_B = """CASE WHEN bmx = bmn THEN CAST(0 AS BIGINT)
+         ELSE ((CAST(l_suppkey AS BIGINT) - bmn) * 65535) // (bmx - bmn)
+    END AS sb"""
+
+
+@register(
+    "q_zorder",
+    # DuckDB replays the identical integer pipeline: min/max bounds,
+    # BIGINT quantization, the same generated interleave expression,
+    # the same bucket shift.  ``//`` is DuckDB's integer division;
+    # Spark spells it ``div`` — same semantics on non-negative ints.
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, zval,
+           zval >> {_Z_BUCKET_SHIFT} AS zbucket
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               {_Z_INTERLEAVE_SQL} AS zval
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   {_Z_QUANT_A},
+                   {_Z_QUANT_B}
+            FROM lineitem
+            CROSS JOIN (SELECT CAST(MIN(l_partkey) AS BIGINT) AS amn,
+                               CAST(MAX(l_partkey) AS BIGINT) AS amx,
+                               CAST(MIN(l_suppkey) AS BIGINT) AS bmn,
+                               CAST(MAX(l_suppkey) AS BIGINT) AS bmx
+                        FROM lineitem)))
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (l_partkey, l_suppkey) —
+    the DATA-LAYOUT operator for multi-dimensional scan pruning at
+    100 TB: quantize each dimension to 16 bits against its global
+    min/max, interleave the bits into one 32-bit z-value, and derive a
+    64-way range bucket from its top bits.  Rows written range-
+    partitioned by z sit in files whose per-file min/max statistics
+    are tight on BOTH dimensions simultaneously (the space-filling
+    curve keeps each z-range a small rectangle), so a predicate on
+    EITHER column prunes files — unlike a sort by one column, which
+    leaves the other's spans at full width.  The locality effect is
+    measured in tests/test_bucketing.py::test_zorder_layout_tightens_
+    file_stats; this query emits the keys themselves, oracle-checked
+    bit-for-bit.
+
+    Plan shape: one min/max aggregate (1 row, broadcast cross join —
+    the same in-plan pattern as q_text_tfidf's N) and a map-side
+    integer expression per row; no shuffle at all beyond the
+    broadcast.  Everything is integer arithmetic (quantization uses
+    BIGINT multiply + integer division), so both engines agree
+    exactly — no float rounding conventions needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("long").alias("amn"),
+        F.max("l_partkey").cast("long").alias("amx"),
+        F.min("l_suppkey").cast("long").alias("bmn"),
+        F.max("l_suppkey").cast("long").alias("bmx"),
+    )
+    quant = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            _Z_QUANT_A.replace("//", "div"),
+            _Z_QUANT_B.replace("//", "div"),
+        )
+    )
+    z = quant.selectExpr(
+        "l_orderkey", "l_linenumber", f"({_Z_INTERLEAVE_SQL}) AS zval"
+    )
+    return z.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "zval",
+        f"(zval >> {_Z_BUCKET_SHIFT}) AS zbucket",
+    )

@@ -71,6 +71,11 @@ DRIVER_ORDER = (
     # freed by q_text_stats, 3-round-green, siblings q_text_entropy /
     # q_curate_corpus's gates) ------------------------------------------
     "q_sample_weighted",
+    # -- NEW QUERY in r06: Z-order clustering keys (multi-dimensional
+    # layout for scan pruning); slot freed by q_scalar_datetime
+    # (3-round-green; date machinery covered in-cap by q_ohlc_bars /
+    # q_funnel / q_retention) -------------------------------------------
+    "q_zorder",
     # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
     # cohort (green once in r03 or r04, rotated out since) — each gets
     # its confirming second row ------------------------------------------
@@ -119,7 +124,6 @@ DRIVER_ORDER = (
     "q_agg_basic",
     "q_sql_star_revenue",
     "q_topk_per_group",
-    "q_scalar_datetime",
     "q_window_cumulative",
     "q_join_inner",
     "q_join_asof",
@@ -128,9 +132,11 @@ DRIVER_ORDER = (
     "q_llm_dedup_minhash",
     "q_llm_dedup_embed",
     # ======================= past the cap ==============================
-    # -- evicted for q_sample_weighted's first row: q_text_stats is
-    # 3-round-green and covered by the in-cap text-quality rows --------
+    # -- evicted for the r06 first rows: q_text_stats (covered by the
+    # in-cap text-quality rows) and q_scalar_datetime (date machinery
+    # covered by q_ohlc_bars/q_funnel/q_retention), both 3-round-green -
     "q_text_stats",
+    "q_scalar_datetime",
     # -- rotated OUT for r06: the 8 r05-rotation queries that earned
     # their first driver row in r05 AND are also r03/r04-oracle-stable
     # locally, plus the r04+r05 twice-green cohort — evicted to make

@@ -56,3 +56,68 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed):
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = plan_of(agg, "formatted")
     assert "Exchange" not in plan, "bucketed agg still shuffles:\n" + plan
+
+
+def test_zorder_layout_tightens_file_stats(spark):
+    """The point of q_zorder: range-partitioning rows by their z-value
+    yields partitions (→ files at write time) whose min/max spans are
+    tight on BOTH interleaved dimensions simultaneously, so a
+    predicate on EITHER column prunes most files.  Measured: the mean
+    normalized (partkey span × suppkey span) rectangle per partition
+    must shrink well below the ~1.0 a key-order layout leaves (each
+    orderkey-ordered partition spans nearly the full range of both
+    other columns)."""
+    # z recomputed inline from the SAME shared SQL fragments the
+    # registered query and its oracle use ((l_orderkey, l_linenumber)
+    # is not unique in the synthetic fixture, so joining the query's
+    # output back would fan out)
+    from level2_to_cassandra_spark.queries import relational as rel
+
+    li = load_table(spark, SF, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("long").alias("amn"),
+        F.max("l_partkey").cast("long").alias("amx"),
+        F.min("l_suppkey").cast("long").alias("bmn"),
+        F.max("l_suppkey").cast("long").alias("bmx"),
+    )
+    joined = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            rel._Z_QUANT_A.replace("//", "div"),
+            rel._Z_QUANT_B.replace("//", "div"),
+        )
+        .selectExpr(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            f"({rel._Z_INTERLEAVE_SQL}) AS zval",
+        )
+    )
+
+    def mean_rect(df):
+        parts = (
+            df.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("pa"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("pb"),
+            )
+            .collect()
+        )
+        stats = df.agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("ra"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("rb"),
+        ).collect()[0]
+        rects = [
+            (r.pa / stats.ra) * (r.pb / stats.rb) for r in parts
+        ]
+        return sum(rects) / len(rects)
+
+    naive = mean_rect(joined.repartitionByRange(8, "l_orderkey"))
+    zorder = mean_rect(joined.repartitionByRange(8, "zval"))
+    # 8 z-range cells ≈ rectangles covering ~1/8 of the plane each;
+    # orderkey ranges span essentially the whole plane per partition
+    assert zorder < 0.5 * naive, (zorder, naive)
+    assert zorder < 0.5, zorder

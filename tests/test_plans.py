@@ -274,6 +274,15 @@ def test_ivfpq_serves_from_persisted_index(spark):
     assert idx.path.rstrip("/").split("/")[-1] in plan
 
 
+def test_zorder_map_side_only(spark):
+    """q_zorder: one 1-row bounds aggregate broadcast onto the scan;
+    the per-row quantize+interleave is pure map-side integer math —
+    no hash-partitioned exchange anywhere."""
+    plan = plan_of(all_queries()["q_zorder"].fn(spark, SF), "simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_sample_weighted_single_shuffle(spark):
     """q_sample_weighted: the race key is map-side arithmetic on the
     scan; the ONLY shuffle is the per-source top-K ranking window —

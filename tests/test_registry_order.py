@@ -19,6 +19,7 @@ NEVER_DRIVER_CHECKED = {
     "q_agg_approx", "q_agg_approx_percentile", "q_agg_hll_sketch",
     # brand-new in r06
     "q_sample_weighted",
+    "q_zorder",
 }
 
 # Queries whose implementation was touched in r06 (ANN build/serve
@@ -57,9 +58,10 @@ SAFE_TO_ROTATE_OUT = {
     "q_scalar_json", "q_agg_conditional", "q_window_distribution",
     "q_sort_limit", "q_agg_percentile", "q_join_outer", "q_dedup_lww",
     "q_sim_topk", "q_join_broadcast", "q_join_range",
-    # evicted for q_sample_weighted's r06 first row: 3-round-green,
-    # covered by the in-cap text-quality rows
+    # evicted for the r06 first rows: both 3-round-green with in-cap
+    # sibling coverage
     "q_text_stats",
+    "q_scalar_datetime",
 }
 
 
