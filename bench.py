@@ -75,6 +75,9 @@ HEADLINE = [
     "q_sim_ann_ivfpq",       # cell-pruned compressed scan (IVF x PQ)
     "q_shuffle_epoch",       # deterministic epoch shuffle + sharding
     "q_event_transitions",   # lag window + Markov transition rollup
+    # r06 additions
+    "q_sample_weighted",     # Efraimidis-Spirakis weighted draw
+    "q_zorder",              # Morton clustering keys (layout op)
 ]
 
 
