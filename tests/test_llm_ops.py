@@ -982,3 +982,67 @@ def test_adc_query_batch_guard(spark, monkeypatch):
         similarity.pq_adc_topk(em, em.where(F.col("vec_id") < 10), topk=2)
     with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
         similarity.ivfpq_topk(em, em.where(F.col("vec_id") < 10), topk=2)
+
+
+def test_residual_adc_matches_explicit_reconstruction(spark):
+    """The residual scorer's table decomposition must equal the naive
+    formulation: decode each row's residual from its codes, add the
+    cell centroid, and take the cosine against the query — with the
+    kernel's own rounding conventions (per-subspace partial dots
+    rounded to 6 before summing; stored recon_norm for ‖r̂‖)."""
+    import numpy as np
+
+    from level2_to_cassandra_spark.operators.similarity import (
+        np_round_half_away,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).round(3)
+    em = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = em.where(F.col("vec_id") < 3)
+    idx = similarity.ivfpq_build(em, n_cells=4, by_residual=True)
+    got = {
+        (r.query_id, r.neighbor_id): r.acos
+        for r in similarity._adc_scored_residual(
+            idx.index, idx.cb, queries.collect(), idx.cells, idx.cmat,
+            idx.m, idx.sub_dim, "vec_id", "embedding",
+            # probe everything: the decomposition, not the cut, is
+            # under test
+            {q: {int(c) for c in idx.cells} for q in range(3)},
+        ).collect()
+    }
+    assert got, "no scored pairs"
+    cent = {int(c): idx.cmat[i] for i, c in enumerate(idx.cells)}
+    index_rows = idx.index.collect()
+    m, sub = idx.m, idx.sub_dim
+    for qid in range(3):
+        q = vecs[qid]
+        qn = float(np.sqrt((q * q).sum()))
+        for row in index_rows:
+            if row.neighbor_id == qid:
+                continue
+            c = cent[row.cell]
+            adot = sum(
+                float(np_round_half_away(
+                    np.array([q[s * sub:(s + 1) * sub]
+                              @ np.array(idx.cb[(s, code)])]), 6)[0])
+                for s, code in enumerate(row.codes)
+            )
+            cdotr = sum(
+                float(c[s * sub:(s + 1) * sub]
+                      @ np.array(idx.cb[(s, code)]))
+                for s, code in enumerate(row.codes)
+            )
+            numer = float(q @ c) + adot
+            denom = float(np.sqrt(
+                (c * c).sum() + 2.0 * cdotr + row.recon_norm ** 2
+            ))
+            want = numer / (qn * denom)
+            have = got[(qid, row.neighbor_id)]
+            assert abs(have - want) < 1e-6, (
+                qid, row.neighbor_id, have, want,
+            )
+    idx.unpersist()
