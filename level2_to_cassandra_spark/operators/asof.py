@@ -29,6 +29,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -39,6 +40,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     prefix: str = "r_",
     strict: bool = False,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Backward as-of left join.
 
@@ -46,6 +48,15 @@ def asof_join(
     value ≤ (or < if ``strict``) the left's, within the same ``by``
     group.  Right columns come back as ``{prefix}{col}`` (the right
     ``on`` column is included automatically); all-NULL when no match.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): additionally
+    require left.on − right.on ≤ tolerance — a match older than the
+    staleness bound comes back all-NULL exactly like no match at all.
+    Units: MICROSECONDS when ``on`` is a timestamp, the column's own
+    units when numeric.  Applied as a post-fill predicate on the
+    matched struct, so the plan shape (one shuffle, one sort, running
+    fill) is unchanged — the bound costs one comparison per row, not
+    a different join strategy.
     """
     by = list(by)
     if right_cols is None:
@@ -79,6 +90,15 @@ def asof_join(
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         .where(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        lt, rt = F.col("__t"), F.col(f"__match.{on}")
+        if isinstance(left.schema[on].dataType, T.TimestampType):
+            diff = F.unix_micros(lt) - F.unix_micros(rt)
+        else:
+            diff = lt - rt
+        filled = filled.withColumn(
+            "__match", F.when(diff <= F.lit(tolerance), F.col("__match"))
+        )
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols

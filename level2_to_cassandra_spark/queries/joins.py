@@ -371,6 +371,75 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Staleness bound for q_join_asof_tolerance: 1 hour, in microseconds
+#: (the asof_join tolerance unit for timestamp keys).
+_ASOF_TOL_US = 3_600_000_000
+
+
+@register(
+    "q_join_asof_tolerance",
+    # Same ASOF core as q_join_asof; the tolerance is a post-match
+    # staleness predicate, so the oracle nulls the matched columns
+    # where the match is older than the bound — identical semantics
+    # to pandas merge_asof(tolerance=...).
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    views AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1),
+    matched AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               v.event_id AS v_event_id,
+               v.value    AS v_value,
+               v.ts       AS v_ts
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts)
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN fresh THEN v_event_id END AS v_event_id,
+           CASE WHEN fresh THEN v_value    END AS v_value,
+           CASE WHEN fresh THEN v_ts       END AS v_ts
+    FROM (SELECT *,
+                 epoch_us(ts) - epoch_us(v_ts) <= {_ASOF_TOL_US} AS fresh
+          FROM matched)
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof``'s
+    ``tolerance``): each purchase gets the user's latest view at-or-
+    before it ONLY if that view is at most 1 hour old — the form
+    every real point-in-time feature join takes (a quote from last
+    week must not price today's trade).  Same single-shuffle
+    union-merge plan as q_join_asof; the bound is one comparison on
+    the matched struct (operators/asof.py), not a different join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = latest_by_key(
+        ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        keys=["user_id", "ts"],
+        order=[F.desc("event_id")],
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        prefix="v_",
+        tolerance=_ASOF_TOL_US,
+    )
+
+
 @register(
     "q_join_cross",
     oracle="""

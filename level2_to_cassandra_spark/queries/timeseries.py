@@ -605,3 +605,76 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(tot).cast("double"), 6
         ).alias("prob"),
     )
+
+
+@register(
+    "q_twap",
+    # Everything before the final ROUND is exact: interval weights are
+    # integer microseconds, value carries ≤2 decimals, so the weighted
+    # sum runs in DECIMAL on both engines (same trick as q_agg_basic)
+    # and the only float step is the final division, rounded at 6.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               date_trunc('day', ts) AS day,
+               CAST(value AS DECIMAL(12,2)) AS v,
+               COALESCE(
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id),
+                   epoch_us(date_trunc('day', ts)) + 86400000000
+               ) - epoch_us(ts) AS w
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT user_id, day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(v * CAST(w AS DECIMAL(20,0))) AS DOUBLE)
+                 / CAST(SUM(w) AS DOUBLE), 6) AS twap
+    FROM seq
+    GROUP BY user_id, day
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (user, day) — the TWAP
+    benchmark every execution desk computes, and the canonical
+    irregular-series aggregate the reference's time-clustered layout
+    serves: each observation's value holds until the NEXT observation
+    (LOCF weighting), the last of the day until midnight, and the
+    day's average weights each value by how long it was in force —
+    unlike a plain mean, which over-weights bursts of rapid updates.
+
+    Plan: one (user_id, day) shuffle carries BOTH the lead window
+    (interval weights; (ts, event_id) ordering for timestamp-tie
+    determinism) and the grouped aggregation — no join, no second
+    exchange.  Exactness: weights are integer microseconds, values
+    ≤2-decimal doubles lifted to DECIMAL, so the weighted sum is
+    exact on both engines and summation order cannot move the hash
+    (final division rounded at 6)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    w_next = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "w",
+        F.coalesce(
+            F.lead(F.unix_micros(F.col("ts"))).over(w_next),
+            F.unix_micros(F.col("day")) + F.lit(86_400_000_000),
+        )
+        - F.unix_micros(F.col("ts")),
+    )
+    return seq.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("v") * F.col("w").cast("decimal(20,0)"))
+            .cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("twap"),
+    )

@@ -76,6 +76,13 @@ DRIVER_ORDER = (
     # (3-round-green; date machinery covered in-cap by q_ohlc_bars /
     # q_funnel / q_retention) -------------------------------------------
     "q_zorder",
+    # -- NEW QUERIES in r06 (batch 2): as-of with a staleness bound
+    # (pandas merge_asof tolerance semantics) and the TWAP benchmark;
+    # slots freed by q_topk_per_group / q_sql_star_revenue (both
+    # multi-round-green: topk↔q_sort_limit+the rank windows,
+    # star_revenue↔q_join_multiway's identical star shape) -------------
+    "q_join_asof_tolerance",
+    "q_twap",
     # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
     # cohort (green once in r03 or r04, rotated out since) — each gets
     # its confirming second row ------------------------------------------
@@ -122,8 +129,6 @@ DRIVER_ORDER = (
     "q_scan_project_filter",
     "q_json_scan",
     "q_agg_basic",
-    "q_sql_star_revenue",
-    "q_topk_per_group",
     "q_window_cumulative",
     "q_join_inner",
     "q_join_asof",
@@ -137,6 +142,8 @@ DRIVER_ORDER = (
     # covered by q_ohlc_bars/q_funnel/q_retention), both 3-round-green -
     "q_text_stats",
     "q_scalar_datetime",
+    "q_topk_per_group",
+    "q_sql_star_revenue",
     # -- rotated OUT for r06: the 8 r05-rotation queries that earned
     # their first driver row in r05 AND are also r03/r04-oracle-stable
     # locally, plus the r04+r05 twice-green cohort — evicted to make

@@ -1046,3 +1046,32 @@ def test_residual_adc_matches_explicit_reconstruction(spark):
                 qid, row.neighbor_id, have, want,
             )
     idx.unpersist()
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """asof_join(tolerance=...): a match older than the bound comes
+    back all-NULL exactly like no match; numeric `on` uses the
+    column's own units."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "fresh"), (1, 90, "stale_for_200"), (2, 10, "old")],
+        "k long, t long, tag string",
+    )
+    got = {
+        (r.k, r.t): r.r_tag
+        for r in asof_join(left, right, on="t", by=["k"],
+                           right_cols=["tag"], tolerance=20).collect()
+    }
+    assert got[(1, 100)] == "fresh"      # 100-95=5 ≤ 20
+    assert got[(1, 200)] is None         # 200-95=105 > 20
+    assert got[(2, 50)] is None          # 50-10=40 > 20
+    # without the bound all three match
+    got_all = {
+        (r.k, r.t): r.r_tag
+        for r in asof_join(left, right, on="t", by=["k"],
+                           right_cols=["tag"]).collect()
+    }
+    assert got_all == {(1, 100): "fresh", (1, 200): "fresh",
+                       (2, 50): "old"}

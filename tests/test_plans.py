@@ -274,6 +274,15 @@ def test_ivfpq_serves_from_persisted_index(spark):
     assert idx.path.rstrip("/").split("/")[-1] in plan
 
 
+def test_twap_single_shuffle_no_join(spark):
+    """q_twap: the lead window and the grouped aggregation ride ONE
+    (user_id, day) exchange; no join anywhere (the day-end boundary
+    is arithmetic, not a calendar relation)."""
+    plan = plan_of(all_queries()["q_twap"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_zorder_map_side_only(spark):
     """q_zorder: one 1-row bounds aggregate broadcast onto the scan;
     the per-row quantize+interleave is pure map-side integer math —

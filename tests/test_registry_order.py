@@ -20,6 +20,8 @@ NEVER_DRIVER_CHECKED = {
     # brand-new in r06
     "q_sample_weighted",
     "q_zorder",
+    "q_join_asof_tolerance",
+    "q_twap",
 }
 
 # Queries whose implementation was touched in r06 (ANN build/serve
@@ -62,6 +64,8 @@ SAFE_TO_ROTATE_OUT = {
     # sibling coverage
     "q_text_stats",
     "q_scalar_datetime",
+    "q_topk_per_group",
+    "q_sql_star_revenue",
 }
 
 
