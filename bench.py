@@ -78,6 +78,7 @@ HEADLINE = [
     # r06 additions
     "q_sample_weighted",     # Efraimidis-Spirakis weighted draw
     "q_zorder",              # Morton clustering keys (layout op)
+    "q_twap",                # LOCF time-weighted average (lead+agg)
 ]
 
 

@@ -121,3 +121,26 @@ def test_zorder_layout_tightens_file_stats(spark):
     # orderkey ranges span essentially the whole plane per partition
     assert zorder < 0.5 * naive, (zorder, naive)
     assert zorder < 0.5, zorder
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy(day) writes + a day predicate must prune
+    at the PartitionFilters level (directory skip — zero IO for other
+    days), not as a post-scan data filter.  At 100 TB this is the
+    first-order scan reducer for time-ranged queries; z-order /
+    bucketing refine WITHIN what partition pruning leaves."""
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("day") == "2024-01-01").select(
+        "event_id", "value"
+    )
+    plan = plan_of(one_day, "formatted")
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in pf
+    # fully consumed by pruning: no post-scan Filter operator survives
+    assert "(1) Filter" not in plan and "* Filter" not in plan
+    assert one_day.count() > 0
