@@ -998,3 +998,72 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval",
         f"(zval >> {_Z_BUCKET_SHIFT}) AS zbucket",
     )
+
+
+@register(
+    "q_csv_scan",
+    # Same oracle trick as q_json_scan: the CSV file the Spark side
+    # reads is a pure function of events (same projection, same
+    # deterministic corruption rule, fixed corrupt-line literal), so
+    # the parsed result is expressible straight off the parquet view.
+    # Valid rows round-trip exactly: Spark's double→string cast emits
+    # the shortest representation, which parses back to the identical
+    # double the oracle reads from parquet.  The corrupt line is a
+    # FIXED literal (no floats embedded) so both engines agree on the
+    # quarantined payload byte-for-byte.
+    oracle="""
+    SELECT CASE WHEN event_id % 89 = 0 THEN NULL ELSE event_id END
+               AS event_id,
+           CASE WHEN event_id % 89 = 0 THEN 'corrupt' ELSE event_type END
+               AS event_type,
+           CASE WHEN event_id % 89 = 0 THEN 0.0 ELSE value END AS value,
+           CASE WHEN event_id % 89 = 0
+                THEN 'xx,corrupt,0' ELSE NULL END AS corrupt_raw
+    FROM events
+    """,
+)
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CSV scan with explicit schema + per-record corrupt-row
+    capture — the delimited-text sibling of q_json_scan (SURVEY.md §2
+    B1), completing the raw-ingest source trio (parquet, JSON lines,
+    CSV).  1-in-89 lines are deterministically corrupted with a
+    non-numeric first field.  PERMISSIVE CSV semantics differ from
+    JSON's whole-record quarantine in a way the oracle pins exactly:
+    only the UNPARSEABLE field nulls (event_id here), the remaining
+    fields are salvaged ('corrupt', 0.0), and the whole raw line is
+    retained in ``columnNameOfCorruptRecord`` for replay — partial
+    salvage + quarantined original, the delimited-log ingest
+    contract.  Explicit schema as always: no inference pass over
+    100 TB."""
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 89 == 0,
+        F.lit("xx,corrupt,0"),  # non-numeric long field → malformed
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+        )
+    )
+    # fresh dir per invocation + interpreter-exit cleanup: same
+    # concurrent-session and leak rationale as q_json_scan above
+    path = tempfile.mkdtemp(prefix="l2c_csv_scan_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, "
+            "corrupt_raw string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .option("header", "false")
+        .csv(path)
+    )
+    return parsed.select("event_id", "event_type", "value", "corrupt_raw")

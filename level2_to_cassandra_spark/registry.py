@@ -83,6 +83,11 @@ DRIVER_ORDER = (
     # star_revenue↔q_join_multiway's identical star shape) -------------
     "q_join_asof_tolerance",
     "q_twap",
+    # -- NEW QUERY in r06 (batch 3): CSV raw-ingest sibling of
+    # q_json_scan; slot freed by q_scan_project_filter (multi-round-
+    # green; its pushdown/pruning contract stays pinned every run by
+    # tests/test_plans.py::test_filter_and_projection_pushdown) --------
+    "q_csv_scan",
     # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
     # cohort (green once in r03 or r04, rotated out since) — each gets
     # its confirming second row ------------------------------------------
@@ -126,7 +131,6 @@ DRIVER_ORDER = (
     "q_length_buckets",
     "q_dedup_incremental_fuzzy",
     # -- the non-redundant core (driver-green r01+r02+r04/r05) ----------
-    "q_scan_project_filter",
     "q_json_scan",
     "q_agg_basic",
     "q_window_cumulative",
@@ -144,6 +148,7 @@ DRIVER_ORDER = (
     "q_scalar_datetime",
     "q_topk_per_group",
     "q_sql_star_revenue",
+    "q_scan_project_filter",
     # -- rotated OUT for r06: the 8 r05-rotation queries that earned
     # their first driver row in r05 AND are also r03/r04-oracle-stable
     # locally, plus the r04+r05 twice-green cohort — evicted to make

@@ -102,3 +102,35 @@ def test_book_metrics_stream_batch_parity(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not finish within 120s"
     got = _metrics_map(spark.table("book_metrics_sink"))
     assert got == batch
+
+
+def test_book_metrics_invariants_random_books(spark):
+    """Random two-sided books: imbalance ∈ [0,1]; the microprice is a
+    convex combination of best bid and best ask so it lies inside
+    [best_bid, best_ask]; spread = ask − bid; level counts conserve."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for snap in range(20):
+        n_bid, n_ask = rng.randint(1, 6), rng.randint(1, 6)
+        base = 100 + rng.rand() * 10
+        for i in range(n_bid):
+            rows.append(("S", f"t{snap}", round(base - 0.01 * (i + 1), 4),
+                         float(rng.randint(1, 50)), "bid"))
+        for i in range(n_ask):
+            rows.append(("S", f"t{snap}", round(base + 0.01 * (i + 1), 4),
+                         float(rng.randint(1, 50)), "ask"))
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = book_snapshot_metrics(df).collect()
+    assert len(out) == 20
+    per_snap = {}
+    for r in rows:
+        k = r[1]
+        per_snap.setdefault(k, [0, 0])[0 if r[4] == "bid" else 1] += 1
+    for m in out:
+        assert 0.0 <= m.imbalance <= 1.0
+        assert m.best_bid < m.best_ask
+        assert abs(m.spread - (m.best_ask - m.best_bid)) < 1e-9
+        assert m.best_bid - 1e-9 <= m.microprice <= m.best_ask + 1e-9
+        assert (m.bid_levels, m.ask_levels) == tuple(per_snap[m.time])

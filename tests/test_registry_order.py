@@ -22,6 +22,7 @@ NEVER_DRIVER_CHECKED = {
     "q_zorder",
     "q_join_asof_tolerance",
     "q_twap",
+    "q_csv_scan",
 }
 
 # Queries whose implementation was touched in r06 (ANN build/serve
@@ -66,6 +67,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_scalar_datetime",
     "q_topk_per_group",
     "q_sql_star_revenue",
+    "q_scan_project_filter",
 }
 
 
