@@ -274,6 +274,24 @@ def test_ivfpq_serves_from_persisted_index(spark):
     assert idx.path.rstrip("/").split("/")[-1] in plan
 
 
+def test_asof_tolerance_plan_matches_asof(spark):
+    """The staleness bound must not change the join strategy: the
+    tolerance variant keeps q_join_asof's union-merge shape (no
+    SortMergeJoin/BroadcastHashJoin — it is a union + window fill)
+    with the identical exchange count; the bound is a per-row
+    comparison, not an operator."""
+    base = plan_of(all_queries()["q_join_asof"].fn(spark, SF), "simple")
+    tol = plan_of(
+        all_queries()["q_join_asof_tolerance"].fn(spark, SF), "simple"
+    )
+    for p in (base, tol):
+        assert "SortMergeJoin" not in p
+        assert "BroadcastHashJoin" not in p
+        assert "CartesianProduct" not in p
+    assert (tol.count("Exchange hashpartitioning")
+            == base.count("Exchange hashpartitioning"))
+
+
 def test_twap_single_shuffle_no_join(spark):
     """q_twap: the lead window and the grouped aggregation ride ONE
     (user_id, day) exchange; no join anywhere (the day-end boundary
