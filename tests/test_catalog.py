@@ -187,7 +187,9 @@ def test_documents_text_never_empty(spark):
     (split('', ' ') = [] vs string_split('', ' ') = ['']) — the
     divergence q_text_entropy pins engine-side.  Every other
     oracle-backed text query (classifier, tokenize_ids, vocab
-    coverage, bigram LM, length buckets, simhash fingerprints) would
+    coverage, bigram LM, length buckets, simhash fingerprints,
+    q_sample_weighted's token-count weights — where a NULL text would
+    also hit Spark's size(split(NULL)) = -1 vs DuckDB NULL) would
     silently diverge if the driver ever regenerated the fixture with
     an empty or NULL text, so pin non-emptiness HERE with an
     explanation.  Also rejects whitespace-only text (its split is
