@@ -166,3 +166,51 @@ def read_sink_latest(spark, path: str, table_suffix: str) -> DataFrame:
     (later batches shadow earlier rows with the same key)."""
     df = spark.read.parquet(f"{path}/{table_suffix}")
     return upsert_dedup(df).drop(BATCH_COL)
+
+
+def compact_sink(spark, path: str, table_suffix: str) -> int:
+    """Rewrite a sink table down to each key's WINNING row — the
+    maintenance operation the append-only upsert layout needs: every
+    micro-batch appends files, so without compaction the read-side
+    last-write-wins window pays for the table's entire write history
+    (at 100 TB: unbounded shadowed rows + small-file explosion).
+
+    Correctness across the swap: the winner keeps its ORIGINAL
+    ``__batch_id``/``seq`` columns through the rewrite, and streaming
+    batch ids continue monotonically from the checkpoint (pinned by
+    tests/test_streaming.py::test_pipeline_checkpoint_restart_
+    incremental), so batches appended AFTER a compaction still shadow
+    compacted rows under the same ``_write_order`` — compaction is
+    invisible to readers except in cost.  The rewrite re-applies the
+    layout contract (repartition by (topic, symbol), time-descending
+    within partitions, directory-partitioned by topic).
+
+    Swap discipline: the compacted table is fully written and
+    validated at a side path first, then moved into place — on a
+    local filesystem via delete+rename, which is NOT atomic for
+    concurrent readers; a production deployment does the same swap as
+    a partition/version flip in its table format (Delta/Iceberg
+    REPLACE), which is exactly what this operator's two-phase shape
+    maps onto.  Returns the surviving row count."""
+    import os
+    import shutil
+
+    src = f"{path}/{table_suffix}"
+    tmp = f"{path}/{table_suffix}__compacting"
+    before = upsert_dedup(spark.read.parquet(src))
+    (
+        before.repartition("topic", "symbol")
+        .sortWithinPartitions(F.desc("time"))
+        .write.mode("overwrite")
+        .partitionBy("topic")
+        .parquet(tmp)
+    )
+    # validate the materialized rewrite before touching the source
+    n = spark.read.parquet(tmp).count()
+    if n != before.count():
+        raise RuntimeError(
+            f"compaction row-count mismatch for {src}: rewrite={n}"
+        )
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+    return n

@@ -644,3 +644,56 @@ def test_pipeline_checkpoint_restart_incremental(spark, tmp_path):
         for r in batch["book"].collect()
     }
     assert got_b == want_b
+
+
+def test_compact_sink_preserves_lww_and_future_wins(spark, tmp_path):
+    """compact_sink must (a) shrink the file set, (b) leave
+    read_sink_latest byte-identical, and (c) stay ordered UNDER later
+    appends: a batch written after compaction still shadows compacted
+    rows (the winner keeps its original batch id through the
+    rewrite)."""
+    import glob
+
+    from level2_to_cassandra_spark.streaming.sink import (
+        compact_sink,
+        write_upsert_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+
+    def batch(rows, batch_id):
+        df = spark.createDataFrame(
+            rows,
+            "topic string, symbol string, time string, price double, "
+            "volume int, seq long",
+        ).withColumn("time", F.to_timestamp("time"))
+        write_upsert_parquet(df, out, "tick", batch_id=batch_id)
+
+    t = "2024-01-01 00:00:00"
+    batch([("btcusd", "AAA", t, 1.0, 10, 0),
+           ("btcusd", "BBB", t, 2.0, 11, 1)], 0)
+    batch([("btcusd", "AAA", t, 1.0, 20, 2)], 1)   # shadows vol 10
+    batch([("btcusd", "AAA", t, 1.0, 30, 3)], 2)   # shadows vol 20
+
+    def latest():
+        return {
+            (r.symbol, str(r.time), r.price): r.volume
+            for r in read_sink_latest(spark, out, "tick").collect()
+        }
+
+    want = latest()
+    assert want[("AAA", t, 1.0)] == 30
+    files_before = len(glob.glob(f"{out}/tick/**/*.parquet",
+                                 recursive=True))
+    n = compact_sink(spark, out, "tick")
+    assert n == 2                              # one row per live key
+    files_after = len(glob.glob(f"{out}/tick/**/*.parquet",
+                                recursive=True))
+    assert files_after < files_before
+    assert latest() == want                    # reader-invisible
+    # a post-compaction append still wins over the compacted survivor
+    batch([("btcusd", "AAA", t, 1.0, 40, 4)], 3)
+    assert latest()[("AAA", t, 1.0)] == 40
+    # and compacting again folds it in
+    assert compact_sink(spark, out, "tick") == 2
+    assert latest()[("AAA", t, 1.0)] == 40
