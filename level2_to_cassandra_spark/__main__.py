@@ -43,6 +43,10 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
                    help="capture path for file/wire sources")
     p.add_argument("--drain", action="store_true",
                    help="availableNow trigger: drain the source and exit")
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance mode: fold the upsert sink's append "
+                        "history to each key's winning row and exit "
+                        "(no source needed)")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -60,6 +64,19 @@ def main(argv: list[str] | None = None) -> int:
 
     args = _parse_args(argv)
     cfg = PipelineConfig.from_env()
+    if args.compact:
+        from level2_to_cassandra_spark.streaming.sink import compact_sink
+
+        spark = get_spark(app_name="l2c-compact")
+        for suffix in ("book", "tick"):
+            try:
+                n = compact_sink(spark, cfg.out_path, suffix)
+            except Exception as e:  # noqa: BLE001 — a table may not exist
+                print(f"compact {suffix}: skipped ({type(e).__name__})",
+                      file=sys.stderr)
+            else:
+                print(f"compact {suffix}: {n} rows")
+        return 0
     src = args.source
     if src == "auto":
         src = "kafka" if cfg.kafka.get("kafka.bootstrap.servers") else "file"

@@ -86,3 +86,40 @@ def test_daemon_restart_recovers_state_from_checkpoint(
             for r in read_sink_latest(spark, str(out), "tick").collect()}
     # second run resumed the day's state: 5 then 5+7
     assert rows == {"2023-11-14T22:13:20": 5.0, "2023-11-14T22:14:20": 12.0}
+
+
+def test_daemon_compact_mode(spark, tmp_path, monkeypatch):
+    """`--compact` maintenance mode: folds both sink tables to their
+    winning rows and exits 0 without needing a source; results stay
+    reader-identical and the file sets shrink."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.streaming.sink import (
+        write_upsert_parquet,
+    )
+
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    for b in range(3):
+        df = spark.createDataFrame(
+            [("btcusd", "AAA", "2024-01-01 00:00:00", 1.0, 10 + b, b)],
+            "topic string, symbol string, time string, price double, "
+            "volume int, seq long",
+        ).withColumn("time", F.to_timestamp("time"))
+        write_upsert_parquet(df, str(out), "tick", batch_id=b)
+    want = {
+        (r.symbol, str(r.time), r.price): r.volume
+        for r in read_sink_latest(spark, str(out), "tick").collect()
+    }
+    n_files = len(glob.glob(f"{out}/tick/**/*.parquet", recursive=True))
+    assert main(["--compact"]) == 0       # book table absent → skipped
+    got = {
+        (r.symbol, str(r.time), r.price): r.volume
+        for r in read_sink_latest(spark, str(out), "tick").collect()
+    }
+    assert got == want
+    assert len(glob.glob(f"{out}/tick/**/*.parquet",
+                         recursive=True)) < n_files
