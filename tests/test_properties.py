@@ -448,3 +448,63 @@ def test_event_transitions_row_conservation_and_prob_simplex(spark, rows):
         by_src[r.prev_type] = by_src.get(r.prev_type, 0.0) + r.prob
     for total in by_src.values():
         assert abs(total - 1.0) < 1e-4
+
+
+# ----------------------------------------------------- BPE merge loop
+
+corpus_strategy = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    min_size=1, max_size=40,
+)
+
+
+@given(words=corpus_strategy, n=st.integers(min_value=0, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_bpe_pure_kernel_invariants(words, n):
+    """Driver-side BPE kernel laws on random corpora (pure python — no
+    Spark per-example; the distributed path is parity-pinned against
+    exactly this kernel in tests/test_bpe.py):
+
+    * lossless: applying any merge list to a word concatenates back to
+      the word;
+    * compression is monotone in the merge count and bounded below by
+      1 token per word;
+    * the merge list has the prefix property (training n' < n merges
+      yields a prefix of the n-merge list);
+    * every merge's two sides are concatenations of previously
+      available symbols (chars or earlier merges)."""
+    from level2_to_cassandra_spark.operators.bpe import (
+        _merge_word,
+        train_merges_on_counts,
+    )
+
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    merges = train_merges_on_counts(counts, n)
+    assert len(merges) <= n
+    if n > 0:
+        assert merges[: max(n - 1, 0)] == train_merges_on_counts(
+            counts, max(n - 1, 0)
+        )
+    available = {c for w in counts for c in w}
+    for a, b in merges:
+        assert a in available and b in available
+        available.add(a + b)
+
+    def apply(w, ms):
+        syms = list(w)
+        for a, b in ms:
+            syms = _merge_word(syms, a, b)
+        return syms
+
+    for w in counts:
+        full = apply(w, merges)
+        assert "".join(full) == w
+        assert 1 <= len(full) <= len(w)
+        # monotone: more merges never yields more tokens
+        prev = len(w)
+        for k in range(len(merges) + 1):
+            cur = len(apply(w, merges[:k]))
+            assert cur <= prev
+            prev = cur
