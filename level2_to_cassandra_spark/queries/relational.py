@@ -1067,3 +1067,41 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return parsed.select("event_id", "event_type", "value", "corrupt_raw")
+
+
+@register(
+    "q_unpivot",
+    # Portable oracle: the UNION ALL expansion IS unpivot's semantics,
+    # so no dialect-specific UNPIVOT syntax is relied on.  Values pass
+    # through untouched (no arithmetic → no rounding conventions).
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q_agg_pivot's wide form: four
+    measure columns become (metric, value) rows keyed by the line
+    identity, the long/tidy layout metric stores and plotting/ML
+    feature pipelines ingest.  Spark's native ``unpivot`` expands
+    map-side (an Expand node — one output row per (input row,
+    measure), no shuffle, no join), which is the only shape that
+    matters at 100 TB: melting is a projection, never a self-union
+    that re-scans the table once per measure (the ORACLE's UNION ALL
+    form does exactly that — fine for DuckDB at check scale, 4×
+    the scan cost for a lake table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

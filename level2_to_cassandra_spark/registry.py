@@ -88,6 +88,11 @@ DRIVER_ORDER = (
     # green; its pushdown/pruning contract stays pinned every run by
     # tests/test_plans.py::test_filter_and_projection_pushdown) --------
     "q_csv_scan",
+    # -- NEW QUERY in r06 (batch 3): UNPIVOT/melt — q_agg_pivot's
+    # inverse, map-side Expand; slot freed by q_json_scan (multi-round-
+    # green, in-cap sibling q_csv_scan carries the raw-ingest +
+    # corrupt-quarantine row) -------------------------------------------
+    "q_unpivot",
     # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
     # cohort (green once in r03 or r04, rotated out since) — each gets
     # its confirming second row ------------------------------------------
@@ -131,7 +136,6 @@ DRIVER_ORDER = (
     "q_length_buckets",
     "q_dedup_incremental_fuzzy",
     # -- the non-redundant core (driver-green r01+r02+r04/r05) ----------
-    "q_json_scan",
     "q_agg_basic",
     "q_window_cumulative",
     "q_join_inner",
@@ -149,6 +153,7 @@ DRIVER_ORDER = (
     "q_topk_per_group",
     "q_sql_star_revenue",
     "q_scan_project_filter",
+    "q_json_scan",
     # -- rotated OUT for r06: the 8 r05-rotation queries that earned
     # their first driver row in r05 AND are also r03/r04-oracle-stable
     # locally, plus the r04+r05 twice-green cohort — evicted to make

@@ -329,3 +329,13 @@ def test_event_transitions_no_join_three_exchanges(spark):
                    "simple")
     assert plan.count("Exchange hashpartitioning") == 3
     assert "Join" not in plan
+
+
+def test_unpivot_is_expand_not_union(spark):
+    """q_unpivot: native unpivot must compile to one scan + Expand —
+    never the UNION-ALL form that re-scans the table once per melted
+    measure (4× the IO at lake scale)."""
+    plan = plan_of(all_queries()["q_unpivot"].fn(spark, SF), "simple")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "Exchange" not in plan

@@ -23,6 +23,7 @@ NEVER_DRIVER_CHECKED = {
     "q_join_asof_tolerance",
     "q_twap",
     "q_csv_scan",
+    "q_unpivot",
 }
 
 # Queries whose implementation was touched in r06 (ANN build/serve
@@ -68,6 +69,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_topk_per_group",
     "q_sql_star_revenue",
     "q_scan_project_filter",
+    "q_json_scan",
 }
 
 
