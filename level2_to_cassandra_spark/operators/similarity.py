@@ -50,13 +50,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (l2_norm(da) * l2_norm(db))
 
 
+#: Broadcast-sane ceiling on the query side of brute_topk.  At ~1 KiB
+#: per embedding row, 100k rows ≈ 100 MiB — the upper edge of what a
+#: broadcast should carry.  Above it the right plan is NOT one giant
+#: broadcast: chunk the queries (filter on a query-id range or hash
+#: bucket), brute_topk each chunk, union the results — or switch to
+#: the ANN family, which is the scale path for big query sets.
+MAX_BROADCAST_QUERIES = 100_000
+
+
 def brute_topk(corpus: DataFrame, queries: DataFrame, k: int,
                id_col: str = "vec_id", vec_col: str = "embedding",
                round_cos: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     ``queries`` is broadcast (must be driver-bounded — a batch of query
-    vectors, not a second corpus); self-matches are excluded.  Output:
+    vectors, not a second corpus; :data:`MAX_BROADCAST_QUERIES`
+    fail-fast guard, the brute-force twin of the ADC family's
+    MAX_QUERY_BATCH); self-matches are excluded.  Output:
     (query_id, neighbor_id, cos, rank).
 
     ``round_cos`` rounds the cosine to that many decimals BEFORE the
@@ -65,6 +76,16 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int,
     compare against another engine should rank on the rounded value
     rather than over-fetching and re-ranking.
     """
+    # limit(cap+1) bounds the guard's own scan; the count is one cheap
+    # action vs the crossJoin it protects
+    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n_q > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"brute_topk queries side exceeds MAX_BROADCAST_QUERIES="
+            f"{MAX_BROADCAST_QUERIES} rows — this is a second corpus, "
+            "not a query batch; chunk the queries and union, or use "
+            "the ANN operators (ann_topk/ivf_topk/ivfpq_topk)"
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -1566,6 +1587,26 @@ def ivfpq_append(index: IvfPqIndex, new_corpus: DataFrame) -> IvfPqIndex:
                       _cached=cached)
 
 
+def ivfpq_check_coverage(index: "IvfPqIndex", corpus: DataFrame) -> None:
+    """Assert the serve-time contract of ``ivfpq_topk(index=...)``:
+    every indexed id must be present in ``corpus`` (the exact-vector
+    re-rank side), else those rows silently vanish from the top-k.
+    One anti-join over the index's id column — a maintenance check to
+    run after :func:`ivfpq_append` / an index restore, deliberately
+    NOT folded into the per-query serve path (ADVICE r06)."""
+    missing = (
+        index.index.select(F.col("neighbor_id").alias(index.id_col))
+        .join(corpus.select(index.id_col), index.id_col, "left_anti")
+    )
+    sample = [r[0] for r in missing.limit(5).collect()]
+    if sample:
+        raise ValueError(
+            f"IVF-PQ index covers ids absent from the re-rank corpus "
+            f"(first few: {sample}) — pass the full indexed corpus to "
+            "ivfpq_topk or rebuild the index"
+        )
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                shortlist: int = 30, n_cells: int = 16, nprobe: int = 6,
                m: int = _PQ_M, k_codes: int = _PQ_K,
@@ -1615,6 +1656,30 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     if index is None:
         index = ivfpq_build(corpus, n_cells, m, k_codes, sub_dim,
                             id_col, vec_col, by_residual)
+    else:
+        # CONTRACT (ADVICE r06): with a prebuilt index, ``corpus`` is
+        # the exact-vector side of the re-rank and MUST contain every
+        # indexed id — an indexed row absent from ``corpus`` (e.g. the
+        # pre-append corpus after ivfpq_append) silently drops out of
+        # the final top-k.  Run :func:`ivfpq_check_coverage` after any
+        # append/restore when in doubt (one anti-join — deliberately
+        # not on the per-query serve path).  Quantizer-shape knobs are
+        # frozen INTO the index; an explicitly-passed conflicting
+        # value is a caller bug, not an override — raise, never
+        # silently ignore.
+        _defaults = {"n_cells": 16, "nprobe": None, "m": _PQ_M,
+                     "k_codes": _PQ_K, "sub_dim": _PQ_SUBDIM,
+                     "by_residual": False}
+        for knob, passed in (("n_cells", n_cells), ("m", m),
+                             ("k_codes", k_codes), ("sub_dim", sub_dim),
+                             ("by_residual", by_residual)):
+            indexed = getattr(index, knob)
+            if passed != _defaults[knob] and passed != indexed:
+                raise ValueError(
+                    f"ivfpq_topk: {knob}={passed!r} conflicts with the "
+                    f"prebuilt index's frozen {knob}={indexed!r} — "
+                    "quantizer knobs are set at ivfpq_build time"
+                )
     m, sub_dim = index.m, index.sub_dim
     cells, cmat = index.cells, index.cmat
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))

@@ -1044,11 +1044,16 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 89 == 0,
         F.lit("xx,corrupt,0"),  # non-numeric long field → malformed
     ).otherwise(
+        # coalesce every field to '' explicitly: concat_ws silently
+        # DROPS null args, which would shift column positions (a NULL
+        # event_type would move value into the event_type slot).  The
+        # fixture carries no NULLs today, but the line builder must
+        # not depend on that (ADVICE r06).
         F.concat_ws(
             ",",
-            F.col("event_id").cast("string"),
-            F.col("event_type"),
-            F.col("value").cast("string"),
+            F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.coalesce(F.col("value").cast("string"), F.lit("")),
         )
     )
     # fresh dir per invocation + interpreter-exit cleanup: same

@@ -160,15 +160,79 @@ def foreach_batch_cassandra(keyspace: str, table_suffix: str,
     return _write
 
 
+#: Manifest pointer file naming the live compacted base version dir.
+#: ``_``-prefixed names are invisible to Spark's file listing, so the
+#: pointer and the ``_v*`` version dirs coexist with plain appended
+#: parquet files under the same table directory.
+CURRENT_PTR = "_CURRENT"
+
+
+def _current_version(src: str) -> str | None:
+    """Read the manifest pointer: name of the live base version dir
+    (``_vNNNNNN``), or None for a never-compacted (legacy) table."""
+    import os
+
+    ptr = os.path.join(src, CURRENT_PTR)
+    try:
+        with open(ptr, encoding="utf-8") as fh:
+            name = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    return name or None
+
+
+def _list_append_files(src: str) -> list[str]:
+    """Relative paths of the top-level appended parquet files — every
+    data file NOT under a ``_``-prefixed dir (version dirs, markers).
+    This is the exact file set a compaction folds and later deletes;
+    files appended concurrently are, by construction, not in it."""
+    import os
+
+    out: list[str] = []
+    for root, dirs, files in os.walk(src):
+        if root == src:
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, f), src))
+    return sorted(out)
+
+
+def _read_sink_raw(spark, src: str) -> DataFrame:
+    """Union of the live compacted base version (via the ``_CURRENT``
+    manifest pointer) and every top-level appended file.  Base rows
+    kept their original ``__batch_id``/``seq`` through compaction, so
+    one ``upsert_dedup`` over the union is still last-write-wins."""
+    cur = _current_version(src)
+    appends = _list_append_files(src)
+    parts = []
+    if cur is not None:
+        parts.append(spark.read.parquet(f"{src}/{cur}"))
+    if appends:
+        parts.append(
+            spark.read.option("basePath", src)
+            .parquet(*[f"{src}/{p}" for p in appends])
+        )
+    if not parts:
+        # empty/absent table: surface Spark's standard error
+        return spark.read.parquet(src)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def read_sink_latest(spark, path: str, table_suffix: str) -> DataFrame:
-    """Read a sink directory back applying last-write-wins across ALL
+    """Read a sink table back applying last-write-wins across ALL
     appended batches — the query-side completion of upsert semantics
-    (later batches shadow earlier rows with the same key)."""
-    df = spark.read.parquet(f"{path}/{table_suffix}")
+    (later batches shadow earlier rows with the same key).  Honors the
+    ``_CURRENT`` manifest pointer left by :func:`compact_sink`."""
+    df = _read_sink_raw(spark, f"{path}/{table_suffix}")
     return upsert_dedup(df).drop(BATCH_COL)
 
 
-def compact_sink(spark, path: str, table_suffix: str) -> int:
+def compact_sink(spark, path: str, table_suffix: str,
+                 _test_hook_pre_flip=None) -> int:
     """Rewrite a sink table down to each key's WINNING row — the
     maintenance operation the append-only upsert layout needs: every
     micro-batch appends files, so without compaction the read-side
@@ -185,32 +249,97 @@ def compact_sink(spark, path: str, table_suffix: str) -> int:
     layout contract (repartition by (topic, symbol), time-descending
     within partitions, directory-partitioned by topic).
 
-    Swap discipline: the compacted table is fully written and
-    validated at a side path first, then moved into place — on a
-    local filesystem via delete+rename, which is NOT atomic for
-    concurrent readers; a production deployment does the same swap as
-    a partition/version flip in its table format (Delta/Iceberg
-    REPLACE), which is exactly what this operator's two-phase shape
-    maps onto.  Returns the surviving row count."""
+    Swap discipline — versioned dirs + manifest-pointer flip (the
+    local twin of a table format's REPLACE commit):
+
+    1. snapshot = current base version (``_CURRENT``) + an explicit
+       listing of the appended files;
+    2. the fold of exactly that snapshot is written to a NEW
+       ``_vNNNNNN`` dir and row-count-validated (input counted once,
+       via ``Observation`` during the write — no second dedup pass);
+    3. the ``_CURRENT`` pointer is flipped with an atomic
+       ``os.replace`` — a reader resolves either the old state or the
+       new one, never a missing table;
+    4. only then are the snapshot's appended files and the superseded
+       version dir removed.
+
+    Concurrent WRITERS are safe by construction: a micro-batch
+    appended after the snapshot listing is not in the deletion set and
+    still shadows the new base (batch ids are monotonic).  A
+    concurrent compaction is refused via an O_EXCL lock sentinel.
+    Concurrent READERS are atomic at the pointer flip; the one
+    residual local-FS caveat is a reader that resolved the OLD state
+    and lists its files only after step 4's deferred delete — a table
+    format closes that last window with snapshot isolation, which is
+    exactly what this operator's commit shape maps onto.
+
+    Returns the surviving row count."""
     import os
     import shutil
 
+    from pyspark.sql import Observation
+
     src = f"{path}/{table_suffix}"
-    tmp = f"{path}/{table_suffix}__compacting"
-    before = upsert_dedup(spark.read.parquet(src))
-    (
-        before.repartition("topic", "symbol")
-        .sortWithinPartitions(F.desc("time"))
-        .write.mode("overwrite")
-        .partitionBy("topic")
-        .parquet(tmp)
-    )
-    # validate the materialized rewrite before touching the source
-    n = spark.read.parquet(tmp).count()
-    if n != before.count():
-        raise RuntimeError(
-            f"compaction row-count mismatch for {src}: rewrite={n}"
+    lock = os.path.join(src, "_COMPACT_LOCK")
+    # refuse concurrent compactions (the daemon's --compact mode is a
+    # standalone CLI; two racing folds could double-delete versions)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        old_version = _current_version(src)
+        snapshot = _list_append_files(src)
+        if old_version is None and not snapshot:
+            raise FileNotFoundError(f"no data files under {src}")
+        seq = 0 if old_version is None else int(old_version[2:]) + 1
+        new_version = f"_v{seq:06d}"
+        before = upsert_dedup(_read_sink_raw(spark, src))
+        obs = Observation()
+        (
+            before.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition("topic", "symbol")
+            .sortWithinPartitions(F.desc("time"))
+            .write.mode("overwrite")
+            .partitionBy("topic")
+            .parquet(f"{src}/{new_version}")
         )
-    shutil.rmtree(src)
-    os.rename(tmp, src)
-    return n
+        n_in = obs.get["n"]
+        # validate the materialized rewrite before publishing it
+        n = spark.read.parquet(f"{src}/{new_version}").count()
+        if n != n_in:
+            shutil.rmtree(f"{src}/{new_version}", ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch for {src}: "
+                f"rewrite={n} input={n_in}"
+            )
+        if _test_hook_pre_flip is not None:
+            _test_hook_pre_flip()
+        # atomic publish: readers see old state or new state, never none
+        tmp_ptr = os.path.join(src, CURRENT_PTR + ".tmp")
+        with open(tmp_ptr, "w", encoding="utf-8") as fh:
+            fh.write(new_version)
+        os.replace(tmp_ptr, os.path.join(src, CURRENT_PTR))
+        # deferred cleanup: ONLY the snapshot's files + superseded base
+        for rel in snapshot:
+            d, base = os.path.split(os.path.join(src, rel))
+            for name in (base, f".{base}.crc"):
+                try:
+                    os.remove(os.path.join(d, name))
+                except FileNotFoundError:
+                    pass
+        for root, dirs, files in os.walk(src, topdown=False):
+            rel = os.path.relpath(root, src)
+            # never touch _-prefixed trees (version dirs, an in-flight
+            # writer's _temporary staging)
+            if rel == "." or rel.split(os.sep)[0].startswith("_"):
+                continue
+            if not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        if old_version is not None:
+            shutil.rmtree(os.path.join(src, old_version),
+                          ignore_errors=True)
+        return n
+    finally:
+        os.remove(lock)

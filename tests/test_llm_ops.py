@@ -1075,3 +1075,47 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert got_all == {(1, 100): "fresh", (1, 200): "fresh",
                        (2, 50): "old"}
+
+
+def test_ivfpq_prebuilt_index_guards(spark):
+    """Serve-time contract guards (ADVICE r06): (a) an explicitly
+    passed quantizer knob conflicting with the prebuilt index's frozen
+    value raises instead of being silently ignored; (b) matching or
+    default knobs pass through; (c) ivfpq_check_coverage flags a
+    corpus missing indexed ids and accepts a covering corpus."""
+    em = load_table(spark, SF, "embeddings")
+    queries = em.where(F.col("vec_id") < 3)
+    idx = similarity.ivfpq_build(em, n_cells=4)
+    try:
+        # (a) conflicting knob → loud error
+        with pytest.raises(ValueError, match="n_cells"):
+            similarity.ivfpq_topk(em, queries, topk=5, n_cells=8,
+                                  index=idx)
+        with pytest.raises(ValueError, match="by_residual"):
+            similarity.ivfpq_topk(em, queries, topk=5,
+                                  by_residual=True, index=idx)
+        # (b) explicitly matching and defaulted knobs both serve
+        assert similarity.ivfpq_topk(em, queries, topk=5, n_cells=4,
+                                     index=idx).count() > 0
+        assert similarity.ivfpq_topk(em, queries, topk=5,
+                                     index=idx).count() > 0
+        # (c) coverage check: full corpus passes, a hole raises
+        similarity.ivfpq_check_coverage(idx, em)
+        with pytest.raises(ValueError, match="absent from the re-rank"):
+            similarity.ivfpq_check_coverage(
+                idx, em.where(F.col("vec_id") % 2 == 0))
+    finally:
+        idx.unpersist()
+
+
+def test_brute_topk_query_broadcast_guard(spark, monkeypatch):
+    """brute_topk must refuse a queries side beyond the broadcast-sane
+    ceiling (the brute-force twin of the ADC MAX_QUERY_BATCH guard)
+    instead of shipping a corpus-sized broadcast."""
+    em = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_QUERIES", 10)
+    with pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+        similarity.brute_topk(em, em, k=3)
+    # a bounded batch still works under the tightened ceiling
+    assert similarity.brute_topk(
+        em, em.where(F.col("vec_id") < 5), k=3).count() > 0

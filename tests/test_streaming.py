@@ -697,3 +697,104 @@ def test_compact_sink_preserves_lww_and_future_wins(spark, tmp_path):
     # and compacting again folds it in
     assert compact_sink(spark, out, "tick") == 2
     assert latest()[("AAA", t, 1.0)] == 40
+
+
+def _mk_tick_batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "topic string, symbol string, time string, price double, "
+        "volume int, seq long",
+    ).withColumn("time", F.to_timestamp("time"))
+
+
+def test_compact_sink_concurrent_writer_safe(spark, tmp_path):
+    """A micro-batch appended AFTER compaction captured its snapshot
+    but BEFORE the pointer flip must survive (not be deleted) and must
+    still shadow the compacted base — the writer-safety guarantee of
+    the snapshot-file deletion design (ADVICE r06 medium finding)."""
+    from level2_to_cassandra_spark.streaming.sink import (
+        compact_sink,
+        read_sink_latest,
+        write_upsert_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    t = "2024-01-01 00:00:00"
+    write_upsert_parquet(
+        _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 10, 0)]),
+        out, "tick", batch_id=0)
+    write_upsert_parquet(
+        _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 20, 1)]),
+        out, "tick", batch_id=1)
+
+    def concurrent_append():
+        # lands after the snapshot listing, before the pointer flip
+        write_upsert_parquet(
+            _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 99, 2)]),
+            out, "tick", batch_id=2)
+
+    n = compact_sink(spark, out, "tick",
+                     _test_hook_pre_flip=concurrent_append)
+    # the fold covered only the snapshot (batches 0,1 → 1 live key)
+    assert n == 1
+    # the concurrently-appended batch survived the cleanup and shadows
+    got = {(r.symbol, str(r.time), r.price): r.volume
+           for r in read_sink_latest(spark, out, "tick").collect()}
+    assert got[("AAA", t, 1.0)] == 99
+    # a second compaction folds it into the next version
+    assert compact_sink(spark, out, "tick") == 1
+    got = {(r.symbol, str(r.time), r.price): r.volume
+           for r in read_sink_latest(spark, out, "tick").collect()}
+    assert got[("AAA", t, 1.0)] == 99
+
+
+def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
+    """(a) At the pre-flip instant a reader still resolves the OLD
+    state (pointer flip is the commit point — no missing-table
+    window); (b) the published state carries a ``_CURRENT`` pointer to
+    an existing version dir; (c) a concurrent compaction is refused
+    via the lock sentinel."""
+    import os
+
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.sink import (
+        compact_sink,
+        read_sink_latest,
+        write_upsert_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    t = "2024-01-01 00:00:00"
+    write_upsert_parquet(
+        _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 10, 0)]),
+        out, "tick", batch_id=0)
+    write_upsert_parquet(
+        _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 20, 1)]),
+        out, "tick", batch_id=1)
+
+    seen_pre_flip = {}
+
+    def reader_mid_compact():
+        # new version dir is fully written, pointer NOT yet flipped:
+        # the reader must see the exact pre-compaction LWW state
+        seen_pre_flip.update({
+            (r.symbol, str(r.time), r.price): r.volume
+            for r in read_sink_latest(spark, out, "tick").collect()
+        })
+        # and a racing compaction is refused while the lock is held
+        with pytest.raises(FileExistsError):
+            compact_sink(spark, out, "tick")
+
+    compact_sink(spark, out, "tick",
+                 _test_hook_pre_flip=reader_mid_compact)
+    assert seen_pre_flip[("AAA", t, 1.0)] == 20
+    ptr = os.path.join(out, "tick", "_CURRENT")
+    assert os.path.exists(ptr)
+    with open(ptr, encoding="utf-8") as fh:
+        version = fh.read().strip()
+    assert os.path.isdir(os.path.join(out, "tick", version))
+    # post-flip reader: same rows, served from the compacted base
+    got = {(r.symbol, str(r.time), r.price): r.volume
+           for r in read_sink_latest(spark, out, "tick").collect()}
+    assert got == seen_pre_flip
