@@ -160,3 +160,99 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     return docs.select(id_col, text_col).mapInPandas(
         gen, schema=f"{id_col} long, tokens array<string>, n_tokens long"
     )
+
+
+def bpe_train_distributed(docs: DataFrame, n_merges: int = 50,
+                          text_col: str = "text",
+                          checkpoint_every: int = 8,
+                          ) -> list[tuple[str, str]]:
+    """The UNBOUNDED-vocabulary merge loop (VERDICT r06 #3): same spec
+    as :func:`train_merges_on_counts`, but the word-frequency state
+    never leaves the cluster — only the per-iteration argmax row (one
+    pair) is collected.  Use when the vocabulary genuinely exceeds
+    :data:`MAX_TRAIN_WORDS` (multilingual/byte-noise corpora at
+    100 TB); :func:`bpe_train`'s bounded head cut stays the fast
+    default (this loop costs ~2 scheduler round trips per merge).
+
+    Per iteration:
+
+    1. adjacent-pair counts — map-side ``transform``+``explode`` over
+       the symbol arrays, one map-side-combined agg weighted by word
+       count (ALL adjacent pairs incl. overlaps, matching the
+       reference loop);
+    2. argmax — ``orderBy(count desc, pair asc).limit(1)`` is a
+       TakeOrdered (no global sort), one driver row;
+    3. re-merge — one Arrow pass folding the winning pair into the
+       symbol arrays (left-to-right non-overlapping, the exact
+       :func:`_merge_word` kernel), pre-filtered to words that even
+       contain both symbols.
+
+    State is persisted per iteration and ``localCheckpoint``-ed every
+    ``checkpoint_every`` merges to stop lineage/plan growth — the same
+    discipline as operators/dedup.py::connected_components.  Parity
+    with the in-memory reference loop is pinned by
+    tests/test_bpe.py::test_distributed_train_matches_reference."""
+    import pandas as pd
+
+    state = bpe_word_freq(docs, text_col).select(
+        "cnt", F.split(F.col("word"), "").alias("syms")
+    ).persist()
+    state.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for it in range(n_merges):
+            pair_counts = (
+                state.select(
+                    "cnt",
+                    F.explode(
+                        F.transform(
+                            # first n-1 symbols; slice len 0 → [] →
+                            # explode drops 1-symbol words
+                            F.slice(F.col("syms"), 1,
+                                    F.size("syms") - 1),
+                            # 2nd lambda arg IS the element index
+                            lambda s, i: F.struct(
+                                s.alias("a"),
+                                F.col("syms")[i + 1].alias("b"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("total"))
+            )
+            best = (
+                pair_counts.orderBy(F.desc("total"), F.asc("a"),
+                                    F.asc("b"))
+                .limit(1).collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+
+            def gen(batches, a=a, b=b):
+                for pdf in batches:
+                    pdf["syms"] = [
+                        _merge_word(list(s), a, b) for s in pdf["syms"]
+                    ]
+                    yield pdf
+
+            touched = F.array_contains("syms", a) & F.array_contains(
+                "syms", b)
+            new_state = (
+                state.where(touched)
+                .select("cnt", "syms")
+                .mapInPandas(gen, schema="cnt bigint, syms array<string>")
+                .unionByName(state.where(~touched).select("cnt", "syms"))
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist()
+                new_state.count()
+            state.unpersist()
+            state = new_state
+    finally:
+        state.unpersist()
+    return merges

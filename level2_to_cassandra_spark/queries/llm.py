@@ -1665,3 +1665,105 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.doc_fingerprint("text").alias("fp_exact"),
         text.normalized_fingerprint("text").alias("fp_bow"),
     )
+
+
+#: Fixed retrieval query for q_bm25 — terms chosen from the fixture
+#: vocabulary's mid-band so every SF has hits and misses.
+_BM25_TERMS = ("join", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    # Same whitespace tokenization as q_text_tfidf's oracle; every
+    # count is an exact integer on both engines, avgdl is an exact
+    # int-sum ratio, and the per-row score expression is written in
+    # the IDENTICAL operation order as the Spark side so the doubles
+    # agree bit-for-bit before the ROUND(.,6).
+    oracle="""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     AVG(dl) AS avgdl FROM dl),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term IN ('join', 'spark', 'window') GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               LN((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        FROM tfq t JOIN dl USING (doc_id) JOIN dfq USING (term)
+        CROSS JOIN stats)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           ROUND(SUM(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (SURVEY.md §2 B11/B12 — the ranking
+    function behind decontamination lookups and retrieval-based data
+    selection; Robertson & Zaragoza 2009): score every document
+    against a fixed 3-term query with the standard k1=1.2, b=0.75
+    saturation/length normalization.
+
+    Scale shape — the asymmetry IS the plan: the query-term postings
+    (tfq) are filtered AT the tokenizer (term IN (...) before any
+    aggregation), so the per-(doc,term) relation shrinks to hit docs
+    only; document length (dl) is map-side array-size math (never an
+    explode), the corpus stats (N, avgdl) are a 1-row broadcast, and
+    df is a 3-row broadcast.  The only wide shuffle is the filtered
+    tfq aggregation itself.  At 100 TB with a query WORKLOAD
+    instead of one query, tfq generalizes to the inverted-index
+    staging table (term → postings) that every retrieval engine
+    materializes once and probes per query."""
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    # document length is MAP-SIDE (size of the token array — no
+    # explode, no shuffle); only the filtered query-term postings ever
+    # aggregate.  The occurrence stream is deliberately never
+    # persisted: tokenizing twice off the pruned 2-column scan beats
+    # materializing a corpus-sized relation (contrast q_text_tfidf,
+    # which persists the post-aggregation tf relation instead).
+    dl = spread_scan(docs).select(
+        "doc_id", F.size(text.tokens("text")).alias("dl")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    stats = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(F.broadcast(n))
+    tfq = (
+        spread_scan(docs)
+        .select("doc_id", F.explode(text.tokens("text")).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)) + F.lit(1)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (F.lit(_BM25_K1) + F.lit(1)))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1) - F.lit(_BM25_B)
+               + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tfq.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum("s"), 6).alias("bm25"),
+        )
+    )

@@ -1110,3 +1110,118 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_agg_argmax",
+    # The portable argmax formulation: ROW_NUMBER with the FULL
+    # tie-break order (price, then orderkey) — exactly the lexical
+    # struct-max/min semantics the Spark side aggregates with.  No
+    # arg_max/max_by on either engine: both leave ties unspecified.
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice DESC, l_orderkey DESC
+               ) AS rmax,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC
+               ) AS rmin
+        FROM lineitem)
+    SELECT mx.l_returnflag, mx.l_linestatus,
+           mx.l_orderkey AS top_orderkey,
+           mx.l_extendedprice AS top_price,
+           mn.l_orderkey AS bot_orderkey,
+           mn.l_extendedprice AS bot_price
+    FROM (SELECT * FROM ranked WHERE rmax = 1) mx
+    JOIN (SELECT * FROM ranked WHERE rmin = 1) mn
+      USING (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN as a hash aggregate (SURVEY.md §2 B4): which
+    order carries each (returnflag, linestatus) group's most/least
+    expensive line.  The scale-right plan is ``max(struct(price,
+    key))`` — struct comparison is lexicographic, so the aggregate
+    carries the argument along with the extremum through the PARTIAL
+    (map-side) aggregation, one narrow shuffle row per group.  The
+    naive formulation is a ROW_NUMBER window (the oracle's — fine for
+    a check, but a full sort-shuffle of the table at scale) or
+    ``max_by``, whose tie behavior is engine-undefined; embedding the
+    key IN the comparison value makes ties deterministic everywhere
+    (the same discipline as q_topk_per_group's rank tie-break)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = F.max(F.struct(F.col("l_extendedprice").alias("p"),
+                        F.col("l_orderkey").alias("k")))
+    mn = F.min(F.struct(F.col("l_extendedprice").alias("p"),
+                        F.col("l_orderkey").alias("k")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(mx.alias("mx"), mn.alias("mn"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("mx.k").alias("top_orderkey"),
+            F.col("mx.p").alias("top_price"),
+            F.col("mn.k").alias("bot_orderkey"),
+            F.col("mn.p").alias("bot_price"),
+        )
+    )
+
+
+@register(
+    "q_hist_equiwidth",
+    # Bin arithmetic is spelled out (no width_bucket builtin): both
+    # engines evaluate the IDENTICAL double expression
+    # (x - lo) * 20 / (hi - lo) left-to-right, so floor boundaries
+    # agree bit-for-bit; LEAST folds the x = hi row into the last bin.
+    oracle="""
+    WITH bounds AS (SELECT MIN(l_extendedprice) AS lo,
+                           MAX(l_extendedprice) AS hi FROM lineitem),
+    b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) * 20
+                                  / (hi - lo)), 19) AS BIGINT) AS bin,
+                 lo, hi
+          FROM lineitem CROSS JOIN bounds)
+    SELECT bin, cnt, ROUND(lo + bin * (hi - lo) / 20, 4) AS bin_lo
+    FROM (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 MIN(lo) AS lo, MIN(hi) AS hi
+          FROM b GROUP BY bin)
+    """,
+)
+def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (SURVEY.md §2 B4 — the profiling/quality
+    primitive behind length/score distribution dashboards): 20 bins
+    between the global min and max of l_extendedprice.  Two-phase
+    shape: the bounds are a 1-row aggregate broadcast back over the
+    scan (no driver round trip, no second pass semantics — one
+    crossJoin of a 1-row relation), then binning is pure map-side
+    integer math feeding ONE map-side-combined aggregation over ≤20
+    groups.  At 100 TB: two corpus scans total (bounds + binning),
+    zero wide shuffles — the same pattern q_zorder uses for its
+    normalization bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.min("l_extendedprice").alias("lo"),
+                    F.max("l_extendedprice").alias("hi"))
+    bin_ = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) * 20
+                / (F.col("hi") - F.col("lo"))),
+        F.lit(19),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        .select(
+            "bin", "cnt",
+            F.round(
+                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo"))
+                / F.lit(20), 4,
+            ).alias("bin_lo"),
+        )
+    )

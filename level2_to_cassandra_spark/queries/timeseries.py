@@ -678,3 +678,73 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    # median/MAD interpolate identically (both engines use linear
+    # interpolation at p=0.5 over doubles); the flag compares the
+    # ROUNDED deviation against the ROUNDED threshold so a last-ulp
+    # difference in the interpolated median cannot flip a count.
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(adev) AS mad, MIN(med) AS med
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ROUND(d.adev, 6)
+                              > ROUND(3 * 1.4826 * m.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MIN(m.med), 6) AS med,
+           ROUND(MIN(m.mad), 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type (SURVEY.md §2 B12 —
+    the outlier gate a metrics/training-data pipeline runs before
+    aggregating): median/MAD z-score, flagging |x − med| >
+    3·1.4826·MAD (1.4826 rescales MAD to σ under normality; mean/σ
+    z-scores break down because the outliers being hunted inflate σ
+    itself — the robust pair doesn't).
+
+    Scale shape: two grouped EXACT percentile aggregations over a
+    5-group key (per-group state is the sorted value multiset —
+    bounded by group cardinality × values, the exact-median price;
+    switch to approx_percentile at unbounded cardinality) + one
+    broadcast join of the 5-row stats relation back over the scan.
+    No window, no global sort; the events scan runs twice (med pass,
+    flag pass) — the second pass rides the same pruned 2-column
+    read."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.min("med").alias("med"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.round(F.col("adev"), 6)
+                > F.round(F.lit(3) * F.lit(1.4826) * F.col("mad"), 6),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_anomalies"),
+        F.round(F.min("mad"), 6).alias("__tmp_mad"),
+        F.round(F.min("med"), 6).alias("med"),
+    ).select(
+        "event_type", "n", "n_anomalies", "med",
+        F.col("__tmp_mad").alias("mad"),
+    )

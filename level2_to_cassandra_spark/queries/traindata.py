@@ -1343,3 +1343,94 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("capped"),
     )
+
+
+@register(
+    "q_cooccurrence_pmi",
+    # Bigram machinery identical to q_text_bigram_lm's oracle; the PMI
+    # ratio is written in the SAME left-associative double order as
+    # the Spark side (((c_ab·T)·T) / ((B·c_a)·c_b)) so both engines
+    # round the same value, and every input to it is an exact integer.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+    pair AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    uni AS (SELECT t AS w, COUNT(*) AS c FROM
+              (SELECT unnest(string_split(text, ' ')) AS t
+               FROM documents) GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS t_uni,
+                   (SELECT SUM(c_ab) FROM pair) AS t_bg)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(LN(CAST(c_ab AS DOUBLE) * t_uni * t_uni
+                    / (CAST(t_bg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM pair
+    JOIN uni u1 ON pair.w1 = u1.w
+    JOIN uni u2 ON pair.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs
+    (SURVEY.md §2 B12 — collocation mining: the association measure
+    behind phrase detection / tokenizer-vocab seeding; Church & Hanks
+    1990): PMI(a,b) = ln(P(ab) / (P(a)P(b))), support-filtered at
+    c_ab ≥ 5 so rare-pair noise (PMI's known failure mode) never
+    surfaces.
+
+    Scale shape: the bigram and unigram COUNT relations are the only
+    aggregates (both map-side-combined, both Zipf-small relative to
+    the corpus); the PMI join probes the pair relation against the
+    unigram relation twice — distinct-token cardinality, unbounded, so
+    NO broadcast hint (AQE may still pick one at small SF, and hot
+    stopword tokens stay splittable by skew handling — the exact
+    q_text_tfidf df-join rationale).  Corpus totals ride a 1-row
+    broadcast crossJoin.  The occurrence streams are never
+    materialized (q_bm25's discipline) — only the two post-aggregation
+    count relations persist, each feeding multiple plan branches."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = spread_scan(docs).select(
+        F.explode(text.word_shingles("text", 2)).alias("ngram")
+    ).select(
+        F.split(F.col("ngram"), " ")[0].alias("w1"),
+        F.split(F.col("ngram"), " ")[1].alias("w2"),
+    )
+    # Both count relations are PERSISTED: pair feeds the total and the
+    # PMI probe, uni feeds u1/u2/t_uni — without the persist each
+    # consumer branch re-tokenizes the corpus (ReuseExchange does not
+    # match across the alias branches; the q_text_bigram_lm model
+    # persist is the same call).  Post-aggregation they are
+    # Zipf-small — exactly the collocation staging tables a production
+    # pipeline materializes.
+    pair = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).persist()
+    uni = (
+        spread_scan(docs)
+        .select(F.explode(text.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    tot = pair.agg(F.sum("c_ab").alias("t_bg")).crossJoin(
+        uni.agg(F.sum("c").alias("t_uni"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double") * F.col("t_uni") * F.col("t_uni")
+            / (F.col("t_bg").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        pair.where(F.col("c_ab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                pmi.alias("pmi"))
+    )

@@ -57,85 +57,70 @@ _REGISTRY: dict[str, Query] = {}
 DRIVER_CAP = 50
 
 DRIVER_ORDER = (
-    # -- NEW ORACLES in r06 (VERDICT r05 "Next round" #1): the three
-    # former rows-only approx-sketch queries now emit the verifiable
-    # projection (group, exact value, Spark-computed within-tolerance
-    # flag vs DuckDB exact + TRUE) — each earns its FIRST hash-green
-    # driver row now, completing "every operator has a passing
-    # CORRECTNESS entry" ------------------------------------------------
+    # ==================== in-cap (first 50) ============================
+    # -- NEW QUERIES in r07: argmax-as-hash-aggregate, equi-width
+    # histogram, BM25 retrieval scoring, adjacent-pair PMI, and
+    # median/MAD robust anomaly flags — each earns its FIRST driver
+    # row now ----------------------------------------------------------
+    "q_agg_argmax",
+    "q_hist_equiwidth",
+    "q_bm25",
+    "q_cooccurrence_pmi",
+    "q_anomaly_zscore",
+    # -- VERDICT r06 #1 cohort A: the 9 r06 first-rows, kept in-cap
+    # for their confirming second row ----------------------------------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_hll_sketch",
-    # -- NEW QUERY in r06: Efraimidis-Spirakis weighted sampling — the
-    # mixture-plan execution step; first driver row now (in-cap slot
-    # freed by q_text_stats, 3-round-green, siblings q_text_entropy /
-    # q_curate_corpus's gates) ------------------------------------------
     "q_sample_weighted",
-    # -- NEW QUERY in r06: Z-order clustering keys (multi-dimensional
-    # layout for scan pruning); slot freed by q_scalar_datetime
-    # (3-round-green; date machinery covered in-cap by q_ohlc_bars /
-    # q_funnel / q_retention) -------------------------------------------
     "q_zorder",
-    # -- NEW QUERIES in r06 (batch 2): as-of with a staleness bound
-    # (pandas merge_asof tolerance semantics) and the TWAP benchmark;
-    # slots freed by q_topk_per_group / q_sql_star_revenue (both
-    # multi-round-green: topk↔q_sort_limit+the rank windows,
-    # star_revenue↔q_join_multiway's identical star shape) -------------
     "q_join_asof_tolerance",
     "q_twap",
-    # -- NEW QUERY in r06 (batch 3): CSV raw-ingest sibling of
-    # q_json_scan; slot freed by q_scan_project_filter (multi-round-
-    # green; its pushdown/pruning contract stays pinned every run by
-    # tests/test_plans.py::test_filter_and_projection_pushdown) --------
     "q_csv_scan",
-    # -- NEW QUERY in r06 (batch 3): UNPIVOT/melt — q_agg_pivot's
-    # inverse, map-side Expand; slot freed by q_json_scan (multi-round-
-    # green, in-cap sibling q_csv_scan carries the raw-ingest +
-    # corrupt-quarantine row) -------------------------------------------
     "q_unpivot",
-    # -- rotated IN for r06 (VERDICT r05 #7): the single-driver-row
-    # cohort (green once in r03 or r04, rotated out since) — each gets
-    # its confirming second row ------------------------------------------
-    "q_dedup_incremental",
-    "q_resample_locf",
-    "q_chunk_docs",
-    "q_dedup_keep",
-    "q_text_editdist",
-    "q_sql_grouping_sets",
-    "q_text_langid",
-    "q_text_tokens_bpe",
-    "q_text_rolling_hash",
-    "q_sample_split",
-    "q_text_fingerprint",
-    "q_ohlc_bars",
-    # -- TOUCHED in r06: the ANN compressed-scan family (build/serve
-    # split + query-batch collect guard, VERDICT #3/#4) and the tfidf
-    # regression fix (VERDICT #2) — must re-verify after code changes ---
+    # -- VERDICT r06 #1 cohort B: the 10 single-driver-row backlog
+    # (green exactly once, r04/r05) — rotated in for the confirming
+    # row that brings every oracle-backed query to >=2 lifetime rows --
+    "q_resample_interp",
+    "q_text_span_dedup",
+    "q_domain_cap",
+    "q_ngram_counts",
+    "q_token_histogram",
+    "q_embed_quantize",
+    "q_sample_stratified",
+    "q_text_repetition",
+    "q_time_bucket_agg",
+    "q_sessionize",
+    # -- TOUCHED in r07, must re-verify after code changes: the
+    # similarity guards (brute_topk broadcast ceiling -> q_sim_topk;
+    # prebuilt-index knob/coverage guards -> q_sim_ann_ivfpq) and the
+    # bpe module (distributed merge-loop variant landed alongside the
+    # kernel q_text_tokens_bpe shares) ---------------------------------
+    "q_sim_topk",
     "q_sim_ann_ivfpq",
-    "q_sim_ann_pq",
-    "q_sim_ann_ivf",
-    "q_text_tfidf",
-    # -- r05 first-row cohort kept in-cap for a confirming round (each
-    # has exactly one lifetime driver row; the 16 rotated out instead —
-    # see past-the-cap comments — all have ≥2) --------------------------
-    "q_semdedup",
-    "q_sim_ann_lsh",
-    "q_llm_dedup_simhash",
-    "q_multimodal_features",
-    "q_corpus_pipeline",
-    "q_shuffle_epoch",
-    "q_text_bigram_lm",
-    "q_vocab_coverage",
-    "q_classifier_score",
-    "q_tokenize_ids",
-    "q_text_entropy",
-    "q_funnel",
-    "q_retention",
-    "q_event_transitions",
-    "q_mixture_plan",
-    "q_length_buckets",
-    "q_dedup_incremental_fuzzy",
-    # -- the non-redundant core (driver-green r01+r02+r04/r05) ----------
+    "q_text_tokens_bpe",
+    # -- VERDICT r06 #6: the noise-flagged median (its partner
+    # q_llm_dedup_fuzzy is in the core block below) ---------------------
+    "q_sql_star_revenue",
+    # -- stalest confirmations: twice-green but not since r02 (the
+    # oldest evidence in the registry) — re-confirmed before anything
+    # greener gets a redundant row --------------------------------------
+    "q_agg_cube",
+    "q_agg_pivot",
+    "q_agg_stats",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_multiway",
+    "q_join_right",
+    "q_scalar_map",
+    "q_set_ops_all",
+    "q_sort_nulls",
+    "q_subquery_correlated",
+    "q_window_lag",
+    # -- next-stalest: twice-green, last r04 ----------------------------
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
+    # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
     "q_join_inner",
@@ -145,105 +130,78 @@ DRIVER_ORDER = (
     "q_llm_dedup_minhash",
     "q_llm_dedup_embed",
     # ======================= past the cap ==============================
-    # -- evicted for the r06 first rows: q_text_stats (covered by the
-    # in-cap text-quality rows) and q_scalar_datetime (date machinery
-    # covered by q_ohlc_bars/q_funnel/q_retention), both 3-round-green -
-    "q_text_stats",
-    "q_scalar_datetime",
-    "q_topk_per_group",
-    "q_sql_star_revenue",
-    "q_scan_project_filter",
-    "q_json_scan",
-    # -- rotated OUT for r06: the 8 r05-rotation queries that earned
-    # their first driver row in r05 AND are also r03/r04-oracle-stable
-    # locally, plus the r04+r05 twice-green cohort — evicted to make
-    # room for the approx first-rows + the #7 confirming cohort.  Each
-    # has an in-cap sibling (resample_interp↔resample_locf,
-    # span_dedup/repetition↔the in-cap text rows, domain_cap/
-    # sample_stratified↔q_sample_split, ngram_counts/token_histogram↔
-    # q_vocab_coverage/q_tokenize_ids, embed_quantize↔the in-cap ANN
-    # rows, text_redact/curate_corpus↔q_corpus_pipeline's gates,
-    # dedup_cluster↔q_semdedup, pack_sequences↔q_chunk_docs,
-    # contamination↔q_text_fingerprint, agg_bitmap_distinct↔
-    # q_agg_approx/q_agg_hll_sketch exact twin, udaf_trimmed_mean↔
-    # q_agg_basic+B10 rows, window_range_frame↔q_window_cumulative) ----
-    "q_resample_interp",
-    "q_text_span_dedup",
-    "q_domain_cap",
-    "q_ngram_counts",
-    "q_token_histogram",
-    "q_embed_quantize",
-    "q_sample_stratified",
-    "q_text_repetition",
-    "q_text_redact",
+    # Everything below is driver-green >=2 lifetime rows (most recently
+    # r05/r06), untouched this round, and covered by an in-cap sibling
+    # on its SURVEY.md S2 row; the local replica harness
+    # (tests/test_queries_oracle.py) still oracle-checks every one on
+    # every run.  Rotated out for r07: the r06 in-cap confirmation
+    # cohorts (all now at 2-3 lifetime rows) and the r3/r4/r5-green
+    # blocks documented in previous rounds.
+    "q_agg_bitmap_distinct",
+    "q_agg_conditional",
+    "q_agg_distinct",
+    "q_agg_percentile",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_chunk_docs",
+    "q_classifier_score",
+    "q_contamination",
+    "q_corpus_pipeline",
     "q_curate_corpus",
     "q_dedup_cluster",
-    "q_pack_sequences",
-    "q_contamination",
-    "q_agg_bitmap_distinct",
-    "q_udaf_trimmed_mean",
-    "q_window_range_frame",
-    # -- thrice-green (r01+r02+r04), untouched, in-cap siblings
-    # (q_scalar_json↔q_json_scan+q_scalar_datetime, q_agg_conditional↔
-    # q_agg_basic, q_window_distribution↔q_window_cumulative,
-    # q_sort_limit↔q_topk_per_group, q_agg_percentile↔
-    # q_agg_approx_percentile's exact column, q_join_outer↔
-    # q_join_right/q_join_full, q_dedup_lww↔q_llm_dedup_exact,
-    # q_sim_topk↔the in-cap ANN rows, q_join_broadcast/q_join_range↔
-    # q_join_inner/q_join_asof + plan tests) ----------------------------
-    "q_scalar_json",
-    "q_agg_conditional",
-    "q_window_distribution",
-    "q_sort_limit",
-    "q_agg_percentile",
-    "q_join_outer",
+    "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
+    "q_dedup_keep",
     "q_dedup_lww",
-    "q_sim_topk",
-    "q_join_broadcast",
-    "q_join_range",
-    # -- multi-round-green, untouched, each redundant with an in-cap
-    # sibling (udf_cosine/udtf_tokenize↔in-cap B10 rows via
-    # q_tokenize_ids/q_classifier_score; ohlc is IN-cap this round;
-    # time_bucket/sessionize↔q_funnel/q_retention on events;
-    # q_agg_rollup↔q_sql_grouping_sets; q_window_moving_avg↔
-    # q_window_cumulative) ----------------------------------------------
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
-    "q_time_bucket_agg",
-    "q_sessionize",
-    "q_agg_rollup",
-    "q_window_moving_avg",
-    # -- rotated OUT for r04: green in r01+r02+r03 (three full hash
-    # matches), untouched since, each redundant with an in-cap sibling
-    # covering the same SURVEY.md §2 row (q_filter_predicates↔
-    # q_scan_project_filter, q_agg_distinct↔q_agg_approx's exact
-    # column, q_agg_salted↔q_agg_basic, q_set_ops: r01/r02-green twice
-    # + q_set_ops_all oracle locally, q_scalar_string/math/array↔the
-    # in-cap scalar rows, q_window_rank↔q_topk_per_group,
-    # q_join_semi/q_join_anti↔q_join_inner/q_join_asof) ----------------
+    "q_event_transitions",
     "q_filter_predicates",
-    "q_agg_distinct",
-    "q_agg_salted",
-    "q_set_ops",
-    "q_scalar_string",
-    "q_scalar_math",
-    "q_scalar_array",
-    "q_window_rank",
-    "q_join_semi",
+    "q_funnel",
     "q_join_anti",
-    # -- twice-green (r01+r02), untouched, coverage-redundant ----------
-    "q_set_ops_all",
-    "q_agg_cube",
-    "q_agg_stats",
-    "q_agg_pivot",
-    "q_join_right",
-    "q_join_full",
-    "q_join_multiway",
-    "q_join_cross",
-    "q_scalar_map",
-    "q_sort_nulls",
-    "q_subquery_correlated",
-    "q_window_lag",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_scan",
+    "q_length_buckets",
+    "q_llm_dedup_simhash",
+    "q_mixture_plan",
+    "q_multimodal_features",
+    "q_ohlc_bars",
+    "q_pack_sequences",
+    "q_resample_locf",
+    "q_retention",
+    "q_sample_split",
+    "q_scalar_array",
+    "q_scalar_datetime",
+    "q_scalar_json",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_project_filter",
+    "q_semdedup",
+    "q_set_ops",
+    "q_shuffle_epoch",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_ann_pq",
+    "q_sort_limit",
+    "q_sql_grouping_sets",
+    "q_text_bigram_lm",
+    "q_text_editdist",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_redact",
+    "q_text_rolling_hash",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_tokenize_ids",
+    "q_topk_per_group",
+    "q_udaf_trimmed_mean",
+    "q_vocab_coverage",
+    "q_window_distribution",
+    "q_window_moving_avg",
+    "q_window_range_frame",
+    "q_window_rank",
 )
 
 

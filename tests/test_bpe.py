@@ -82,3 +82,44 @@ def test_bpe_train_guard(spark):
     with pytest.raises(ValueError, match="MAX_TRAIN_WORDS"):
         bpe.bpe_train(docs, n_merges=2,
                       max_words=bpe.MAX_TRAIN_WORDS + 1)
+
+
+def test_distributed_train_matches_reference(spark):
+    """bpe_train_distributed must reproduce the reference merge loop
+    EXACTLY (same merges, same order, incl. count-tie lexicographic
+    break) — on the toy corpus and on real fixture text — and must
+    keep working past a cap the driver-side path refuses (the
+    unbounded-vocabulary case, VERDICT r06 #3)."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    want = _pure_python_train([t for _, t in CORPUS], 7)
+    got = bpe.bpe_train_distributed(docs, n_merges=7,
+                                    checkpoint_every=3)
+    assert got == want
+
+    # real text, full (uncut) vocabulary as the reference table
+    real = load_table(spark, SF, "documents").limit(20)
+    counts = {
+        r.word: r.cnt for r in bpe.bpe_word_freq(real).collect()
+    }
+    want_real = bpe.train_merges_on_counts(counts, 4)
+    got_real = bpe.bpe_train_distributed(real, n_merges=4)
+    assert got_real == want_real
+
+    # early termination: fewer pairs than requested merges
+    tiny = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    assert bpe.bpe_train_distributed(tiny, n_merges=5) == \
+        bpe.train_merges_on_counts({"ab": 2}, 5)
+
+
+def test_distributed_train_works_past_driver_cap(spark, monkeypatch):
+    """Where bpe_train fail-fasts (vocabulary slice over the driver
+    ceiling), the distributed loop still trains — and still matches
+    the reference spec on the SAME corpus."""
+    import pytest
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    monkeypatch.setattr(bpe, "MAX_TRAIN_WORDS", 3)
+    with pytest.raises(ValueError, match="MAX_TRAIN_WORDS"):
+        bpe.bpe_train(docs, n_merges=5, max_words=4)
+    want = _pure_python_train([t for _, t in CORPUS], 4)
+    assert bpe.bpe_train_distributed(docs, n_merges=4) == want

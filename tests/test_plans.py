@@ -339,3 +339,57 @@ def test_unpivot_is_expand_not_union(spark):
     assert "Expand" in plan
     assert "Union" not in plan
     assert "Exchange" not in plan
+
+
+def test_argmax_is_single_agg_no_window(spark):
+    """q_agg_argmax: the whole point is argmax WITHOUT the window —
+    one hash exchange (the grouped struct-max/min aggregate), no
+    Window, no Join (the oracle's ROW_NUMBER form would show both)."""
+    plan = plan_of(all_queries()["q_agg_argmax"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_hist_bounds_broadcast_single_agg(spark):
+    """q_hist_equiwidth: the global bounds ride a 1-row broadcast onto
+    the scan (never a driver round trip / second-pass collect); the
+    only hash exchange is the ≤20-group bin aggregate."""
+    plan = plan_of(all_queries()["q_hist_equiwidth"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_no_cartesian_no_sort_join(spark):
+    """q_bm25: corpus stats and df are broadcast (tiny relations), the
+    filtered postings aggregate carries the only wide work — no
+    CartesianProduct, no sort-merge join, no window."""
+    plan = plan_of(all_queries()["q_bm25"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_pmi_persists_count_relations(spark):
+    """q_cooccurrence_pmi: the pair/unigram COUNT relations are
+    persisted (InMemoryRelation in-plan) so u1/u2/totals re-read the
+    cached Zipf-small tables instead of re-tokenizing the corpus per
+    branch; no cartesian product anywhere."""
+    df = all_queries()["q_cooccurrence_pmi"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_anomaly_zscore_stats_broadcast(spark):
+    """q_anomaly_zscore: the 5-row med/MAD stats relations join back
+    over the scan as broadcasts — never a sort-merge join — and there
+    is no window (exact percentiles are hash aggregates)."""
+    plan = plan_of(all_queries()["q_anomaly_zscore"].fn(spark, SF),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
