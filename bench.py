@@ -79,6 +79,12 @@ HEADLINE = [
     "q_sample_weighted",     # Efraimidis-Spirakis weighted draw
     "q_zorder",              # Morton clustering keys (layout op)
     "q_twap",                # LOCF time-weighted average (lead+agg)
+    # r07 additions
+    "q_agg_argmax",          # argmax-as-hash-aggregate (no window)
+    "q_hist_equiwidth",      # bounds broadcast + map-side binning
+    "q_bm25",                # BM25 retrieval scoring
+    "q_cooccurrence_pmi",    # PMI collocation mining
+    "q_anomaly_zscore",      # median/MAD robust outlier gate
 ]
 
 

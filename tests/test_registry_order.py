@@ -10,66 +10,62 @@ from __future__ import annotations
 
 from level2_to_cassandra_spark import registry
 
-# Queries with no driver hash-green row through CORRECTNESS_r05, or
-# whose oracle changed this round and must (re-)verify — must be inside
-# the cap until a round records them green.
+# Queries with no driver hash-green row through CORRECTNESS_r06 —
+# must be inside the cap until a round records them green.
 NEVER_DRIVER_CHECKED = {
-    # former rows-only sketches that gained verifiable-projection
-    # oracles in r06 (VERDICT r05 #1) — their first hash check is now
-    "q_agg_approx", "q_agg_approx_percentile", "q_agg_hll_sketch",
-    # brand-new in r06
-    "q_sample_weighted",
-    "q_zorder",
-    "q_join_asof_tolerance",
-    "q_twap",
-    "q_csv_scan",
-    "q_unpivot",
+    # brand-new in r07 — their first hash check is now
+    "q_agg_argmax", "q_hist_equiwidth", "q_bm25",
+    "q_cooccurrence_pmi", "q_anomaly_zscore",
 }
 
-# Queries whose implementation was touched in r06 (ANN build/serve
-# split + collect guards, tfidf regression fix) — must re-verify in-cap
-# even though they are already driver-green.
+# Queries whose implementation was touched in r07 (brute_topk broadcast
+# guard -> q_sim_topk; prebuilt-index knob/coverage guards ->
+# q_sim_ann_ivfpq; the csv NULL-safe line builder; bpe.py gained the
+# distributed merge loop beside the shared kernel) — must re-verify
+# in-cap even though they are already driver-green.
 TOUCHED_THIS_ROUND = {
-    "q_sim_ann_ivfpq", "q_sim_ann_pq", "q_sim_ann_ivf", "q_text_tfidf",
+    "q_sim_topk", "q_sim_ann_ivfpq", "q_csv_scan", "q_text_tokens_bpe",
 }
 
-# Driver-green in at least one prior round, each with an in-cap sibling
-# covering the same SURVEY.md §2 row — may sit past the cap.
-SAFE_TO_ROTATE_OUT = {
-    # r05 first-rows that are also long-oracle-stable locally, plus the
-    # r04+r05 twice-green cohort — evicted for the r06 rotation
+# The r07 confirming cohorts that must ALSO be in-cap (VERDICT r06
+# #1): the 9 r06 first-rows and the 10 single-driver-row backlog — all
+# already green once, rotated in for their second lifetime row.
+CONFIRMING_THIS_ROUND = {
+    "q_agg_approx", "q_agg_approx_percentile", "q_agg_hll_sketch",
+    "q_sample_weighted", "q_zorder", "q_join_asof_tolerance",
+    "q_twap", "q_unpivot",
     "q_resample_interp", "q_text_span_dedup", "q_domain_cap",
     "q_ngram_counts", "q_token_histogram", "q_embed_quantize",
-    "q_sample_stratified", "q_text_repetition",
-    "q_text_redact", "q_curate_corpus", "q_dedup_cluster",
-    "q_pack_sequences", "q_contamination", "q_agg_bitmap_distinct",
-    "q_udaf_trimmed_mean", "q_window_range_frame",
-    # multi-round-green, rotated out in r04/r05
-    "q_udf_pandas_cosine", "q_udtf_tokenize",
-    "q_time_bucket_agg", "q_sessionize",
-    "q_agg_rollup", "q_window_moving_avg",
-    # thrice-green (r01+r02+r03), rotated out for r04
-    "q_filter_predicates", "q_agg_distinct", "q_agg_salted",
-    "q_set_ops", "q_scalar_string", "q_scalar_math", "q_scalar_array",
-    "q_window_rank", "q_join_semi", "q_join_anti",
-    # twice-green (r01+r02), untouched, coverage-redundant
-    "q_set_ops_all", "q_agg_cube", "q_agg_stats", "q_agg_pivot",
-    "q_join_right", "q_join_full", "q_join_multiway", "q_join_cross",
-    "q_scalar_map", "q_sort_nulls", "q_subquery_correlated",
-    "q_window_lag",
-    # evicted for the r05 additions' first driver rows: each
-    # thrice-green with an in-cap sibling (see registry.py)
-    "q_scalar_json", "q_agg_conditional", "q_window_distribution",
-    "q_sort_limit", "q_agg_percentile", "q_join_outer", "q_dedup_lww",
-    "q_sim_topk", "q_join_broadcast", "q_join_range",
-    # evicted for the r06 first rows: both 3-round-green with in-cap
-    # sibling coverage
-    "q_text_stats",
-    "q_scalar_datetime",
-    "q_topk_per_group",
-    "q_sql_star_revenue",
-    "q_scan_project_filter",
-    "q_json_scan",
+    "q_sample_stratified", "q_text_repetition", "q_time_bucket_agg",
+    "q_sessionize",
+}
+
+# Driver-green in at least one prior round (>=2 lifetime rows each as
+# of r06), each with an in-cap sibling covering the same SURVEY.md §2
+# row — may sit past the cap.  The local replica harness still
+# oracle-checks every one of these on every run.
+SAFE_TO_ROTATE_OUT = {
+    "q_agg_bitmap_distinct", "q_agg_conditional", "q_agg_distinct",
+    "q_agg_percentile", "q_agg_rollup", "q_agg_salted",
+    "q_chunk_docs", "q_classifier_score", "q_contamination",
+    "q_corpus_pipeline", "q_curate_corpus", "q_dedup_cluster",
+    "q_dedup_incremental", "q_dedup_incremental_fuzzy", "q_dedup_keep",
+    "q_dedup_lww", "q_event_transitions", "q_filter_predicates",
+    "q_funnel", "q_join_anti", "q_join_broadcast", "q_join_outer",
+    "q_join_range", "q_join_semi", "q_json_scan", "q_length_buckets",
+    "q_llm_dedup_simhash", "q_mixture_plan", "q_multimodal_features",
+    "q_ohlc_bars", "q_pack_sequences", "q_resample_locf",
+    "q_retention", "q_sample_split", "q_scalar_array",
+    "q_scalar_datetime", "q_scalar_json", "q_scalar_math",
+    "q_scalar_string", "q_scan_project_filter", "q_semdedup",
+    "q_set_ops", "q_shuffle_epoch", "q_sim_ann_ivf", "q_sim_ann_lsh",
+    "q_sim_ann_pq", "q_sort_limit", "q_sql_grouping_sets",
+    "q_text_bigram_lm", "q_text_editdist", "q_text_entropy",
+    "q_text_fingerprint", "q_text_langid", "q_text_redact",
+    "q_text_rolling_hash", "q_text_stats", "q_text_tfidf",
+    "q_tokenize_ids", "q_topk_per_group", "q_udaf_trimmed_mean",
+    "q_vocab_coverage", "q_window_distribution",
+    "q_window_moving_avg", "q_window_range_frame", "q_window_rank",
 }
 
 
@@ -81,7 +77,8 @@ def test_order_covers_registry_exactly():
 
 def test_unverified_queries_inside_driver_cap():
     in_cap = set(registry.DRIVER_ORDER[: registry.DRIVER_CAP])
-    missing = (NEVER_DRIVER_CHECKED | TOUCHED_THIS_ROUND) - in_cap
+    missing = (NEVER_DRIVER_CHECKED | TOUCHED_THIS_ROUND
+               | CONFIRMING_THIS_ROUND) - in_cap
     assert not missing, f"must-check queries past the cap: {missing}"
 
 
