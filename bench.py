@@ -85,6 +85,7 @@ HEADLINE = [
     "q_bm25",                # BM25 retrieval scoring
     "q_cooccurrence_pmi",    # PMI collocation mining
     "q_anomaly_zscore",      # median/MAD robust outlier gate
+    "q_join_asof_forward",   # next-match as-of (following-frame fill)
 ]
 
 

@@ -41,13 +41,21 @@ def asof_join(
     prefix: str = "r_",
     strict: bool = False,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join, backward (default) or forward.
 
-    For each left row, attach the right row with the greatest ``on``
-    value ≤ (or < if ``strict``) the left's, within the same ``by``
-    group.  Right columns come back as ``{prefix}{col}`` (the right
-    ``on`` column is included automatically); all-NULL when no match.
+    Backward: for each left row, attach the right row with the
+    greatest ``on`` value ≤ (or < if ``strict``) the left's, within
+    the same ``by`` group.  ``direction="forward"`` mirrors it (pandas
+    ``merge_asof(direction='forward')``): the right row with the
+    SMALLEST ``on`` ≥ (or > if ``strict``) the left's — "next quote
+    at-or-after t", the fill shape of settlement/next-bar lookups.
+    Same union-merge plan either way: one shuffle, one sort, a
+    running fill (``last`` over the preceding frame backward,
+    ``first`` over the following frame forward).  Right columns come
+    back as ``{prefix}{col}`` (the right ``on`` column is included
+    automatically); all-NULL when no match.
 
     ``tolerance`` (pandas ``merge_asof`` semantics): additionally
     require left.on − right.on ≤ tolerance — a match older than the
@@ -58,6 +66,8 @@ def asof_join(
     fill) is unchanged — the bound costs one comparison per row, not
     a different join strategy.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by]
@@ -77,25 +87,35 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
-    # Right rows sort before left rows at equal time so "<=" matches;
-    # strict mode sorts them after instead, giving "<".
-    side_order = F.asc("__side") if not strict else F.desc("__side")
+    # Tie handling via the side sort key.  Backward: right rows sort
+    # BEFORE left at equal time so the preceding-frame `last` sees
+    # them ("<=" matches); strict sorts them after ("<").  Forward is
+    # the mirror: right rows sort AFTER left at equal time so the
+    # following-frame `first` sees them (">=" matches); strict sorts
+    # them before (">").
+    if direction == "forward":
+        side_order = F.desc("__side") if not strict else F.asc("__side")
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        fill = F.first
+    else:
+        side_order = F.asc("__side") if not strict else F.desc("__side")
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        fill = F.last
     w = (
         Window.partitionBy(*by)
         .orderBy(F.asc("__t"), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     filled = (
         l.unionByName(r, allowMissingColumns=True)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .withColumn("__match", fill("__r", ignorenulls=True).over(w))
         .where(F.col("__side") == 1)
     )
     if tolerance is not None:
         lt, rt = F.col("__t"), F.col(f"__match.{on}")
         if isinstance(left.schema[on].dataType, T.TimestampType):
-            diff = F.unix_micros(lt) - F.unix_micros(rt)
-        else:
-            diff = lt - rt
+            lt, rt = F.unix_micros(lt), F.unix_micros(rt)
+        diff = (rt - lt) if direction == "forward" else (lt - rt)
         filled = filled.withColumn(
             "__match", F.when(diff <= F.lit(tolerance), F.col("__match"))
         )

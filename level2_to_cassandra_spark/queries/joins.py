@@ -462,3 +462,57 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k1") != F.col("k2"))
         .select("from_region", "to_region")
     )
+
+
+@register(
+    "q_join_asof_forward",
+    # DuckDB's native ASOF supports both directions via the inequality
+    # orientation: v.ts >= p.ts picks the NEAREST following row.
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    views AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.event_id AS v_event_id,
+           v.value    AS v_value,
+           v.ts       AS v_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'):
+    for each purchase, the user's NEXT view at-or-after it — the
+    settlement/next-quote lookup shape, mirroring q_join_asof's
+    backward fill.  Same union-merge plan (one shuffle, one sort, a
+    following-frame `first` running fill — never a range join +
+    groupBy-min, which would shuffle twice and explode candidate
+    pairs); oracle is DuckDB's native forward ASOF."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = latest_by_key(
+        ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        keys=["user_id", "ts"],
+        order=[F.desc("event_id")],
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        prefix="v_",
+        direction="forward",
+    )

@@ -99,6 +99,12 @@ DRIVER_ORDER = (
     "q_sim_topk",
     "q_sim_ann_ivfpq",
     "q_text_tokens_bpe",
+    # -- NEW QUERY in r07 (batch 2): forward-direction as-of join —
+    # asof.py gained direction='forward', so its siblings q_join_asof
+    # / q_join_asof_tolerance are in-cap too (core block / cohort A).
+    # Slot freed by q_window_lag (twice-green, lag machinery carried
+    # in-cap by q_window_cumulative + the stale-confirm windows) ------
+    "q_join_asof_forward",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -116,7 +122,6 @@ DRIVER_ORDER = (
     "q_set_ops_all",
     "q_sort_nulls",
     "q_subquery_correlated",
-    "q_window_lag",
     # -- next-stalest: twice-green, last r04 ----------------------------
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
@@ -139,6 +144,7 @@ DRIVER_ORDER = (
     # blocks documented in previous rounds.
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
+    "q_window_lag",
     "q_agg_distinct",
     "q_agg_percentile",
     "q_agg_rollup",

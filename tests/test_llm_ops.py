@@ -1119,3 +1119,42 @@ def test_brute_topk_query_broadcast_guard(spark, monkeypatch):
     # a bounded batch still works under the tightened ceiling
     assert similarity.brute_topk(
         em, em.where(F.col("vec_id") < 5), k=3).count() > 0
+
+
+def test_asof_join_forward_boundaries(spark):
+    """direction='forward': next right row at-or-after each left row;
+    strict excludes the tie; tolerance bounds the LOOK-AHEAD distance
+    (rt - lt); invalid direction raises."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 150)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (2, 149, "c")],
+        "k long, ts long, v string"
+    )
+    out = {
+        (r.k, r.ts): r.r_v
+        for r in asof_join(left, right, on="ts", by=["k"],
+                           right_cols=["v"],
+                           direction="forward").collect()
+    }
+    assert out[(1, 100)] == "a"   # equal timestamps match (fwd incl.)
+    assert out[(1, 200)] is None  # nothing at-or-after 200
+    assert out[(2, 150)] is None  # right row is BEFORE the left row
+    strict = {
+        (r.k, r.ts): r.r_v
+        for r in asof_join(left, right, on="ts", by=["k"],
+                           right_cols=["v"], strict=True,
+                           direction="forward").collect()
+    }
+    assert strict[(1, 100)] == "b"  # strict '>' skips the tie, next is b
+    tol = {
+        (r.k, r.ts): r.r_v
+        for r in asof_join(left, right, on="ts", by=["k"],
+                           right_cols=["v"], strict=True, tolerance=10,
+                           direction="forward").collect()
+    }
+    assert tol[(1, 100)] is None  # b is 50 ahead, beyond the 10 bound
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by=["k"], direction="sideways")

@@ -15,7 +15,7 @@ from level2_to_cassandra_spark import registry
 NEVER_DRIVER_CHECKED = {
     # brand-new in r07 — their first hash check is now
     "q_agg_argmax", "q_hist_equiwidth", "q_bm25",
-    "q_cooccurrence_pmi", "q_anomaly_zscore",
+    "q_cooccurrence_pmi", "q_anomaly_zscore", "q_join_asof_forward",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -25,6 +25,9 @@ NEVER_DRIVER_CHECKED = {
 # in-cap even though they are already driver-green.
 TOUCHED_THIS_ROUND = {
     "q_sim_topk", "q_sim_ann_ivfpq", "q_csv_scan", "q_text_tokens_bpe",
+    # asof.py gained direction='forward' — both existing asof queries
+    # re-verify alongside the new forward one
+    "q_join_asof", "q_join_asof_tolerance",
 }
 
 # The r07 confirming cohorts that must ALSO be in-cap (VERDICT r06
@@ -64,7 +67,7 @@ SAFE_TO_ROTATE_OUT = {
     "q_text_fingerprint", "q_text_langid", "q_text_redact",
     "q_text_rolling_hash", "q_text_stats", "q_text_tfidf",
     "q_tokenize_ids", "q_topk_per_group", "q_udaf_trimmed_mean",
-    "q_vocab_coverage", "q_window_distribution",
+    "q_vocab_coverage", "q_window_distribution", "q_window_lag",
     "q_window_moving_avg", "q_window_range_frame", "q_window_rank",
 }
 
