@@ -86,6 +86,8 @@ HEADLINE = [
     "q_cooccurrence_pmi",    # PMI collocation mining
     "q_anomaly_zscore",      # median/MAD robust outlier gate
     "q_join_asof_forward",   # next-match as-of (following-frame fill)
+    "q_agg_mode",            # deterministic mode via argmax aggs
+    "q_window_ntile",        # NTILE equi-depth bucketing
 ]
 
 

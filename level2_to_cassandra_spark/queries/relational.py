@@ -1225,3 +1225,50 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin_lo"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    # Deterministic mode: both engines rank (count DESC, value ASC)
+    # and keep rank 1 — never the builtin mode()/any-tie aggregate,
+    # whose tie winner is engine-undefined.
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_qty_cnt FROM (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               CAST(cnt AS BIGINT) AS mode_qty_cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity ASC)
+                   AS rn
+        FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2))
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group as two hash aggregates
+    (SURVEY.md §2 B4): count per (group, value), then the argmax trick
+    from q_agg_argmax — ``max(struct(cnt, -value))`` carries the
+    winner through map-side partials, so no per-group sort and no
+    window over the raw table.  Ties break to the SMALLEST value
+    (negation inside the struct), pinned identically in the oracle's
+    ROW_NUMBER form; the builtin ``mode()`` on either engine leaves
+    ties undefined and is avoided.  At 100 TB: the first aggregate is
+    the only corpus-scale shuffle; the second runs over the
+    (group, distinct-value) relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"),
+                (-F.col("l_quantity")).alias("negq"),
+            )
+        ).alias("mx")
+    )
+    return best.select(
+        "l_returnflag",
+        (-F.col("mx.negq")).alias("mode_qty"),
+        F.col("mx.c").cast("long").alias("mode_qty_cnt"),
+    )

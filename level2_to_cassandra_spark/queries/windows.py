@@ -172,3 +172,38 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centered_sum5"
         ),
     )
+
+
+@register(
+    "q_window_ntile",
+    # NTILE is SQL-standard (first (n_rows % k) buckets get the extra
+    # row) and both engines implement it; the ORDER BY carries the
+    # full (value, event_id) tie-break so bucket boundaries are
+    # deterministic.
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(NTILE(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS BIGINT)
+               AS quartile
+    FROM events
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile bucketing per event type (SURVEY.md §2 B5 — the
+    equi-DEPTH sibling of q_hist_equiwidth's equi-width bins: rank-
+    based buckets, the quantile-bucketing step of length-balanced
+    batch packing and score stratification).  One hash exchange (the
+    event_type partition) feeding an in-partition sort; ties broken by
+    event_id so the bucket edges are engine-invariant.  At unbounded
+    per-group cardinality the same semantics come from the
+    q_agg_approx_percentile cut points + comparisons instead of a
+    per-group sort — the exact form is right while groups fit a
+    partition (5 types here)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

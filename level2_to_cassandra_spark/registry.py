@@ -63,6 +63,8 @@ DRIVER_ORDER = (
     # median/MAD robust anomaly flags — each earns its FIRST driver
     # row now ----------------------------------------------------------
     "q_agg_argmax",
+    "q_agg_mode",
+    "q_window_ntile",
     "q_hist_equiwidth",
     "q_bm25",
     "q_cooccurrence_pmi",
@@ -118,8 +120,6 @@ DRIVER_ORDER = (
     "q_join_full",
     "q_join_multiway",
     "q_join_right",
-    "q_scalar_map",
-    "q_set_ops_all",
     "q_sort_nulls",
     "q_subquery_correlated",
     # -- next-stalest: twice-green, last r04 ----------------------------
@@ -145,6 +145,8 @@ DRIVER_ORDER = (
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
     "q_window_lag",
+    "q_scalar_map",
+    "q_set_ops_all",
     "q_agg_distinct",
     "q_agg_percentile",
     "q_agg_rollup",

@@ -393,3 +393,22 @@ def test_anomaly_zscore_stats_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_mode_is_two_aggs_no_window(spark):
+    """q_agg_mode: count agg + argmax agg — two hash exchanges, never
+    a window over the raw table and never a join."""
+    plan = plan_of(all_queries()["q_agg_mode"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ntile_single_exchange(spark):
+    """q_window_ntile: one event_type exchange feeding the in-partition
+    sort + NTILE window; no join, no global sort."""
+    plan = plan_of(all_queries()["q_window_ntile"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan

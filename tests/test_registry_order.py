@@ -16,6 +16,7 @@ NEVER_DRIVER_CHECKED = {
     # brand-new in r07 — their first hash check is now
     "q_agg_argmax", "q_hist_equiwidth", "q_bm25",
     "q_cooccurrence_pmi", "q_anomaly_zscore", "q_join_asof_forward",
+    "q_agg_mode", "q_window_ntile",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -61,7 +62,8 @@ SAFE_TO_ROTATE_OUT = {
     "q_retention", "q_sample_split", "q_scalar_array",
     "q_scalar_datetime", "q_scalar_json", "q_scalar_math",
     "q_scalar_string", "q_scan_project_filter", "q_semdedup",
-    "q_set_ops", "q_shuffle_epoch", "q_sim_ann_ivf", "q_sim_ann_lsh",
+    "q_set_ops", "q_scalar_map", "q_set_ops_all",
+    "q_shuffle_epoch", "q_sim_ann_ivf", "q_sim_ann_lsh",
     "q_sim_ann_pq", "q_sort_limit", "q_sql_grouping_sets",
     "q_text_bigram_lm", "q_text_editdist", "q_text_entropy",
     "q_text_fingerprint", "q_text_langid", "q_text_redact",
