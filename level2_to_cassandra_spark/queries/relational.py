@@ -1272,3 +1272,133 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("mx.negq")).alias("mode_qty"),
         F.col("mx.c").cast("long").alias("mode_qty_cnt"),
     )
+
+
+@register(
+    "q_scd2",
+    # Timestamps and integers pass through untouched; the window's
+    # ORDER BY carries the unique o_orderkey tie-break so both
+    # engines assign identical versions when a customer places two
+    # orders the same day.
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 interval build (SURVEY.md §2
+    B5/B12 — the warehouse-dimension operator): turn a change log
+    (each order = a new state of its customer) into versioned
+    validity intervals — ``valid_from`` = the change timestamp,
+    ``valid_to`` = the NEXT change's timestamp (NULL = still
+    current), plus a dense version number and an is_current flag.
+    This is the point-in-time dimension layout the as-of join family
+    (q_join_asof*) probes; building it is one LEAD + ROW_NUMBER pass.
+
+    Scale shape: ONE shuffle on the dimension key (o_custkey); both
+    window functions share the same partition/order, so Catalyst
+    evaluates them in a single Window node over a single sort — no
+    self-join against "the next row", which is the O(n²)-prone
+    alternative.  Append-only at 100 TB: new changes re-window only
+    the affected keys' partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int")
+         .alias("is_current"),
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    # The two snapshots are pure functions of the orders fixture
+    # (deterministic modulus rules), so the oracle rebuilds them
+    # identically.  The mutation is ``+ 1.0`` with NO rounding —
+    # both engines add the same IEEE double to the same parquet
+    # value, so the changed-row equality compare is exact.
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+               FROM orders WHERE o_orderkey % 103 <> 0),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 97 = 0
+                      THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 101 <> 0),
+    d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+                 CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN b.o_orderkey IS NULL THEN 'deleted'
+                      WHEN a.o_totalprice <> b.o_totalprice
+                           OR a.o_orderstatus <> b.o_orderstatus
+                      THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (SURVEY.md §2 B3/B12 — the change-data-
+    capture primitive): given two keyed snapshots of the same table,
+    classify every key as added / deleted / changed / unchanged and
+    emit per-status counts plus a key checksum.  This is how lake
+    pipelines derive an incremental feed from full dumps — and the
+    audit that validates any upsert sink (A10) against its source.
+    Snapshot B is built from A by deterministic rules: keys % 101 = 0
+    deleted, % 97 = 0 price-mutated, and A withholds keys % 103 = 0
+    so B also contains adds.
+
+    Scale shape: ONE full-outer sort-merge join on the snapshot key —
+    the canonical diff plan.  At 100 TB both snapshots would be
+    bucketed by key on write (tests/test_bucketing.py shows the
+    exchange-free variant), making the diff a zero-shuffle zip of
+    co-located files; the classification itself is map-side, and the
+    4-group aggregate is map-side-combined."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 103 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               F.col("o_totalprice") + F.lit(1.0))
+         .otherwise(F.col("o_totalprice")),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    d = joined.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+         .alias("k"),
+        status.alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )

@@ -748,3 +748,58 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "n_anomalies", "med",
         F.col("__tmp_mad").alias("mad"),
     )
+
+
+@register(
+    "q_gap_islands",
+    # Pure integer/date arithmetic end to end (DISTINCT days, a date
+    # minus a row number, COUNT/MAX/SUM) — no float conventions to
+    # align.  DuckDB's ``date - integer`` is Spark's ``date_sub``.
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+    numbered AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d) AS INTEGER)
+                   AS anchor
+        FROM days),
+    islands AS (SELECT user_id, anchor, COUNT(*) AS len_days
+                FROM numbered GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_islands,
+           CAST(MAX(len_days) AS BIGINT) AS longest_island,
+           CAST(SUM(len_days) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (SURVEY.md §2 B5/B12 — streak analytics): per
+    user, collapse the set of distinct active DAYS into maximal runs
+    of consecutive days ("islands") and report streak statistics —
+    the engagement/uptime/sensor-coverage query every event store
+    serves.  The classic trick: ``day − row_number()`` is constant
+    within a consecutive run, so one window + one aggregate finds all
+    islands without a self-join or an iterative pass.
+
+    Scale shape: DISTINCT on (user_id, day) (map-side-combined — the
+    daily-activity relation is ~|users|·|days|, tiny vs the event
+    scan), ONE window over the user_id partition, then two hash
+    aggregates that re-use the same user_id clustering.  No
+    self-joins, no global sort; the event scan reads 2 columns."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = numbered.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len_days")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len_days").cast("long").alias("longest_island"),
+        F.sum("len_days").cast("long").alias("active_days"),
+    )

@@ -107,6 +107,15 @@ DRIVER_ORDER = (
     # Slot freed by q_window_lag (twice-green, lag machinery carried
     # in-cap by q_window_cumulative + the stale-confirm windows) ------
     "q_join_asof_forward",
+    # -- NEW QUERIES in r07 (batch 3): gaps-and-islands streaks, SCD
+    # Type-2 interval build, CDC snapshot diff — first driver rows.
+    # Slots freed by q_join_cross / q_udf_pandas_cosine /
+    # q_udtf_tokenize (each twice-green; a first row outranks a third
+    # confirmation, and their machinery stays in-cap via siblings:
+    # join family, the pandas-UDF plan ban, q_text_tokens_bpe) --------
+    "q_gap_islands",
+    "q_scd2",
+    "q_snapshot_diff",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -116,15 +125,11 @@ DRIVER_ORDER = (
     "q_agg_cube",
     "q_agg_pivot",
     "q_agg_stats",
-    "q_join_cross",
     "q_join_full",
     "q_join_multiway",
     "q_join_right",
     "q_sort_nulls",
     "q_subquery_correlated",
-    # -- next-stalest: twice-green, last r04 ----------------------------
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
     # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
@@ -140,7 +145,7 @@ DRIVER_ORDER = (
     # on its SURVEY.md S2 row; the local replica harness
     # (tests/test_queries_oracle.py) still oracle-checks every one on
     # every run.  Rotated out for r07: the r06 in-cap confirmation
-    # cohorts (all now at 2-3 lifetime rows) and the r3/r4/r5-green
+    # cohorts (all now at 2-3 lifetime rows), the r3/r4/r5-green
     # blocks documented in previous rounds.
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
@@ -166,6 +171,7 @@ DRIVER_ORDER = (
     "q_funnel",
     "q_join_anti",
     "q_join_broadcast",
+    "q_join_cross",
     "q_join_outer",
     "q_join_range",
     "q_join_semi",
@@ -205,6 +211,8 @@ DRIVER_ORDER = (
     "q_tokenize_ids",
     "q_topk_per_group",
     "q_udaf_trimmed_mean",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
     "q_vocab_coverage",
     "q_window_distribution",
     "q_window_moving_avg",

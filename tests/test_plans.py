@@ -412,3 +412,37 @@ def test_ntile_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_gap_islands_window_reuses_distinct_clustering(spark):
+    """q_gap_islands: the (user_id, day) DISTINCT, the user_id window,
+    and the two follow-up aggregates are all key-aligned — no join,
+    no global sort, and at most three hash exchanges (distinct key →
+    user_id window → island rollups reuse the window clustering)."""
+    plan = plan_of(all_queries()["q_gap_islands"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_scd2_single_window_single_exchange(spark):
+    """q_scd2: LEAD + ROW_NUMBER share one partition/order, so the
+    whole interval build is ONE Window node over ONE o_custkey
+    exchange — never a self-join against 'the next row'."""
+    plan = plan_of(all_queries()["q_scd2"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_is_one_outer_join(spark):
+    """q_snapshot_diff: exactly one full-outer join on the snapshot
+    key (the canonical CDC diff plan); classification is map-side and
+    the 4-group rollup is map-side-combined — no second join, no
+    cartesian, no sort beyond the merge join's own."""
+    plan = plan_of(all_queries()["q_snapshot_diff"].fn(spark, SF),
+                   "simple")
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") == 1
