@@ -207,3 +207,56 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "q_window_running_distinct",
+    # COUNT(DISTINCT) OVER isn't a native window aggregate in Spark;
+    # the portable formulation is first-occurrence flags summed by a
+    # running frame, which is ALSO how it must be computed at scale
+    # (distinct-tracking state per frame would be unbounded).  Pure
+    # integer arithmetic; (ts, event_id) makes both orders total.
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_seen
+    FROM (SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    """,
+)
+def q_window_running_distinct(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key (SURVEY.md §2 B5 — the
+    engagement-breadth window: "how many distinct event types has
+    this user produced up to and including this event?").  SQL's
+    COUNT(DISTINCT) OVER is unsupported in Spark — and unbounded-
+    state in any engine — so the scalable composition is used: flag
+    each row that is the FIRST occurrence of its (user, type), then
+    run a cumulative SUM of the flags over the user's timeline.
+
+    Scale shape: two Window nodes — (user_id, event_type) for the
+    first-seen flag, user_id for the running sum — two key-aligned
+    hash exchanges, no join, no distinct-set state (the flag is
+    0/1 per row, the running frame is a scalar accumulator)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+         .alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(w_cum).cast("long")
+         .alias("types_seen"),
+    )

@@ -116,6 +116,14 @@ DRIVER_ORDER = (
     "q_gap_islands",
     "q_scd2",
     "q_snapshot_diff",
+    # -- NEW QUERIES in r07 (batch 4): running-distinct window and
+    # fixed-iteration PageRank (the damped-fixed-point iterative
+    # workload; CTE-unrolled exact oracle) — first driver rows.
+    # Slots freed by q_sort_nulls / q_subquery_correlated (twice-
+    # green; sort/decorrelation machinery carried by q_sort_limit,
+    # q_topk_per_group and the scalar-subquery broadcast shapes) -----
+    "q_window_running_distinct",
+    "q_pagerank",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -128,8 +136,6 @@ DRIVER_ORDER = (
     "q_join_full",
     "q_join_multiway",
     "q_join_right",
-    "q_sort_nulls",
-    "q_subquery_correlated",
     # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
@@ -198,6 +204,8 @@ DRIVER_ORDER = (
     "q_sim_ann_lsh",
     "q_sim_ann_pq",
     "q_sort_limit",
+    "q_sort_nulls",
+    "q_subquery_correlated",
     "q_sql_grouping_sets",
     "q_text_bigram_lm",
     "q_text_editdist",
@@ -275,6 +283,7 @@ def _ensure_loaded() -> None:
         llm,
         timeseries,
         traindata,
+        graph,
     )
 
     _loaded = True

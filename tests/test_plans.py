@@ -446,3 +446,27 @@ def test_snapshot_diff_is_one_outer_join(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") == 1
+
+
+def test_running_distinct_two_windows_no_join(spark):
+    """q_window_running_distinct: two Window nodes (first-seen flag,
+    running sum) over two key-aligned exchanges — never a join and
+    never per-frame distinct-set state."""
+    plan = plan_of(
+        all_queries()["q_window_running_distinct"].fn(spark, SF),
+        "simple",
+    )
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_pagerank_broadcasts_ranks_no_cartesian(spark):
+    """q_pagerank: every iteration joins the rank vector BROADCAST
+    against the edge relation (plus the 1-row node-count broadcast);
+    no shuffle join of edges against ranks, no CartesianProduct, and
+    the events scan feeds exactly one lag-window exchange."""
+    plan = plan_of(all_queries()["q_pagerank"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
