@@ -88,6 +88,12 @@ HEADLINE = [
     "q_join_asof_forward",   # next-match as-of (following-frame fill)
     "q_agg_mode",            # deterministic mode via argmax aggs
     "q_window_ntile",        # NTILE equi-depth bucketing
+    # late-r07 additions
+    "q_gap_islands",         # day-anchor streak islands
+    "q_scd2",                # LEAD/ROW_NUMBER interval build
+    "q_snapshot_diff",       # full-outer CDC snapshot diff
+    "q_window_running_distinct",  # flag + running-sum distinct window
+    "q_pagerank",            # 3-iteration damped PageRank
 ]
 
 

@@ -508,3 +508,154 @@ def test_bpe_pure_kernel_invariants(words, n):
             cur = len(apply(w, merges[:k]))
             assert cur <= prev
             prev = cur
+
+
+def test_gap_islands_conservation_and_bounds(spark):
+    """Island algebra: per user, active_days == Σ island lengths ==
+    the user's distinct-day count; n_islands ∈ [1, active_days];
+    longest_island ∈ [ceil(active/n), active]."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["user_id"]: r
+        for r in all_queries()["q_gap_islands"].fn(spark, sf).collect()
+    }
+    from level2_to_cassandra_spark.catalog import load_table
+
+    truth = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert len(truth) == len(out)
+    for t in truth:
+        r = out[t["user_id"]]
+        assert r["active_days"] == t["count"]
+        assert 1 <= r["n_islands"] <= r["active_days"]
+        assert r["longest_island"] <= r["active_days"]
+        assert r["longest_island"] * r["n_islands"] >= r["active_days"]
+
+
+def test_scd2_intervals_partition_each_customer_timeline(spark):
+    """SCD2 invariants: per customer exactly ONE current row; versions
+    are dense 1..n; each non-current row's valid_to equals the next
+    version's valid_from (contiguity, no gaps/overlaps)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_scd2"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] == 1 and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+
+
+def test_snapshot_diff_partitions_the_key_space(spark):
+    """The four statuses partition the union of snapshot keys: n and
+    key_checksum totals reconcile exactly against the modulus rules
+    computed independently off the fixture."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["status"]: r
+        for r in all_queries()["q_snapshot_diff"].fn(spark, sf).collect()
+    }
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf, "orders")
+        .select("o_orderkey").collect()
+    ]
+    exp = {"added": [], "deleted": [], "changed": [], "unchanged": []}
+    for k in keys:
+        in_a, in_b = k % 103 != 0, k % 101 != 0
+        if not in_a and not in_b:
+            continue
+        if not in_a:
+            exp["added"].append(k)
+        elif not in_b:
+            exp["deleted"].append(k)
+        elif k % 97 == 0:
+            exp["changed"].append(k)
+        else:
+            exp["unchanged"].append(k)
+    for status, ks in exp.items():
+        if not ks:
+            assert status not in got
+            continue
+        assert got[status]["n"] == len(ks), status
+        assert got[status]["key_checksum"] == sum(ks), status
+
+
+def test_running_distinct_monotone_and_bounded(spark):
+    """types_seen is non-decreasing along each user's timeline, starts
+    at 1, and tops out at the user's true distinct-type count."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    order = {
+        (r["user_id"], r["event_id"]): i
+        for u, grp in __import__("itertools").groupby(
+            sorted(
+                ev.collect(),
+                key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+            ),
+            key=lambda r: r["user_id"],
+        )
+        for i, r in enumerate(grp)
+    }
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    out = all_queries()["q_window_running_distinct"].fn(spark, sf)
+    seqs: dict = {}
+    for r in out.collect():
+        seqs.setdefault(r["user_id"], []).append(
+            (order[(r["user_id"], r["event_id"])], r["types_seen"])
+        )
+    for user, pairs in seqs.items():
+        pairs.sort()
+        vals = [v for _, v in pairs]
+        assert vals[0] == 1
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == truth[user]
+
+
+def test_pagerank_is_a_probability_simplex_fixed_point_step(spark):
+    """Rank invariants: all ranks positive; the vector stays within
+    the simplex up to the dangling-mass leak (Σr ≤ 1 + ε, and ≥ the
+    pure-teleport floor); a node with no in-edges gets exactly the
+    teleport mass."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_pagerank"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    n = len(ranks)
+    assert n >= 2
+    total = sum(ranks.values())
+    assert all(v >= 0.15 / n - 1e-9 for v in ranks.values())
+    assert total <= 1.0 + 1e-6
+    assert total >= 0.15 - 1e-9

@@ -17,6 +17,9 @@ NEVER_DRIVER_CHECKED = {
     "q_agg_argmax", "q_hist_equiwidth", "q_bm25",
     "q_cooccurrence_pmi", "q_anomaly_zscore", "q_join_asof_forward",
     "q_agg_mode", "q_window_ntile",
+    # late-r07 additions (batches 3-4)
+    "q_gap_islands", "q_scd2", "q_snapshot_diff",
+    "q_window_running_distinct", "q_pagerank",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -71,6 +74,13 @@ SAFE_TO_ROTATE_OUT = {
     "q_tokenize_ids", "q_topk_per_group", "q_udaf_trimmed_mean",
     "q_vocab_coverage", "q_window_distribution", "q_window_lag",
     "q_window_moving_avg", "q_window_range_frame", "q_window_rank",
+    # rotated out mid-r07 to fund first rows for the five late-r07
+    # queries: each is twice-green (r01/r02 + r04 or later) and its
+    # machinery keeps in-cap siblings (join family, sort/top-k,
+    # scalar-subquery broadcasts, the pandas-UDF/UDTF plan surface
+    # carried by q_text_tokens_bpe + the plan-wide row-Python ban)
+    "q_join_cross", "q_udf_pandas_cosine", "q_udtf_tokenize",
+    "q_sort_nulls", "q_subquery_correlated",
 }
 
 
