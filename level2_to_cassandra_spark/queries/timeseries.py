@@ -803,3 +803,61 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len_days").cast("long").alias("longest_island"),
         F.sum("len_days").cast("long").alias("active_days"),
     )
+
+
+@register(
+    "q_winsorize",
+    # Same interpolation-exactness stance as q_anomaly_zscore: both
+    # engines linearly interpolate exact percentiles over doubles.  A
+    # clip decision can only flip when a value sits within one ulp of
+    # an interpolated bound — and then clip(x) == x on both sides, so
+    # only the ROUNDED means carry any float exposure.
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+               AS winsorized_mean,
+           ROUND(AVG(e.value), 4) AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean per event type (SURVEY.md §2
+    B12 — the outlier-TOLERANT twin of q_anomaly_zscore's outlier
+    DETECTOR): metrics pipelines report winsorized means so a single
+    fat-finger tick cannot move the aggregate; training-data pipelines
+    clip feature columns the same way before normalization.
+
+    Scale shape: one exact grouped percentile aggregation over the
+    small event-type key space (exact percentile state is the sorted
+    multiset — swap in approx_percentile at unbounded group count),
+    broadcast of the per-group bounds back over the scan, then one
+    map-side clip + grouped mean.  No window, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo"))
+                | (F.col("value") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_clipped"),
+        F.round(
+            F.avg(F.least(F.greatest("value", F.col("lo")), F.col("hi"))),
+            4,
+        ).alias("winsorized_mean"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+    )

@@ -124,6 +124,11 @@ DRIVER_ORDER = (
     # q_topk_per_group and the scalar-subquery broadcast shapes) -----
     "q_window_running_distinct",
     "q_pagerank",
+    # -- NEW QUERY in r07 (batch 5): winsorized robust mean — the
+    # clip-gate twin of q_anomaly_zscore.  Slot freed by q_agg_pivot
+    # (twice-green; the conditional-aggregation machinery stays
+    # in-cap via q_agg_argmax/q_agg_mode and the unpivot inverse) ----
+    "q_winsorize",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -131,7 +136,6 @@ DRIVER_ORDER = (
     # oldest evidence in the registry) — re-confirmed before anything
     # greener gets a redundant row --------------------------------------
     "q_agg_cube",
-    "q_agg_pivot",
     "q_agg_stats",
     "q_join_full",
     "q_join_multiway",
@@ -160,6 +164,7 @@ DRIVER_ORDER = (
     "q_set_ops_all",
     "q_agg_distinct",
     "q_agg_percentile",
+    "q_agg_pivot",
     "q_agg_rollup",
     "q_agg_salted",
     "q_chunk_docs",

@@ -470,3 +470,13 @@ def test_pagerank_broadcasts_ranks_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_bounds_broadcast_no_window(spark):
+    """q_winsorize: the per-group p05/p95 bounds come from one grouped
+    percentile aggregate joined back via BROADCAST; the clip + mean is
+    map-side + one grouped agg — no window, no sort-merge join."""
+    plan = plan_of(all_queries()["q_winsorize"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

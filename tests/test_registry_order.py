@@ -17,9 +17,9 @@ NEVER_DRIVER_CHECKED = {
     "q_agg_argmax", "q_hist_equiwidth", "q_bm25",
     "q_cooccurrence_pmi", "q_anomaly_zscore", "q_join_asof_forward",
     "q_agg_mode", "q_window_ntile",
-    # late-r07 additions (batches 3-4)
+    # late-r07 additions (batches 3-5)
     "q_gap_islands", "q_scd2", "q_snapshot_diff",
-    "q_window_running_distinct", "q_pagerank",
+    "q_window_running_distinct", "q_pagerank", "q_winsorize",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -80,7 +80,7 @@ SAFE_TO_ROTATE_OUT = {
     # scalar-subquery broadcasts, the pandas-UDF/UDTF plan surface
     # carried by q_text_tokens_bpe + the plan-wide row-Python ban)
     "q_join_cross", "q_udf_pandas_cosine", "q_udtf_tokenize",
-    "q_sort_nulls", "q_subquery_correlated",
+    "q_sort_nulls", "q_subquery_correlated", "q_agg_pivot",
 }
 
 
