@@ -1402,3 +1402,129 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("key_checksum"),
     )
+
+
+@register(
+    "q_skew_profile",
+    # All the skew statistics derive from INTEGER per-key counts —
+    # ratios divide bigints and the salt flag is a pure integer
+    # cross-multiplication — so nothing here can float-drift.
+    oracle="""
+    WITH cu AS (SELECT COUNT(*) AS c FROM events GROUP BY user_id),
+         ce AS (SELECT COUNT(*) AS c FROM events GROUP BY event_type),
+         su AS (SELECT 'user_id' AS key_name,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(c) AS BIGINT) AS max_per_key,
+                       CAST(MIN(c) AS BIGINT) AS min_per_key,
+                       FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)
+                             * 10000 + 0.5) / 10000 AS avg_per_key,
+                       FLOOR(quantile_cont(c, 0.99)
+                             * 10000 + 0.5) / 10000 AS p99_per_key,
+                       FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c)
+                             * 1000000 + 0.5) / 1000000 AS top_share,
+                       FLOOR(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)
+                             * 10000 + 0.5) / 10000 AS skew_ratio,
+                       MAX(c) * COUNT(*) > 2 * SUM(c) AS salt_recommended
+                FROM cu),
+         se AS (SELECT 'event_type' AS key_name,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(c) AS BIGINT) AS max_per_key,
+                       CAST(MIN(c) AS BIGINT) AS min_per_key,
+                       FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)
+                             * 10000 + 0.5) / 10000 AS avg_per_key,
+                       FLOOR(quantile_cont(c, 0.99)
+                             * 10000 + 0.5) / 10000 AS p99_per_key,
+                       FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c)
+                             * 1000000 + 0.5) / 1000000 AS top_share,
+                       FLOOR(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)
+                             * 10000 + 0.5) / 10000 AS skew_ratio,
+                       MAX(c) * COUNT(*) > 2 * SUM(c) AS salt_recommended
+                FROM ce)
+    SELECT * FROM su UNION ALL SELECT * FROM se
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profile (SURVEY.md §2 B4 — the PRE-FLIGHT
+    probe that decides whether operators/skew.py's salting or an AQE
+    skew-join hint is worth paying for a given key): per-key counts
+    summarized into max/min/avg/p99, the heaviest key's row share, the
+    skew ratio (max over uniform expectation), and an integer-exact
+    salt recommendation (max_per_key > 2x the uniform share).
+
+    At 100 TB this runs BEFORE the expensive join/agg: one map-side-
+    combined count per candidate key (the count relation is #keys-
+    sized, Zipf-small) plus a single-row stats fold — orders of
+    magnitude cheaper than discovering the straggler partition after
+    an hour.  The salt flag cross-multiplies bigints (max*n_keys >
+    2*n_rows) so the recommendation is reproducible bit-for-bit; at
+    unbounded key cardinality the count relation itself is the only
+    shuffle and the stats fold stays one row per profiled key.
+    """
+    from functools import reduce
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(key: str) -> DataFrame:
+        counts = ev.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        rh = lambda col, s: F.floor(col * F.lit(float(10 ** s)) + F.lit(0.5)) / F.lit(float(10 ** s))
+        return counts.agg(
+            F.lit(key).alias("key_name"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_per_key"),
+            F.min("c").cast("long").alias("min_per_key"),
+            rh(F.sum("c").cast("double") / F.count(F.lit(1)), 4).alias("avg_per_key"),
+            rh(F.percentile("c", F.lit(0.99)), 4).alias("p99_per_key"),
+            rh(F.max("c").cast("double") / F.sum("c"), 6).alias("top_share"),
+            rh(F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 4).alias("skew_ratio"),
+            (F.max("c") * F.count(F.lit(1)) > 2 * F.sum("c")).alias("salt_recommended"),
+        )
+
+    return reduce(DataFrame.unionByName, [profile("user_id"), profile("event_type")])
+
+
+@register(
+    "q_orc_scan",
+    # The oracle reads the ORIGINAL parquet view: a hash match proves
+    # the ORC round-trip is value-lossless (doubles/longs/strings are
+    # carried bit-identically by both columnar formats).
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value > 100.0
+    """,
+)
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan (SURVEY.md §2 B1 — the third raw-source format
+    beside q_json_scan/q_csv_scan): snapshot the events table to ORC,
+    then read it back through Spark's native vectorized ORC reader
+    with a pushed-down predicate.
+
+    Lakes are rarely single-format: ORC is what Hive/Trino-era
+    pipelines hand over, and the engine must scan it with the same
+    pushdown/pruning guarantees as parquet.  The plan test pins that
+    the `value > 100` predicate reaches the ORC scan as a PushedFilter
+    and only the three projected columns are read — at 100 TB the
+    filter+projection happening inside the columnar reader (stripe
+    statistics skip whole stripes) is the difference between reading
+    3 columns of survivors and reading everything.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # fresh dir per invocation + interpreter-exit cleanup: same
+    # concurrent-session and leak rationale as q_json_scan above
+    path = tempfile.mkdtemp(prefix="l2c_orc_scan_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    ev.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .where(F.col("value") > 100.0)
+        .select("event_id", "event_type", "value")
+    )

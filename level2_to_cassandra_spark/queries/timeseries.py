@@ -861,3 +861,71 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsorized_mean"),
         F.round(F.avg("value"), 4).alias("raw_mean"),
     )
+
+
+@register(
+    "q_rollup_cascade",
+    # The oracle aggregates RAW rows straight to the hour — it never
+    # sees the minutely partials — so a hash match PROVES the partial
+    # state is exactly mergeable (sum-of-sums == sum, min-of-mins ==
+    # min, ...).  DECIMAL(38,6) sums make that equality exact instead
+    # of float-associativity-dependent; avg derives from the ROUNDED
+    # total so both engines divide identical doubles.
+    oracle="""
+    WITH t AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS total_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, n, total_value, min_value, max_value,
+           FLOOR(total_value / n * 1000000 + 0.5) / 1000000 AS avg_value
+    FROM t
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate rollup (SURVEY.md §2 B4/B9 —
+    the TimescaleDB-hypertable / materialized-view-maintenance shape):
+    minutely PARTIAL aggregates are computed once and hourly FINALS are
+    produced by re-aggregating the partials, never re-reading raw rows.
+
+    At 100 TB this is the only affordable way to serve multiple
+    granularities: the minutely partials are the stored rollup (one
+    corpus-scale shuffle, map-side combined), and every coarser grain
+    (hour/day/month) re-aggregates 60×-fewer partial rows.  That works
+    ONLY if the partial state is mergeable — sums/counts/mins/maxes
+    are, averages are not (carried as sum+count and finished at the
+    end, exactly as Spark's own partial-aggregation does internally).
+
+    Exactness: per-minute sums are DECIMAL(38,6) (value is a 2-dp
+    double; the double→decimal half-up cast agrees across engines at
+    6 dp), so sum-of-sums is EXACTLY the raw-row sum regardless of
+    grouping or ordering; the oracle aggregates raw→hour directly,
+    making the hash a proof of partial-merge correctness.  avg_value
+    divides the already-rounded total so no fresh float path opens.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # level 1 — the stored continuous aggregate (minutely partials)
+    partials = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    # level 2 — hourly finals FROM the partials (no raw-row access)
+    total = round_half_up(F.sum("psum").cast("double"), 4)
+    n = F.sum("pn").cast("long")
+    return partials.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(
+        n.alias("n"),
+        total.alias("total_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+        round_half_up(total / n, 6).alias("avg_value"),
+    )

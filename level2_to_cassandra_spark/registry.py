@@ -129,6 +129,26 @@ DRIVER_ORDER = (
     # (twice-green; the conditional-aggregation machinery stays
     # in-cap via q_agg_argmax/q_agg_mode and the unpivot inverse) ----
     "q_winsorize",
+    # -- NEW QUERY in r07 (batch 6): hierarchical continuous-aggregate
+    # rollup — minutely DECIMAL-exact partials re-aggregated to hourly
+    # finals; the oracle aggregates raw→hour directly so the hash
+    # proves partial-merge correctness.  Slot freed by q_join_right
+    # (twice-green r01/r02; outer-join machinery stays in-cap via
+    # q_join_asof's union-merge and q_snapshot_diff's full outer) ----
+    "q_rollup_cascade",
+    # -- NEW QUERY in r07 (batch 6): shuffle-key skew profile — the
+    # integer-exact pre-flight probe feeding the operators/skew.py
+    # salting decision.  Slot freed by q_join_multiway (twice-green
+    # r01/r02; the multiway-join shape stays in-cap via
+    # q_sql_star_revenue's star join over q_join_inner's equi core) --
+    "q_skew_profile",
+    # -- NEW QUERY in r07 (batch 6): ORC source scan — third raw
+    # format beside JSON/CSV, pushdown plan-pinned; the oracle reads
+    # the original parquet so the hash proves the ORC round-trip is
+    # lossless.  Slot freed by q_join_full (twice-green r01/r02; the
+    # full-outer shape stays in-cap via q_snapshot_diff's plan-pinned
+    # single full-outer join) ----------------------------------------
+    "q_orc_scan",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -137,9 +157,6 @@ DRIVER_ORDER = (
     # greener gets a redundant row --------------------------------------
     "q_agg_cube",
     "q_agg_stats",
-    "q_join_full",
-    "q_join_multiway",
-    "q_join_right",
     # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
@@ -159,6 +176,9 @@ DRIVER_ORDER = (
     # blocks documented in previous rounds.
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
+    "q_join_right",
+    "q_join_multiway",
+    "q_join_full",
     "q_window_lag",
     "q_scalar_map",
     "q_set_ops_all",

@@ -480,3 +480,43 @@ def test_winsorize_bounds_broadcast_no_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_rollup_cascade_two_level_aggs_no_join(spark):
+    """q_rollup_cascade: exactly two hash exchanges — the minutely
+    partial agg (the stored rollup, map-side combined) and the hourly
+    re-aggregation over 60x-fewer partial rows; never a join, never a
+    window, never a second raw-table scan."""
+    plan = plan_of(all_queries()["q_rollup_cascade"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan ") == 1
+
+
+def test_skew_profile_count_aggs_no_join_no_window(spark):
+    """q_skew_profile: each profiled key is one map-side-combined count
+    agg + a single-row stats fold — no join, no window, no global
+    sort; the only hash exchanges carry the #keys-sized count
+    relations."""
+    plan = plan_of(all_queries()["q_skew_profile"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # one per key
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark):
+    """q_orc_scan: the value>100 predicate must reach the ORC reader as
+    a PushedFilter and the scan must read only the three projected
+    columns (stripe-statistics skipping + column pruning are what make
+    a mixed-format lake scan affordable)."""
+    df = all_queries()["q_orc_scan"].fn(spark, SF)
+    plan = plan_of(df, "formatted")
+    assert "Scan orc" in plan
+    assert "GreaterThan(value,100.0)" in plan
+    # ReadSchema carries exactly the projected columns
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "event_type", "value"}

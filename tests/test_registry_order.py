@@ -20,6 +20,8 @@ NEVER_DRIVER_CHECKED = {
     # late-r07 additions (batches 3-5)
     "q_gap_islands", "q_scd2", "q_snapshot_diff",
     "q_window_running_distinct", "q_pagerank", "q_winsorize",
+    # late-r07 additions (batch 6)
+    "q_rollup_cascade", "q_skew_profile", "q_orc_scan",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -81,6 +83,11 @@ SAFE_TO_ROTATE_OUT = {
     # carried by q_text_tokens_bpe + the plan-wide row-Python ban)
     "q_join_cross", "q_udf_pandas_cosine", "q_udtf_tokenize",
     "q_sort_nulls", "q_subquery_correlated", "q_agg_pivot",
+    # rotated out late-r07 to fund batch-6 first rows: stale r01/r02
+    # confirms whose machinery keeps in-cap siblings (q_join_inner,
+    # the asof union-merge family, q_snapshot_diff's full outer,
+    # q_sql_star_revenue's multiway star join)
+    "q_join_right", "q_join_multiway", "q_join_full",
 }
 
 
