@@ -1528,3 +1528,113 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > 100.0)
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "q_quality_checks",
+    # Every check is INTEGER arithmetic (counts and count-diffs) so
+    # pass/fail is bit-reproducible; the FK probe is a null-flag left
+    # join so both engines count orphans identically.
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT event_id) AS nd,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+               SUM(CASE WHEN value IS NULL OR value < 0.0
+                             OR value > 1000.0 THEN 1 ELSE 0 END) AS v_range,
+               SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                        ('view','click','purchase','signup','error')
+                        THEN 1 ELSE 0 END) AS v_set
+        FROM events),
+    fk AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey)
+    SELECT 'event_id_unique' AS check_name,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n - nd AS BIGINT) AS n_violations,
+           n - nd = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'user_id_not_null', CAST(n AS BIGINT),
+           CAST(v_null AS BIGINT), v_null = 0 FROM a
+    UNION ALL
+    SELECT 'value_in_range', CAST(n AS BIGINT),
+           CAST(v_range AS BIGINT), v_range = 0 FROM a
+    UNION ALL
+    SELECT 'event_type_in_set', CAST(n AS BIGINT),
+           CAST(v_set AS BIGINT), v_set = 0 FROM a
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(n AS BIGINT),
+           CAST(v AS BIGINT), v = 0 FROM fk
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-validation suite (SURVEY.md §2 B12 — the
+    Deequ-style constraint gate every 100 TB ingest runs before
+    promoting a batch): uniqueness, non-null, value-range and
+    categorical-domain checks over events, plus a referential
+    (lineitem→orders) foreign-key probe.
+
+    Scale shape — the part that matters: ALL single-table constraints
+    evaluate in ONE scan (one aggregate computes every violation
+    counter side by side; the distinct-count shares the same pass via
+    Spark's expand), then a 1-row stack fans the counters out into one
+    row per check.  Adding a 50th constraint costs one more counter
+    column, not another scan.  The FK check is the only join — a
+    null-flag left join against the distinct parent keys, the exact
+    shape that survives as a shuffle join at any fact size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    allowed = ("view", "click", "purchase", "signup", "error")
+    a = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("nd"),
+        F.sum(
+            F.when(F.col("user_id").isNull(), 1).otherwise(0)
+        ).alias("v_null"),
+        F.sum(
+            F.when(
+                F.col("value").isNull()
+                | (F.col("value") < 0.0)
+                | (F.col("value") > 1000.0),
+                1,
+            ).otherwise(0)
+        ).alias("v_range"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*allowed),
+                1,
+            ).otherwise(0)
+        ).alias("v_set"),
+    )
+    single = a.selectExpr(
+        """stack(4,
+            'event_id_unique',   n, n - nd,
+            'user_id_not_null',  n, v_null,
+            'value_in_range',    n, v_range,
+            'event_type_in_set', n, v_set
+        ) AS (check_name, n_rows, n_violations)"""
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    parents = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    fk = li.join(parents, "l_orderkey", "left").agg(
+        F.lit("lineitem_fk_orders").alias("check_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    return single.unionByName(fk).select(
+        "check_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -149,6 +149,12 @@ DRIVER_ORDER = (
     # full-outer shape stays in-cap via q_snapshot_diff's plan-pinned
     # single full-outer join) ----------------------------------------
     "q_orc_scan",
+    # -- NEW QUERY in r07 (batch 6): Deequ-style data-validation suite
+    # — all single-table constraints in ONE scan + a null-flag FK
+    # join, integer-exact pass/fail.  Slot freed by q_agg_stats
+    # (twice-green r01/r02; the moment/percentile machinery stays
+    # in-cap via q_winsorize, q_anomaly_zscore and q_skew_profile) ---
+    "q_quality_checks",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
@@ -156,7 +162,6 @@ DRIVER_ORDER = (
     # oldest evidence in the registry) — re-confirmed before anything
     # greener gets a redundant row --------------------------------------
     "q_agg_cube",
-    "q_agg_stats",
     # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
@@ -179,6 +184,7 @@ DRIVER_ORDER = (
     "q_join_right",
     "q_join_multiway",
     "q_join_full",
+    "q_agg_stats",
     "q_window_lag",
     "q_scalar_map",
     "q_set_ops_all",

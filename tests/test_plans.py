@@ -520,3 +520,13 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"event_id", "event_type", "value"}
+
+
+def test_quality_checks_one_events_scan_one_fk_join(spark):
+    """q_quality_checks: every single-table constraint rides ONE events
+    scan (adding a constraint adds a counter column, not a scan); the
+    FK probe is the only join.  No window, no cartesian."""
+    plan = plan_of(all_queries()["q_quality_checks"].fn(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 3  # events + lineitem + orders
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

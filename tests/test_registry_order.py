@@ -22,6 +22,7 @@ NEVER_DRIVER_CHECKED = {
     "q_window_running_distinct", "q_pagerank", "q_winsorize",
     # late-r07 additions (batch 6)
     "q_rollup_cascade", "q_skew_profile", "q_orc_scan",
+    "q_quality_checks",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -88,6 +89,9 @@ SAFE_TO_ROTATE_OUT = {
     # the asof union-merge family, q_snapshot_diff's full outer,
     # q_sql_star_revenue's multiway star join)
     "q_join_right", "q_join_multiway", "q_join_full",
+    # q_agg_stats: twice-green r01/r02; moment/percentile machinery
+    # carried in-cap by q_winsorize, q_anomaly_zscore, q_skew_profile
+    "q_agg_stats",
 }
 
 
