@@ -214,3 +214,48 @@ def test_session_window_parity(spark, events_jsonl):
         for r in sess.collect()
     }
     assert got == want
+
+
+def test_rollup_cascade_stream_partials_parity(spark, events_jsonl):
+    """Streaming continuous aggregate: the minutely PARTIALS maintained
+    by a streaming window aggregation, re-aggregated to hourly finals
+    in batch, must equal q_rollup_cascade run straight over the same
+    rows — i.e. the stored-partial maintenance loop (stream keeps the
+    fine grain up to date, coarse grains re-aggregate partials) loses
+    nothing vs recomputing from raw.
+    """
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    stream = _stream(spark, events_jsonl)
+    partials = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    _run_to_memory(partials, "rollup_partials")
+    stored = spark.table("rollup_partials")
+    total = round_half_up(F.sum("psum").cast("double"), 4)
+    n = F.sum("pn").cast("long")
+    finals = stored.groupBy(
+        F.date_trunc("hour", F.col("window.start")).alias("hour"),
+        "event_type",
+    ).agg(
+        n.alias("n"),
+        total.alias("total_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+        round_half_up(total / n, 6).alias("avg_value"),
+    )
+    batch = all_queries()["q_rollup_cascade"].fn(spark, SF)
+    key = lambda r: (r.hour, r.event_type)
+    got = {key(r): (r.n, r.total_value, r.min_value, r.max_value, r.avg_value)
+           for r in finals.collect()}
+    want = {key(r): (r.n, r.total_value, r.min_value, r.max_value, r.avg_value)
+            for r in batch.collect()}
+    assert got == want
