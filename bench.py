@@ -94,6 +94,11 @@ HEADLINE = [
     "q_snapshot_diff",       # full-outer CDC snapshot diff
     "q_window_running_distinct",  # flag + running-sum distinct window
     "q_pagerank",            # 3-iteration damped PageRank
+    "q_winsorize",           # percentile bounds broadcast + clip agg
+    "q_rollup_cascade",      # partials->finals re-aggregation
+    "q_skew_profile",        # count relations + 1-row stats folds
+    "q_quality_checks",      # one-scan constraint suite + FK probe
+    "q_drift_psi",           # PSI drift monitor (binning + cell fold)
 ]
 
 

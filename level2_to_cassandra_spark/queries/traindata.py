@@ -1434,3 +1434,122 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
                 pmi.alias("pmi"))
     )
+
+
+@register(
+    "q_drift_psi",
+    # Bin membership is the same left-associated IEEE expression on
+    # both engines; counts are integers; the PSI fold divides/logs
+    # identical doubles in identical order, and the flag compares the
+    # ROUNDED psi so a sub-ulp ln() divergence cannot flip it.
+    oracle="""
+    WITH labeled AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                    ELSE 'cur' END AS period
+        FROM events),
+    bounds AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM labeled WHERE period = 'ref' GROUP BY event_type),
+    binned AS (
+        SELECT l.event_type, l.period,
+               CAST(LEAST(GREATEST(
+                   FLOOR((l.value - b.lo) / (b.hi - b.lo) * 10),
+                   0), 9) AS BIGINT) AS bin
+        FROM labeled l JOIN bounds b USING (event_type)),
+    cells AS (
+        SELECT event_type, bin,
+               SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM binned GROUP BY event_type, bin),
+    tot AS (
+        SELECT event_type,
+               SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+        FROM cells GROUP BY event_type),
+    terms AS (
+        SELECT c.event_type, t.n_ref, t.n_cur,
+               ((CAST(c.c_cur AS DOUBLE) + 1.0)
+                    / (CAST(t.n_cur AS DOUBLE) + 10.0)
+                - (CAST(c.c_ref AS DOUBLE) + 1.0)
+                    / (CAST(t.n_ref AS DOUBLE) + 10.0))
+               * LN(((CAST(c.c_cur AS DOUBLE) + 1.0)
+                         / (CAST(t.n_cur AS DOUBLE) + 10.0))
+                    / ((CAST(c.c_ref AS DOUBLE) + 1.0)
+                         / (CAST(t.n_ref AS DOUBLE) + 10.0))) AS term
+        FROM cells c JOIN tot t USING (event_type))
+    SELECT event_type,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           FLOOR(SUM(term) * 1000000 + 0.5) / 1000000 AS psi,
+           FLOOR(SUM(term) * 1000000 + 0.5) / 1000000 > 0.2 AS drift_flag
+    FROM terms
+    GROUP BY event_type, n_ref, n_cur
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor (SURVEY.md §2 B12 —
+    the distribution gate a training pipeline runs between ingest
+    batches: has this feature's distribution moved enough that the
+    mixture weights / classifiers trained on the reference window are
+    stale?).  Reference window = first half of the month, current =
+    second half; 10 equal-width bins anchored on the REFERENCE min/max
+    (out-of-range current values clip into the edge bins — exactly how
+    production monitors catch range escapes); Laplace-smoothed PSI
+    with the conventional 0.2 alarm threshold.
+
+    Scale shape: one scan, one broadcast of the per-group bin bounds
+    back over it, one (event_type, bin) count aggregate — the cell
+    relation is #groups x 10 rows, so the PSI fold and the totals
+    window are free.  Nothing here grows with row count except the
+    map-side binning pass.
+    """
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur").alias("period"),
+    )
+    bounds = (
+        ev.where(F.col("period") == "ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "period",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * F.lit(10.0)
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).cast("long").alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("c_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    cells = cells.withColumn("n_ref", F.sum("c_ref").over(w)).withColumn(
+        "n_cur", F.sum("c_cur").over(w)
+    )
+    p_cur = (F.col("c_cur").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(10.0)
+    )
+    p_ref = (F.col("c_ref").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(10.0)
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    psi = round_half_up(F.sum(term), 6)
+    return (
+        cells.withColumn("term", term)
+        .groupBy(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+        )
+        .agg(psi.alias("psi"), (psi > 0.2).alias("drift_flag"))
+    )

@@ -155,13 +155,19 @@ DRIVER_ORDER = (
     # (twice-green r01/r02; the moment/percentile machinery stays
     # in-cap via q_winsorize, q_anomaly_zscore and q_skew_profile) ---
     "q_quality_checks",
+    # -- NEW QUERY in r07 (batch 6): PSI distribution-drift monitor —
+    # map-side binning vs broadcast reference bounds, #groups x 10
+    # cell relation, rounded-psi flag.  Slot freed by q_agg_cube
+    # (twice-green r01/r02; the Expand-based grouping machinery stays
+    # in-cap via q_unpivot, with q_sql_grouping_sets past-cap) -------
+    "q_drift_psi",
     # -- VERDICT r06 #6: the noise-flagged median (its partner
     # q_llm_dedup_fuzzy is in the core block below) ---------------------
     "q_sql_star_revenue",
-    # -- stalest confirmations: twice-green but not since r02 (the
-    # oldest evidence in the registry) — re-confirmed before anything
-    # greener gets a redundant row --------------------------------------
-    "q_agg_cube",
+    # (the former stale-confirmation block — q_agg_cube, q_agg_stats,
+    # q_join_full/right/multiway — rotated past the cap late-r07 to
+    # fund first rows for the batch-6 queries; a first row outranks a
+    # third confirmation)
     # -- the non-redundant core (every round) ---------------------------
     "q_agg_basic",
     "q_window_cumulative",
@@ -185,6 +191,7 @@ DRIVER_ORDER = (
     "q_join_multiway",
     "q_join_full",
     "q_agg_stats",
+    "q_agg_cube",
     "q_window_lag",
     "q_scalar_map",
     "q_set_ops_all",

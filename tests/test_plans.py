@@ -530,3 +530,13 @@ def test_quality_checks_one_events_scan_one_fk_join(spark):
     assert plan.count("Scan parquet") == 3  # events + lineitem + orders
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drift_psi_broadcast_bounds_no_smj(spark):
+    """q_drift_psi: the per-group reference bounds come back over the
+    scan via BROADCAST; the only window runs over the #groups x 10
+    cell relation.  No sort-merge join, no cartesian."""
+    plan = plan_of(all_queries()["q_drift_psi"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
