@@ -99,6 +99,7 @@ HEADLINE = [
     "q_skew_profile",        # count relations + 1-row stats folds
     "q_quality_checks",      # one-scan constraint suite + FK probe
     "q_drift_psi",           # PSI drift monitor (binning + cell fold)
+    "q_max_concurrency",     # two-phase prefix-sum sweep line
 ]
 
 

@@ -929,3 +929,130 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pmax").alias("max_value"),
         round_half_up(total / n, 6).alias("avg_value"),
     )
+
+
+@register(
+    "q_max_concurrency",
+    # All-integer sweep: deltas are ±1 and the ORDER BY (ts, delta)
+    # tie-break (closes before opens at the same instant) makes the
+    # per-day partial-sum MULTISET deterministic even among residual
+    # full ties — any order within an equal-(ts,delta) group walks the
+    # same ±1 steps — so MAX(run) cannot drift between engines.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= 1800 * 1000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM numbered GROUP BY user_id, session_id),
+    b AS (SELECT s AS ts, 1 AS delta FROM sessions
+          UNION ALL
+          SELECT e AS ts, -1 AS delta FROM sessions),
+    bd AS (SELECT ts, delta, CAST(ts AS DATE) AS day FROM b),
+    run AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM bd),
+    dayagg AS (
+        SELECT day, SUM(delta) AS dsum,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+               SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends
+        FROM bd GROUP BY day),
+    off AS (
+        SELECT day, n_starts, n_ends,
+               COALESCE(SUM(dsum) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS off
+        FROM dayagg),
+    mx AS (SELECT day, MAX(run) AS m FROM run GROUP BY day)
+    SELECT mx.day,
+           CAST(m + off AS BIGINT) AS max_concurrent,
+           CAST(n_starts AS BIGINT) AS n_starts,
+           CAST(n_ends AS BIGINT) AS n_ends
+    FROM mx JOIN off USING (day)
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (SURVEY.md §2 B5/B12 — the
+    capacity-planning question every serving/ingest operator asks) via
+    a DISTRIBUTED sweep line: session intervals become ±1 boundary
+    events; concurrency is the running sum of deltas in time order;
+    the per-day maximum is the peak.
+
+    The naive sweep needs ONE GLOBAL SORT of every boundary — a
+    single-partition window that dies at 100 TB.  This plan is the
+    two-phase prefix-sum formulation instead: boundaries sweep
+    WITHIN their day partition (parallel, key-aligned), and each
+    day's starting concurrency is the prefix sum of whole-day delta
+    totals — a #days-sized relation whose global window costs
+    nothing, broadcast back.  Same trick generalizes to any bucket
+    granularity (hour buckets → finer parallelism).
+
+    Ordering ties break as (ts, delta): a session CLOSING at instant
+    t releases capacity before one OPENING at t claims it — and with
+    that pin, the partial-sum multiset (hence the max) is invariant
+    to any residual tie order, making the check integer-exact.
+    """
+    gap_us = 1800 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w_user) <= gap_us, 0).otherwise(1),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    b = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.to_date("ts"))
+    # phase 1 — parallel within-day sweep
+    w_day = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mx = (
+        b.withColumn("run", F.sum("delta").over(w_day))
+        .groupBy("day")
+        .agg(F.max("run").alias("m"))
+    )
+    # phase 2 — day-level prefix offsets (#days rows; the unpartitioned
+    # window is over this TINY aggregate, never over boundary rows)
+    dayagg = b.groupBy("day").agg(
+        F.sum("delta").alias("dsum"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
+    )
+    w_prefix = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = dayagg.select(
+        "day", "n_starts", "n_ends",
+        F.coalesce(F.sum("dsum").over(w_prefix), F.lit(0)).alias("off"),
+    )
+    return mx.join(F.broadcast(off), "day").select(
+        "day",
+        (F.col("m") + F.col("off")).cast("long").alias("max_concurrent"),
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"),
+    )

@@ -161,9 +161,14 @@ DRIVER_ORDER = (
     # (twice-green r01/r02; the Expand-based grouping machinery stays
     # in-cap via q_unpivot, with q_sql_grouping_sets past-cap) -------
     "q_drift_psi",
-    # -- VERDICT r06 #6: the noise-flagged median (its partner
-    # q_llm_dedup_fuzzy is in the core block below) ---------------------
-    "q_sql_star_revenue",
+    # -- NEW QUERY in r07 (batch 6): peak-concurrency sweep line via
+    # two-phase prefix sum (parallel within-day sweep + #days-sized
+    # offset relation — never a global boundary sort).  Slot freed by
+    # q_sql_star_revenue (multiply-green; VERDICT r06 #6 is about its
+    # BENCH median, which it keeps — it stays in bench.py HEADLINE —
+    # and the star-join machinery stays in-cap via q_join_inner and
+    # the broadcast-join plan pins) ----------------------------------
+    "q_max_concurrency",
     # (the former stale-confirmation block — q_agg_cube, q_agg_stats,
     # q_join_full/right/multiway — rotated past the cap late-r07 to
     # fund first rows for the batch-6 queries; a first row outranks a
@@ -192,6 +197,7 @@ DRIVER_ORDER = (
     "q_join_full",
     "q_agg_stats",
     "q_agg_cube",
+    "q_sql_star_revenue",
     "q_window_lag",
     "q_scalar_map",
     "q_set_ops_all",

@@ -540,3 +540,19 @@ def test_drift_psi_broadcast_bounds_no_smj(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_max_concurrency_no_global_boundary_sort(spark):
+    """q_max_concurrency: the sweep windows partition by day (parallel)
+    and the only unpartitioned window runs over the #days-sized offset
+    relation — the plan must never sort the full boundary relation in
+    a single partition (no Exchange SinglePartition feeding a
+    boundary-scale Window), and the offset joins back via BROADCAST."""
+    plan = plan_of(all_queries()["q_max_concurrency"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the single-partition exchange exists only for the tiny day-level
+    # prefix window, which sits ABOVE a HashAggregate (the day rollup),
+    # never directly above the boundary union
+    import re
+    assert plan.count("Exchange SinglePartition") == 1

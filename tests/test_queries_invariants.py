@@ -11,3 +11,47 @@ def test_drift_psi_nonnegative_and_flag_consistent(spark):
         assert r.psi >= 0.0
         assert r.drift_flag == (r.psi > 0.2)
         assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_max_concurrency_matches_naive_global_sweep(spark):
+    """The distributed two-phase sweep (per-day windows + day-level
+    prefix offsets) must equal the textbook single-ordered-pass sweep
+    computed driver-side — validating the decomposition algebra, not
+    just engine-vs-engine agreement."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.day: (r.max_concurrent, r.n_starts, r.n_ends)
+        for r in all_queries()["q_max_concurrency"].fn(spark, sf).collect()
+    }
+
+    # naive sweep: rebuild sessions (same 30-min gap rule) in pandas
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    boundaries = []
+    for _, g in ev.groupby("user_id"):
+        start = prev = None
+        for t in g["ts"]:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                if start is not None:
+                    boundaries += [(start, 1), (prev, -1)]
+                start = t
+            prev = t
+        boundaries += [(start, 1), (prev, -1)]
+    boundaries.sort(key=lambda b: (b[0], b[1]))
+    run, want = 0, {}
+    for t, d in boundaries:
+        run += d
+        day = t.date()
+        mx, ns, ne = want.get(day, (0, 0, 0))
+        want[day] = (
+            max(mx, run),
+            ns + (d == 1),
+            ne + (d == -1),
+        )
+    assert got == want

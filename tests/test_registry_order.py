@@ -22,7 +22,7 @@ NEVER_DRIVER_CHECKED = {
     "q_window_running_distinct", "q_pagerank", "q_winsorize",
     # late-r07 additions (batch 6)
     "q_rollup_cascade", "q_skew_profile", "q_orc_scan",
-    "q_quality_checks", "q_drift_psi",
+    "q_quality_checks", "q_drift_psi", "q_max_concurrency",
 }
 
 # Queries whose implementation was touched in r07 (brute_topk broadcast
@@ -95,6 +95,9 @@ SAFE_TO_ROTATE_OUT = {
     # q_agg_cube: twice-green r01/r02; Expand-based grouping carried
     # in-cap by q_unpivot (q_sql_grouping_sets past-cap, twice-green)
     "q_agg_cube",
+    # q_sql_star_revenue: multiply-green; VERDICT r06 #6 concerns its
+    # bench median (kept in bench.py HEADLINE), not its hash row
+    "q_sql_star_revenue",
 }
 
 
