@@ -55,3 +55,39 @@ def test_max_concurrency_matches_naive_global_sweep(spark):
             ne + (d == -1),
         )
     assert got == want
+
+
+def test_rollup_partial_merge_exactness_randomized(spark):
+    """The q_rollup_cascade claim — DECIMAL partials are EXACTLY
+    mergeable under any grouping — checked on adversarial random data:
+    full-precision random doubles (not the fixture's tame 2-dp
+    values), re-aggregated through a deliberately skewed intermediate
+    grouping, must reproduce the direct aggregate bit-for-bit."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC45CADE)
+    rows = [
+        (i, rng.randrange(7), rng.uniform(-1e6, 1e6) * 10 ** rng.randrange(-3, 4))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    dec = F.col("v").cast("decimal(38,6)")
+    direct = {
+        r.grp: (r.s, r.n)
+        for r in df.groupBy("grp")
+        .agg(F.sum(dec).alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    # skewed intermediate grouping: id % 13 buckets inside each grp
+    partials = df.groupBy("grp", (F.col("id") % 13).alias("b")).agg(
+        F.sum(dec).alias("ps"), F.count("*").alias("pn")
+    )
+    merged = {
+        r.grp: (r.s, r.n)
+        for r in partials.groupBy("grp")
+        .agg(F.sum("ps").alias("s"), F.sum("pn").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # Decimal equality — exact, no tolerance
