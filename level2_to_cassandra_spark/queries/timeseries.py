@@ -1002,6 +1002,14 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t releases capacity before one OPENING at t claims it — and with
     that pin, the partial-sum multiset (hence the max) is invariant
     to any residual tie order, making the check integer-exact.
+
+    Plan shape (pinned): the ±1 boundaries come from ONE explode over
+    the session relation — a start/end UNION would make Spark
+    recompute the whole sessionization subtree per branch (measured:
+    4 scans / 10 windows vs this plan's 1 scan / 4 windows) — and the
+    per-day max, day delta totals and boundary counts all fold in ONE
+    aggregation over the windowed sweep, so the day-level prefix is a
+    second window over that tiny relation, join-free.
     """
     gap_us = 1800 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
@@ -1022,37 +1030,49 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = numbered.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
+    # ±1 boundaries in ONE pass (explode, not union — see docstring)
     b = sessions.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(
-        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
-    ).withColumn("day", F.to_date("ts"))
-    # phase 1 — parallel within-day sweep
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select(
+        F.col("x.ts").alias("ts"),
+        F.col("x.delta").alias("delta"),
+        F.to_date("x.ts").alias("day"),
+    )
+    # phase 1 — parallel within-day sweep; max, day totals and counts
+    # fold in the SAME aggregation over the windowed rows
     w_day = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    mx = (
+    days = (
         b.withColumn("run", F.sum("delta").over(w_day))
         .groupBy("day")
-        .agg(F.max("run").alias("m"))
+        .agg(
+            F.max("run").alias("m"),
+            F.sum("delta").alias("dsum"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
+                "n_ends"
+            ),
+        )
     )
     # phase 2 — day-level prefix offsets (#days rows; the unpartitioned
     # window is over this TINY aggregate, never over boundary rows)
-    dayagg = b.groupBy("day").agg(
-        F.sum("delta").alias("dsum"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
-        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
-    )
     w_prefix = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    off = dayagg.select(
-        "day", "n_starts", "n_ends",
-        F.coalesce(F.sum("dsum").over(w_prefix), F.lit(0)).alias("off"),
-    )
-    return mx.join(F.broadcast(off), "day").select(
+    return days.select(
         "day",
-        (F.col("m") + F.col("off")).cast("long").alias("max_concurrent"),
+        (
+            F.col("m")
+            + F.coalesce(F.sum("dsum").over(w_prefix), F.lit(0))
+        ).cast("long").alias("max_concurrent"),
         F.col("n_starts").cast("long").alias("n_starts"),
         F.col("n_ends").cast("long").alias("n_ends"),
     )

@@ -543,16 +543,12 @@ def test_drift_psi_broadcast_bounds_no_smj(spark):
 
 
 def test_max_concurrency_no_global_boundary_sort(spark):
-    """q_max_concurrency: the sweep windows partition by day (parallel)
-    and the only unpartitioned window runs over the #days-sized offset
-    relation — the plan must never sort the full boundary relation in
-    a single partition (no Exchange SinglePartition feeding a
-    boundary-scale Window), and the offset joins back via BROADCAST."""
+    """q_max_concurrency: ONE scan (boundaries explode from the session
+    relation — never a union that recomputes the sessionize subtree per
+    branch), sweep windows partition by day (parallel), and the only
+    single-partition exchange feeds the #days-sized prefix window above
+    the day rollup — never the boundary-scale relation.  Join-free."""
     plan = plan_of(all_queries()["q_max_concurrency"].fn(spark, SF), "simple")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    # the single-partition exchange exists only for the tiny day-level
-    # prefix window, which sits ABOVE a HashAggregate (the day rollup),
-    # never directly above the boundary union
-    import re
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
     assert plan.count("Exchange SinglePartition") == 1
