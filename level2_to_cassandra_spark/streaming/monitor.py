@@ -1,0 +1,101 @@
+"""Per-micro-batch ingest observability (SURVEY.md §2 A9-A11 adjacent —
+the operational telemetry the reference daemon has none of: its only
+signal is a per-message eprintln on failure, main.rs:224-229).
+
+A production ingest needs to answer, per micro-batch: how many rows
+landed, what event-time range they covered (watermark lag), and
+whether any carried a broken upsert key.  This module wraps any
+``foreachBatch`` sink callback to append one audit row per
+(batch, table) to a parquet metrics table beside the sink.
+
+Cost model: the micro-batch is persisted once and both the sink write
+and the metrics aggregate read the cache — the standard foreachBatch
+multi-consumer idiom (Spark's own docs recommend it whenever a batch
+feeds more than one action).  The cache is bounded by the trigger size
+(maxFilesPerTrigger / maxOffsetsPerTrigger), not by table size, so it
+holds at any corpus scale.  (``Observation``-based metrics would avoid
+the cache entirely, but Spark does not deliver Observation results
+inside streaming foreachBatch callbacks — the listener that populates
+them never fires there; verified on Spark 4.)
+
+Delivery semantics: the metrics append runs AFTER the wrapped sink
+write succeeds, inside the same at-least-once foreachBatch attempt —
+a replayed batch writes a second metrics row with the same batch_id
+(at-least-once telemetry over an idempotent data sink); readers
+aggregate with ``dropDuplicates(["batch_id"])`` as usual for audit
+logs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: audit-table schema (kept flat + scalar so any engine can read it)
+METRICS_SCHEMA = (
+    "batch_id long, table_suffix string, n_rows long, "
+    "n_null_key long, min_event_ts timestamp, max_event_ts timestamp"
+)
+
+
+def metrics_path(base: str) -> str:
+    """The audit table lives beside the sink tables, underscore-prefixed
+    so directory-globbing readers of the data tables skip it."""
+    return f"{base}/_ingest_metrics"
+
+
+def foreach_batch_with_metrics(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    table_suffix: str,
+    key_col: str = "symbol",
+    ts_col: str = "time",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch callback with per-batch audit telemetry.
+
+    The batch is cached so the wrapped sink write and the metrics
+    aggregate share one source read (see module docstring for why
+    ``Observation`` cannot carry this in streaming callbacks).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            m = batch_df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(key_col).isNull(), 1).otherwise(0)
+                ).alias("n_null_key"),
+                F.min(F.col(ts_col)).alias("min_event_ts"),
+                F.max(F.col(ts_col)).alias("max_event_ts"),
+            ).first()
+            row = batch_df.sparkSession.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        table_suffix,
+                        int(m["n_rows"]),
+                        int(m["n_null_key"] or 0),
+                        m["min_event_ts"],
+                        m["max_event_ts"],
+                    )
+                ],
+                METRICS_SCHEMA,
+            )
+            row.coalesce(1).write.mode("append").parquet(
+                f"{metrics_path(base_path)}/{table_suffix}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_metrics(spark, base_path: str, table_suffix: str) -> DataFrame:
+    """Read the audit table for one sink table."""
+    return spark.read.schema(METRICS_SCHEMA).parquet(
+        f"{metrics_path(base_path)}/{table_suffix}"
+    )

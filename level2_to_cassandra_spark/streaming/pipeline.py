@@ -40,6 +40,7 @@ class PipelineConfig:
     kafka: dict[str, str] = field(default_factory=dict)
     cassandra: dict[str, str] = field(default_factory=dict)
     sink: str = "parquet"              # "parquet" (CI) | "cassandra" (prod)
+    metrics: bool = False              # APP_METRICS: per-batch audit rows
 
     def __post_init__(self) -> None:
         if self.mode not in MODES:
@@ -136,6 +137,7 @@ class PipelineConfig:
             kafka=kafka,
             cassandra=cassandra,
             sink="cassandra" if cassandra else "parquet",
+            metrics=e.get("APP_METRICS", "").lower() in ("1", "true", "yes"),
         )
 
 
@@ -218,6 +220,16 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
                                                cfg.cassandra)
         else:
             callback = foreach_batch_upsert(cfg.out_path, suffix)
+        if cfg.metrics:
+            from level2_to_cassandra_spark.streaming.monitor import (
+                foreach_batch_with_metrics,
+            )
+
+            # zero-extra-scan: the observe() aggregates ride the sink
+            # write's own action (monitor.py)
+            callback = foreach_batch_with_metrics(
+                callback, cfg.out_path, suffix
+            )
         writer = (
             df.writeStream.outputMode("update")
             .option("checkpointLocation", f"{cfg.checkpoint}/{suffix}")

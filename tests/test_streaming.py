@@ -798,3 +798,47 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
     got = {(r.symbol, str(r.time), r.price): r.volume
            for r in read_sink_latest(spark, out, "tick").collect()}
     assert got == seen_pre_flip
+
+
+def test_ingest_metrics_audit_table(spark, fixture_dir, tmp_path):
+    """APP_METRICS=1: every micro-batch appends one audit row per sink
+    table via an Observation riding the sink write's own action — the
+    per-batch n_rows must sum to the batch pipeline's pre-dedup input
+    count, event-time bounds must match, and no upsert key is null."""
+    from level2_to_cassandra_spark.streaming.monitor import read_metrics
+
+    out_path = str(tmp_path / "sink")
+    cfg = PipelineConfig(
+        mode="full", out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"), metrics=True,
+    )
+    env_stream = file_envelope_stream(spark, fixture_dir,
+                                      max_files_per_trigger=1)
+    for q in build_streaming_pipeline(env_stream, cfg):
+        assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    env_batch = file_envelope_batch(spark, fixture_dir)
+    from level2_to_cassandra_spark.streaming.pipeline import (
+        book_rows,
+        tick_rows_batch,
+    )
+    raw = {"book": book_rows(env_batch, cfg),
+           "tick": tick_rows_batch(env_batch, cfg)}
+    for suffix, rows_df in raw.items():
+        m = read_metrics(spark, out_path, suffix).collect()
+        assert m, f"no metrics rows for {suffix}"
+        assert len({r.batch_id for r in m}) == len(m)  # one row per batch
+        assert sum(r.n_rows for r in m) == rows_df.count()
+        assert all(r.n_null_key == 0 for r in m)
+        lo = min(r.min_event_ts for r in m if r.min_event_ts)
+        hi = max(r.max_event_ts for r in m if r.max_event_ts)
+        want = rows_df.agg(F.min("time"), F.max("time")).first()
+        assert (lo, hi) == (want[0], want[1])
+
+
+def test_metrics_config_from_env():
+    """APP_METRICS joins the reference env surface (A12)."""
+    assert PipelineConfig.from_env({"APP_METRICS": "1"}).metrics
+    assert PipelineConfig.from_env({"APP_METRICS": "true"}).metrics
+    assert not PipelineConfig.from_env({}).metrics
+    assert not PipelineConfig.from_env({"APP_METRICS": "0"}).metrics
