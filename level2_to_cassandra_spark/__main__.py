@@ -47,6 +47,10 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
                    help="maintenance mode: fold the upsert sink's append "
                         "history to each key's winning row and exit "
                         "(no source needed)")
+    p.add_argument("--reconcile", action="store_true",
+                   help="audit mode: replay the capture (--input) through "
+                        "the batch pipeline, diff it against the sink, "
+                        "print per-table counters; exit 0 iff clean")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -64,6 +68,26 @@ def main(argv: list[str] | None = None) -> int:
 
     args = _parse_args(argv)
     cfg = PipelineConfig.from_env()
+    if args.reconcile:
+        from level2_to_cassandra_spark.streaming.reconcile import (
+            reconcile_sink,
+        )
+
+        if not args.input:
+            print("error: --reconcile needs --input/L2C_INPUT",
+                  file=sys.stderr)
+            return 2
+        src = "wire" if args.source == "wire" else "file"
+        spark = get_spark(app_name="l2c-reconcile")
+        suffixes = {"book": ("book", "full"), "tick": ("tick", "full")}
+        clean = True
+        for suffix, modes in suffixes.items():
+            if cfg.mode not in modes:
+                continue
+            r = reconcile_sink(spark, args.input, cfg, suffix, source=src)
+            print(f"reconcile {suffix}: {r}")
+            clean = clean and r["ok"]
+        return 0 if clean else 1
     if args.compact:
         from level2_to_cassandra_spark.streaming.sink import compact_sink
 

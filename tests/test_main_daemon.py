@@ -123,3 +123,49 @@ def test_daemon_compact_mode(spark, tmp_path, monkeypatch):
     assert got == want
     assert len(glob.glob(f"{out}/tick/**/*.parquet",
                          recursive=True)) < n_files
+
+
+def test_daemon_reconcile_clean_and_tampered(
+        spark, capture_dir, tmp_path, monkeypatch):
+    """--reconcile: a sink produced by draining the capture reconciles
+    clean (rc 0, every key matched); after tampering (drop a key,
+    mutate a payload, add a foreign row) the audit classifies each
+    corruption and the daemon exits 1."""
+    import pyspark.sql.functions as F
+
+    from level2_to_cassandra_spark.streaming.pipeline import PipelineConfig
+    from level2_to_cassandra_spark.streaming.reconcile import reconcile_sink
+
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--drain"]) == 0
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--reconcile"]) == 0
+
+    # tamper with the tick table: drop one key, corrupt another's
+    # payload, inject a foreign key
+    cfg = PipelineConfig.from_env()
+    tick = read_sink_latest(spark, str(out), "tick").collect()
+    assert len(tick) == 2
+    keep = [r.asDict() for r in sorted(tick, key=lambda r: r.time)]
+    corrupted = dict(keep[0], volume=999)           # mismatch
+    foreign = dict(keep[0], symbol="XXXYYY")        # extra
+    rows = [corrupted, foreign]                     # keep[1] dropped → missing
+    import shutil
+    tick_dir = f"{out}/tick"
+    shutil.rmtree(tick_dir)
+    spark.createDataFrame(rows).write.parquet(tick_dir)
+
+    r = reconcile_sink(spark, str(capture_dir), cfg, "tick", source="wire")
+    assert not r["ok"]
+    assert (r["missing"], r["extra"], r["mismatch"]) == (1, 1, 1)
+    # book table untouched — still clean
+    assert reconcile_sink(spark, str(capture_dir), cfg, "book",
+                          source="wire")["ok"]
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--reconcile"]) == 1
