@@ -198,19 +198,32 @@ def _list_append_files(src: str) -> list[str]:
     return sorted(out)
 
 
-def _read_sink_raw(spark, src: str) -> DataFrame:
+def _read_sink_raw(spark, src: str, merge_schema: bool = False) -> DataFrame:
     """Union of the live compacted base version (via the ``_CURRENT``
     manifest pointer) and every top-level appended file.  Base rows
     kept their original ``__batch_id``/``seq`` through compaction, so
-    one ``upsert_dedup`` over the union is still last-write-wins."""
+    one ``upsert_dedup`` over the union is still last-write-wins.
+
+    ``merge_schema=True`` survives additive payload evolution (a later
+    batch carrying a NEW column): parquet footers are merged per read
+    and the base/append union aligns by name with missing columns
+    null-filled.  Off by default — footer merging reads every file's
+    metadata, which a 100 TB table pays for; production table formats
+    carry the schema in the table metadata instead, and the upsert
+    KEY columns are frozen (schemas.py) so the LWW semantics never
+    depend on it."""
     cur = _current_version(src)
     appends = _list_append_files(src)
+    ms = "true" if merge_schema else "false"
     parts = []
     if cur is not None:
-        parts.append(spark.read.parquet(f"{src}/{cur}"))
+        parts.append(
+            spark.read.option("mergeSchema", ms).parquet(f"{src}/{cur}")
+        )
     if appends:
         parts.append(
             spark.read.option("basePath", src)
+            .option("mergeSchema", ms)
             .parquet(*[f"{src}/{p}" for p in appends])
         )
     if not parts:
@@ -218,16 +231,19 @@ def _read_sink_raw(spark, src: str) -> DataFrame:
         return spark.read.parquet(src)
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        df = df.unionByName(p, allowMissingColumns=merge_schema)
     return df
 
 
-def read_sink_latest(spark, path: str, table_suffix: str) -> DataFrame:
+def read_sink_latest(spark, path: str, table_suffix: str,
+                     merge_schema: bool = False) -> DataFrame:
     """Read a sink table back applying last-write-wins across ALL
     appended batches — the query-side completion of upsert semantics
     (later batches shadow earlier rows with the same key).  Honors the
-    ``_CURRENT`` manifest pointer left by :func:`compact_sink`."""
-    df = _read_sink_raw(spark, f"{path}/{table_suffix}")
+    ``_CURRENT`` manifest pointer left by :func:`compact_sink`.
+    ``merge_schema=True`` tolerates additive schema evolution across
+    the append history (see :func:`_read_sink_raw`)."""
+    df = _read_sink_raw(spark, f"{path}/{table_suffix}", merge_schema)
     return upsert_dedup(df).drop(BATCH_COL)
 
 

@@ -842,3 +842,38 @@ def test_metrics_config_from_env():
     assert PipelineConfig.from_env({"APP_METRICS": "true"}).metrics
     assert not PipelineConfig.from_env({}).metrics
     assert not PipelineConfig.from_env({"APP_METRICS": "0"}).metrics
+
+
+def test_sink_schema_evolution_merge(spark, fixture_dir, tmp_path):
+    """Additive payload evolution: a later batch carrying a NEW column
+    must (a) not break the default reader for the old columns, and
+    (b) surface the new column null-filled for pre-evolution rows when
+    merge_schema=True — while LWW shadowing on the frozen key columns
+    keeps working across the schema boundary."""
+    from level2_to_cassandra_spark.streaming.sink import write_upsert_parquet
+
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="book", out_path="", checkpoint="")
+    v1 = build_batch_pipeline(env, cfg)["book"]
+    path = str(tmp_path / "evolving")
+    write_upsert_parquet(v1, path, "book", batch_id=0)
+
+    # evolved batch: same rows re-upserted with a new `venue` column
+    # and a changed volume (must shadow v1 under LWW)
+    v2 = v1.withColumn("venue", F.lit("primary")).withColumn(
+        "volume", F.col("volume") + 100
+    )
+    write_upsert_parquet(v2, path, "book", batch_id=1)
+
+    merged = read_sink_latest(spark, path, "book", merge_schema=True)
+    assert "venue" in merged.columns
+    rows = merged.collect()
+    assert rows and all(r.venue == "primary" for r in rows)  # LWW: v2 won
+    assert all(r.volume > 100 for r in rows)
+
+    # third batch WITHOUT the new column (old-producer replay): its
+    # rows must still shadow, venue reads back null for them
+    v3 = v1.withColumn("volume", F.col("volume") + 200)
+    write_upsert_parquet(v3, path, "book", batch_id=2)
+    rows3 = read_sink_latest(spark, path, "book", merge_schema=True).collect()
+    assert all(r.venue is None and r.volume > 200 for r in rows3)
