@@ -169,3 +169,38 @@ def test_daemon_reconcile_clean_and_tampered(
                           source="wire")["ok"]
     assert main(["--source", "wire", "--input", str(capture_dir),
                  "--reconcile"]) == 1
+
+
+def test_reconcile_time_bounds_scope_the_audit(
+        spark, capture_dir, tmp_path, monkeypatch):
+    """since/until push into both the replay and the sink scan: an
+    audit scoped to a window that excludes a lost row reports clean,
+    the full audit does not — the nightly partition-scoped pattern."""
+    import datetime
+
+    from level2_to_cassandra_spark.streaming.pipeline import PipelineConfig
+    from level2_to_cassandra_spark.streaming.reconcile import reconcile_sink
+
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "tick")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--drain"]) == 0
+
+    cfg = PipelineConfig.from_env()
+    # drop the LATER tick (time=1700000060) from the sink
+    import shutil
+    rows = [r.asDict() for r in read_sink_latest(spark, str(out), "tick")
+            .where("time = to_timestamp(1700000000)").collect()]
+    shutil.rmtree(f"{out}/tick")
+    spark.createDataFrame(rows).write.parquet(f"{out}/tick")
+
+    cut = datetime.datetime(2023, 11, 14, 22, 14, 0)  # between the two ticks
+    scoped = reconcile_sink(spark, str(capture_dir), cfg, "tick",
+                            source="wire", until=cut)
+    assert scoped["ok"] and scoped["matched"] == 1
+    full = reconcile_sink(spark, str(capture_dir), cfg, "tick",
+                          source="wire")
+    assert not full["ok"] and full["missing"] == 1

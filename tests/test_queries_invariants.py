@@ -91,3 +91,35 @@ def test_rollup_partial_merge_exactness_randomized(spark):
         .collect()
     }
     assert merged == direct  # Decimal equality — exact, no tolerance
+
+
+def test_winsorize_clip_laws(spark):
+    """Winsorization laws: the clipped mean lies within the clip
+    bounds' effect — |winsorized_mean| <= max(|lo|,|hi|) per group,
+    n_clipped is (about) the outer 10% (two 5% tails of n, +-1 for
+    interpolation at the boundary), and clipping never moves the mean
+    AWAY from the raw mean's median-ward direction more than the raw
+    spread allows (winsorized within [min raw, max raw])."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    res = {r.event_type: r
+           for r in all_queries()["q_winsorize"].fn(spark, sf).collect()}
+    raw = {
+        r.event_type: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(res) == set(raw)
+    for et, r in res.items():
+        assert raw[et].lo <= r.winsorized_mean <= raw[et].hi
+        assert raw[et].lo <= r.raw_mean <= raw[et].hi
+        # two 5% tails; interpolated bounds admit at most ~1 extra per tail
+        assert r.n_clipped <= int(0.1 * r.n) + 2
+        assert r.n == raw[et].n
