@@ -1523,6 +1523,39 @@ def ivfpq_build(corpus: DataFrame, n_cells: int = 16, m: int = _PQ_M,
                       path=path, _cached=cached)
 
 
+def _encode_with_frozen_quantizers(index: IvfPqIndex,
+                                   new_corpus: DataFrame) -> DataFrame:
+    """The shared ingest kernel: assign a vector batch to the index's
+    FROZEN cells and encode against its FROZEN codebooks — two Arrow
+    passes over only the batch.  Deterministic (rounded argmins, fixed
+    codebooks): the same rows always produce byte-identical code rows,
+    which is what makes replayed ingest batches idempotent."""
+    spark = new_corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in row])
+         for c, row in zip(index.cells, index.cmat)],
+        "cell int, __cv array<double>",
+    )
+    assigned = ivf_assign_np(new_corpus, cent, index.id_col,
+                             index.vec_col, round_assign=6)
+    if index.by_residual:
+        res = assigned.join(F.broadcast(cent), "cell").select(
+            index.id_col,
+            "cell",
+            F.zip_with(
+                as_double(F.col(index.vec_col)), F.col("__cv"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        return pq_assign_np(res, index.cb, mode="encode", m=index.m,
+                            sub_dim=index.sub_dim, id_col=index.id_col,
+                            vec_col="__res", carry_cell=True)
+    return pq_assign_np(assigned, index.cb, mode="encode",
+                        m=index.m, sub_dim=index.sub_dim,
+                        id_col=index.id_col,
+                        vec_col=index.vec_col, carry_cell=True)
+
+
 def ivfpq_append(index: IvfPqIndex, new_corpus: DataFrame) -> IvfPqIndex:
     """Append a new vector batch to a built IVF-PQ index WITHOUT
     retraining — the production ingest shape: the quantizers (coarse
@@ -1545,30 +1578,7 @@ def ivfpq_append(index: IvfPqIndex, new_corpus: DataFrame) -> IvfPqIndex:
     :meth:`IvfPqIndex.unpersist` on the RETURNED index, which also
     holds the parent's cached relations)."""
     spark = new_corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(int(c), [float(x) for x in row])
-         for c, row in zip(index.cells, index.cmat)],
-        "cell int, __cv array<double>",
-    )
-    assigned = ivf_assign_np(new_corpus, cent, index.id_col,
-                             index.vec_col, round_assign=6)
-    if index.by_residual:
-        res = assigned.join(F.broadcast(cent), "cell").select(
-            index.id_col,
-            "cell",
-            F.zip_with(
-                as_double(F.col(index.vec_col)), F.col("__cv"),
-                lambda x, c: x - c,
-            ).alias("__res"),
-        )
-        new_codes = pq_assign_np(res, index.cb, mode="encode", m=index.m,
-                                 sub_dim=index.sub_dim, id_col=index.id_col,
-                                 vec_col="__res", carry_cell=True)
-    else:
-        new_codes = pq_assign_np(assigned, index.cb, mode="encode",
-                                 m=index.m, sub_dim=index.sub_dim,
-                                 id_col=index.id_col,
-                                 vec_col=index.vec_col, carry_cell=True)
+    new_codes = _encode_with_frozen_quantizers(index, new_corpus)
     if index.path is not None:
         new_codes.write.mode("append").parquet(index.path)
         merged = spark.read.parquet(index.path)
@@ -1585,6 +1595,61 @@ def ivfpq_append(index: IvfPqIndex, new_corpus: DataFrame) -> IvfPqIndex:
                       id_col=index.id_col, vec_col=index.vec_col,
                       by_residual=index.by_residual, path=index.path,
                       _cached=cached)
+
+
+def foreach_batch_ivfpq_ingest(index: IvfPqIndex, ingest_path: str):
+    """STREAMING ANN ingest — the foreachBatch twin of
+    :func:`ivfpq_append`: each micro-batch of vectors is encoded
+    against the index's frozen quantizers and landed at
+    ``{ingest_path}/b{batch_id}`` with ``mode("overwrite")``.
+
+    Replay safety under at-least-once foreachBatch: streaming batch
+    ids are stable across checkpoint restarts, the encode is
+    deterministic, and overwrite replaces the batch directory — a
+    replayed batch rewrites byte-identical files instead of
+    duplicating codes.  The index itself is NOT touched per batch
+    (concurrent serve keeps reading a consistent snapshot); call
+    :func:`ivfpq_ingest_merge` after (or on a schedule) to fold the
+    landed codes in — the same quantizer-freshness contract as
+    :func:`ivfpq_append`."""
+    if index.path is None:
+        raise ValueError(
+            "streaming ingest requires a path-backed index "
+            "(ivfpq_build(..., path=...)) — a persist-backed relation "
+            "cannot absorb appends across micro-batches/restarts"
+        )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        codes = _encode_with_frozen_quantizers(index, batch_df)
+        codes.write.mode("overwrite").parquet(
+            f"{ingest_path}/b{int(batch_id):08d}"
+        )
+
+    return _write
+
+
+def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
+    """Fold codes landed by :func:`foreach_batch_ivfpq_ingest` into the
+    path-backed index: one recursive read of the ingest staging tree,
+    appended to the index parquet (at cluster scale: an atomic
+    partition add), and the merged relation re-read.  Returns the
+    refreshed :class:`IvfPqIndex`; run
+    :func:`ivfpq_check_coverage` afterwards if the serve corpus may
+    lag the ingest."""
+    spark = index.index.sparkSession
+    landed = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(ingest_path)
+    )
+    landed.select(*index.index.columns).write.mode("append").parquet(
+        index.path
+    )
+    merged = spark.read.parquet(index.path)
+    return IvfPqIndex(merged, index.cb, index.cells, index.cmat,
+                      n_cells=index.n_cells, m=index.m,
+                      k_codes=index.k_codes, sub_dim=index.sub_dim,
+                      id_col=index.id_col, vec_col=index.vec_col,
+                      by_residual=index.by_residual, path=index.path)
 
 
 def ivfpq_check_coverage(index: "IvfPqIndex", corpus: DataFrame) -> None:

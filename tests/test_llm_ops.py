@@ -1158,3 +1158,69 @@ def test_asof_join_forward_boundaries(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="ts", by=["k"], direction="sideways")
+
+
+def test_ivfpq_streaming_ingest_matches_batch_append(spark, tmp_path):
+    """Streaming ANN ingest: micro-batches of vectors landed by
+    foreach_batch_ivfpq_ingest + one ivfpq_ingest_merge must yield
+    code-for-code the index ivfpq_append produces from the same rows
+    in one batch — and replaying a landed batch (at-least-once
+    foreachBatch) must change nothing (idempotent overwrite)."""
+    import json as _json
+
+    em = load_table(spark, SF, "embeddings")
+    em_a = em.where(F.col("vec_id") % 2 == 0)
+    em_b = em.where(F.col("vec_id") % 2 == 1)
+    base_path = str(tmp_path / "index")
+    idx = similarity.ivfpq_build(em_a, path=base_path)
+
+    # stream em_b as 2 micro-batches (JSONL file source, 1 file each)
+    d = tmp_path / "stream"
+    d.mkdir()
+    rows = em_b.select("vec_id", "embedding").collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (d / f"part-{i:03d}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": r.vec_id,
+                             "embedding": [float(x) for x in r.embedding]})
+                for r in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    ingest = str(tmp_path / "ingest")
+    cb = similarity.foreach_batch_ivfpq_ingest(idx, ingest)
+    q = (
+        stream.writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    # at-least-once replay: re-land batch 0 by hand — must be a no-op
+    b0 = spark.read.schema("vec_id long, embedding array<float>").json(
+        str(d / "part-000.jsonl")
+    )
+    cb(b0, 0)
+
+    merged = similarity.ivfpq_ingest_merge(idx, ingest)
+
+    def rows_of(df):
+        return {
+            (r.neighbor_id, tuple(r.codes), r.recon_norm, r.cell)
+            for r in df.collect()
+        }
+
+    want = rows_of(
+        similarity.ivfpq_append(
+            similarity.ivfpq_build(em_a, path=str(tmp_path / "index2")),
+            em_b,
+        ).index
+    )
+    assert rows_of(merged.index) == want
+    similarity.ivfpq_check_coverage(merged, em)  # every id serveable
