@@ -1636,7 +1636,14 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     refreshed :class:`IvfPqIndex`; run
     :func:`ivfpq_check_coverage` afterwards if the serve corpus may
     lag the ingest."""
+    import os
+
     spark = index.index.sparkSession
+    if not os.path.isdir(ingest_path) or not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(ingest_path) for f in fs
+    ):
+        return index  # nothing landed: merge is a no-op, index unchanged
     landed = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(ingest_path)

@@ -1224,3 +1224,17 @@ def test_ivfpq_streaming_ingest_matches_batch_append(spark, tmp_path):
     )
     assert rows_of(merged.index) == want
     similarity.ivfpq_check_coverage(merged, em)  # every id serveable
+
+
+def test_ivfpq_ingest_merge_empty_staging_noop(spark, tmp_path):
+    """Merging an absent or empty staging tree returns the index
+    unchanged (scheduled merges must tolerate idle ingest windows)."""
+    em = load_table(spark, SF, "embeddings").where(F.col("vec_id") % 2 == 0)
+    idx = similarity.ivfpq_build(em, path=str(tmp_path / "idx"))
+    before = idx.index.count()
+    out = similarity.ivfpq_ingest_merge(idx, str(tmp_path / "missing"))
+    assert out is idx
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    out2 = similarity.ivfpq_ingest_merge(idx, str(empty))
+    assert out2 is idx and idx.index.count() == before
