@@ -76,3 +76,48 @@ def export_shards(docs: DataFrame, path: str, seed: str,
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def export_manifest(spark, path: str) -> dict:
+    """Write ``{path}/_manifest.json`` describing the exported shards —
+    the inventory a training loader (or a resume-from-step scheduler)
+    reads INSTEAD of listing and opening parquet footers across the
+    whole tree: per-shard row counts + position bounds, total rows,
+    shard count.
+
+    Derived from the written files themselves (one parquet scan of the
+    export, aggregated per shard), so the manifest cannot drift from
+    the data; re-running after a re-export rewrites it.  The underscore
+    prefix keeps directory-globbing parquet readers away (same
+    convention as the ingest metrics table).  Returns the manifest
+    dict."""
+    import json
+    import os
+
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+        .collect()
+    )
+    shards = {
+        str(r.shard_id): {
+            "n_rows": int(r.n_rows),
+            "min_pos": int(r.min_pos),
+            "max_pos": int(r.max_pos),
+        }
+        for r in sorted(rows, key=lambda r: r.shard_id)
+    }
+    manifest = {
+        "format": "l2c-shard-export/1",
+        "n_shards": len(shards),
+        "n_rows": sum(s["n_rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -457,3 +457,34 @@ def test_export_shards_layout_and_stream_order(spark, tmp_path):
         assert ids_in_shard == set(want[shard])
         got_docs += len(ids_in_shard)
     assert got_docs == docs.count()
+
+
+def test_export_manifest_matches_written_shards(spark, tmp_path):
+    """_manifest.json must inventory exactly what was written: per-
+    shard counts summing to the corpus, dense 1..n position bounds,
+    and stability across a same-seed re-export."""
+    import json
+    import pathlib
+
+    from level2_to_cassandra_spark.operators.export import (
+        export_manifest,
+        export_shards,
+    )
+    from level2_to_cassandra_spark.queries.traindata import _EPOCH_SEED
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, _EPOCH_SEED)
+    m = export_manifest(spark, path)
+
+    assert m == json.loads((pathlib.Path(path) / "_manifest.json")
+                           .read_text())
+    assert m["n_rows"] == docs.count()
+    assert m["n_shards"] == len(m["shards"]) > 0
+    for s in m["shards"].values():
+        assert (s["min_pos"], s["max_pos"]) == (1, s["n_rows"])  # dense
+
+    # same-seed re-export → identical manifest (determinism contract)
+    export_shards(docs, path, _EPOCH_SEED)
+    assert export_manifest(spark, path) == m
