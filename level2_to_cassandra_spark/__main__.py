@@ -51,6 +51,14 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
                    help="audit mode: replay the capture (--input) through "
                         "the batch pipeline, diff it against the sink, "
                         "print per-table counters; exit 0 iff clean")
+    p.add_argument("--query", metavar="NAME",
+                   help="run one registered query against --sf-dir and "
+                        "print the result (NAME=list prints the registry)")
+    p.add_argument("--sf-dir", default=os.environ.get(
+                       "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+                   help="fixture directory for --query")
+    p.add_argument("--limit", type=int, default=20,
+                   help="rows to show for --query")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -68,6 +76,24 @@ def main(argv: list[str] | None = None) -> int:
 
     args = _parse_args(argv)
     cfg = PipelineConfig.from_env()
+    if args.query:
+        from level2_to_cassandra_spark.registry import all_queries
+
+        qs = all_queries()
+        if args.query == "list":
+            for name, q in qs.items():
+                doc = (q.fn.__doc__ or "").strip().splitlines()[0]
+                print(f"{name:32s} {doc}")
+            return 0
+        if args.query not in qs:
+            print(f"error: unknown query {args.query!r} "
+                  f"(--query list shows all {len(qs)})", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"l2c-query-{args.query}")
+        qs[args.query].fn(spark, args.sf_dir).show(
+            args.limit, truncate=False
+        )
+        return 0
     if args.reconcile:
         from level2_to_cassandra_spark.streaming.reconcile import (
             reconcile_sink,

@@ -204,3 +204,16 @@ def test_reconcile_time_bounds_scope_the_audit(
     full = reconcile_sink(spark, str(capture_dir), cfg, "tick",
                           source="wire")
     assert not full["ok"] and full["missing"] == 1
+
+
+def test_query_cli_runs_and_lists(capsys):
+    """--query NAME runs a registered query against --sf-dir; --query
+    list prints the registry; unknown names exit 2."""
+    assert main(["--query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "q_agg_basic" in out and "q_window_cumulative" in out
+    assert main(["--query", "q_agg_basic",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+    assert main(["--query", "nope"]) == 2
