@@ -1632,11 +1632,19 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     """Fold codes landed by :func:`foreach_batch_ivfpq_ingest` into the
     path-backed index: one recursive read of the ingest staging tree,
     appended to the index parquet (at cluster scale: an atomic
-    partition add), and the merged relation re-read.  Returns the
-    refreshed :class:`IvfPqIndex`; run
+    partition add), then the CONSUMED staging tree is cleared — merge
+    cycles are therefore repeatable (merge; more ingest; merge again)
+    without double-appending a batch that was already folded in.
+    Returns the refreshed :class:`IvfPqIndex`; run
     :func:`ivfpq_check_coverage` afterwards if the serve corpus may
-    lag the ingest."""
+    lag the ingest.
+
+    The clear happens AFTER the append succeeds; a crash between the
+    two leaves the staging tree intact and the next merge re-appends
+    it — pair with a compaction/dedup pass on ``neighbor_id`` if that
+    at-least-once window matters operationally."""
     import os
+    import shutil
 
     spark = index.index.sparkSession
     if not os.path.isdir(ingest_path) or not any(
@@ -1651,6 +1659,9 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     landed.select(*index.index.columns).write.mode("append").parquet(
         index.path
     )
+    for entry in os.listdir(ingest_path):
+        shutil.rmtree(os.path.join(ingest_path, entry),
+                      ignore_errors=True)
     merged = spark.read.parquet(index.path)
     return IvfPqIndex(merged, index.cb, index.cells, index.cmat,
                       n_cells=index.n_cells, m=index.m,

@@ -1238,3 +1238,22 @@ def test_ivfpq_ingest_merge_empty_staging_noop(spark, tmp_path):
     empty.mkdir()
     out2 = similarity.ivfpq_ingest_merge(idx, str(empty))
     assert out2 is idx and idx.index.count() == before
+
+
+def test_ivfpq_ingest_merge_consumes_staging(spark, tmp_path):
+    """A second merge cycle must not double-append: the staging tree is
+    consumed on successful merge, so merge; merge is idempotent and
+    merge; ingest; merge folds only the new batch."""
+    em = load_table(spark, SF, "embeddings")
+    em_a = em.where(F.col("vec_id") % 2 == 0)
+    em_b = em.where(F.col("vec_id") % 2 == 1)
+    idx = similarity.ivfpq_build(em_a, path=str(tmp_path / "idx"))
+    ingest = str(tmp_path / "ingest")
+    cb = similarity.foreach_batch_ivfpq_ingest(idx, ingest)
+    cb(em_b.select("vec_id", "embedding"), 0)
+
+    m1 = similarity.ivfpq_ingest_merge(idx, ingest)
+    n = m1.index.count()
+    assert n == em.count()
+    m2 = similarity.ivfpq_ingest_merge(m1, ingest)
+    assert m2.index.count() == n  # staging consumed: no double-append
