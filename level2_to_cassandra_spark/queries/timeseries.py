@@ -1002,6 +1002,10 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t releases capacity before one OPENING at t claims it — and with
     that pin, the partial-sum multiset (hence the max) is invariant
     to any residual tie order, making the check integer-exact.
+    Consequence (intervals are effectively half-open [s, e)): a
+    single-event session has zero length and contributes nothing to
+    concurrency — pinned, with the midnight-crossing offset case, in
+    tests/test_queries_invariants.py.
 
     Plan shape (pinned): the ±1 boundaries come from ONE explode over
     the session relation — a start/end UNION would make Spark

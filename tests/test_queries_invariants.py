@@ -123,3 +123,57 @@ def test_winsorize_clip_laws(spark):
         # two 5% tails; interpolated bounds admit at most ~1 extra per tail
         assert r.n_clipped <= int(0.1 * r.n) + 2
         assert r.n == raw[et].n
+
+
+def test_max_concurrency_midnight_spanning_sessions(spark, tmp_path):
+    """The decomposition's hardest case: sessions CROSSING midnight put
+    their +1 and -1 boundaries in different day partitions, so day 2's
+    true starting level is nonzero and comes entirely from the prefix
+    offset.  Hand-built scenario: 3 users online 23:40-00:20 across
+    midnight plus 1 day-2-only user; day 2's peak (4) exceeds day 2's
+    within-day sweep max (which starts from 0) — only a correct offset
+    can produce it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    base = dt.datetime(2024, 3, 1, 23, 40)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):  # 23:40 -> 00:20, one event every 10 min
+        for k in range(5):
+            rows.append((eid, base + dt.timedelta(minutes=10 * k), u,
+                         "view", 1.0, "{}"))
+            eid += 1
+    # user 4: day-2-only session 00:05 -> 00:12 (two events — a
+    # SINGLE-event session is a zero-length [s, e) interval and counts
+    # nothing under the pinned closes-before-opens tie-break; user 5
+    # pins exactly that degenerate semantic below)
+    rows.append((eid, dt.datetime(2024, 3, 2, 0, 5), 4, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 3, 2, 0, 12), 4, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 3, 2, 0, 7), 5, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    df.write.parquet(f"{sf}/events.parquet")
+
+    got = {str(r.day): (r.max_concurrent, r.n_starts, r.n_ends)
+           for r in all_queries()["q_max_concurrency"].fn(spark, sf)
+           .collect()}
+    # day 1: users 1-3 all open by 23:40 -> peak 3; 3 starts, 0 ends.
+    # day 2 starts at level 3 (the offset — its within-day sweep alone
+    # peaks at +1): user 4's real session lifts the peak to 4; user
+    # 5's zero-length session (close sorts before open at the same
+    # instant) adds nothing.
+    assert got == {
+        "2024-03-01": (3, 3, 0),
+        "2024-03-02": (4, 2, 5),
+    }
