@@ -1453,9 +1453,10 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labeled WHERE period = 'ref' GROUP BY event_type),
     binned AS (
         SELECT l.event_type, l.period,
-               CAST(LEAST(GREATEST(
-                   FLOOR((l.value - b.lo) / (b.hi - b.lo) * 10),
-                   0), 9) AS BIGINT) AS bin
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(LEAST(GREATEST(
+                        FLOOR((l.value - b.lo) / (b.hi - b.lo) * 10),
+                        0), 9) AS BIGINT) END AS bin
         FROM labeled l JOIN bounds b USING (event_type)),
     cells AS (
         SELECT event_type, bin,
@@ -1517,15 +1518,22 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type", "period",
-        F.least(
-            F.greatest(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo")) * F.lit(10.0)
+        # hi == lo (degenerate reference window, e.g. a constant
+        # feature after a fixture regeneration) would make the bin
+        # expression 0/0 = NaN and lean on engine NaN ordering —
+        # collapse that case to bin 0 explicitly on both sides
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * F.lit(10.0)
+                    ),
+                    F.lit(0),
                 ),
-                F.lit(0),
-            ),
-            F.lit(9),
+                F.lit(9),
+            )
         ).cast("long").alias("bin"),
     )
     cells = binned.groupBy("event_type", "bin").agg(

@@ -177,3 +177,32 @@ def test_max_concurrency_midnight_spanning_sessions(spark, tmp_path):
         "2024-03-01": (3, 3, 0),
         "2024-03-02": (4, 2, 5),
     }
+
+
+def test_drift_psi_degenerate_constant_feature(spark, tmp_path):
+    """A constant-valued group in the reference window (hi == lo) must
+    not NaN-poison the binning: everything collapses into bin 0 and
+    PSI reflects only the count imbalance, finite and >= 0."""
+    import datetime as dt
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = []
+    for i in range(40):
+        ts = dt.datetime(2024, 1, 2) if i < 20 else dt.datetime(2024, 1, 20)
+        rows.append((i, ts, 1, "const", 7.0, "{}"))      # constant group
+        rows.append((1000 + i, ts, 2, "vary", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import os
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(f"{sf}/events.parquet")
+    res = {r.event_type: r
+           for r in all_queries()["q_drift_psi"].fn(spark, sf).collect()}
+    import math
+    for r in res.values():
+        assert math.isfinite(r.psi) and r.psi >= 0.0
+    assert res["const"].n_ref == 20 and res["const"].n_cur == 20
