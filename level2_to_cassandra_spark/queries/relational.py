@@ -1179,8 +1179,10 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (SELECT MIN(l_extendedprice) AS lo,
                            MAX(l_extendedprice) AS hi FROM lineitem),
-    b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) * 20
-                                  / (hi - lo)), 19) AS BIGINT) AS bin,
+    b AS (SELECT CASE WHEN hi = lo THEN 0
+                      ELSE CAST(LEAST(FLOOR((l_extendedprice - lo) * 20
+                                            / (hi - lo)), 19) AS BIGINT)
+                 END AS bin,
                  lo, hi
           FROM lineitem CROSS JOIN bounds)
     SELECT bin, cnt, ROUND(lo + bin * (hi - lo) / 20, 4) AS bin_lo
@@ -1203,10 +1205,15 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(F.min("l_extendedprice").alias("lo"),
                     F.max("l_extendedprice").alias("hi"))
-    bin_ = F.least(
-        F.floor((F.col("l_extendedprice") - F.col("lo")) * 20
-                / (F.col("hi") - F.col("lo"))),
-        F.lit(19),
+    # hi == lo (degenerate single-valued column) would be 0/0 = NaN
+    # and lean on engine NaN ordering inside LEAST — collapse to bin 0
+    # explicitly on both sides (same guard as q_drift_psi)
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) * 20
+                    / (F.col("hi") - F.col("lo"))),
+            F.lit(19),
+        )
     ).cast("long")
     return (
         li.crossJoin(F.broadcast(bounds))
