@@ -41,6 +41,7 @@ class PipelineConfig:
     cassandra: dict[str, str] = field(default_factory=dict)
     sink: str = "parquet"              # "parquet" (CI) | "cassandra" (prod)
     metrics: bool = False              # APP_METRICS: per-batch audit rows
+    dlq: bool = False                  # APP_DLQ: quarantine malformed payloads
 
     def __post_init__(self) -> None:
         if self.mode not in MODES:
@@ -138,6 +139,7 @@ class PipelineConfig:
             cassandra=cassandra,
             sink="cassandra" if cassandra else "parquet",
             metrics=e.get("APP_METRICS", "").lower() in ("1", "true", "yes"),
+            dlq=e.get("APP_DLQ", "").lower() in ("1", "true", "yes"),
         )
 
 
@@ -249,6 +251,32 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
                 "tick",
             )
         )
+    if cfg.dlq:
+        # dead-letter quarantine (APP_DLQ): the reference only logs
+        # malformed payloads and moves on (main.rs:224-229); this lands
+        # them in an underscore-prefixed side table so they can be
+        # inspected, fixed upstream, and replayed.  One extra query
+        # over the SAME envelope stream, its own checkpoint.
+        fenv = _apply_topic_filter(envelope, cfg)
+        parts = []
+        if cfg.mode in ("book", "full"):
+            parts.append(ingest.dead_letters(
+                fenv.where(F.col("msg_type") == ingest.BOOK), ingest.BOOK))
+        if cfg.mode in ("tick", "full"):
+            parts.append(ingest.dead_letters(
+                fenv.where(F.col("msg_type") == ingest.TICK), ingest.TICK))
+        dlq = parts[0]
+        for p in parts[1:]:
+            dlq = dlq.unionByName(p)
+        writer = (
+            dlq.writeStream.format("parquet")
+            .option("path", f"{cfg.out_path}/_dead_letters")
+            .option("checkpointLocation", f"{cfg.checkpoint}/dlq")
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        queries.append(writer.start())
     return queries
 
 

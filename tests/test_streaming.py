@@ -877,3 +877,31 @@ def test_sink_schema_evolution_merge(spark, fixture_dir, tmp_path):
     write_upsert_parquet(v3, path, "book", batch_id=2)
     rows3 = read_sink_latest(spark, path, "book", merge_schema=True).collect()
     assert all(r.venue is None and r.volume > 200 for r in rows3)
+
+
+def test_dead_letter_quarantine_sink(spark, fixture_dir, tmp_path):
+    """APP_DLQ=1: malformed payloads land in the _dead_letters side
+    table (exactly the rows the batch dead_letters relation isolates:
+    the '{not json' tick and the '[{bad' book), while the data tables
+    are untouched by the extra query."""
+    out_path = str(tmp_path / "sink")
+    cfg = PipelineConfig(
+        mode="full", out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"), dlq=True,
+    )
+    env_stream = file_envelope_stream(spark, fixture_dir,
+                                      max_files_per_trigger=1)
+    for q in build_streaming_pipeline(env_stream, cfg):
+        assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    dlq = spark.read.parquet(f"{out_path}/_dead_letters").collect()
+    got = {(r.msg_type, r.payload) for r in dlq}
+    assert got == {("TICK", "{not json"), ("BOOK", "[{bad")}
+    # data tables unaffected
+    assert read_sink_latest(spark, out_path, "tick").count() > 0
+    assert read_sink_latest(spark, out_path, "book").count() > 0
+
+
+def test_dlq_config_from_env():
+    assert PipelineConfig.from_env({"APP_DLQ": "1"}).dlq
+    assert not PipelineConfig.from_env({}).dlq
