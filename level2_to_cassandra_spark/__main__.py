@@ -139,12 +139,21 @@ def main(argv: list[str] | None = None) -> int:
     if src == "kafka":
         envelope = kafka_envelope(spark, cfg)
     elif src == "file":
-        envelope = sources.file_envelope_stream(spark, args.input)
+        envelope = sources.file_envelope_stream(
+            spark, args.input,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+        )
     elif src == "wire":
         register_wire_source(spark)
-        envelope = (
-            spark.readStream.format("l2wire").load(args.input)
-        )
+        reader = spark.readStream.format("l2wire")
+        # cap only in continuous mode: under availableNow the simple
+        # stream reader treats the first capped batch as "everything
+        # available" and a --drain would exit early (pinned in
+        # tests/test_wire_source.py)
+        if cfg.max_files_per_trigger is not None and not args.drain:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(cfg.max_files_per_trigger))
+        envelope = reader.load(args.input)
     else:
         envelope = sources.rate_envelope(spark, args.rate)
 

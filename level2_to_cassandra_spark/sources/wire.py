@@ -101,8 +101,9 @@ class _WireStreamReader(SimpleDataSourceStreamReader):
     ``[a, b)`` and recovery is deterministic.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, max_files_per_trigger: int | None = None):
         self.path = path
+        self.max_files_per_trigger = max_files_per_trigger
 
     def initialOffset(self) -> dict:
         return {"files": 0}
@@ -110,12 +111,19 @@ class _WireStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         files = _capture_files(self.path)
         done = start["files"]
+        # maxFilesPerTrigger caps the micro-batch (the memory bound of
+        # everything downstream — sink write, metrics cache, state
+        # update); a backlog then drains over several triggers instead
+        # of one giant batch, exactly like Spark's file source.
+        until = len(files)
+        if self.max_files_per_trigger is not None:
+            until = min(until, done + self.max_files_per_trigger)
         # A list, not a generator: the runtime's prefetch cache
         # copy.copy()s the returned iterator (datasource_internal), and
         # generators are not copyable.  The simple reader is
         # driver-side-materialized by contract, so this adds nothing.
-        rows = [row for f in files[done:] for row in _parse_lines(f)]
-        return rows, {"files": len(files)}
+        rows = [row for f in files[done:until] for row in _parse_lines(f)]
+        return rows, {"files": until}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         files = _capture_files(self.path)
@@ -144,7 +152,9 @@ class WireDataSource(DataSource):
         return _WireBatchReader(self._path())
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
-        return _WireStreamReader(self._path())
+        cap = self.options.get("maxFilesPerTrigger")
+        return _WireStreamReader(self._path(),
+                                 int(cap) if cap else None)
 
 
 def register_wire_source(spark) -> None:

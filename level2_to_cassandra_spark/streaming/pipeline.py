@@ -42,6 +42,14 @@ class PipelineConfig:
     sink: str = "parquet"              # "parquet" (CI) | "cassandra" (prod)
     metrics: bool = False              # APP_METRICS: per-batch audit rows
     dlq: bool = False                  # APP_DLQ: quarantine malformed payloads
+    #: micro-batch sizing — THE memory bound of the whole pipeline
+    #: (sink writes, the metrics cache, and state updates are all
+    #: per-batch): file sources cap files/trigger, Kafka caps
+    #: offsets/trigger.  None = Spark defaults (drain everything
+    #: available), the right call for bounded CI drains; a live
+    #: deployment sets both.
+    max_files_per_trigger: int | None = None   # TRIGGER_MAX_FILES
+    max_offsets_per_trigger: int | None = None  # TRIGGER_MAX_OFFSETS
 
     def __post_init__(self) -> None:
         if self.mode not in MODES:
@@ -140,6 +148,14 @@ class PipelineConfig:
             sink="cassandra" if cassandra else "parquet",
             metrics=e.get("APP_METRICS", "").lower() in ("1", "true", "yes"),
             dlq=e.get("APP_DLQ", "").lower() in ("1", "true", "yes"),
+            max_files_per_trigger=(
+                int(e["TRIGGER_MAX_FILES"])
+                if e.get("TRIGGER_MAX_FILES") else None
+            ),
+            max_offsets_per_trigger=(
+                int(e["TRIGGER_MAX_OFFSETS"])
+                if e.get("TRIGGER_MAX_OFFSETS") else None
+            ),
         )
 
 
@@ -290,6 +306,9 @@ def kafka_envelope(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         spark.readStream.format("kafka")
         .option("startingOffsets", "latest")
     )
+    if cfg.max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger",
+                               str(cfg.max_offsets_per_trigger))
     for k, v in cfg.kafka.items():
         reader = reader.option(k, v)
     raw = reader.load()

@@ -174,3 +174,18 @@ def test_kafka_envelope_reader_options():
         "kafka.ssl.keystore.certificate.chain",
         "kafka.ssl.truststore.certificates",
     }
+
+
+def test_trigger_sizing_config_from_env():
+    """TRIGGER_MAX_FILES / TRIGGER_MAX_OFFSETS join the env surface —
+    the micro-batch memory bound of a live deployment."""
+    from level2_to_cassandra_spark.streaming.pipeline import PipelineConfig
+
+    cfg = PipelineConfig.from_env(
+        {"TRIGGER_MAX_FILES": "8", "TRIGGER_MAX_OFFSETS": "10000"}
+    )
+    assert cfg.max_files_per_trigger == 8
+    assert cfg.max_offsets_per_trigger == 10000
+    d = PipelineConfig.from_env({})
+    assert d.max_files_per_trigger is None
+    assert d.max_offsets_per_trigger is None

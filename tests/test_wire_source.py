@@ -113,3 +113,51 @@ def test_schema_constant_matches_source(spark, capture_dir):
     register_wire_source(spark)
     df = spark.read.format("l2wire").load(str(capture_dir))
     assert df.schema == spark.createDataFrame([], WIRE_SCHEMA).schema
+
+
+def test_wire_stream_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger caps each micro-batch at N capture files
+    under CONTINUOUS micro-batching — the deployment mode the cap is
+    for.  (Under availableNow the simple stream reader snapshots the
+    first capped batch as "all available" and stops, so the daemon
+    applies the cap only without --drain; __main__.py.)"""
+    import json as _json
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    for i in range(3):
+        (d / f"{i:03d}.cap").write_text(
+            f"t{i}\tTICK\t" + _json.dumps(
+                {"symbol": f"S{i}", "bid": 1.0, "price": 1.0, "ask": 1.0,
+                 "time": 1700000000 + i, "volume": 1, "type": "B"}
+            ) + "\n"
+        )
+    register_wire_source(spark)
+    stream = (
+        spark.readStream.format("l2wire")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    seen_batches = []
+
+    def record(batch_df, batch_id):
+        seen_batches.append((batch_id, batch_df.count()))
+
+    import time as _time
+
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while sum(n for _, n in seen_batches) < 3:
+            assert _time.time() < deadline, f"timed out: {seen_batches}"
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen_batches) == 3
+    assert all(n <= 1 for _, n in seen_batches)         # cap respected
+    assert len([n for _, n in seen_batches if n]) == 3  # one file per batch
