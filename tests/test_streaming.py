@@ -905,3 +905,29 @@ def test_dead_letter_quarantine_sink(spark, fixture_dir, tmp_path):
 def test_dlq_config_from_env():
     assert PipelineConfig.from_env({"APP_DLQ": "1"}).dlq
     assert not PipelineConfig.from_env({}).dlq
+
+
+def test_metrics_and_dlq_compose(spark, fixture_dir, tmp_path):
+    """APP_METRICS + APP_DLQ together: telemetry wraps the sink
+    callbacks while the quarantine query runs beside them — both side
+    tables land and the data tables still match the batch pipeline's
+    row counts."""
+    from level2_to_cassandra_spark.streaming.monitor import read_metrics
+
+    out_path = str(tmp_path / "sink")
+    cfg = PipelineConfig(
+        mode="full", out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"), metrics=True, dlq=True,
+    )
+    env_stream = file_envelope_stream(spark, fixture_dir,
+                                      max_files_per_trigger=1)
+    for q in build_streaming_pipeline(env_stream, cfg):
+        assert q.awaitTermination(120)
+
+    assert spark.read.parquet(f"{out_path}/_dead_letters").count() == 2
+    env_batch = file_envelope_batch(spark, fixture_dir)
+    batch = build_batch_pipeline(env_batch, cfg)
+    for suffix in ("book", "tick"):
+        assert read_sink_latest(spark, out_path, suffix).count() == \
+            batch[suffix].count()
+        assert read_metrics(spark, out_path, suffix).count() > 0
