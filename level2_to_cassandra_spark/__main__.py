@@ -59,6 +59,10 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
                    help="fixture directory for --query")
     p.add_argument("--limit", type=int, default=20,
                    help="rows to show for --query")
+    p.add_argument("--explain", action="store_true",
+                   help="with --query: print the physical-plan report "
+                        "(pushdown/broadcast/shuffle markers) instead "
+                        "of rows")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -90,9 +94,13 @@ def main(argv: list[str] | None = None) -> int:
                   f"(--query list shows all {len(qs)})", file=sys.stderr)
             return 2
         spark = get_spark(app_name=f"l2c-query-{args.query}")
-        qs[args.query].fn(spark, args.sf_dir).show(
-            args.limit, truncate=False
-        )
+        df = qs[args.query].fn(spark, args.sf_dir)
+        if args.explain:
+            from level2_to_cassandra_spark.plans import plan_report
+
+            print(plan_report(df))
+        else:
+            df.show(args.limit, truncate=False)
         return 0
     if args.reconcile:
         from level2_to_cassandra_spark.streaming.reconcile import (

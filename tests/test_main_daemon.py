@@ -217,3 +217,10 @@ def test_query_cli_runs_and_lists(capsys):
     out = capsys.readouterr().out
     assert "l_returnflag" in out
     assert main(["--query", "nope"]) == 2
+
+
+def test_query_cli_explain(capsys):
+    assert main(["--query", "q_join_broadcast", "--explain",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "broadcast" in out.lower()
