@@ -63,6 +63,9 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
                    help="with --query: print the physical-plan report "
                         "(pushdown/broadcast/shuffle markers) instead "
                         "of rows")
+    p.add_argument("--metrics-report", action="store_true",
+                   help="summarize the APP_METRICS ingest audit table "
+                        "per sink table and exit (no source needed)")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -102,6 +105,37 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.limit, truncate=False)
         return 0
+    if args.metrics_report:
+        from pyspark.sql import functions as F
+
+        from level2_to_cassandra_spark.streaming.monitor import (
+            read_metrics,
+        )
+
+        spark = get_spark(app_name="l2c-metrics-report")
+        rc = 0
+        for suffix in ("book", "tick"):
+            try:
+                m = read_metrics(spark, cfg.out_path, suffix)
+                # dropDuplicates(batch_id): at-least-once telemetry
+                # may hold a replayed batch's second row (monitor.py)
+                r = m.dropDuplicates(["batch_id"]).agg(
+                    F.count(F.lit(1)).alias("batches"),
+                    F.sum("n_rows").alias("rows"),
+                    F.sum("n_null_key").alias("null_keys"),
+                    F.min("min_event_ts").alias("first_event"),
+                    F.max("max_event_ts").alias("last_event"),
+                ).first()
+            except Exception as e:  # noqa: BLE001 — table may not exist
+                print(f"metrics {suffix}: absent ({type(e).__name__})",
+                      file=sys.stderr)
+                continue
+            print(f"metrics {suffix}: batches={r['batches']} "
+                  f"rows={r['rows']} null_keys={r['null_keys']} "
+                  f"span=[{r['first_event']} .. {r['last_event']}]")
+            if (r["null_keys"] or 0) > 0:
+                rc = 1  # broken upsert keys reached the sink
+        return rc
     if args.reconcile:
         from level2_to_cassandra_spark.streaming.reconcile import (
             reconcile_sink,

@@ -224,3 +224,22 @@ def test_query_cli_explain(capsys):
                  "--sf-dir", "/root/testdata/sf0.001"]) == 0
     out = capsys.readouterr().out
     assert "broadcast" in out.lower()
+
+
+def test_metrics_report_cli(spark, capture_dir, tmp_path, monkeypatch,
+                            capsys):
+    """--metrics-report summarizes the audit table written by an
+    APP_METRICS run (per table: deduped batches, rows, null keys,
+    event-time span); exit 1 would flag null upsert keys."""
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.setenv("APP_METRICS", "1")
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--drain"]) == 0
+    assert main(["--metrics-report"]) == 0
+    rep = capsys.readouterr().out
+    assert "metrics tick:" in rep and "rows=2" in rep
+    assert "null_keys=0" in rep
