@@ -248,6 +248,7 @@ def read_sink_latest(spark, path: str, table_suffix: str,
 
 
 def compact_sink(spark, path: str, table_suffix: str,
+                 merge_schema: bool = False,
                  _test_hook_pre_flip=None) -> int:
     """Rewrite a sink table down to each key's WINNING row — the
     maintenance operation the append-only upsert layout needs: every
@@ -308,7 +309,11 @@ def compact_sink(spark, path: str, table_suffix: str,
             raise FileNotFoundError(f"no data files under {src}")
         seq = 0 if old_version is None else int(old_version[2:]) + 1
         new_version = f"_v{seq:06d}"
-        before = upsert_dedup(_read_sink_raw(spark, src))
+        # merge_schema: compacting an additively-evolved table without
+        # footer merging would either fail the base/append union or
+        # silently drop the new column from pre-merge files — pass
+        # True after a schema evolution (see read_sink_latest)
+        before = upsert_dedup(_read_sink_raw(spark, src, merge_schema))
         obs = Observation()
         (
             before.observe(obs, F.count(F.lit(1)).alias("n"))

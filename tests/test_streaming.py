@@ -931,3 +931,30 @@ def test_metrics_and_dlq_compose(spark, fixture_dir, tmp_path):
         assert read_sink_latest(spark, out_path, suffix).count() == \
             batch[suffix].count()
         assert read_metrics(spark, out_path, suffix).count() > 0
+
+
+def test_compact_evolved_sink_preserves_new_column(spark, fixture_dir,
+                                                   tmp_path):
+    """Compaction after additive schema evolution: with
+    merge_schema=True the rewrite keeps the evolved column (null for
+    pre-evolution winners) and LWW still holds across the boundary."""
+    from level2_to_cassandra_spark.streaming.sink import (
+        compact_sink,
+        write_upsert_parquet,
+    )
+
+    env = file_envelope_batch(spark, fixture_dir)
+    cfg = PipelineConfig(mode="book", out_path="", checkpoint="")
+    v1 = build_batch_pipeline(env, cfg)["book"]
+    path = str(tmp_path / "evolving")
+    write_upsert_parquet(v1, path, "book", batch_id=0)
+    v2 = v1.withColumn("venue", F.lit("primary")).withColumn(
+        "volume", F.col("volume") + 100
+    )
+    write_upsert_parquet(v2, path, "book", batch_id=1)
+
+    n = compact_sink(spark, path, "book", merge_schema=True)
+    assert n == v1.count()
+    rows = read_sink_latest(spark, path, "book", merge_schema=True).collect()
+    assert rows and all(r.venue == "primary" and r.volume > 100
+                        for r in rows)
