@@ -66,6 +66,13 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
     p.add_argument("--metrics-report", action="store_true",
                    help="summarize the APP_METRICS ingest audit table "
                         "per sink table and exit (no source needed)")
+    p.add_argument("--since", metavar="ISO_TS",
+                   help="with --reconcile: audit only event times >= "
+                        "this ISO timestamp (partition-scoped nightly "
+                        "audits)")
+    p.add_argument("--until", metavar="ISO_TS",
+                   help="with --reconcile: audit only event times < "
+                        "this ISO timestamp")
     p.add_argument("--rate", type=int, default=100,
                    help="rows/sec for the rate source")
     return p.parse_args(argv)
@@ -146,13 +153,18 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         src = "wire" if args.source == "wire" else "file"
+        from datetime import datetime
+
+        since = datetime.fromisoformat(args.since) if args.since else None
+        until = datetime.fromisoformat(args.until) if args.until else None
         spark = get_spark(app_name="l2c-reconcile")
         suffixes = {"book": ("book", "full"), "tick": ("tick", "full")}
         clean = True
         for suffix, modes in suffixes.items():
             if cfg.mode not in modes:
                 continue
-            r = reconcile_sink(spark, args.input, cfg, suffix, source=src)
+            r = reconcile_sink(spark, args.input, cfg, suffix, source=src,
+                               since=since, until=until)
             print(f"reconcile {suffix}: {r}")
             clean = clean and r["ok"]
         return 0 if clean else 1

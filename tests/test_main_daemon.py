@@ -243,3 +243,27 @@ def test_metrics_report_cli(spark, capture_dir, tmp_path, monkeypatch,
     rep = capsys.readouterr().out
     assert "metrics tick:" in rep and "rows=2" in rep
     assert "null_keys=0" in rep
+
+
+def test_reconcile_cli_time_bounds(spark, capture_dir, tmp_path,
+                                   monkeypatch):
+    """--since/--until scope the CLI audit: after dropping the later
+    tick from the sink, an --until cut before it reports clean while
+    the unbounded audit exits 1."""
+    import shutil
+
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "tick")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+    assert main(["--source", "wire", "--input", str(capture_dir),
+                 "--drain"]) == 0
+    rows = [r.asDict() for r in read_sink_latest(spark, str(out), "tick")
+            .where("time = to_timestamp(1700000000)").collect()]
+    shutil.rmtree(f"{out}/tick")
+    spark.createDataFrame(rows).write.parquet(f"{out}/tick")
+
+    base = ["--source", "wire", "--input", str(capture_dir), "--reconcile"]
+    assert main(base + ["--until", "2023-11-14T22:14:00"]) == 0
+    assert main(base) == 1
