@@ -267,3 +267,49 @@ def test_reconcile_cli_time_bounds(spark, capture_dir, tmp_path,
     base = ["--source", "wire", "--input", str(capture_dir), "--reconcile"]
     assert main(base + ["--until", "2023-11-14T22:14:00"]) == 0
     assert main(base) == 1
+
+
+def test_reconcile_diff_classification_arithmetic(spark):
+    """Randomized insurance for the diff classifier: for random keyed
+    relations with random tampering, the four statuses must equal the
+    set arithmetic computed driver-side (missing = E\\A, extra = A\\E,
+    and payload comparison null-safe)."""
+    import datetime as dt
+    import random
+
+    from level2_to_cassandra_spark.streaming.reconcile import reconcile_diff
+
+    rng = random.Random(0xD1FF)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        keys = [(f"S{i}", base + dt.timedelta(minutes=i), float(i % 7))
+                for i in range(30)]
+        payload = {k: (rng.randint(1, 9),
+                       rng.choice(["B", "S", None]))
+                   for k in keys}
+        expected_keys = set(rng.sample(keys, 24))
+        actual_keys = set(rng.sample(keys, 24))
+        both = expected_keys & actual_keys
+        mismatched = set(rng.sample(sorted(both, key=str),
+                                    min(5, len(both))))
+
+        def rows(keyset, tamper):
+            out = []
+            for k in keyset:
+                vol, typ = payload[k]
+                if tamper and k in mismatched:
+                    vol += 100
+                out.append((k[0], k[1], k[2], vol, typ))
+            return spark.createDataFrame(
+                out, "symbol string, time timestamp, price double, "
+                     "volume long, trade_type string")
+
+        diff = reconcile_diff(rows(expected_keys, False),
+                              rows(actual_keys, True))
+        counts = {}
+        for r in diff.collect():
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        assert counts.get("missing", 0) == len(expected_keys - actual_keys)
+        assert counts.get("extra", 0) == len(actual_keys - expected_keys)
+        assert counts.get("mismatch", 0) == len(mismatched)
+        assert counts.get("matched", 0) == len(both) - len(mismatched)
