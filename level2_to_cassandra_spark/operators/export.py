@@ -121,3 +121,40 @@ def export_manifest(spark, path: str) -> dict:
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def verify_export(spark, path: str) -> dict:
+    """The loader-side integrity gate: recount the written shards and
+    compare against ``_manifest.json``.  Returns ``{"ok": bool,
+    "mismatches": [shard_id, ...]}`` — a training job refuses to start
+    on ``ok=False`` instead of silently training on a torn or
+    partially rewritten export.  One parquet scan (counts + pos
+    bounds), the same aggregate the manifest was derived from."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    # recompute without rewriting the manifest file
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+        .collect()
+    )
+    seen = {
+        str(r.shard_id): {"n_rows": int(r.n_rows),
+                          "min_pos": int(r.min_pos),
+                          "max_pos": int(r.max_pos)}
+        for r in rows
+    }
+    mismatches = sorted(
+        set(manifest["shards"]) ^ set(seen)
+        | {s for s in set(manifest["shards"]) & set(seen)
+           if manifest["shards"][s] != seen[s]}
+    )
+    return {"ok": not mismatches, "mismatches": mismatches}

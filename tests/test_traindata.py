@@ -488,3 +488,29 @@ def test_export_manifest_matches_written_shards(spark, tmp_path):
     # same-seed re-export → identical manifest (determinism contract)
     export_shards(docs, path, _EPOCH_SEED)
     assert export_manifest(spark, path) == m
+
+
+def test_verify_export_detects_torn_shard(spark, tmp_path):
+    """verify_export: clean export verifies ok; deleting a shard file
+    (a torn export) is detected with the shard named."""
+    import pathlib
+
+    from level2_to_cassandra_spark.operators.export import (
+        export_manifest,
+        export_shards,
+        verify_export,
+    )
+    from level2_to_cassandra_spark.queries.traindata import _EPOCH_SEED
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, _EPOCH_SEED)
+    export_manifest(spark, path)
+    assert verify_export(spark, path) == {"ok": True, "mismatches": []}
+
+    victim = sorted(pathlib.Path(path).glob("shard_id=*/*.parquet"))[0]
+    shard = victim.parent.name.split("=")[1]
+    victim.unlink()
+    r = verify_export(spark, path)
+    assert not r["ok"] and shard in r["mismatches"]
