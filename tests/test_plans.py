@@ -552,3 +552,22 @@ def test_max_concurrency_no_global_boundary_sort(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_reconcile_diff_single_full_outer_join(spark):
+    """reconcile_diff: exactly ONE join (the full-outer key join — the
+    q_snapshot_diff shape) and map-side classification; never a second
+    join or a cartesian for the payload compare."""
+    from level2_to_cassandra_spark.streaming.reconcile import reconcile_diff
+
+    import datetime as dt
+
+    rows = [("A", dt.datetime(2024, 1, 1), 1.0, 5, "B")]
+    schema = ("symbol string, time timestamp, price double, "
+              "volume long, trade_type string")
+    e = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows, schema)
+    plan = plan_of(reconcile_diff(e, a), "simple")
+    assert plan.count("FullOuter") == 1
+    assert plan.lower().count("join") == 1  # the full outer, nothing else
+    assert "CartesianProduct" not in plan
