@@ -1642,26 +1642,44 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     The clear happens AFTER the append succeeds; a crash between the
     two leaves the staging tree intact and the next merge re-appends
     it — pair with a compaction/dedup pass on ``neighbor_id`` if that
-    at-least-once window matters operationally."""
+    at-least-once window matters operationally.
+
+    Concurrent-writer safety (ADVICE r07/r08 medium): the staging
+    entry list is SNAPSHOTTED up front, exactly those batch dirs are
+    read, and ONLY those dirs are deleted — a live
+    :func:`foreach_batch_ivfpq_ingest` stream landing new batch dirs
+    while the merge runs loses nothing; the new dirs simply wait for
+    the next merge cycle (compact_sink's snapshot discipline)."""
     import os
     import shutil
 
     spark = index.index.sparkSession
-    if not os.path.isdir(ingest_path) or not any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(ingest_path) for f in fs
-    ):
+    if not os.path.isdir(ingest_path):
+        return index  # nothing landed: merge is a no-op, index unchanged
+    # Snapshot FIRST: every decision below — what to read, what to
+    # delete — is made against this frozen list, never a re-listing.
+    snapshot = sorted(
+        os.path.join(ingest_path, entry)
+        for entry in os.listdir(ingest_path)
+    )
+    consumed = [
+        d for d in snapshot
+        if os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d) for f in fs
+        )
+    ]
+    if not consumed:
         return index  # nothing landed: merge is a no-op, index unchanged
     landed = (
         spark.read.option("recursiveFileLookup", "true")
-        .parquet(ingest_path)
+        .parquet(*consumed)
     )
     landed.select(*index.index.columns).write.mode("append").parquet(
         index.path
     )
-    for entry in os.listdir(ingest_path):
-        shutil.rmtree(os.path.join(ingest_path, entry),
-                      ignore_errors=True)
+    for entry in consumed:
+        shutil.rmtree(entry, ignore_errors=True)
     merged = spark.read.parquet(index.path)
     return IvfPqIndex(merged, index.cb, index.cells, index.cmat,
                       n_cells=index.n_cells, m=index.m,

@@ -1257,3 +1257,52 @@ def test_ivfpq_ingest_merge_consumes_staging(spark, tmp_path):
     assert n == em.count()
     m2 = similarity.ivfpq_ingest_merge(m1, ingest)
     assert m2.index.count() == n  # staging consumed: no double-append
+
+
+def test_ivfpq_ingest_merge_concurrent_writer_survives(
+        spark, tmp_path, monkeypatch):
+    """The ADVICE r07/r08 medium finding: a live ingest stream landing
+    a batch dir WHILE a merge runs must not lose that batch.  The
+    merge snapshots the staging entry list up front and deletes only
+    the snapshotted dirs, so a dir landed after the snapshot — here
+    injected at the sharpest point, between the index append and the
+    staging cleanup, via a shutil.rmtree wrapper — survives in
+    staging and is folded in by the NEXT merge cycle."""
+    import os
+    import shutil
+
+    em = load_table(spark, SF, "embeddings")
+    em_a = em.where(F.col("vec_id") % 3 == 0)
+    em_b = em.where(F.col("vec_id") % 3 == 1)
+    em_c = em.where(F.col("vec_id") % 3 == 2)
+    idx = similarity.ivfpq_build(em_a, path=str(tmp_path / "idx"))
+    ingest = str(tmp_path / "ingest")
+    cb = similarity.foreach_batch_ivfpq_ingest(idx, ingest)
+    cb(em_b.select("vec_id", "embedding"), 0)
+
+    real_rmtree = shutil.rmtree
+    landed = {"done": False}
+
+    def racing_rmtree(path, *a, **kw):
+        if not landed["done"]:
+            landed["done"] = True  # land BEFORE the first delete runs
+            cb(em_c.select("vec_id", "embedding"), 1)
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", racing_rmtree)
+    m1 = similarity.ivfpq_ingest_merge(idx, ingest)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    assert landed["done"]  # the race actually happened
+    # merge #1 folded only the snapshotted batch (b0)...
+    assert m1.index.count() == em_a.count() + em_b.count()
+    # ...and the concurrently-landed batch dir SURVIVED in staging
+    assert os.path.isdir(os.path.join(ingest, "b00000001"))
+    # the next scheduled merge folds it in: zero vectors lost
+    m2 = similarity.ivfpq_ingest_merge(m1, ingest)
+    assert m2.index.count() == em.count()
+    assert (
+        {r.neighbor_id for r in m2.index.select("neighbor_id").collect()}
+        == {r.vec_id for r in em.select("vec_id").collect()}
+    )
+    similarity.ivfpq_check_coverage(m2, em)
