@@ -940,7 +940,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same ±1 steps — so MAX(run) cannot drift between engines.
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          <= 1800 * 1000000
                     THEN 0 ELSE 1 END AS new_session
@@ -948,7 +948,8 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged),
     sessions AS (

@@ -153,8 +153,19 @@ class WireDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         cap = self.options.get("maxFilesPerTrigger")
-        return _WireStreamReader(self._path(),
-                                 int(cap) if cap else None)
+        # '0' is truthy as a string: int('0') used to slip through as a
+        # cap of 0 and silently freeze the stream (ADVICE r07 low) —
+        # validate like Spark's JSON/file sources do (must be positive)
+        if cap is not None and cap != "":
+            cap = int(cap)
+            if cap < 1:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be a positive integer, "
+                    f"got {cap!r}"
+                )
+        else:
+            cap = None
+        return _WireStreamReader(self._path(), cap)
 
 
 def register_wire_source(spark) -> None:

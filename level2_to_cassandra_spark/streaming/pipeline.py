@@ -30,6 +30,19 @@ from level2_to_cassandra_spark.streaming.sink import (
 MODES = ("book", "tick", "full")
 
 
+def _positive_or_none(raw: str | None, name: str) -> int | None:
+    """Trigger caps must be ≥1 or unset: '0' is a truthy STRING, so
+    `int(raw) if raw else None` shipped 0 through to the source, where
+    a 0-file/0-offset cap silently stops the stream from progressing
+    (ADVICE r07 low — same validation as sources/wire.py)."""
+    if raw is None or raw == "":
+        return None
+    value = int(raw)
+    if value < 1:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
+    return value
+
+
 @dataclass
 class PipelineConfig:
     mode: str = "full"                 # APP_MODE (start.sh:3-14)
@@ -148,13 +161,11 @@ class PipelineConfig:
             sink="cassandra" if cassandra else "parquet",
             metrics=e.get("APP_METRICS", "").lower() in ("1", "true", "yes"),
             dlq=e.get("APP_DLQ", "").lower() in ("1", "true", "yes"),
-            max_files_per_trigger=(
-                int(e["TRIGGER_MAX_FILES"])
-                if e.get("TRIGGER_MAX_FILES") else None
+            max_files_per_trigger=_positive_or_none(
+                e.get("TRIGGER_MAX_FILES"), "TRIGGER_MAX_FILES"
             ),
-            max_offsets_per_trigger=(
-                int(e["TRIGGER_MAX_OFFSETS"])
-                if e.get("TRIGGER_MAX_OFFSETS") else None
+            max_offsets_per_trigger=_positive_or_none(
+                e.get("TRIGGER_MAX_OFFSETS"), "TRIGGER_MAX_OFFSETS"
             ),
         )
 
@@ -243,8 +254,9 @@ def build_streaming_pipeline(envelope: DataFrame, cfg: PipelineConfig,
                 foreach_batch_with_metrics,
             )
 
-            # zero-extra-scan: the observe() aggregates ride the sink
-            # write's own action (monitor.py)
+            # metrics cost one persist + one small agg per micro-batch
+            # (monitor.py — Observation/observe() is unusable inside
+            # foreachBatch, so it cannot ride the sink write's action)
             callback = foreach_batch_with_metrics(
                 callback, cfg.out_path, suffix
             )

@@ -40,6 +40,71 @@ from level2_to_cassandra_spark.streaming.schemas import UPSERT_KEY
 BATCH_COL = "__batch_id"
 
 
+class CompactionLockHeld(RuntimeError):
+    """A live compaction already holds the table's ``_COMPACT_LOCK``.
+
+    Raised (instead of a bare ``FileExistsError``) so the daemon's
+    ``--compact`` mode can report WHO holds the lock and retry later;
+    locks whose recorded pid is dead are reclaimed automatically, so
+    this only fires for a genuinely concurrent compaction (or a
+    sentinel too opaque to judge — remove it by hand in that case)."""
+
+
+def _acquire_compact_lock(lock: str) -> None:
+    """O_EXCL lock sentinel with pid/timestamp payload + stale reclaim.
+
+    A compaction killed between lock and unlock used to brick every
+    later ``--compact`` run with a bare FileExistsError (ADVICE r07
+    low).  The sentinel now records ``pid <pid> ts <unix-ts>``; on
+    contention the holder pid is liveness-probed (``kill -0``) — a
+    dead holder's sentinel is removed and the lock re-acquired, a live
+    holder raises :class:`CompactionLockHeld`.  The reclaim races only
+    other RECLAIMERS (both see the same dead pid; O_EXCL arbitrates
+    the re-acquire), never a live compaction."""
+    import os
+    import time
+
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"pid {os.getpid()} ts {time.time():.3f}"
+                         .encode("ascii"))
+            finally:
+                os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(lock, encoding="ascii") as fh:
+                    payload = fh.read().split()
+                holder = int(payload[payload.index("pid") + 1])
+            except (OSError, ValueError, IndexError):
+                raise CompactionLockHeld(
+                    f"compaction lock {lock} exists but its payload is "
+                    "unreadable — inspect and remove it by hand"
+                ) from None
+            try:
+                os.kill(holder, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists, just not ours to signal
+            if alive:
+                raise CompactionLockHeld(
+                    f"compaction lock {lock} held by live pid {holder}"
+                ) from None
+            if attempt == 0:
+                # stale: holder is dead — reclaim and retry the O_EXCL
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass  # another reclaimer beat us; retry acquires
+    raise CompactionLockHeld(
+        f"compaction lock {lock} could not be reclaimed after retry"
+    )
+
+
 def _write_order(df: DataFrame) -> list:
     """Newest-first ordering for last-write-wins: batch id desc, then
     the source sequence column (Kafka offset / test seq) if present."""
@@ -299,9 +364,9 @@ def compact_sink(spark, path: str, table_suffix: str,
     src = f"{path}/{table_suffix}"
     lock = os.path.join(src, "_COMPACT_LOCK")
     # refuse concurrent compactions (the daemon's --compact mode is a
-    # standalone CLI; two racing folds could double-delete versions)
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
+    # standalone CLI; two racing folds could double-delete versions);
+    # stale locks from killed processes are reclaimed by pid probe
+    _acquire_compact_lock(lock)
     try:
         old_version = _current_version(src)
         snapshot = _list_append_files(src)

@@ -759,6 +759,7 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
     import pytest
 
     from level2_to_cassandra_spark.streaming.sink import (
+        CompactionLockHeld,
         compact_sink,
         read_sink_latest,
         write_upsert_parquet,
@@ -782,8 +783,10 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
             (r.symbol, str(r.time), r.price): r.volume
             for r in read_sink_latest(spark, out, "tick").collect()
         })
-        # and a racing compaction is refused while the lock is held
-        with pytest.raises(FileExistsError):
+        # and a racing compaction is refused while the LIVE lock is
+        # held (our own pid is the recorded holder → named error,
+        # NOT a stale-reclaim)
+        with pytest.raises(CompactionLockHeld, match="live pid"):
             compact_sink(spark, out, "tick")
 
     compact_sink(spark, out, "tick",
@@ -800,11 +803,54 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
     assert got == seen_pre_flip
 
 
+def test_compact_sink_stale_lock_reclaimed(spark, tmp_path):
+    """A compaction killed between lock and unlock must not brick
+    every later --compact run (ADVICE r07 low): a sentinel whose
+    recorded pid is dead is reclaimed and the compaction proceeds; a
+    sentinel with an unreadable payload raises the named error with
+    remove-by-hand guidance instead of a bare FileExistsError."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.sink import (
+        CompactionLockHeld,
+        compact_sink,
+        write_upsert_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    t = "2024-01-01 00:00:00"
+    write_upsert_parquet(
+        _mk_tick_batch(spark, [("btcusd", "AAA", t, 1.0, 10, 0)]),
+        out, "tick", batch_id=0)
+    lock = os.path.join(out, "tick", "_COMPACT_LOCK")
+
+    # a real pid that is guaranteed dead: a reaped child process
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(lock, "w", encoding="ascii") as fh:
+        fh.write(f"pid {child.pid} ts 0.000")
+    assert compact_sink(spark, out, "tick") == 1  # reclaimed + ran
+    assert not os.path.exists(lock)               # and unlocked after
+
+    # legacy/corrupt sentinel (pre-fix empty file): named error, not
+    # an auto-reclaim — we cannot prove the holder is dead
+    with open(lock, "w", encoding="ascii"):
+        pass
+    with pytest.raises(CompactionLockHeld, match="unreadable"):
+        compact_sink(spark, out, "tick")
+    os.remove(lock)  # the documented by-hand recovery
+    assert compact_sink(spark, out, "tick") == 1
+
+
 def test_ingest_metrics_audit_table(spark, fixture_dir, tmp_path):
     """APP_METRICS=1: every micro-batch appends one audit row per sink
-    table via an Observation riding the sink write's own action — the
-    per-batch n_rows must sum to the batch pipeline's pre-dedup input
-    count, event-time bounds must match, and no upsert key is null."""
+    table via monitor.py's persist + one small aggregate (Observation
+    is unusable inside foreachBatch) — the per-batch n_rows must sum
+    to the batch pipeline's pre-dedup input count, event-time bounds
+    must match, and no upsert key is null."""
     from level2_to_cassandra_spark.streaming.monitor import read_metrics
 
     out_path = str(tmp_path / "sink")

@@ -189,3 +189,17 @@ def test_trigger_sizing_config_from_env():
     d = PipelineConfig.from_env({})
     assert d.max_files_per_trigger is None
     assert d.max_offsets_per_trigger is None
+    # '0' is a truthy STRING: it used to reach the source as a 0-cap
+    # that froze the stream — both caps now fail fast, agreeing with
+    # the l2wire source's own validation (ADVICE r07 low)
+    import pytest
+
+    with pytest.raises(ValueError, match="TRIGGER_MAX_FILES"):
+        PipelineConfig.from_env({"TRIGGER_MAX_FILES": "0"})
+    with pytest.raises(ValueError, match="TRIGGER_MAX_OFFSETS"):
+        PipelineConfig.from_env({"TRIGGER_MAX_OFFSETS": "-1"})
+    e = PipelineConfig.from_env(
+        {"TRIGGER_MAX_FILES": "", "TRIGGER_MAX_OFFSETS": ""}
+    )
+    assert e.max_files_per_trigger is None
+    assert e.max_offsets_per_trigger is None

@@ -115,6 +115,28 @@ def test_schema_constant_matches_source(spark, capture_dir):
     assert df.schema == spark.createDataFrame([], WIRE_SCHEMA).schema
 
 
+def test_wire_stream_rejects_nonpositive_cap(tmp_path):
+    """maxFilesPerTrigger='0' used to slip through `int(cap) if cap`
+    as a 0-file cap that silently froze the stream (ADVICE r07 low) —
+    now any cap < 1 fails fast at reader construction, and '' is
+    treated as unset like the built-in file sources do."""
+    import pytest
+
+    from level2_to_cassandra_spark.sources.wire import WireDataSource
+
+    for bad in ("0", "-3"):
+        ds = WireDataSource(
+            {"path": str(tmp_path), "maxFilesPerTrigger": bad}
+        )
+        with pytest.raises(ValueError, match="positive"):
+            ds.simpleStreamReader(None)
+
+    ds = WireDataSource({"path": str(tmp_path), "maxFilesPerTrigger": ""})
+    assert ds.simpleStreamReader(None).max_files_per_trigger is None
+    ds = WireDataSource({"path": str(tmp_path), "maxFilesPerTrigger": "2"})
+    assert ds.simpleStreamReader(None).max_files_per_trigger == 2
+
+
 def test_wire_stream_max_files_per_trigger(spark, tmp_path):
     """maxFilesPerTrigger caps each micro-batch at N capture files
     under CONTINUOUS micro-batching — the deployment mode the cap is
