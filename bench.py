@@ -226,27 +226,43 @@ def main() -> None:
         n: (round(statistics.median(ts), 3) if ts else None)
         for n, ts in samples.items()
     }
+    # Raw per-rep samples go to STDERR as their own labeled line: they
+    # are debugging data, and keeping them in the stdout JSON line is
+    # what made three consecutive rounds' recorded benches unreadable —
+    # the driver stores a bounded TAIL of the line, so every byte of
+    # samples pushed a byte of headline numbers off the front
+    # (VERDICT r08 task #3 / ADVICE r08).
+    print(
+        json.dumps({"queries_samples": {
+            n: [round(t, 3) for t in ts] for n, ts in samples.items()
+        }}),
+        file=sys.stderr,
+    )
     # The headline total is comparable across rounds ONLY when every
     # query ran: with failures it would silently cover fewer queries
     # and read as a speedup (ADVICE r04 #3) — emit null instead and
     # let per-query timings + the failed map carry the signal.
     # `complete`/`n_queries` make the coverage explicit either way.
+    #
+    # KEY ORDER IS LOAD-BEARING (json.dumps preserves dict insertion
+    # order): the driver's bounded tail capture truncates the FRONT of
+    # this line, so the largest map (per-query minima) leads as the
+    # sacrificial bytes and the headline numbers — medians, totals,
+    # baseline ratio — sit at the END where the preserved tail always
+    # carries them.
     out = {
+        "queries": timings,
+        "queries_median": medians,
         "metric": "headline-queries-total",
         "value": (
             round(sum(t for t in timings.values() if t is not None), 3)
             if not failed else None
         ),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "reps": reps,
         "n_queries": len(names),
         "complete": not failed,
-        "queries_median": medians,
-        "queries_samples": {
-            n: [round(t, 3) for t in ts] for n, ts in samples.items()
-        },
         "failed": failed,
     }
     # Diff against the pinned driver-recorded baseline (VERDICT r04
@@ -277,6 +293,15 @@ def main() -> None:
                     "source": bl.get("source"),
                     "estimator": "median",
                     "n_common": len(common),
+                    # the common-set medians duplicated HERE, at the
+                    # very end of the line, so the driver's bounded
+                    # tail preserves every baseline-compared number
+                    # even if the full median map up front is cut
+                    "common_medians": {n: medians[n] for n in common},
+                    "common_ratios": {
+                        n: round(medians[n] / bl_med[n], 3)
+                        for n in common if bl_med[n]
+                    },
                     "common_total": round(cur_total, 3),
                     "baseline_total": round(bl_total, 3),
                     # A failed query silently shrinks the common set —

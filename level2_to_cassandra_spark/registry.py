@@ -58,218 +58,154 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # -- NEW QUERIES in r07: argmax-as-hash-aggregate, equi-width
-    # histogram, BM25 retrieval scoring, adjacent-pair PMI, and
-    # median/MAD robust anomaly flags — each earns its FIRST driver
-    # row now ----------------------------------------------------------
-    "q_agg_argmax",
-    "q_agg_mode",
-    "q_window_ntile",
-    "q_hist_equiwidth",
-    "q_bm25",
-    "q_cooccurrence_pmi",
-    "q_anomaly_zscore",
-    # -- VERDICT r06 #1 cohort A: the 9 r06 first-rows, kept in-cap
-    # for their confirming second row ----------------------------------
-    "q_agg_approx",
-    "q_agg_approx_percentile",
-    "q_agg_hll_sketch",
-    "q_sample_weighted",
-    "q_zorder",
-    "q_join_asof_tolerance",
-    "q_twap",
-    "q_csv_scan",
-    "q_unpivot",
-    # -- VERDICT r06 #1 cohort B: the 10 single-driver-row backlog
-    # (green exactly once, r04/r05) — rotated in for the confirming
-    # row that brings every oracle-backed query to >=2 lifetime rows --
-    "q_resample_interp",
-    "q_text_span_dedup",
-    "q_domain_cap",
-    "q_ngram_counts",
-    "q_token_histogram",
-    "q_embed_quantize",
-    "q_sample_stratified",
-    "q_text_repetition",
-    "q_time_bucket_agg",
-    "q_sessionize",
-    # -- TOUCHED in r07, must re-verify after code changes: the
-    # similarity guards (brute_topk broadcast ceiling -> q_sim_topk;
-    # prebuilt-index knob/coverage guards -> q_sim_ann_ivfpq) and the
-    # bpe module (distributed merge-loop variant landed alongside the
-    # kernel q_text_tokens_bpe shares) ---------------------------------
-    "q_sim_topk",
-    "q_sim_ann_ivfpq",
-    "q_text_tokens_bpe",
-    # -- NEW QUERY in r07 (batch 2): forward-direction as-of join —
-    # asof.py gained direction='forward', so its siblings q_join_asof
-    # / q_join_asof_tolerance are in-cap too (core block / cohort A).
-    # Slot freed by q_window_lag (twice-green, lag machinery carried
-    # in-cap by q_window_cumulative + the stale-confirm windows) ------
-    "q_join_asof_forward",
-    # -- NEW QUERIES in r07 (batch 3): gaps-and-islands streaks, SCD
-    # Type-2 interval build, CDC snapshot diff — first driver rows.
-    # Slots freed by q_join_cross / q_udf_pandas_cosine /
-    # q_udtf_tokenize (each twice-green; a first row outranks a third
-    # confirmation, and their machinery stays in-cap via siblings:
-    # join family, the pandas-UDF plan ban, q_text_tokens_bpe) --------
-    "q_gap_islands",
-    "q_scd2",
-    "q_snapshot_diff",
-    # -- NEW QUERIES in r07 (batch 4): running-distinct window and
-    # fixed-iteration PageRank (the damped-fixed-point iterative
-    # workload; CTE-unrolled exact oracle) — first driver rows.
-    # Slots freed by q_sort_nulls / q_subquery_correlated (twice-
-    # green; sort/decorrelation machinery carried by q_sort_limit,
-    # q_topk_per_group and the scalar-subquery broadcast shapes) -----
-    "q_window_running_distinct",
-    "q_pagerank",
-    # -- NEW QUERY in r07 (batch 5): winsorized robust mean — the
-    # clip-gate twin of q_anomaly_zscore.  Slot freed by q_agg_pivot
-    # (twice-green; the conditional-aggregation machinery stays
-    # in-cap via q_agg_argmax/q_agg_mode and the unpivot inverse) ----
-    "q_winsorize",
-    # -- NEW QUERY in r07 (batch 6): hierarchical continuous-aggregate
-    # rollup — minutely DECIMAL-exact partials re-aggregated to hourly
-    # finals; the oracle aggregates raw→hour directly so the hash
-    # proves partial-merge correctness.  Slot freed by q_join_right
-    # (twice-green r01/r02; outer-join machinery stays in-cap via
-    # q_join_asof's union-merge and q_snapshot_diff's full outer) ----
-    "q_rollup_cascade",
-    # -- NEW QUERY in r07 (batch 6): shuffle-key skew profile — the
-    # integer-exact pre-flight probe feeding the operators/skew.py
-    # salting decision.  Slot freed by q_join_multiway (twice-green
-    # r01/r02; the multiway-join shape stays in-cap via
-    # q_sql_star_revenue's star join over q_join_inner's equi core) --
-    "q_skew_profile",
-    # -- NEW QUERY in r07 (batch 6): ORC source scan — third raw
-    # format beside JSON/CSV, pushdown plan-pinned; the oracle reads
-    # the original parquet so the hash proves the ORC round-trip is
-    # lossless.  Slot freed by q_join_full (twice-green r01/r02; the
-    # full-outer shape stays in-cap via q_snapshot_diff's plan-pinned
-    # single full-outer join) ----------------------------------------
-    "q_orc_scan",
-    # -- NEW QUERY in r07 (batch 6): Deequ-style data-validation suite
-    # — all single-table constraints in ONE scan + a null-flag FK
-    # join, integer-exact pass/fail.  Slot freed by q_agg_stats
-    # (twice-green r01/r02; the moment/percentile machinery stays
-    # in-cap via q_winsorize, q_anomaly_zscore and q_skew_profile) ---
-    "q_quality_checks",
-    # -- NEW QUERY in r07 (batch 6): PSI distribution-drift monitor —
-    # map-side binning vs broadcast reference bounds, #groups x 10
-    # cell relation, rounded-psi flag.  Slot freed by q_agg_cube
-    # (twice-green r01/r02; the Expand-based grouping machinery stays
-    # in-cap via q_unpivot, with q_sql_grouping_sets past-cap) -------
-    "q_drift_psi",
-    # -- NEW QUERY in r07 (batch 6): peak-concurrency sweep line via
-    # two-phase prefix sum (parallel within-day sweep + #days-sized
-    # offset relation — never a global boundary sort).  Slot freed by
-    # q_sql_star_revenue (multiply-green; VERDICT r06 #6 is about its
-    # BENCH median, which it keeps — it stays in bench.py HEADLINE —
-    # and the star-join machinery stays in-cap via q_join_inner and
-    # the broadcast-join plan pins) ----------------------------------
-    "q_max_concurrency",
-    # (the former stale-confirmation block — q_agg_cube, q_agg_stats,
-    # q_join_full/right/multiway — rotated past the cap late-r07 to
-    # fund first rows for the batch-6 queries; a first row outranks a
-    # third confirmation)
-    # -- the non-redundant core (every round) ---------------------------
-    "q_agg_basic",
-    "q_window_cumulative",
-    "q_join_inner",
-    "q_join_asof",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_minhash",
-    "q_llm_dedup_embed",
-    # ======================= past the cap ==============================
-    # Everything below is driver-green >=2 lifetime rows (most recently
-    # r05/r06), untouched this round, and covered by an in-cap sibling
-    # on its SURVEY.md S2 row; the local replica harness
-    # (tests/test_queries_oracle.py) still oracle-checks every one on
-    # every run.  Rotated out for r07: the r06 in-cap confirmation
-    # cohorts (all now at 2-3 lifetime rows), the r3/r4/r5-green
-    # blocks documented in previous rounds.
-    "q_agg_bitmap_distinct",
-    "q_agg_conditional",
-    "q_join_right",
-    "q_join_multiway",
-    "q_join_full",
-    "q_agg_stats",
+    # r09 ROTATION (VERDICT r08 task #4): every r07-cohort name is
+    # r08-green with >=2 lifetime rows, so the whole cap rotates to the
+    # 50 longest-unconfirmed names — the r02/r03/r04/r05 tails whose
+    # last driver row is 4-7 rounds old — so lifetime coverage
+    # accumulates where it is thinnest.  The local replica harness
+    # (tests/test_queries_oracle.py) still oracle-checks all 130 every
+    # run; the driver row is the extra, independent confirmation.
+    # -- last driver-green r02 (7 rounds stale) -------------------------
     "q_agg_cube",
-    "q_sql_star_revenue",
-    "q_window_lag",
+    "q_agg_pivot",
+    "q_agg_stats",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_multiway",
+    "q_join_right",
     "q_scalar_map",
     "q_set_ops_all",
+    "q_sort_nulls",
+    "q_subquery_correlated",
+    "q_window_lag",
+    # -- last driver-green r03 (6 rounds stale) -------------------------
     "q_agg_distinct",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_rollup",
     "q_agg_salted",
-    "q_chunk_docs",
-    "q_classifier_score",
-    "q_contamination",
-    "q_corpus_pipeline",
-    "q_curate_corpus",
-    "q_dedup_cluster",
-    "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy",
-    "q_dedup_keep",
-    "q_dedup_lww",
-    "q_event_transitions",
     "q_filter_predicates",
-    "q_funnel",
     "q_join_anti",
+    "q_join_semi",
+    "q_scalar_array",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_set_ops",
+    "q_window_rank",
+    # -- last driver-green r04 (5 rounds stale) -------------------------
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
+    "q_agg_conditional",
+    "q_dedup_lww",
+    "q_scalar_json",
+    "q_window_moving_avg",
+    "q_agg_percentile",
+    "q_agg_rollup",
     "q_join_broadcast",
-    "q_join_cross",
     "q_join_outer",
     "q_join_range",
-    "q_join_semi",
+    "q_sort_limit",
+    "q_window_distribution",
+    # -- last driver-green r05 (4 rounds stale) -------------------------
+    "q_agg_bitmap_distinct",
+    "q_contamination",
+    "q_curate_corpus",
+    "q_dedup_cluster",
     "q_json_scan",
+    "q_pack_sequences",
+    "q_text_redact",
+    "q_udaf_trimmed_mean",
+    "q_window_range_frame",
+    "q_scalar_datetime",
+    "q_sql_star_revenue",
+    "q_scan_project_filter",
+    "q_text_stats",
+    "q_topk_per_group",
+    # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
+    # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
+    # the changed SQL must re-hash against the driver -------------------
+    "q_max_concurrency",
+    # ======================= past the cap ==============================
+    # Everything below is driver-green with its last row in r06-r08
+    # (the r07 cohort all confirmed in r08) and >=2 lifetime rows;
+    # ordered stalest-first so the next rotation reads off the top.
+    "q_chunk_docs",
+    "q_classifier_score",
+    "q_corpus_pipeline",
+    "q_dedup_incremental",
+    "q_dedup_keep",
+    "q_event_transitions",
+    "q_funnel",
     "q_length_buckets",
     "q_llm_dedup_simhash",
     "q_mixture_plan",
     "q_multimodal_features",
     "q_ohlc_bars",
-    "q_pack_sequences",
     "q_resample_locf",
     "q_retention",
     "q_sample_split",
-    "q_scalar_array",
-    "q_scalar_datetime",
-    "q_scalar_json",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_scan_project_filter",
     "q_semdedup",
-    "q_set_ops",
     "q_shuffle_epoch",
     "q_sim_ann_ivf",
     "q_sim_ann_lsh",
     "q_sim_ann_pq",
-    "q_sort_limit",
-    "q_sort_nulls",
-    "q_subquery_correlated",
     "q_sql_grouping_sets",
     "q_text_bigram_lm",
     "q_text_editdist",
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_langid",
-    "q_text_redact",
     "q_text_rolling_hash",
-    "q_text_stats",
-    "q_text_tfidf",
     "q_tokenize_ids",
-    "q_topk_per_group",
-    "q_udaf_trimmed_mean",
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
     "q_vocab_coverage",
-    "q_window_distribution",
-    "q_window_moving_avg",
-    "q_window_range_frame",
-    "q_window_rank",
+    "q_dedup_incremental_fuzzy",
+    "q_text_tfidf",
+    "q_agg_argmax",
+    "q_agg_mode",
+    "q_anomaly_zscore",
+    "q_bm25",
+    "q_cooccurrence_pmi",
+    "q_drift_psi",
+    "q_gap_islands",
+    "q_hist_equiwidth",
+    "q_join_asof_forward",
+    "q_orc_scan",
+    "q_pagerank",
+    "q_quality_checks",
+    "q_rollup_cascade",
+    "q_scd2",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_window_ntile",
+    "q_window_running_distinct",
+    "q_winsorize",
+    "q_agg_approx",
+    "q_agg_approx_percentile",
+    "q_agg_hll_sketch",
+    "q_csv_scan",
+    "q_domain_cap",
+    "q_embed_quantize",
+    "q_join_asof_tolerance",
+    "q_ngram_counts",
+    "q_resample_interp",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sessionize",
+    "q_text_repetition",
+    "q_text_span_dedup",
+    "q_time_bucket_agg",
+    "q_token_histogram",
+    "q_twap",
+    "q_unpivot",
+    "q_zorder",
+    "q_sim_ann_ivfpq",
+    "q_text_tokens_bpe",
+    "q_sim_topk",
+    "q_join_asof",
+    "q_window_cumulative",
+    "q_agg_basic",
+    "q_join_inner",
+    "q_llm_dedup_embed",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_minhash",
 )
 
 
