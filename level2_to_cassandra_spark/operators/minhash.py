@@ -113,9 +113,17 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         k: int = 3,
                         max_shingle_df: int | None = None,
                         max_shingle_frac: float | None = None,
-                        min_cap_df: int = 50) -> DataFrame:
+                        min_cap_df: int = 50,
+                        candidates_only: bool = False) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``candidates_only=True`` returns the CANDIDATE relation
+    (id_a, id_b, na, nb) before exact verification instead — the
+    pair-join cost surface.  This is the operational scale probe: the
+    bucketed-dedup claim is that candidate volume grows ~linearly with
+    corpus size (never N²), and counting this relation across SFs is
+    how tests/test_scaling.py checks it empirically.
 
     For threshold > 0 the candidate join uses the PPJoin PREFIX FILTER:
     under a global rarest-first shingle order, any pair with J ≥ t
@@ -290,6 +298,8 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             )
             .distinct()
         )
+    if candidates_only:
+        return cand
     return _verify_jaccard(postings, cand).where(
         F.col("jaccard") >= threshold
     )
@@ -298,9 +308,15 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
 def minhash_pairs(docs: DataFrame, threshold: float,
                   id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, n_hashes: int = 16, bands: int = 8,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = None,
+                  candidates_only: bool = False) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``candidates_only=True`` returns the banded-bucket CANDIDATE
+    relation (id_a, id_b, na, nb) before verification — the Σ bucket²
+    cost surface tests/test_scaling.py counts across SFs to check the
+    ~linear-growth claim empirically.
 
     With defaults (16 hashes, 8 bands × 2 rows), a pair at j=0.8 is a
     candidate with P = 1−(1−0.64)^8 ≈ 0.9997; misses drop further as j
@@ -384,6 +400,8 @@ def minhash_pairs(docs: DataFrame, threshold: float,
         )
         .distinct()
     )
+    if candidates_only:
+        return cand
     # exact verification of candidates only
     return _verify_jaccard(postings, cand).where(
         F.col("jaccard") >= threshold
