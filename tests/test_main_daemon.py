@@ -171,6 +171,84 @@ def test_daemon_reconcile_clean_and_tampered(
                  "--reconcile"]) == 1
 
 
+def test_daemon_soak_ingest_compact_reconcile(
+        spark, tmp_path, monkeypatch):
+    """Reconcile-audit soak under live ingest (VERDICT r08 task #6):
+    repeated drains interleaved with --compact maintenance runs — one
+    of them with a drain landing new data MID-COMPACTION (between the
+    fold's snapshot and its pointer flip, via the pre-flip hook) — must
+    end with a clean audit: every captured key accounted for in the
+    sink, rc 0, and the compaction lock sentinel created, enforced
+    against a racing compact, and removed on exit."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from level2_to_cassandra_spark.streaming.sink import (
+        CompactionLockHeld,
+        compact_sink,
+    )
+
+    cap = tmp_path / "capture"
+    cap.mkdir()
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("API_ADDRESS", raising=False)
+
+    def write_batch(i):
+        tick = {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2,
+                "time": 1700000000 + 60 * i, "volume": 5 + i, "type": "B"}
+        book = [{"symbol": "EURUSD", "price": 1.1 + i,
+                 "time": 1700000000 + 60 * i, "volume": 3,
+                 "type": "BOOK_TYPE_BID"}]
+        (cap / f"{i:03d}.cap").write_text(
+            f"eurusd\tTICK\t{_json.dumps(tick)}\n"
+            f"eurusd\tBOOK\t{_json.dumps(book)}\n"
+        )
+
+    drain = ["--source", "wire", "--input", str(cap), "--drain"]
+
+    # micro-batches 0-1, then a maintenance compact, then more ingest
+    write_batch(0)
+    assert main(drain) == 0
+    write_batch(1)
+    assert main(drain) == 0
+    assert main(["--compact"]) == 0
+    write_batch(2)
+    assert main(drain) == 0
+
+    # compact WHILE ingest lands: the pre-flip hook runs a full drain
+    # of a new capture file inside the compaction window and proves
+    # the lock sentinel serializes a racing compact
+    lock = os.path.join(str(out), "tick", "_COMPACT_LOCK")
+
+    def ingest_mid_compact():
+        assert os.path.exists(lock)
+        with open(lock, encoding="ascii") as fh:
+            assert f"pid {os.getpid()}" in fh.read()
+        write_batch(3)
+        assert main(drain) == 0
+        with _pytest.raises(CompactionLockHeld, match="live pid"):
+            compact_sink(spark, str(out), "tick")
+
+    compact_sink(spark, str(out), "tick",
+                 _test_hook_pre_flip=ingest_mid_compact)
+    assert not os.path.exists(lock)  # released on exit
+
+    # post-soak: one more ingest-and-compact cycle, then the audit —
+    # all 4 batches' keys must reconcile clean against the capture
+    write_batch(4)
+    assert main(drain) == 0
+    assert main(["--compact"]) == 0
+    assert main(["--source", "wire", "--input", str(cap),
+                 "--reconcile"]) == 0
+    ticks = read_sink_latest(spark, str(out), "tick")
+    assert ticks.count() == 5  # every batch's row survived every fold
+
+
 def test_reconcile_time_bounds_scope_the_audit(
         spark, capture_dir, tmp_path, monkeypatch):
     """since/until push into both the replay and the sink scan: an
