@@ -100,6 +100,10 @@ HEADLINE = [
     "q_quality_checks",      # one-scan constraint suite + FK probe
     "q_drift_psi",           # PSI drift monitor (binning + cell fold)
     "q_max_concurrency",     # two-phase prefix-sum sweep line
+    # r09 additions
+    "q_join_asof_nearest",   # dual-fill nearest as-of (one WindowExec)
+    "q_agg_string",          # ordered string agg (struct-sorted lists)
+    "q_window_sliding",      # overlapping-window agg (Expand fan-out)
 ]
 
 

@@ -43,7 +43,7 @@ def asof_join(
     tolerance: int | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of left join, backward (default) or forward.
+    """As-of left join: backward (default), forward, or nearest.
 
     Backward: for each left row, attach the right row with the
     greatest ``on`` value ≤ (or < if ``strict``) the left's, within
@@ -57,6 +57,16 @@ def asof_join(
     back as ``{prefix}{col}`` (the right ``on`` column is included
     automatically); all-NULL when no match.
 
+    ``direction="nearest"`` (pandas ``merge_asof(direction='nearest')``)
+    attaches whichever of the backward/forward candidates is closer in
+    absolute ``on`` distance, ties to the backward one (pandas'
+    bdiff ≤ fdiff rule).  Cost is the SAME one shuffle and one sort:
+    both candidate fills are frames over the same partition ordering,
+    so they share a single WindowExec — never two joins reconciled
+    after the fact.  ``strict`` excludes exact-time matches from both
+    sides; ``tolerance`` bounds the absolute distance of each
+    candidate before the choice.
+
     ``tolerance`` (pandas ``merge_asof`` semantics): additionally
     require left.on − right.on ≤ tolerance — a match older than the
     staleness bound comes back all-NULL exactly like no match at all.
@@ -66,8 +76,10 @@ def asof_join(
     fill) is unchanged — the bound costs one comparison per row, not
     a different join strategy.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by]
@@ -87,6 +99,9 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
+    if direction == "nearest":
+        return _asof_nearest(left, l, r, on, by, right_cols, prefix,
+                             strict, tolerance)
     # Tie handling via the side sort key.  Backward: right rows sort
     # BEFORE left at equal time so the preceding-frame `last` sees
     # them ("<=" matches); strict sorts them after ("<").  Forward is
@@ -124,3 +139,55 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
     ]
     return filled.select(*out_cols)
+
+
+def _asof_nearest(left, l, r, on, by, right_cols, prefix,
+                  strict, tolerance) -> DataFrame:
+    """(internal) the nearest-direction tail of :func:`asof_join`.
+
+    One partition sort carries BOTH candidate fills: rights sort
+    before lefts at equal time (backward-inclusive order), the
+    preceding-frame ``last`` is the backward candidate, the
+    following-frame ``first`` the forward one — different frames over
+    the SAME ordering share a single WindowExec, so the plan is still
+    one shuffle + one sort.  By that ordering the forward candidate is
+    always strictly later than the left row (equal-time rights sit in
+    the preceding frame), which is exactly right: an equal-time match
+    belongs to the backward candidate, whose 0 distance wins every
+    choice it is allowed to enter."""
+    w_base = Window.partitionBy(*by).orderBy(F.asc("__t"), F.asc("__side"))
+    wb = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w_base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cand = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__r", ignorenulls=True).over(wf))
+        .where(F.col("__side") == 1)
+    )
+    lt = F.col("__t")
+    bt, ft = F.col(f"__b.{on}"), F.col(f"__f.{on}")
+    if isinstance(left.schema[on].dataType, T.TimestampType):
+        lt, bt, ft = F.unix_micros(lt), F.unix_micros(bt), F.unix_micros(ft)
+    if strict:
+        # pandas allow_exact_matches=False: drop the equal-time
+        # backward candidate (the forward fill is strict by ordering)
+        cand = cand.withColumn(
+            "__b", F.when(bt < lt, F.col("__b"))
+        )
+    if tolerance is not None:
+        cand = cand.withColumn(
+            "__b", F.when(lt - bt <= F.lit(tolerance), F.col("__b"))
+        ).withColumn(
+            "__f", F.when(ft - lt <= F.lit(tolerance), F.col("__f"))
+        )
+    choose_b = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | ((lt - bt) <= (ft - lt))
+    )
+    matched = cand.withColumn(
+        "__match", F.when(choose_b, F.col("__b")).otherwise(F.col("__f"))
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return matched.select(*out_cols)

@@ -441,6 +441,76 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_nearest",
+    # DuckDB has no native nearest ASOF: the oracle materializes the
+    # backward and forward candidates with two directional ASOF joins
+    # and replays the operator's choice rule (smaller absolute
+    # distance, ties to backward — pandas' bdiff <= fdiff).
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    views AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               v.event_id AS be, v.value AS bv, v.ts AS bt
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts),
+    f AS (
+        SELECT p.event_id, v.event_id AS fe, v.value AS fv, v.ts AS ft
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts >= p.ts)
+    SELECT b.event_id, b.user_id, b.ts, b.value,
+           CASE WHEN use_b THEN be ELSE fe END AS v_event_id,
+           CASE WHEN use_b THEN bv ELSE fv END AS v_value,
+           CASE WHEN use_b THEN bt ELSE ft END AS v_ts
+    FROM (SELECT b.*, f.fe, f.fv, f.ft,
+                 be IS NOT NULL AND (fe IS NULL OR
+                     epoch_us(b.ts) - epoch_us(bt)
+                     <= epoch_us(ft) - epoch_us(b.ts)) AS use_b
+          FROM b JOIN f USING (event_id)) AS b
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    each purchase gets the user's CLOSEST view in absolute time,
+    before or after, ties to the earlier one — the enrichment shape
+    when staleness is symmetric (nearest reference price, closest
+    sensor reading).  Both candidate fills are frames over ONE
+    partition sort sharing a single WindowExec (operators/asof.py), so
+    the plan stays one shuffle + one sort — never two directional
+    joins reconciled by a third."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = latest_by_key(
+        ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        keys=["user_id", "ts"],
+        order=[F.desc("event_id")],
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        prefix="v_",
+        direction="nearest",
+    )
+
+
+@register(
     "q_join_cross",
     oracle="""
     SELECT r1.r_name AS from_region, r2.r_name AS to_region

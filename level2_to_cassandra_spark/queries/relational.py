@@ -1282,6 +1282,56 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_string",
+    # LISTAGG ... WITHIN GROUP (ORDER BY key) — the order key
+    # (n_nationkey) is distinct from the emitted value (n_name), the
+    # general form of the SQL:2016 ordered string aggregate.
+    oracle="""
+    SELECT r.r_name AS region,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_nationkey) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG / STRING_AGG with
+    WITHIN GROUP ORDER BY): per region, its nations joined in
+    nationkey order.  Spark 4's builtin ``listagg`` has NO
+    deterministic ordering in the DataFrame API, so the engine shape
+    is ``array_join(transform(array_sort(collect_list(struct(key,
+    val))), x -> x.val))`` — the sort happens per GROUP on the
+    already-aggregated array (bounded by group size, the inherent
+    contract of any string agg), never a global sort; map-side
+    collect_list partials merge like any other aggregate.  The struct
+    sort key makes order-by-key ≠ emitted-value work, which
+    ``sort_array(collect_list(val))`` alone cannot express."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n_nationkey").alias("k"),
+                            F.col("n_name").alias("v"),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            ",",
+        ).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
     "q_scd2",
     # Timestamps and integers pass through untouched; the window's
     # ORDER BY carries the unique o_orderkey tie-break so both

@@ -102,6 +102,63 @@ def q_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_sliding",
+    # Sliding = each event lands in width/slide buckets: the oracle
+    # replays Spark's epoch-anchored window assignment by cross
+    # joining the 2 offsets and floor-dividing epoch micros to the
+    # 30-minute grid (1800000000 us); the ts-range predicate is the
+    # general window-membership rule (vacuous at slide = width/2 but
+    # kept so the SQL states the semantics, not the special case).
+    oracle="""
+    WITH grid AS (SELECT UNNEST(range(0, 2)) AS i),
+    slid AS (
+        SELECT make_timestamp(
+                   ((epoch_us(ts) // 1800000000) - i) * 1800000000
+               ) AS window_start,
+               event_type, value, ts
+        FROM events CROSS JOIN grid)
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM slid
+    WHERE ts >= window_start
+      AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start, event_type
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregate (1-hour windows every 30 minutes) —
+    the overlapping-window twin of q_time_bucket_agg's tumbling
+    buckets and the batch form of
+    ``groupBy(window(ts, '1 hour', '30 minutes'))`` on a stream.
+    Spark's ``window()`` expands each row to its width/slide = 2
+    covering windows BEFORE the hash aggregate, so the plan is one
+    generate + one shuffle on (window, event_type) — the fan-out
+    factor is the window overlap, a constant, never the corpus; at
+    100 TB the same query runs unchanged as a watermarked streaming
+    aggregate (test_streaming_windows.py covers the parity shape for
+    tumbling)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), _SCALE).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH flagged AS (

@@ -115,17 +115,34 @@ DRIVER_ORDER = (
     "q_window_range_frame",
     "q_scalar_datetime",
     "q_sql_star_revenue",
-    "q_scan_project_filter",
-    "q_text_stats",
-    "q_topk_per_group",
+    # -- NEW QUERY in r09: nearest-direction as-of join (pandas
+    # merge_asof direction='nearest' parity; single-WindowExec dual
+    # fill) — first driver row.  Slot freed by q_scan_project_filter
+    # (x5 lifetime rows, the thickest r05 name; scan/pushdown
+    # machinery carried in-cap by every other scan query) -------------
+    "q_join_asof_nearest",
+    # -- NEW QUERIES in r09: ordered string aggregation (LISTAGG
+    # WITHIN GROUP parity via per-group struct-sorted collect_list)
+    # and the sliding-window aggregate (overlapping-window twin of
+    # q_time_bucket_agg) — first driver rows.  Slots freed by
+    # q_text_stats / q_topk_per_group (x5 lifetime each; their
+    # machinery stays in-cap via the other text gates and the
+    # windowed-rank queries) -------------------------------------------
+    "q_agg_string",
+    "q_window_sliding",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
     "q_max_concurrency",
     # ======================= past the cap ==============================
-    # Everything below is driver-green with its last row in r06-r08
+    # Everything below is driver-green with its last row in r05-r08
     # (the r07 cohort all confirmed in r08) and >=2 lifetime rows;
     # ordered stalest-first so the next rotation reads off the top.
+    # (q_scan_project_filter rotated out late-r09 to fund the
+    # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
+    "q_scan_project_filter",
+    "q_text_stats",
+    "q_topk_per_group",
     "q_chunk_docs",
     "q_classifier_score",
     "q_corpus_pipeline",

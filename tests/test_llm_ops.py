@@ -1160,6 +1160,49 @@ def test_asof_join_forward_boundaries(spark):
         asof_join(left, right, on="ts", by=["k"], direction="sideways")
 
 
+def test_asof_join_nearest_semantics(spark):
+    """direction='nearest' (pandas merge_asof parity): closest right
+    row by absolute distance, exact ties to the backward candidate;
+    strict excludes exact-time matches on both sides; tolerance bounds
+    each candidate's distance before the choice."""
+    from level2_to_cassandra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 140), (1, 300), (2, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (1, 260, "c"), (2, 70, "d")],
+        "k long, ts long, v string"
+    )
+
+    def run(**kw):
+        return {
+            (r.k, r.ts): r.r_v
+            for r in asof_join(left, right, on="ts", by=["k"],
+                               right_cols=["v"], direction="nearest",
+                               **kw).collect()
+        }
+
+    out = run()
+    assert out[(1, 100)] == "a"   # exact match wins (distance 0)
+    assert out[(1, 140)] == "b"   # |140-150|=10 beats |140-100|=40
+    assert out[(1, 300)] == "c"   # only a backward candidate remains
+    assert out[(2, 50)] == "d"    # forward-only match
+    # exact tie: 200 is 50 from both 150 and 250 → backward wins
+    tie_l = spark.createDataFrame([(1, 200)], "k long, ts long")
+    tie_r = spark.createDataFrame(
+        [(1, 150, "lo"), (1, 250, "hi")], "k long, ts long, v string"
+    )
+    tied = asof_join(tie_l, tie_r, on="ts", by=["k"], right_cols=["v"],
+                     direction="nearest").collect()[0]
+    assert tied.r_v == "lo"
+    strict = run(strict=True)
+    assert strict[(1, 100)] == "b"  # the exact match is excluded, next
+    tol = run(tolerance=15)
+    assert tol[(1, 140)] == "b"     # distance 10 inside the bound
+    assert tol[(1, 300)] is None    # 40 from 260: beyond the bound
+
+
 def test_ivfpq_streaming_ingest_matches_batch_append(spark, tmp_path):
     """Streaming ANN ingest: micro-batches of vectors landed by
     foreach_batch_ivfpq_ingest + one ivfpq_ingest_merge must yield

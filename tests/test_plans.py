@@ -292,6 +292,52 @@ def test_asof_tolerance_plan_matches_asof(spark):
             == base.count("Exchange hashpartitioning"))
 
 
+def test_asof_nearest_single_window_pass(spark):
+    """direction='nearest' must cost the SAME plan as backward: both
+    candidate fills (preceding-frame `last`, following-frame `first`)
+    share ONE WindowExec over one sort — never two directional joins
+    or two window passes reconciled afterwards.  Exchange count
+    matches q_join_asof exactly."""
+    import re
+
+    base = plan_of(all_queries()["q_join_asof"].fn(spark, SF), "simple")
+    near = plan_of(
+        all_queries()["q_join_asof_nearest"].fn(spark, SF), "simple"
+    )
+    for p in (base, near):
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+    assert (near.count("Exchange hashpartitioning")
+            == base.count("Exchange hashpartitioning"))
+    fills = [n for n in re.findall(r"Window \[[^\n]*", near)
+             if "last(" in n or "first(" in n]
+    assert len(fills) == 1 and "last(" in fills[0] and "first(" in fills[0]
+
+
+def test_window_sliding_one_expand_one_exchange(spark):
+    """q_window_sliding: Spark's window() expands each row to its
+    width/slide = 2 covering windows (constant fan-out) and the hash
+    aggregate rides ONE exchange — no join, no sort, no per-window
+    re-scan."""
+    plan = plan_of(all_queries()["q_window_sliding"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Expand") == 1
+    assert "Join" not in plan
+
+
+def test_agg_string_no_window_no_sort(spark):
+    """q_agg_string: the ordered string agg is collect_list partials +
+    a per-group array_sort — one grouping exchange plus the broadcast
+    dim join; NO WindowExec and NO global Sort (the ordering is bounded
+    by group size, never a shuffle-wide sort)."""
+    plan = plan_of(all_queries()["q_agg_string"].fn(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Sort " not in plan
+
+
 def test_twap_single_shuffle_no_join(spark):
     """q_twap: the lead window and the grouped aggregation ride ONE
     (user_id, day) exchange; no join anywhere (the day-end boundary
