@@ -126,6 +126,35 @@ def test_sliding_window_parity(spark, events_jsonl):
     assert got == want
 
 
+def test_sliding_window_query_stream_parity(spark, events_jsonl):
+    """q_window_sliding IS the streaming computation: the registered
+    batch query (1 h windows every 30 min) must equal the same
+    window() aggregate run through the file stream — so its DuckDB
+    oracle transitively verifies the streaming path too."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    stream = _stream(spark, events_jsonl)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+    _run_to_memory(agg, "sliding_q")
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_q").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in all_queries()["q_window_sliding"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_interval_join_parity(spark, events_jsonl):
     """Watermarked stream-stream interval join (B9): views attributed
     to same-user purchases within a 24 h lookback, streamed from two
