@@ -104,6 +104,7 @@ HEADLINE = [
     "q_join_asof_nearest",   # dual-fill nearest as-of (one WindowExec)
     "q_agg_string",          # ordered string agg (struct-sorted lists)
     "q_window_sliding",      # overlapping-window agg (Expand fan-out)
+    "q_join_salted",         # explicit skew-salted equi-join
 ]
 
 

@@ -774,6 +774,49 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_salted",
+    # The oracle is the PLAIN join-then-aggregate: the salt must be
+    # invisible in the result, so equality with the unsalted SQL is
+    # exactly the correctness claim.
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted equi-join (operators/skew.py::salted_join):
+    orders (the big, potentially hot-keyed side) carries a
+    deterministic hash salt, customer is replicated n_salts=8 ways,
+    and the join runs on (custkey, salt) — each hot customer's orders
+    spread over 8 reducers instead of one.  This is the manual tool
+    for the skew cases AQE's sort-merge splitting cannot reach
+    (replicable-but-not-broadcastable side, known-hot key, salted
+    exchange reused downstream); the oracle is the PLAIN join, proving
+    the salt changes the physics and not the algebra.  DECIMAL sum →
+    double keeps the grouped totals bit-stable across engines."""
+    from level2_to_cassandra_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(30,4)").alias("price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on=["custkey"], n_salts=8,
+                         salt_source="o_orderkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "q_dedup_lww",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value

@@ -114,7 +114,6 @@ DRIVER_ORDER = (
     "q_udaf_trimmed_mean",
     "q_window_range_frame",
     "q_scalar_datetime",
-    "q_sql_star_revenue",
     # -- NEW QUERY in r09: nearest-direction as-of join (pandas
     # merge_asof direction='nearest' parity; single-WindowExec dual
     # fill) — first driver row.  Slot freed by q_scan_project_filter
@@ -130,6 +129,13 @@ DRIVER_ORDER = (
     # windowed-rank queries) -------------------------------------------
     "q_agg_string",
     "q_window_sliding",
+    # -- NEW QUERY in r09: explicitly salted equi-join — the manual
+    # skew tool for cases AQE's sort-merge splitting cannot reach;
+    # oracle = the plain join.  Slot freed by q_sql_star_revenue
+    # (x4 lifetime; star-join machinery carried in-cap by
+    # q_join_broadcast/q_join_multiway, and it keeps its bench.py
+    # HEADLINE row) ------------------------------------------------------
+    "q_join_salted",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -141,6 +147,7 @@ DRIVER_ORDER = (
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
     "q_scan_project_filter",
+    "q_sql_star_revenue",
     "q_text_stats",
     "q_topk_per_group",
     "q_chunk_docs",

@@ -338,6 +338,18 @@ def test_agg_string_no_window_no_sort(spark):
     assert "Sort " not in plan
 
 
+def test_join_salted_spreads_key(spark):
+    """q_join_salted: the small side is replicated by one constant
+    explode (Generate) and the join condition carries the salt next to
+    the key — the physical spread the operator exists for.  No
+    CartesianProduct ever."""
+    plan = plan_of(all_queries()["q_join_salted"].fn(spark, SF), "simple")
+    assert "Generate explode" in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines and all("__salt" in l for l in join_lines), join_lines
+    assert "CartesianProduct" not in plan
+
+
 def test_twap_single_shuffle_no_join(spark):
     """q_twap: the lead window and the grouped aggregation ride ONE
     (user_id, day) exchange; no join anywhere (the day-end boundary

@@ -192,6 +192,47 @@ def test_salted_agg_correct_on_adversarial_narrow_frames(spark, vals,
     assert all(0 <= s < n_salts for s in salts)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    big=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 99)),
+                 min_size=1, max_size=40),
+    n_salts=st.sampled_from([2, 8]),
+)
+def test_salted_join_equals_plain_join(spark, big, n_salts):
+    """salted_join laws: (a) inner result is multiset-equal to the
+    plain join — the salt changes the physics, never the algebra;
+    (b) left keeps unmatched big rows null-extended exactly once;
+    (c) right/full are refused (the replicated side's unmatched rows
+    would surface once per replica)."""
+    import pytest as _pytest
+
+    from level2_to_cassandra_spark.operators.skew import salted_join
+
+    big_df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(big)],
+        "key int, v int, rid int",
+    )
+    small_df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (3, "c")], "key int, tag string"
+    )
+
+    def rows(df):
+        out = {}
+        for r in df.collect():
+            t = (r.key, r.v, r.rid, r.tag)
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    for how in ("inner", "left"):
+        got = rows(salted_join(big_df, small_df, on=["key"],
+                               n_salts=n_salts, how=how))
+        want = rows(big_df.join(small_df, ["key"], how))
+        assert got == want, (how, n_salts)
+    with _pytest.raises(ValueError, match="inner.*left"):
+        salted_join(big_df, small_df, on=["key"], how="right")
+
+
 # ------------------------------------------------- r04 curation invariants
 
 def test_redaction_is_idempotent_and_complete(spark):
