@@ -105,6 +105,7 @@ HEADLINE = [
     "q_agg_string",          # ordered string agg (struct-sorted lists)
     "q_window_sliding",      # overlapping-window agg (Expand fan-out)
     "q_join_salted",         # explicit skew-salted equi-join
+    "q_graph_triangles",     # degree-oriented wedge-join triangles
 ]
 
 

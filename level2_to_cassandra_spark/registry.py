@@ -113,7 +113,6 @@ DRIVER_ORDER = (
     "q_text_redact",
     "q_udaf_trimmed_mean",
     "q_window_range_frame",
-    "q_scalar_datetime",
     # -- NEW QUERY in r09: nearest-direction as-of join (pandas
     # merge_asof direction='nearest' parity; single-WindowExec dual
     # fill) — first driver row.  Slot freed by q_scan_project_filter
@@ -136,6 +135,12 @@ DRIVER_ORDER = (
     # q_join_broadcast/q_join_multiway, and it keeps its bench.py
     # HEADLINE row) ------------------------------------------------------
     "q_join_salted",
+    # -- NEW QUERY in r09: per-node triangle counting with the
+    # degree-ordered orientation (bounded wedge join) — first driver
+    # row.  Slot freed by q_scalar_datetime (x4 lifetime; the
+    # datetime scalar surface keeps q_scalar_* siblings past-cap
+    # checked by the local replica every run) ---------------------------
+    "q_graph_triangles",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -146,6 +151,7 @@ DRIVER_ORDER = (
     # ordered stalest-first so the next rotation reads off the top.
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
+    "q_scalar_datetime",
     "q_scan_project_filter",
     "q_sql_star_revenue",
     "q_text_stats",

@@ -350,6 +350,19 @@ def test_join_salted_spreads_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_triangles_semi_join_no_cartesian(spark):
+    """q_graph_triangles: the closing-edge check must be a LeftSemi
+    equi-join (existence only — no row multiplication, no payload) and
+    nothing in the pipeline may degrade to CartesianProduct; the
+    oriented edge relation is persisted (InMemoryRelation) so the
+    three-sided wedge join reads it, not the edge+degree build."""
+    plan = plan_of(all_queries()["q_graph_triangles"].fn(spark, SF),
+                   "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
 def test_twap_single_shuffle_no_join(spark):
     """q_twap: the lead window and the grouped aggregation ride ONE
     (user_id, day) exchange; no join anywhere (the day-end boundary

@@ -700,3 +700,36 @@ def test_pagerank_is_a_probability_simplex_fixed_point_step(spark):
     assert all(v >= 0.15 / n - 1e-9 for v in ranks.values())
     assert total <= 1.0 + 1e-6
     assert total >= 0.15 - 1e-9
+
+
+def test_triangle_counting_known_graphs(spark):
+    """The degree-oriented wedge join must count triangles exactly on
+    graphs with hand-countable answers: K4 (every node in C(3,2)=3
+    triangles), a 4-cycle (none — wedges close nowhere), and a hub
+    star plus one rim edge (exactly one triangle through the hub,
+    despite the hub's degree dominating every wedge)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.queries.graph import q_graph_triangles
+
+    def run_on_edges(edge_list):
+        # drive the registered query's exact pipeline by materializing
+        # the edge list as fake (order, supplier) co-occurrence rows:
+        # one synthetic order per edge yields exactly that edge set
+        rows = [(i, s) for i, (a, b) in enumerate(edge_list)
+                for s in (a, b)]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+            out = q_graph_triangles(spark, d).collect()
+        return {r.node: r.n_triangles for r in out}
+
+    k4 = run_on_edges(list(itertools.combinations(range(4), 2)))
+    assert k4 == {0: 3, 1: 3, 2: 3, 3: 3}
+    cycle4 = run_on_edges([(0, 1), (1, 2), (2, 3), (0, 3)])
+    assert cycle4 == {}
+    hub = run_on_edges([(9, i) for i in range(5)] + [(0, 1)])
+    assert hub == {9: 1, 0: 1, 1: 1}
