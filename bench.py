@@ -106,6 +106,7 @@ HEADLINE = [
     "q_window_sliding",      # overlapping-window agg (Expand fan-out)
     "q_join_salted",         # explicit skew-salted equi-join
     "q_graph_triangles",     # degree-oriented wedge-join triangles
+    "q_text_more_like_this", # sparse tf-idf doc-to-doc retrieval
 ]
 
 

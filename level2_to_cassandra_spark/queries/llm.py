@@ -1416,6 +1416,135 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_more_like_this",
+    # Weights/top-8 pruning/norms replicated exactly; candidates are
+    # ALL corpus docs sharing a top-8 term with the query doc (the
+    # query side is 5 docs, so the inverted-index probe is bounded by
+    # the query postings, never corpus²).
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 ROUND((tf::DOUBLE / dl) * LN(n::DOUBLE / df), 6) AS w
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+    top8 AS (SELECT doc_id, term, w FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY w DESC, term) AS rk
+               FROM w)
+             WHERE rk <= 8),
+    nrm AS (SELECT doc_id, ROUND(SQRT(SUM(w * w)), 6) AS nr
+            FROM top8 GROUP BY 1),
+    dots AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               SUM(q.w * c.w) AS dot
+        FROM top8 q JOIN top8 c
+          ON q.term = c.term AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (nq.nr * nc.nr), 4) AS cos
+        FROM dots
+        JOIN nrm nq ON nq.doc_id = query_id
+        JOIN nrm nc ON nc.doc_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_text_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: for each of 5 query documents, the top-3 most
+    similar corpus documents by SPARSE tf-idf cosine over each doc's
+    top-8 terms — the lexical doc-to-doc retrieval that complements
+    q_bm25 (query TERMS → docs) and the dense q_sim_topk (embedding
+    cosine).  Pruning each vector to its top-8 tf-idf terms is the
+    standard more-like-this move (Lucene's MLT does exactly this):
+    it bounds every doc's postings at k rows regardless of length.
+
+    Scale shape: the QUERY side is tiny (5 docs ⇒ ≤ 40 postings) and
+    joins the corpus postings on term — the probe touches only
+    corpus postings whose term appears in a query vector, so the
+    work is (query postings) × (per-term df), never corpus²; the
+    top-8 corpus relation is the persisted staging table the tf-idf
+    rank already builds.  Same machinery as q_text_tfidf (shared
+    tokenizer, weights rounded at 6 so both engines sum identical
+    value sets; cosine rounded at 4 on top of norm-6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    toks = spread_scan(docs).select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    # tf feeds df + the weight join (two branches); top8 feeds the
+    # query probe, the corpus side and both norm lookups — persist
+    # both or the tokenization re-runs per branch
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    weight = F.round(
+        (F.col("tf").cast("double") / F.col("dl"))
+        * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+        6,
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    top8 = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .select("doc_id", "term", weight.alias("w"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 8)
+        .select("doc_id", "term", "w")
+        .persist()
+    )
+    nrm = top8.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nr")
+    )
+    q = top8.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(
+            top8.select(F.col("doc_id").alias("neighbor_id"), "term",
+                        F.col("w").alias("wc")),
+            "term",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            nrm.select(F.col("doc_id").alias("query_id"),
+                       F.col("nr").alias("nq")), "query_id")
+        .join(
+            nrm.select(F.col("doc_id").alias("neighbor_id"),
+                       F.col("nr").alias("nc")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 4)
+            .alias("cos"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@register(
     "q_udf_pandas_cosine",
     oracle="""
     SELECT vec_id, label,

@@ -112,7 +112,6 @@ DRIVER_ORDER = (
     "q_pack_sequences",
     "q_text_redact",
     "q_udaf_trimmed_mean",
-    "q_window_range_frame",
     # -- NEW QUERY in r09: nearest-direction as-of join (pandas
     # merge_asof direction='nearest' parity; single-WindowExec dual
     # fill) — first driver row.  Slot freed by q_scan_project_filter
@@ -141,6 +140,12 @@ DRIVER_ORDER = (
     # datetime scalar surface keeps q_scalar_* siblings past-cap
     # checked by the local replica every run) ---------------------------
     "q_graph_triangles",
+    # -- NEW QUERY in r09: more-like-this sparse tf-idf retrieval
+    # (query docs broadcast against the top-8 postings) — first
+    # driver row.  Slot freed by q_window_range_frame (x2 but r05 —
+    # the RANGE-frame machinery keeps its local replica check; thin
+    # slots go to first rows first) -------------------------------------
+    "q_text_more_like_this",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -152,6 +157,7 @@ DRIVER_ORDER = (
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
     "q_scalar_datetime",
+    "q_window_range_frame",
     "q_scan_project_filter",
     "q_sql_star_revenue",
     "q_text_stats",

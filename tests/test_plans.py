@@ -350,6 +350,18 @@ def test_join_salted_spreads_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_more_like_this_broadcasts_queries(spark):
+    """q_text_more_like_this: the 5-doc query postings broadcast
+    against the corpus top-8 postings (never a corpus² join), the
+    shared tf/top8 staging is persisted, and nothing degrades to
+    CartesianProduct."""
+    plan = plan_of(all_queries()["q_text_more_like_this"].fn(spark, SF),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
 def test_triangles_semi_join_no_cartesian(spark):
     """q_graph_triangles: the closing-edge check must be a LeftSemi
     equi-join (existence only — no row multiplication, no payload) and
