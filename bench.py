@@ -107,6 +107,7 @@ HEADLINE = [
     "q_join_salted",         # explicit skew-salted equi-join
     "q_graph_triangles",     # degree-oriented wedge-join triangles
     "q_text_more_like_this", # sparse tf-idf doc-to-doc retrieval
+    "q_merge_upsert",        # MERGE INTO / CDC apply (one full outer)
 ]
 
 

@@ -817,6 +817,97 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert",
+    # MERGE INTO semantics applied as one full-outer join.  The change
+    # set is derived deterministically from the base table (updates:
+    # key % 10 = 0, price + 100; deletes: key % 10 = 1; inserts: fresh
+    # keys 10M + key for key % 100 = 2), so both engines construct the
+    # identical CDC batch and the hash verifies the APPLY semantics.
+    # +100.0 instead of a multiply avoids a rounding step entirely —
+    # the same IEEE add on both engines.
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS k, 'U' AS op, o_custkey, o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, NULL, NULL
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT 10000000 + o_orderkey, 'I', o_custkey, o_orderstatus, 1.0
+        FROM orders WHERE o_orderkey % 100 = 2)
+    SELECT COALESCE(c.k, b.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.o_custkey
+                ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IN ('U', 'I') THEN c.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
+    WHERE COALESCE(c.op, 'K') <> 'D'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC apply): one batch of keyed changes — updates,
+    deletes, inserts — applied to a base table in a SINGLE full-outer
+    join on the key, the plan every table format's MERGE lowers to
+    (matched+U → replace payload, matched+D → drop, unmatched+I →
+    add, untouched base rows pass through).  This is the batch twin
+    of the streaming keyed-upsert sink's last-write-wins fold
+    (streaming/sink.py): same key semantics, expressed as one
+    relational operator instead of an incremental log.
+
+    Scale shape: ONE shuffle of each side on the merge key — never a
+    per-row lookup loop; at table-format scale the same join runs
+    against only the base files whose key ranges the change set
+    touches (partition/file pruning), which is exactly what Delta/
+    Iceberg MERGE does with this identical logical plan."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # Change-payload columns are RENAMED (c_*): the batch is derived
+    # from base as test scaffolding (a real CDC batch is its own
+    # table), and same-lineage names would make the full-outer join's
+    # projections ambiguous self-join references.
+    upd = base.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("c_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("c_totalprice"),
+    )
+    dele = base.where(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_orderstatus"),
+        F.lit(None).cast("double").alias("c_totalprice"),
+    )
+    ins = base.where(F.col("o_orderkey") % 100 == 2).select(
+        (F.lit(10_000_000) + F.col("o_orderkey")).alias("k"),
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("c_orderstatus"),
+        F.lit(1.0).alias("c_totalprice"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    joined = base.join(changes, F.col("o_orderkey") == F.col("k"),
+                       "full_outer")
+    changed = F.col("op").isin("U", "I")
+    return joined.where(
+        F.coalesce(F.col("op"), F.lit("K")) != "D"
+    ).select(
+        F.coalesce(F.col("k"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(changed, F.col("c_custkey"))
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(changed, F.col("c_orderstatus"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(changed, F.col("c_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+
+
+@register(
     "q_dedup_lww",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value

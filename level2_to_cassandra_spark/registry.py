@@ -102,7 +102,6 @@ DRIVER_ORDER = (
     "q_join_outer",
     "q_join_range",
     "q_sort_limit",
-    "q_window_distribution",
     # -- last driver-green r05 (4 rounds stale) -------------------------
     "q_agg_bitmap_distinct",
     "q_contamination",
@@ -146,6 +145,11 @@ DRIVER_ORDER = (
     # the RANGE-frame machinery keeps its local replica check; thin
     # slots go to first rows first) -------------------------------------
     "q_text_more_like_this",
+    # -- NEW QUERY in r09: MERGE INTO / CDC apply as one full-outer
+    # join — first driver row.  Slot freed by q_window_distribution
+    # (x4 lifetime; the distribution-window machinery keeps its local
+    # replica check and q_window_ntile's r08 row) -----------------------
+    "q_merge_upsert",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -157,6 +161,7 @@ DRIVER_ORDER = (
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
     "q_scalar_datetime",
+    "q_window_distribution",
     "q_window_range_frame",
     "q_scan_project_filter",
     "q_sql_star_revenue",

@@ -350,6 +350,16 @@ def test_join_salted_spreads_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_merge_upsert_is_one_full_outer_join(spark):
+    """q_merge_upsert: the whole MERGE (update+delete+insert apply)
+    lowers to exactly ONE FullOuter join on the merge key — never a
+    per-op join cascade or a per-row lookup — and no Cartesian."""
+    plan = plan_of(all_queries()["q_merge_upsert"].fn(spark, SF),
+                   "simple")
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_more_like_this_broadcasts_queries(spark):
     """q_text_more_like_this: the 5-doc query postings broadcast
     against the corpus top-8 postings (never a corpus² join), the
