@@ -1545,6 +1545,46 @@ def q_text_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_vector_mean",
+    # Per-dimension scalar rows (label, pos, mean_x), not an array
+    # column: the driver's pandas canonicalization cannot hash
+    # top-level arrays, and the exploded form is ALSO the scale shape.
+    oracle="""
+    WITH p AS (SELECT UNNEST(range(0, 64)) AS pos)
+    SELECT label, pos,
+           ROUND(AVG(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS mean_x,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings CROSS JOIN p
+    GROUP BY label, pos
+    """,
+)
+def q_agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROIDS (class prototypes / the k-means
+    update step / embedding averaging for retrieval) as posexplode +
+    one (label, pos) hash aggregate — the dense-vector aggregation
+    shape that scales: per-dimension rows ride normal map-side
+    partial aggregation through ONE shuffle of #labels × dim cells,
+    where an array-typed ``F.aggregate`` zip-fold would run
+    interpreted per element and a collect-then-average would move
+    whole vectors to one reducer per label.  Means are rounded at 6
+    on both engines so summation-order jitter cannot flip the hash;
+    dim=64 is pinned to the fixture (same contract as
+    q_llm_dedup_embed's planes)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return (
+        em.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "q_udf_pandas_cosine",
     oracle="""
     SELECT vec_id, label,

@@ -101,7 +101,6 @@ DRIVER_ORDER = (
     "q_join_broadcast",
     "q_join_outer",
     "q_join_range",
-    "q_sort_limit",
     # -- last driver-green r05 (4 rounds stale) -------------------------
     "q_agg_bitmap_distinct",
     "q_contamination",
@@ -150,6 +149,12 @@ DRIVER_ORDER = (
     # (x4 lifetime; the distribution-window machinery keeps its local
     # replica check and q_window_ntile's r08 row) -----------------------
     "q_merge_upsert",
+    # -- NEW QUERY in r09: per-label embedding centroids (posexplode +
+    # one hash aggregate — the dense-vector agg scale shape) — first
+    # driver row.  Slot freed by q_sort_limit (x4 lifetime; the
+    # TakeOrderedAndProject machinery keeps q_sort_nulls in-cap and
+    # its plan pin runs locally every time) -----------------------------
+    "q_agg_vector_mean",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -161,6 +166,7 @@ DRIVER_ORDER = (
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
     "q_scalar_datetime",
+    "q_sort_limit",
     "q_window_distribution",
     "q_window_range_frame",
     "q_scan_project_filter",
