@@ -41,19 +41,20 @@ _REGISTRY: dict[str, Query] = {}
 #: ``queries()`` (observed in rounds 1-2: CORRECTNESS_r0{1,2}.json each
 #: contain exactly the first 50 registrations).  ``DRIVER_ORDER`` makes
 #: the checked set an explicit, reviewed decision instead of an import
-#: side effect: the first 50 names get driver oracle rows; the tail are
-#: queries already driver-green in BOTH r01 and r02, untouched since,
-#: and each redundant with an in-cap sibling covering the same
-#: SURVEY.md §2 row (q_set_ops_all↔q_set_ops, q_agg_cube/q_agg_stats↔
-#: q_agg_rollup/q_agg_percentile, q_agg_pivot↔q_agg_conditional,
-#: q_join_right/q_join_full↔q_join_outer, q_join_multiway/q_join_cross↔
-#: q_join_inner, q_scalar_map↔5 other scalar queries, q_sort_nulls↔
-#: q_sort_limit, q_subquery_correlated↔q_scalar_datetime,
-#: q_window_lag↔q_window_distribution) — plus the rows-only queries
-#: added in r03+, which have no oracle signal to gain from a driver
-#: row.  EVERY registered query stays registered and the local replica
-#: harness (tests/test_queries_oracle.py) checks every one each run —
-#: the tail loses only the per-round driver row.
+#: side effect.  Rotation policy (enforced mechanically by
+#: tests/test_registry_order.py against the committed CORRECTNESS_r*
+#: artifacts, so it cannot silently desync from history):
+#:
+#: * a query with NO lifetime driver-green row (new this round) is
+#:   always in-cap — a first row outranks any confirmation;
+#: * a query whose implementation or oracle CHANGED this round is
+#:   in-cap to re-hash against the driver;
+#: * the remaining slots go to the LONGEST-UNCONFIRMED names, so
+#:   lifetime coverage accumulates where it is thinnest;
+#: * everything past the cap holds >=2 lifetime driver-green rows and
+#:   is still oracle-checked by the local replica harness
+#:   (tests/test_queries_oracle.py) on every run — the tail loses only
+#:   the per-round driver row.
 DRIVER_CAP = 50
 
 DRIVER_ORDER = (
