@@ -169,18 +169,28 @@ def main(argv: list[str] | None = None) -> int:
             clean = clean and r["ok"]
         return 0 if clean else 1
     if args.compact:
-        from level2_to_cassandra_spark.streaming.sink import compact_sink
+        from level2_to_cassandra_spark.streaming.sink import (
+            CompactionLockHeld,
+            compact_sink,
+        )
 
         spark = get_spark(app_name="l2c-compact")
+        contended = False
         for suffix in ("book", "tick"):
             try:
                 n = compact_sink(spark, cfg.out_path, suffix)
+            except CompactionLockHeld as e:
+                # surface WHO holds the lock and exit nonzero so a
+                # scheduler notices a permanently wedged lock instead
+                # of logging success forever (self-review r09)
+                print(f"compact {suffix}: {e}", file=sys.stderr)
+                contended = True
             except Exception as e:  # noqa: BLE001 — a table may not exist
                 print(f"compact {suffix}: skipped ({type(e).__name__})",
                       file=sys.stderr)
             else:
                 print(f"compact {suffix}: {n} rows")
-        return 0
+        return 1 if contended else 0
     src = args.source
     if src == "auto":
         src = "kafka" if cfg.kafka.get("kafka.bootstrap.servers") else "file"

@@ -145,35 +145,55 @@ def _asof_nearest(left, l, r, on, by, right_cols, prefix,
                   strict, tolerance) -> DataFrame:
     """(internal) the nearest-direction tail of :func:`asof_join`.
 
-    One partition sort carries BOTH candidate fills: rights sort
-    before lefts at equal time (backward-inclusive order), the
-    preceding-frame ``last`` is the backward candidate, the
-    following-frame ``first`` the forward one — different frames over
-    the SAME ordering share a single WindowExec, so the plan is still
-    one shuffle + one sort.  By that ordering the forward candidate is
+    Non-strict: one partition sort carries BOTH candidate fills —
+    rights sort before lefts at equal time (backward-inclusive order),
+    the preceding-frame ``last`` is the backward candidate, the
+    following-frame ``first`` the forward one; different frames over
+    the SAME ordering share a single WindowExec, so the plan is one
+    shuffle + one sort.  By that ordering the forward candidate is
     always strictly later than the left row (equal-time rights sit in
     the preceding frame), which is exactly right: an equal-time match
     belongs to the backward candidate, whose 0 distance wins every
-    choice it is allowed to enter."""
-    w_base = Window.partitionBy(*by).orderBy(F.asc("__t"), F.asc("__side"))
-    wb = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = w_base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    choice it is allowed to enter.
+
+    Strict (pandas ``allow_exact_matches=False``) needs BOTH fills to
+    skip past equal-time rights and fall back to the next
+    strictly-earlier / strictly-later row — a post-filter on the
+    non-strict fills cannot do that (nulling an equal-time backward
+    candidate loses the strictly-earlier row it shadowed: confirmed
+    against pandas, self-review r09), so the backward fill instead
+    runs over the MIRRORED tie order (rights after lefts), whose
+    preceding frame excludes the equal group by position.  Two
+    orderings = two WindowExec + one extra in-partition sort, still
+    the single shuffle."""
+    order_rights_first = [F.asc("__t"), F.asc("__side")]
+    w_fwd = (
+        Window.partitionBy(*by).orderBy(*order_rights_first)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if strict:
+        # rights sort AFTER lefts at ties: the preceding frame holds
+        # only strictly-earlier rights (and w_fwd above already holds
+        # only strictly-later ones under rights-first ordering)
+        w_back = (
+            Window.partitionBy(*by).orderBy(F.asc("__t"), F.desc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_back = (
+            Window.partitionBy(*by).orderBy(*order_rights_first)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     cand = (
         l.unionByName(r, allowMissingColumns=True)
-        .withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
-        .withColumn("__f", F.first("__r", ignorenulls=True).over(wf))
+        .withColumn("__b", F.last("__r", ignorenulls=True).over(w_back))
+        .withColumn("__f", F.first("__r", ignorenulls=True).over(w_fwd))
         .where(F.col("__side") == 1)
     )
     lt = F.col("__t")
     bt, ft = F.col(f"__b.{on}"), F.col(f"__f.{on}")
     if isinstance(left.schema[on].dataType, T.TimestampType):
         lt, bt, ft = F.unix_micros(lt), F.unix_micros(bt), F.unix_micros(ft)
-    if strict:
-        # pandas allow_exact_matches=False: drop the equal-time
-        # backward candidate (the forward fill is strict by ordering)
-        cand = cand.withColumn(
-            "__b", F.when(bt < lt, F.col("__b"))
-        )
     if tolerance is not None:
         cand = cand.withColumn(
             "__b", F.when(lt - bt <= F.lit(tolerance), F.col("__b"))

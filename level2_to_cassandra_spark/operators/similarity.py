@@ -1649,7 +1649,14 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     read, and ONLY those dirs are deleted — a live
     :func:`foreach_batch_ivfpq_ingest` stream landing new batch dirs
     while the merge runs loses nothing; the new dirs simply wait for
-    the next merge cycle (compact_sink's snapshot discipline)."""
+    the next merge cycle (compact_sink's snapshot discipline).  A dir
+    is consumable only once its ``_SUCCESS`` job-commit marker exists:
+    a batch MID-WRITE at snapshot time already shows committed part
+    files (but no marker yet), and reading+deleting it would append a
+    partial batch while destroying the rest (self-review r09) — such
+    dirs simply wait; a writer that crashed pre-commit leaves no
+    marker either, and the at-least-once replay of that batch id
+    overwrites the dir and commits it properly."""
     import os
     import shutil
 
@@ -1664,7 +1671,9 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
     )
     consumed = [
         d for d in snapshot
-        if os.path.isdir(d) and any(
+        if os.path.isdir(d)
+        and os.path.exists(os.path.join(d, "_SUCCESS"))
+        and any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(d) for f in fs
         )

@@ -152,19 +152,14 @@ class WireDataSource(DataSource):
         return _WireBatchReader(self._path())
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
-        cap = self.options.get("maxFilesPerTrigger")
-        # '0' is truthy as a string: int('0') used to slip through as a
-        # cap of 0 and silently freeze the stream (ADVICE r07 low) —
-        # validate like Spark's JSON/file sources do (must be positive)
-        if cap is not None and cap != "":
-            cap = int(cap)
-            if cap < 1:
-                raise ValueError(
-                    f"maxFilesPerTrigger must be a positive integer, "
-                    f"got {cap!r}"
-                )
-        else:
-            cap = None
+        from level2_to_cassandra_spark.functions import positive_or_none
+
+        # shared validation with PipelineConfig.from_env: '0' used to
+        # slip through `int(cap) if cap` as a 0-file cap that silently
+        # froze the stream (ADVICE r07 low)
+        cap = positive_or_none(
+            self.options.get("maxFilesPerTrigger"), "maxFilesPerTrigger"
+        )
         return _WireStreamReader(self._path(), cap)
 
 

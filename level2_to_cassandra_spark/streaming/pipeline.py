@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from level2_to_cassandra_spark.functions import positive_or_none
 from level2_to_cassandra_spark.streaming import ingest, state
 from level2_to_cassandra_spark.streaming.sink import (
     foreach_batch_upsert,
@@ -28,19 +29,6 @@ from level2_to_cassandra_spark.streaming.sink import (
 )
 
 MODES = ("book", "tick", "full")
-
-
-def _positive_or_none(raw: str | None, name: str) -> int | None:
-    """Trigger caps must be ≥1 or unset: '0' is a truthy STRING, so
-    `int(raw) if raw else None` shipped 0 through to the source, where
-    a 0-file/0-offset cap silently stops the stream from progressing
-    (ADVICE r07 low — same validation as sources/wire.py)."""
-    if raw is None or raw == "":
-        return None
-    value = int(raw)
-    if value < 1:
-        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
-    return value
 
 
 @dataclass
@@ -161,10 +149,10 @@ class PipelineConfig:
             sink="cassandra" if cassandra else "parquet",
             metrics=e.get("APP_METRICS", "").lower() in ("1", "true", "yes"),
             dlq=e.get("APP_DLQ", "").lower() in ("1", "true", "yes"),
-            max_files_per_trigger=_positive_or_none(
+            max_files_per_trigger=positive_or_none(
                 e.get("TRIGGER_MAX_FILES"), "TRIGGER_MAX_FILES"
             ),
-            max_offsets_per_trigger=_positive_or_none(
+            max_offsets_per_trigger=positive_or_none(
                 e.get("TRIGGER_MAX_OFFSETS"), "TRIGGER_MAX_OFFSETS"
             ),
         )

@@ -51,58 +51,106 @@ class CompactionLockHeld(RuntimeError):
 
 
 def _acquire_compact_lock(lock: str) -> None:
-    """O_EXCL lock sentinel with pid/timestamp payload + stale reclaim.
+    """Atomic lock sentinel with pid/timestamp payload + stale reclaim.
 
     A compaction killed between lock and unlock used to brick every
     later ``--compact`` run with a bare FileExistsError (ADVICE r07
-    low).  The sentinel now records ``pid <pid> ts <unix-ts>``; on
+    low).  The sentinel records ``pid <pid> ts <unix-ts>``, and the
+    acquisition is the classic lockfile protocol: the payload is fully
+    written to a private temp file FIRST, then ``os.link`` publishes
+    it under the lock name in one atomic syscall — so a contender can
+    never observe a live lock with an empty payload (an O_CREAT|O_EXCL
+    open followed by a write had exactly that window: a holder
+    descheduled between the two would read as "unreadable — remove by
+    hand", inviting deletion of a live lock; self-review r09).  On
     contention the holder pid is liveness-probed (``kill -0``) — a
-    dead holder's sentinel is removed and the lock re-acquired, a live
-    holder raises :class:`CompactionLockHeld`.  The reclaim races only
-    other RECLAIMERS (both see the same dead pid; O_EXCL arbitrates
-    the re-acquire), never a live compaction."""
+    dead holder's sentinel is reclaimed and the lock re-acquired, a
+    live holder raises :class:`CompactionLockHeld`.  The reclaim is a
+    VERIFIED rename-steal (rename the lock aside atomically, re-read
+    it, discard only if it still names the dead holder, restore a live
+    payload): a concurrent reclaimer that already re-acquired can
+    never have its live lock deleted out from under it."""
     import os
     import time
 
-    for attempt in range(2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    tmp = f"{lock}.{os.getpid()}.tmp"
+    try:
+        for attempt in range(2):
+            with open(tmp, "w", encoding="ascii") as fh:
+                fh.write(f"pid {os.getpid()} ts {time.time():.3f}")
             try:
-                os.write(fd, f"pid {os.getpid()} ts {time.time():.3f}"
-                         .encode("ascii"))
-            finally:
-                os.close(fd)
-            return
-        except FileExistsError:
-            try:
-                with open(lock, encoding="ascii") as fh:
-                    payload = fh.read().split()
-                holder = int(payload[payload.index("pid") + 1])
-            except (OSError, ValueError, IndexError):
-                raise CompactionLockHeld(
-                    f"compaction lock {lock} exists but its payload is "
-                    "unreadable — inspect and remove it by hand"
-                ) from None
-            try:
-                os.kill(holder, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True  # exists, just not ours to signal
-            if alive:
-                raise CompactionLockHeld(
-                    f"compaction lock {lock} held by live pid {holder}"
-                ) from None
-            if attempt == 0:
-                # stale: holder is dead — reclaim and retry the O_EXCL
+                os.link(tmp, lock)
+                return
+            except FileExistsError:
                 try:
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass  # another reclaimer beat us; retry acquires
-    raise CompactionLockHeld(
-        f"compaction lock {lock} could not be reclaimed after retry"
-    )
+                    with open(lock, encoding="ascii") as fh:
+                        payload = fh.read().split()
+                    holder = int(payload[payload.index("pid") + 1])
+                except (OSError, ValueError, IndexError):
+                    raise CompactionLockHeld(
+                        f"compaction lock {lock} exists but its payload "
+                        "is unreadable — inspect and remove it by hand"
+                    ) from None
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, just not ours to signal
+                if alive:
+                    raise CompactionLockHeld(
+                        f"compaction lock {lock} held by live pid {holder}"
+                    ) from None
+                if attempt == 0:
+                    # Stale: holder is dead — VERIFIED reclaim.  A bare
+                    # os.remove(lock) would race a concurrent reclaimer
+                    # that already re-acquired (we would delete a LIVE
+                    # lock), so steal the file atomically by rename,
+                    # re-read it, and only discard it if it still names
+                    # the dead holder; a live payload is restored.
+                    stale = f"{lock}.reclaim.{os.getpid()}"
+                    try:
+                        os.rename(lock, stale)
+                    except FileNotFoundError:
+                        continue  # another reclaimer won; retry decides
+                    try:
+                        with open(stale, encoding="ascii") as fh:
+                            stolen = fh.read().split()
+                        same_dead = (
+                            int(stolen[stolen.index("pid") + 1]) == holder
+                        )
+                    except (OSError, ValueError, IndexError):
+                        same_dead = False
+                    if same_dead:
+                        os.remove(stale)
+                        continue  # dead lock gone; retry the link
+                    # we stole a LIVE lock that replaced the dead one
+                    # between our probe and the rename: put it back
+                    try:
+                        os.link(stale, lock)
+                    except FileExistsError:
+                        # a third acquirer landed first — cannot mend
+                        # that 3-way race from here; surface it loudly
+                        os.remove(stale)
+                        raise CompactionLockHeld(
+                            f"compaction lock {lock} was re-acquired "
+                            "twice during a stale reclaim — inspect the "
+                            "compaction processes before retrying"
+                        ) from None
+                    os.remove(stale)
+                    raise CompactionLockHeld(
+                        f"compaction lock {lock} was re-acquired by "
+                        "another process during the stale reclaim"
+                    ) from None
+        raise CompactionLockHeld(
+            f"compaction lock {lock} could not be reclaimed after retry"
+        )
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _write_order(df: DataFrame) -> list:

@@ -1202,6 +1202,27 @@ def test_asof_join_nearest_semantics(spark):
     assert tol[(1, 140)] == "b"     # distance 10 inside the bound
     assert tol[(1, 300)] is None    # 40 from 260: beyond the bound
 
+    # the self-review r09 regression: an equal-time right must not
+    # SHADOW the strictly-earlier row under strict — pandas
+    # merge_asof(nearest, allow_exact_matches=False) picks 'x' (d=5),
+    # never 'z' (d=100) or null
+    sl = spark.createDataFrame([(1, 100)], "k long, ts long")
+    sr = spark.createDataFrame(
+        [(1, 95, "x"), (1, 100, "y"), (1, 200, "z")],
+        "k long, ts long, v string"
+    )
+    [row] = asof_join(sl, sr, on="ts", by=["k"], right_cols=["v"],
+                      direction="nearest", strict=True).collect()
+    assert row.r_v == "x"
+    # mirrored shadow on the forward side: equal-time right must not
+    # hide the strictly-later row either
+    sr2 = spark.createDataFrame(
+        [(1, 100, "y"), (1, 103, "w")], "k long, ts long, v string"
+    )
+    [row2] = asof_join(sl, sr2, on="ts", by=["k"], right_cols=["v"],
+                       direction="nearest", strict=True).collect()
+    assert row2.r_v == "w"
+
 
 def test_ivfpq_streaming_ingest_matches_batch_append(spark, tmp_path):
     """Streaming ANN ingest: micro-batches of vectors landed by
@@ -1349,3 +1370,37 @@ def test_ivfpq_ingest_merge_concurrent_writer_survives(
         == {r.vec_id for r in em.select("vec_id").collect()}
     )
     similarity.ivfpq_check_coverage(m2, em)
+
+
+def test_ivfpq_ingest_merge_skips_uncommitted_batch_dir(spark, tmp_path):
+    """A batch dir MID-WRITE at snapshot time (part files visible, no
+    _SUCCESS job-commit marker yet) must be neither read nor deleted —
+    consuming it would append a partial batch while destroying the
+    rest (self-review r09).  Once the marker lands, the next merge
+    folds the full batch."""
+    import os
+    import shutil
+
+    em = load_table(spark, SF, "embeddings")
+    em_a = em.where(F.col("vec_id") % 2 == 0)
+    em_b = em.where(F.col("vec_id") % 2 == 1)
+    idx = similarity.ivfpq_build(em_a, path=str(tmp_path / "idx"))
+    ingest = str(tmp_path / "ingest")
+    cb = similarity.foreach_batch_ivfpq_ingest(idx, ingest)
+    cb(em_b.select("vec_id", "embedding"), 0)
+
+    # simulate the mid-write state: committed part files, marker gone
+    b0 = os.path.join(ingest, "b00000000")
+    os.remove(os.path.join(b0, "_SUCCESS"))
+
+    m1 = similarity.ivfpq_ingest_merge(idx, ingest)
+    assert m1 is idx                      # nothing consumable yet
+    assert os.path.isdir(b0)              # and the dir was NOT deleted
+    assert any(f.endswith(".parquet") for f in os.listdir(b0))
+
+    # the writer finishes (replay rewrites + commits the batch)
+    shutil.rmtree(b0)
+    cb(em_b.select("vec_id", "embedding"), 0)
+    m2 = similarity.ivfpq_ingest_merge(idx, ingest)
+    assert m2.index.count() == em.count()
+    assert not os.path.exists(b0)         # consumed after commit

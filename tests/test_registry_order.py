@@ -24,15 +24,24 @@ from level2_to_cassandra_spark import registry
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _is_green(res: dict) -> bool:
+    """True iff a driver row is a PASS: no error, rows matched, and
+    the value hash not recorded as a failure (None = rows-only check,
+    the weaker-but-valid form; False = a real value mismatch and must
+    never count as a confirmation — self-review r09)."""
+    return bool(
+        res.get("err") is None
+        and res.get("rows_match")
+        and res.get("hash_match") is not False
+    )
+
+
 def _lifetime_green() -> dict[str, int]:
     """query -> number of driver rounds it was recorded green in."""
     counts: dict[str, int] = {}
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         for name, res in json.loads(Path(f).read_text()).items():
-            ok = res.get("hash_match") or (
-                res.get("rows_match") and res.get("err") is None
-            )
-            if ok:
+            if _is_green(res):
                 counts[name] = counts.get(name, 0) + 1
     return counts
 
@@ -74,10 +83,7 @@ def test_cap_prioritizes_stale_confirmations():
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(Path(f).stem.split("_r")[1])
         for name, res in json.loads(Path(f).read_text()).items():
-            ok = res.get("hash_match") or (
-                res.get("rows_match") and res.get("err") is None
-            )
-            if ok:
+            if _is_green(res):
                 last[name] = rnd
     tail = [n for n in registry.DRIVER_ORDER[registry.DRIVER_CAP:]
             if n in last]
