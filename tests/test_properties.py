@@ -702,6 +702,46 @@ def test_pagerank_is_a_probability_simplex_fixed_point_step(spark):
     assert total >= 0.15 - 1e-9
 
 
+def test_merge_upsert_laws(spark):
+    """MERGE apply laws on the registered query's result at sf0.001:
+    (a) key partition — updated keys keep their key with the changed
+    payload, deleted keys are absent, inserted keys present exactly
+    once, untouched keys carry byte-identical base payloads; (b) the
+    result has no duplicate keys; (c) cardinality arithmetic:
+    |result| = |base| − |deletes| + |inserts|."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.o_totalprice)
+        for r in load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice").collect()
+    }
+    out_rows = all_queries()["q_merge_upsert"].fn(spark, sf).collect()
+    out = {}
+    for r in out_rows:
+        assert r.o_orderkey not in out, "duplicate key after merge"
+        out[r.o_orderkey] = (r.o_custkey, r.o_orderstatus, r.o_totalprice)
+
+    upd = {k for k in base if k % 10 == 0}
+    dele = {k for k in base if k % 10 == 1}
+    ins = {10_000_000 + k for k in base if k % 100 == 2}
+    assert len(out) == len(base) - len(dele) + len(ins)
+    for k in dele:
+        assert k not in out
+    for k in ins:
+        assert out[k][2] == 1.0
+    for k, v in base.items():
+        if k in dele:
+            continue
+        if k in upd:
+            assert out[k] == (v[0], v[1], v[2] + 100.0)
+        else:
+            assert out[k] == v
+
+
 def test_triangle_counting_known_graphs(spark):
     """The degree-oriented wedge join must count triangles exactly on
     graphs with hand-countable answers: K4 (every node in C(3,2)=3

@@ -155,6 +155,41 @@ def test_sliding_window_query_stream_parity(spark, events_jsonl):
     assert got == want
 
 
+def test_stream_static_join_parity(spark, events_jsonl):
+    """Stream-static join (B9): a streaming source joined against a
+    STATIC dimension (the standard enrichment shape — Spark broadcasts
+    or rescans the static side per micro-batch, no state, no
+    watermark needed) must equal the identical batch join.  The
+    dimension is derived deterministically so both sides construct
+    the same table."""
+    ev = load_table(spark, SF, "events")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.col("user_id") % 3)
+    )
+    stream = _stream(spark, events_jsonl)
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    _run_to_memory(agg, "stream_static")
+    got = {
+        (r.segment, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_static").collect()
+    }
+    want = {
+        (r.segment, r.event_type): (r.n, r.total_value)
+        for r in ev.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_interval_join_parity(spark, events_jsonl):
     """Watermarked stream-stream interval join (B9): views attributed
     to same-user purchases within a 24 h lookback, streamed from two
