@@ -108,6 +108,7 @@ HEADLINE = [
     "q_graph_triangles",     # degree-oriented wedge-join triangles
     "q_text_more_like_this", # sparse tf-idf doc-to-doc retrieval
     "q_merge_upsert",        # MERGE INTO / CDC apply (one full outer)
+    "q_graph_khop",          # BFS frontier sizes (bounded 2-step join)
 ]
 
 

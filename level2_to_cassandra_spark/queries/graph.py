@@ -207,6 +207,60 @@ _TRI_EDGE_CTES = f"""
 """
 
 
+def _sparsified_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-k-sparsified supplier co-occurrence edge relation
+    shared by q_graph_triangles and q_graph_khop (the Spark twin of
+    _TRI_EDGE_CTES): distinct undirected (a < b) edges after each
+    node keeps its _TRI_TOPK strongest co-order ties.
+
+    Pair generation is ONE order-keyed aggregate + two chained
+    explodes — not a distinct + self-join, which costs three 600k-row
+    shuffles ((o,s) distinct + both join sides; measured ~8 s →
+    ~1.3 s for this stage at sf0.1).  sort_array makes a < b inside
+    each order's set, so (element, every later element) are already
+    canonical edges; posexplode + slice stay in whole-stage codegen,
+    where the equivalent nested-transform HOF form is interpreted per
+    element (measured 2.2 s vs 1.3 s).  Per-order arrays are
+    line-count-bounded (≤ 7).
+
+    co feeds both union branches of `directed`; the returned edges
+    relation feeds several plan branches in every consumer — Catalyst
+    does not common-subexpression across alias/union branches, so
+    both are persisted (they are the edge-scale staging tables any
+    production graph pipeline materializes anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = arrs.select(
+        "ss", F.posexplode("ss").alias("i", "a")
+    ).select(
+        "a",
+        F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("b"),
+    )
+    co = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("w")
+    ).persist()
+    directed = co.select(
+        F.col("a").alias("v"), F.col("b").alias("nbr"), "w"
+    ).unionByName(
+        co.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w")
+    )
+    w_rank = Window.partitionBy("v").orderBy(F.desc("w"), F.asc("nbr"))
+    kept = (
+        directed.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= _TRI_TOPK)
+    )
+    return (
+        kept.select(
+            F.least("v", "nbr").alias("a"),
+            F.greatest("v", "nbr").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+
+
 @register(
     "q_graph_triangles",
     oracle=f"""
@@ -244,52 +298,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is near-complete — 453k edges over 1000 suppliers —
     and enumeration alone took ~45 s; sparsified it is
     sub-second.)"""
-    li = load_table(spark, sf_dir, "lineitem")
-    # Pair generation as ONE order-keyed aggregate + two chained
-    # explodes — not a distinct + self-join, which costs three
-    # 600k-row shuffles ((o,s) distinct + both join sides; measured
-    # ~8 s → ~1.3 s for this stage at sf0.1).  sort_array makes a < b
-    # inside each order's set, so (element, every later element) are
-    # already canonical edges; posexplode + slice stay in whole-stage
-    # codegen, where the equivalent nested-transform HOF form is
-    # interpreted per element (measured 2.2 s vs 1.3 s).  Per-order
-    # arrays are line-count-bounded (≤ 7).
-    arrs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = arrs.select(
-        "ss", F.posexplode("ss").alias("i", "a")
-    ).select(
-        "a",
-        F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("b"),
-    )
-    # co feeds both union branches of `directed`; edges feeds three
-    # plan branches (two degree unions + the orientation join) —
-    # Catalyst does not common-subexpression across alias/union
-    # branches, so unpersisted each would re-run its subtree per
-    # branch (union-branch recompute); both are edge-scale staging
-    # tables any production triangle count materializes anyway
-    co = pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("w")
-    ).persist()
-    directed = co.select(
-        F.col("a").alias("v"), F.col("b").alias("nbr"), "w"
-    ).unionByName(
-        co.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w")
-    )
-    w_rank = Window.partitionBy("v").orderBy(F.desc("w"), F.asc("nbr"))
-    kept = (
-        directed.withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") <= _TRI_TOPK)
-    )
-    edges = (
-        kept.select(
-            F.least("v", "nbr").alias("a"),
-            F.greatest("v", "nbr").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _sparsified_supplier_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -337,4 +346,70 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tris.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register(
+    "q_graph_khop",
+    oracle=f"""
+    WITH {_TRI_EDGE_CTES},
+    adj AS (SELECT a AS v, b AS nbr FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    two AS (
+        SELECT DISTINCT x.v, y.nbr AS n2
+        FROM adj x JOIN adj y ON x.nbr = y.v
+        WHERE y.nbr <> x.v),
+    d2 AS (SELECT v, n2 FROM two EXCEPT SELECT v, nbr FROM adj),
+    n1c AS (SELECT v, COUNT(*) AS n1 FROM adj GROUP BY v),
+    n2c AS (SELECT v, COUNT(*) AS n2 FROM d2 GROUP BY v)
+    SELECT n1c.v AS node,
+           CAST(n1 AS BIGINT) AS n_1hop,
+           CAST(COALESCE(n2, 0) AS BIGINT) AS n_2hop
+    FROM n1c LEFT JOIN n2c ON n2c.v = n1c.v
+    """,
+)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node K-HOP NEIGHBORHOOD SIZES (BFS frontier cardinality,
+    k=1,2) over the same sparsified supplier graph as
+    q_graph_triangles — the reachability primitive behind fraud rings,
+    influence radii and graph features for ML.  Exactly-distance-2 =
+    (2-step walks) minus self minus direct neighbors, as set algebra:
+    one adjacency self-join, a distinct, and an anti-join — each
+    shuffle on node keys.
+
+    Scale shape: the frontier join's fan-out is Σ deg² bounded by the
+    top-k sparsification (deg = O(k)), so the k-hop relation grows
+    linearly in |V| at fixed k — the same reason GNN samplers cap
+    per-hop fan-out; deeper k iterates the identical join (PageRank's
+    loop shape) rather than materializing an exploding closure.  The
+    oracle replays sparsification + set algebra, integer-exact."""
+    edges = _sparsified_supplier_edges(spark, sf_dir)
+    # adjacency feeds three branches (both sides of the 2-step join +
+    # the anti-join's right side) — persist or the union recomputes
+    adj = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+        )
+        .persist()
+    )
+    two = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.v"))
+        .where(F.col("y.nbr") != F.col("x.v"))
+        .select(F.col("x.v").alias("v"), F.col("y.nbr").alias("n2"))
+        .distinct()
+    )
+    d2 = two.join(
+        adj.select("v", F.col("nbr").alias("n2")), ["v", "n2"], "left_anti"
+    )
+    n1 = adj.groupBy("v").agg(F.count(F.lit(1)).alias("n_1hop"))
+    n2 = d2.groupBy("v").agg(F.count(F.lit(1)).alias("n_2hop"))
+    return (
+        n1.join(n2, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "n_1hop",
+            F.coalesce(F.col("n_2hop"), F.lit(0)).alias("n_2hop"),
+        )
     )

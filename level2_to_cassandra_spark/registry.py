@@ -96,7 +96,6 @@ DRIVER_ORDER = (
     "q_agg_conditional",
     "q_dedup_lww",
     "q_scalar_json",
-    "q_window_moving_avg",
     "q_agg_percentile",
     "q_agg_rollup",
     "q_join_broadcast",
@@ -156,6 +155,12 @@ DRIVER_ORDER = (
     # TakeOrderedAndProject machinery keeps q_sort_nulls in-cap and
     # its plan pin runs locally every time) -----------------------------
     "q_agg_vector_mean",
+    # -- NEW QUERY in r09: k-hop BFS frontier sizes over the
+    # sparsified supplier graph (shares q_graph_triangles' edge
+    # build) — first driver row.  Slot freed by q_window_moving_avg
+    # (x3 lifetime r04; the sliding-frame machinery keeps
+    # q_window_range_frame's local check + q_window_sliding in-cap) ----
+    "q_graph_khop",
     # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
     # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
     # the changed SQL must re-hash against the driver -------------------
@@ -167,6 +172,7 @@ DRIVER_ORDER = (
     # (q_scan_project_filter rotated out late-r09 to fund the
     # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
     "q_scalar_datetime",
+    "q_window_moving_avg",
     "q_sort_limit",
     "q_window_distribution",
     "q_window_range_frame",

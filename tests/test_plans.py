@@ -350,6 +350,17 @@ def test_join_salted_spreads_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_khop_anti_join_no_cartesian(spark):
+    """q_graph_khop: exactly-distance-2 is the 2-step walk MINUS the
+    direct neighborhood — a LeftAnti equi-join, never a row-multiplying
+    filter join — with the adjacency persisted across its three plan
+    branches and no CartesianProduct anywhere."""
+    plan = plan_of(all_queries()["q_graph_khop"].fn(spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
 def test_merge_upsert_is_one_full_outer_join(spark):
     """q_merge_upsert: the whole MERGE (update+delete+insert apply)
     lowers to exactly ONE FullOuter join on the merge key — never a
