@@ -60,12 +60,13 @@ def asof_join(
     ``direction="nearest"`` (pandas ``merge_asof(direction='nearest')``)
     attaches whichever of the backward/forward candidates is closer in
     absolute ``on`` distance, ties to the backward one (pandas'
-    bdiff ≤ fdiff rule).  Cost is the SAME one shuffle and one sort:
-    both candidate fills are frames over the same partition ordering,
-    so they share a single WindowExec — never two joins reconciled
-    after the fact.  ``strict`` excludes exact-time matches from both
-    sides; ``tolerance`` bounds the absolute distance of each
-    candidate before the choice.
+    bdiff ≤ fdiff rule).  Cost is the SAME single shuffle: non-strict,
+    both candidate fills are frames over one partition ordering and
+    share a single WindowExec (one sort); ``strict=True`` (exclude
+    exact-time matches from both sides) needs the backward fill on the
+    mirrored tie ordering, costing a second in-partition sort — still
+    never two joins reconciled after the fact.  ``tolerance`` bounds
+    the absolute distance of each candidate before the choice.
 
     ``tolerance`` (pandas ``merge_asof`` semantics): additionally
     require left.on − right.on ≤ tolerance — a match older than the

@@ -1678,6 +1678,31 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
             for _, _, fs in os.walk(d) for f in fs
         )
     ]
+    skipped_uncommitted = [
+        d for d in snapshot
+        if os.path.isdir(d) and d not in set(consumed)
+        and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d) for f in fs
+        )
+    ]
+    if skipped_uncommitted:
+        # A dir with part files but no marker is normally a batch
+        # MID-WRITE (it merges next cycle), but if the session disables
+        # commit markers (mapreduce.fileoutputcommitter.marksuccessfuljobs
+        # =false) EVERY dir looks like that and the merge would no-op
+        # forever while staging grows — make the skip observable
+        # (self-review r09 #2).
+        import warnings
+
+        warnings.warn(
+            f"ivfpq_ingest_merge: skipping {len(skipped_uncommitted)} "
+            "staging dir(s) without a _SUCCESS commit marker (mid-write "
+            "batches merge next cycle; if markers are DISABLED via "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false "
+            "these dirs will never merge)",
+            stacklevel=2,
+        )
     if not consumed:
         return index  # nothing landed: merge is a no-op, index unchanged
     landed = (

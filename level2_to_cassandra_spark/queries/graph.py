@@ -207,11 +207,20 @@ _TRI_EDGE_CTES = f"""
 """
 
 
+#: (applicationId, sf_dir) → the sparsified edge DataFrame, so a
+#: session running BOTH graph queries builds the 600k-row edge
+#: relation once instead of per query and pins one cache, not two
+#: (the _ivfpq_session_index pattern; self-review r09 #3).
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _sparsified_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The top-k-sparsified supplier co-occurrence edge relation
     shared by q_graph_triangles and q_graph_khop (the Spark twin of
     _TRI_EDGE_CTES): distinct undirected (a < b) edges after each
-    node keeps its _TRI_TOPK strongest co-order ties.
+    node keeps its _TRI_TOPK strongest co-order ties.  Memoized per
+    (session, sf_dir); re-marked for caching on every access so a
+    harness-side clearCache() costs one rebuild, never a stale result.
 
     Pair generation is ONE order-keyed aggregate + two chained
     explodes — not a distinct + self-join, which costs three 600k-row
@@ -228,37 +237,44 @@ def _sparsified_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not common-subexpression across alias/union branches, so
     both are persisted (they are the edge-scale staging tables any
     production graph pipeline materializes anyway)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    arrs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = arrs.select(
-        "ss", F.posexplode("ss").alias("i", "a")
-    ).select(
-        "a",
-        F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("b"),
-    )
-    co = pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("w")
-    ).persist()
-    directed = co.select(
-        F.col("a").alias("v"), F.col("b").alias("nbr"), "w"
-    ).unionByName(
-        co.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w")
-    )
-    w_rank = Window.partitionBy("v").orderBy(F.desc("w"), F.asc("nbr"))
-    kept = (
-        directed.withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") <= _TRI_TOPK)
-    )
-    return (
-        kept.select(
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        arrs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+            F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+        )
+        pairs = arrs.select(
+            "ss", F.posexplode("ss").alias("i", "a")
+        ).select(
+            "a",
+            F.explode(
+                F.slice("ss", F.col("i") + 2, F.size("ss"))
+            ).alias("b"),
+        )
+        co = pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("w")
+        ).persist()
+        directed = co.select(
+            F.col("a").alias("v"), F.col("b").alias("nbr"), "w"
+        ).unionByName(
+            co.select(F.col("b").alias("v"), F.col("a").alias("nbr"), "w")
+        )
+        w_rank = Window.partitionBy("v").orderBy(F.desc("w"), F.asc("nbr"))
+        kept = (
+            directed.withColumn("rk", F.row_number().over(w_rank))
+            .where(F.col("rk") <= _TRI_TOPK)
+        )
+        edges = kept.select(
             F.least("v", "nbr").alias("a"),
             F.greatest("v", "nbr").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+        ).distinct()
+        _EDGE_CACHE[key] = edges
+    if edges.storageLevel == StorageLevel.NONE:
+        edges = edges.persist()
+    return edges
 
 
 @register(

@@ -43,114 +43,56 @@ BATCH_COL = "__batch_id"
 class CompactionLockHeld(RuntimeError):
     """A live compaction already holds the table's ``_COMPACT_LOCK``.
 
-    Raised (instead of a bare ``FileExistsError``) so the daemon's
-    ``--compact`` mode can report WHO holds the lock and retry later;
-    locks whose recorded pid is dead are reclaimed automatically, so
-    this only fires for a genuinely concurrent compaction (or a
-    sentinel too opaque to judge — remove it by hand in that case)."""
+    Raised so the daemon's ``--compact`` mode can report WHO holds the
+    lock and retry later.  The lock is a kernel ``flock`` (see
+    :func:`_acquire_compact_lock`), so it cannot go stale: a holder
+    that dies releases it automatically, and this error only ever
+    fires for a genuinely live concurrent compaction."""
 
 
-def _acquire_compact_lock(lock: str) -> None:
-    """Atomic lock sentinel with pid/timestamp payload + stale reclaim.
+def _acquire_compact_lock(lock: str) -> int:
+    """Kernel-flock compaction lock; returns the fd HOLDING the lock.
 
-    A compaction killed between lock and unlock used to brick every
-    later ``--compact`` run with a bare FileExistsError (ADVICE r07
-    low).  The sentinel records ``pid <pid> ts <unix-ts>``, and the
-    acquisition is the classic lockfile protocol: the payload is fully
-    written to a private temp file FIRST, then ``os.link`` publishes
-    it under the lock name in one atomic syscall — so a contender can
-    never observe a live lock with an empty payload (an O_CREAT|O_EXCL
-    open followed by a write had exactly that window: a holder
-    descheduled between the two would read as "unreadable — remove by
-    hand", inviting deletion of a live lock; self-review r09).  On
-    contention the holder pid is liveness-probed (``kill -0``) — a
-    dead holder's sentinel is reclaimed and the lock re-acquired, a
-    live holder raises :class:`CompactionLockHeld`.  The reclaim is a
-    VERIFIED rename-steal (rename the lock aside atomically, re-read
-    it, discard only if it still names the dead holder, restore a live
-    payload): a concurrent reclaimer that already re-acquired can
-    never have its live lock deleted out from under it."""
+    Evolution of this lock (ADVICE r07 low → two self-review rounds):
+    an O_EXCL sentinel bricked after a killed holder; pid-liveness
+    probing + reclaim fixed that but every sentinel-file reclaim
+    scheme has an unfixable namespace race (between a reclaimer's
+    verify and its delete/restore, a fresh acquirer can slip in — two
+    live compactions, or a live holder stripped of its lock).  A
+    kernel ``flock`` dissolves the whole problem class: the lock dies
+    WITH the process (no staleness, nothing to reclaim), acquisition
+    is one atomic syscall, and contenders never delete anything.
+
+    The sentinel file itself is created once and NEVER unlinked — an
+    unlink would let a later opener get a fresh inode while an earlier
+    opener flocks the old one (two "holders" on different inodes); a
+    permanent 0–40-byte file next to ``_CURRENT`` is inert.  The
+    pid/ts payload is written after acquisition purely as diagnostics
+    for the :class:`CompactionLockHeld` message.  Local-filesystem
+    semantics (matching this parquet sink twin); a distributed
+    deployment coordinates compaction through its table format's
+    commit protocol instead."""
+    import fcntl
     import os
     import time
 
-    tmp = f"{lock}.{os.getpid()}.tmp"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        for attempt in range(2):
-            with open(tmp, "w", encoding="ascii") as fh:
-                fh.write(f"pid {os.getpid()} ts {time.time():.3f}")
-            try:
-                os.link(tmp, lock)
-                return
-            except FileExistsError:
-                try:
-                    with open(lock, encoding="ascii") as fh:
-                        payload = fh.read().split()
-                    holder = int(payload[payload.index("pid") + 1])
-                except (OSError, ValueError, IndexError):
-                    raise CompactionLockHeld(
-                        f"compaction lock {lock} exists but its payload "
-                        "is unreadable — inspect and remove it by hand"
-                    ) from None
-                try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists, just not ours to signal
-                if alive:
-                    raise CompactionLockHeld(
-                        f"compaction lock {lock} held by live pid {holder}"
-                    ) from None
-                if attempt == 0:
-                    # Stale: holder is dead — VERIFIED reclaim.  A bare
-                    # os.remove(lock) would race a concurrent reclaimer
-                    # that already re-acquired (we would delete a LIVE
-                    # lock), so steal the file atomically by rename,
-                    # re-read it, and only discard it if it still names
-                    # the dead holder; a live payload is restored.
-                    stale = f"{lock}.reclaim.{os.getpid()}"
-                    try:
-                        os.rename(lock, stale)
-                    except FileNotFoundError:
-                        continue  # another reclaimer won; retry decides
-                    try:
-                        with open(stale, encoding="ascii") as fh:
-                            stolen = fh.read().split()
-                        same_dead = (
-                            int(stolen[stolen.index("pid") + 1]) == holder
-                        )
-                    except (OSError, ValueError, IndexError):
-                        same_dead = False
-                    if same_dead:
-                        os.remove(stale)
-                        continue  # dead lock gone; retry the link
-                    # we stole a LIVE lock that replaced the dead one
-                    # between our probe and the rename: put it back
-                    try:
-                        os.link(stale, lock)
-                    except FileExistsError:
-                        # a third acquirer landed first — cannot mend
-                        # that 3-way race from here; surface it loudly
-                        os.remove(stale)
-                        raise CompactionLockHeld(
-                            f"compaction lock {lock} was re-acquired "
-                            "twice during a stale reclaim — inspect the "
-                            "compaction processes before retrying"
-                        ) from None
-                    os.remove(stale)
-                    raise CompactionLockHeld(
-                        f"compaction lock {lock} was re-acquired by "
-                        "another process during the stale reclaim"
-                    ) from None
-        raise CompactionLockHeld(
-            f"compaction lock {lock} could not be reclaimed after retry"
-        )
-    finally:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
         try:
-            os.remove(tmp)
-        except FileNotFoundError:
-            pass
+            with open(lock, encoding="ascii") as fh:
+                words = fh.read().split()
+            holder = f"live pid {int(words[words.index('pid') + 1])}"
+        except (OSError, ValueError, IndexError):
+            holder = "a live process (payload not yet written)"
+        os.close(fd)
+        raise CompactionLockHeld(
+            f"compaction lock {lock} held by {holder}"
+        ) from None
+    os.ftruncate(fd, 0)
+    os.write(fd, f"pid {os.getpid()} ts {time.time():.3f}".encode("ascii"))
+    return fd
 
 
 def _write_order(df: DataFrame) -> list:
@@ -413,8 +355,8 @@ def compact_sink(spark, path: str, table_suffix: str,
     lock = os.path.join(src, "_COMPACT_LOCK")
     # refuse concurrent compactions (the daemon's --compact mode is a
     # standalone CLI; two racing folds could double-delete versions);
-    # stale locks from killed processes are reclaimed by pid probe
-    _acquire_compact_lock(lock)
+    # a kernel flock, so a killed holder's lock releases itself
+    lock_fd = _acquire_compact_lock(lock)
     try:
         old_version = _current_version(src)
         snapshot = _list_append_files(src)
@@ -476,4 +418,7 @@ def compact_sink(spark, path: str, table_suffix: str,
                           ignore_errors=True)
         return n
     finally:
-        os.remove(lock)
+        # closing the fd releases the flock; the sentinel FILE stays
+        # forever by design (unlinking it would split future openers
+        # across inodes — see _acquire_compact_lock)
+        os.close(lock_fd)

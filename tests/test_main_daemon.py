@@ -178,8 +178,9 @@ def test_daemon_soak_ingest_compact_reconcile(
     of them with a drain landing new data MID-COMPACTION (between the
     fold's snapshot and its pointer flip, via the pre-flip hook) — must
     end with a clean audit: every captured key accounted for in the
-    sink, rc 0, and the compaction lock sentinel created, enforced
-    against a racing compact, and removed on exit."""
+    sink, rc 0, and the compaction flock created, enforced against a
+    racing compact, and released on exit (the sentinel file itself
+    persists by design)."""
     import json as _json
     import os
 
@@ -236,7 +237,8 @@ def test_daemon_soak_ingest_compact_reconcile(
 
     compact_sink(spark, str(out), "tick",
                  _test_hook_pre_flip=ingest_mid_compact)
-    assert not os.path.exists(lock)  # released on exit
+    # the flock released on exit (the sentinel FILE persists by
+    # design); proven by the follow-up compacts below succeeding
 
     # post-soak: one more ingest-and-compact cycle, then the audit —
     # all 4 batches' keys must reconcile clean against the capture

@@ -803,19 +803,17 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
     assert got == seen_pre_flip
 
 
-def test_compact_sink_stale_lock_reclaimed(spark, tmp_path):
-    """A compaction killed between lock and unlock must not brick
-    every later --compact run (ADVICE r07 low): a sentinel whose
-    recorded pid is dead is reclaimed and the compaction proceeds; a
-    sentinel with an unreadable payload raises the named error with
-    remove-by-hand guidance instead of a bare FileExistsError."""
+def test_compact_sink_dead_holder_lock_is_inert(spark, tmp_path):
+    """A compaction killed mid-run must not brick later --compact runs
+    (ADVICE r07 low).  Under the kernel-flock protocol there is no
+    stale state AT ALL: a dead holder's flock released with its
+    process, so a leftover sentinel file — whether it carries a dead
+    pid payload or legacy/corrupt bytes — is simply acquired over, no
+    reclaim, no by-hand recovery, nothing deleted."""
     import os
     import subprocess
 
-    import pytest
-
     from level2_to_cassandra_spark.streaming.sink import (
-        CompactionLockHeld,
         compact_sink,
         write_upsert_parquet,
     )
@@ -832,16 +830,14 @@ def test_compact_sink_stale_lock_reclaimed(spark, tmp_path):
     child.wait()
     with open(lock, "w", encoding="ascii") as fh:
         fh.write(f"pid {child.pid} ts 0.000")
-    assert compact_sink(spark, out, "tick") == 1  # reclaimed + ran
-    assert not os.path.exists(lock)               # and unlocked after
+    assert compact_sink(spark, out, "tick") == 1  # dead lock is inert
+    assert os.path.exists(lock)  # sentinel file persists BY DESIGN
+    with open(lock, encoding="ascii") as fh:
+        assert f"pid {os.getpid()}" in fh.read()  # ours was the last run
 
-    # legacy/corrupt sentinel (pre-fix empty file): named error, not
-    # an auto-reclaim — we cannot prove the holder is dead
+    # legacy/corrupt sentinel (pre-flock empty file): equally inert
     with open(lock, "w", encoding="ascii"):
         pass
-    with pytest.raises(CompactionLockHeld, match="unreadable"):
-        compact_sink(spark, out, "tick")
-    os.remove(lock)  # the documented by-hand recovery
     assert compact_sink(spark, out, "tick") == 1
 
 
