@@ -1393,7 +1393,12 @@ def test_ivfpq_ingest_merge_skips_uncommitted_batch_dir(spark, tmp_path):
     b0 = os.path.join(ingest, "b00000000")
     os.remove(os.path.join(b0, "_SUCCESS"))
 
-    m1 = similarity.ivfpq_ingest_merge(idx, ingest)
+    import pytest as _pytest
+
+    # the skip must be OBSERVABLE (a marker-disabled session would
+    # otherwise no-op forever while staging grows)
+    with _pytest.warns(UserWarning, match="_SUCCESS"):
+        m1 = similarity.ivfpq_ingest_merge(idx, ingest)
     assert m1 is idx                      # nothing consumable yet
     assert os.path.isdir(b0)              # and the dir was NOT deleted
     assert any(f.endswith(".parquet") for f in os.listdir(b0))
