@@ -109,6 +109,7 @@ HEADLINE = [
     "q_text_more_like_this", # sparse tf-idf doc-to-doc retrieval
     "q_merge_upsert",        # MERGE INTO / CDC apply (one full outer)
     "q_graph_khop",          # BFS frontier sizes (bounded 2-step join)
+    "q_agg_vector_mean",     # per-label embedding centroids
 ]
 
 
