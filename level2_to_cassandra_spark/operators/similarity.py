@@ -1669,40 +1669,46 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
         os.path.join(ingest_path, entry)
         for entry in os.listdir(ingest_path)
     )
-    consumed = [
-        d for d in snapshot
-        if os.path.isdir(d)
-        and os.path.exists(os.path.join(d, "_SUCCESS"))
-        and any(
+    consumed: list[str] = []
+    skipped_uncommitted: list[str] = []
+    for d in snapshot:
+        if not os.path.isdir(d):
+            continue
+        has_parquet = any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(d) for f in fs
         )
-    ]
-    skipped_uncommitted = [
-        d for d in snapshot
-        if os.path.isdir(d) and d not in set(consumed)
-        and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(d) for f in fs
-        )
-    ]
+        if not has_parquet:
+            continue
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            consumed.append(d)
+        else:
+            skipped_uncommitted.append(d)
     if skipped_uncommitted:
         # A dir with part files but no marker is normally a batch
         # MID-WRITE (it merges next cycle), but if the session disables
         # commit markers (mapreduce.fileoutputcommitter.marksuccessfuljobs
         # =false) EVERY dir looks like that and the merge would no-op
         # forever while staging grows — make the skip observable
-        # (self-review r09 #2).
+        # (self-review r09 #2).  warnings.warn is ALSO emitted for the
+        # test-visible signal, but its once-per-message dedup would go
+        # silent on a permanently stuck dir, so the per-cycle stderr
+        # line carries the operational signal.
+        import sys as _sys
         import warnings
 
-        warnings.warn(
+        names = ", ".join(os.path.basename(d)
+                          for d in skipped_uncommitted[:5])
+        msg = (
             f"ivfpq_ingest_merge: skipping {len(skipped_uncommitted)} "
-            "staging dir(s) without a _SUCCESS commit marker (mid-write "
-            "batches merge next cycle; if markers are DISABLED via "
-            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false "
-            "these dirs will never merge)",
-            stacklevel=2,
+            f"staging dir(s) without a _SUCCESS commit marker ({names}"
+            f"{', …' if len(skipped_uncommitted) > 5 else ''}) — "
+            "mid-write batches merge next cycle; if markers are "
+            "DISABLED via mapreduce.fileoutputcommitter."
+            "marksuccessfuljobs=false these dirs will never merge"
         )
+        print(msg, file=_sys.stderr)
+        warnings.warn(msg, stacklevel=2)
     if not consumed:
         return index  # nothing landed: merge is a no-op, index unchanged
     landed = (

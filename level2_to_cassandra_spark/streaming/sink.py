@@ -79,7 +79,10 @@ def _acquire_compact_lock(lock: str) -> int:
     fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    except BlockingIOError:
+        # ONLY EWOULDBLOCK means contention; any other OSError (e.g.
+        # ENOLCK on a no-flock filesystem) must propagate as itself,
+        # not masquerade as a held lock
         try:
             with open(lock, encoding="ascii") as fh:
                 words = fh.read().split()
@@ -90,8 +93,18 @@ def _acquire_compact_lock(lock: str) -> int:
         raise CompactionLockHeld(
             f"compaction lock {lock} held by {holder}"
         ) from None
-    os.ftruncate(fd, 0)
-    os.write(fd, f"pid {os.getpid()} ts {time.time():.3f}".encode("ascii"))
+    except BaseException:
+        os.close(fd)
+        raise
+    try:
+        # diagnostics only — but a failure here (disk full) must not
+        # leak an fd that silently HOLDS the flock forever
+        os.ftruncate(fd, 0)
+        os.write(fd, f"pid {os.getpid()} ts {time.time():.3f}"
+                 .encode("ascii"))
+    except BaseException:
+        os.close(fd)
+        raise
     return fd
 
 
@@ -338,7 +351,9 @@ def compact_sink(spark, path: str, table_suffix: str,
     Concurrent WRITERS are safe by construction: a micro-batch
     appended after the snapshot listing is not in the deletion set and
     still shadows the new base (batch ids are monotonic).  A
-    concurrent compaction is refused via an O_EXCL lock sentinel.
+    concurrent compaction is refused via a kernel flock on the
+    ``_COMPACT_LOCK`` sentinel (released automatically if the holder
+    dies — see :func:`_acquire_compact_lock`).
     Concurrent READERS are atomic at the pointer flip; the one
     residual local-FS caveat is a reader that resolved the OLD state
     and lists its files only after step 4's deferred delete — a table
