@@ -78,7 +78,18 @@ def test_cap_prioritizes_stale_confirmations():
     the stalest in-cap confirmation by more than one round.  This is
     the 'no name's last green row older than ~4 rounds' rotation rule
     in mechanical form, tolerant to the handful of deliberate
-    touched-this-round re-verifications."""
+    touched-this-round re-verifications.
+
+    Lifecycle (VERDICT r09 #1): the staleness comparison describes the
+    cap AT ROTATION TIME — the moment the driver's round artifact
+    lands, every in-cap name becomes maximally fresh by construction
+    and the comparison would trip on its own success.  So the check
+    short-circuits as SATISFIED when every in-cap name with any
+    history is green in the NEWEST artifact: that state is exactly
+    'the rotation ran and got its confirmations', i.e. the policy
+    worked.  The staleness assert therefore bites only in the window
+    where it is meaningful — after a DRIVER_ORDER edit, before the
+    next driver round."""
     last: dict[str, int] = {}
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(Path(f).stem.split("_r")[1])
@@ -91,6 +102,9 @@ def test_cap_prioritizes_stale_confirmations():
               if n in last]
     if not tail or not in_cap:
         return
+    newest = max(last.values())
+    if all(last[n] == newest for n in in_cap):
+        return  # post-artifact state: the cap just earned its rows
     oldest_tail = min(last[n] for n in tail)
     oldest_cap = min(last[n] for n in in_cap)
     assert oldest_cap <= oldest_tail + 1, (
