@@ -1669,21 +1669,46 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
         os.path.join(ingest_path, entry)
         for entry in os.listdir(ingest_path)
     )
-    consumed: list[str] = []
+    consumed: list[str] = []        # committed dirs with codes: read + delete
+    empty_committed: list[str] = []  # committed no-op dirs: delete only
+    stray: list[str] = []            # non-directory entries: warn, leave
     skipped_uncommitted: list[str] = []
     for d in snapshot:
         if not os.path.isdir(d):
+            # a stray file in the staging root was never written by
+            # foreach_batch_ivfpq_ingest — deleting unknown user data
+            # is worse than warning, so it is reported, not removed
+            # (ADVICE r09 low #1)
+            stray.append(d)
             continue
         has_parquet = any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(d) for f in fs
         )
-        if not has_parquet:
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            # no marker + part files = a batch mid-write (see below);
+            # no marker + nothing = a writer that crashed before
+            # writing anything — either way the at-least-once replay
+            # of that batch id overwrites and commits the dir
+            if has_parquet:
+                skipped_uncommitted.append(d)
             continue
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
-            consumed.append(d)
-        else:
-            skipped_uncommitted.append(d)
+        # A committed dir with NO part files is an empty micro-batch
+        # (Spark commits _SUCCESS even for zero rows): a consumable
+        # no-op — delete it now, else staging accumulates forever
+        # (ADVICE r09 low #1).
+        (consumed if has_parquet else empty_committed).append(d)
+    if stray:
+        import sys as _sys
+
+        print(
+            f"ivfpq_ingest_merge: {len(stray)} non-directory entr"
+            f"{'y' if len(stray) == 1 else 'ies'} in staging root "
+            f"{ingest_path} left untouched: "
+            + ", ".join(os.path.basename(s) for s in stray[:5])
+            + (", …" if len(stray) > 5 else ""),
+            file=_sys.stderr,
+        )
     if skipped_uncommitted:
         # A dir with part files but no marker is normally a batch
         # MID-WRITE (it merges next cycle), but if the session disables
@@ -1709,6 +1734,8 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
         )
         print(msg, file=_sys.stderr)
         warnings.warn(msg, stacklevel=2)
+    for entry in empty_committed:
+        shutil.rmtree(entry, ignore_errors=True)
     if not consumed:
         return index  # nothing landed: merge is a no-op, index unchanged
     landed = (

@@ -821,12 +821,17 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE INTO semantics applied as one full-outer join.  The change
     # set is derived deterministically from the base table (updates:
     # key % 10 = 0, price + 100; deletes: key % 10 = 1; inserts: fresh
-    # keys 10M + key for key % 100 = 2), so both engines construct the
-    # identical CDC batch and the hash verifies the APPLY semantics.
+    # keys MAX(key)+1+key for key % 100 = 2), so both engines construct
+    # the identical CDC batch and the hash verifies the APPLY semantics.
     # +100.0 instead of a multiply avoids a rounding step entirely —
-    # the same IEEE add on both engines.
+    # the same IEEE add on both engines.  The insert offset is DERIVED
+    # (max key + 1, integer-exact on both engines) rather than a fixed
+    # 10M constant: o_orderkey reaches ~6M*SF, so a constant collides
+    # with real base keys at SF>=2, silently turning inserts into
+    # overwrites (ADVICE r09 low #4).
     oracle="""
-    WITH changes AS (
+    WITH off AS (SELECT MAX(o_orderkey) + 1 AS off FROM orders),
+    changes AS (
         SELECT o_orderkey AS k, 'U' AS op, o_custkey, o_orderstatus,
                o_totalprice + 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 0
@@ -834,7 +839,8 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, 'D', NULL, NULL, NULL
         FROM orders WHERE o_orderkey % 10 = 1
         UNION ALL
-        SELECT 10000000 + o_orderkey, 'I', o_custkey, o_orderstatus, 1.0
+        SELECT (SELECT off FROM off) + o_orderkey, 'I', o_custkey,
+               o_orderstatus, 1.0
         FROM orders WHERE o_orderkey % 100 = 2)
     SELECT COALESCE(c.k, b.o_orderkey) AS o_orderkey,
            CASE WHEN c.op IN ('U', 'I') THEN c.o_custkey
@@ -883,8 +889,15 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("c_orderstatus"),
         F.lit(None).cast("double").alias("c_totalprice"),
     )
-    ins = base.where(F.col("o_orderkey") % 100 == 2).select(
-        (F.lit(10_000_000) + F.col("o_orderkey")).alias("k"),
+    # Insert keys sit strictly above every base key at ANY scale:
+    # offset = max(o_orderkey) + 1, computed as a broadcast 1-row
+    # aggregate (integer-exact; a fixed constant collided with real
+    # keys at SF>=2 — ADVICE r09 low #4).
+    off = F.broadcast(
+        base.agg((F.max("o_orderkey") + F.lit(1)).alias("off"))
+    )
+    ins = base.where(F.col("o_orderkey") % 100 == 2).crossJoin(off).select(
+        (F.col("off") + F.col("o_orderkey")).alias("k"),
         F.lit("I").alias("op"),
         F.col("o_custkey").alias("c_custkey"),
         F.col("o_orderstatus").alias("c_orderstatus"),

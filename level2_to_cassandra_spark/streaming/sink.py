@@ -83,10 +83,16 @@ def _acquire_compact_lock(lock: str) -> int:
         # ONLY EWOULDBLOCK means contention; any other OSError (e.g.
         # ENOLCK on a no-flock filesystem) must propagate as itself,
         # not masquerade as a held lock
+        # The payload is written AFTER acquisition, so a contender
+        # racing into the acquire-to-write window may read the
+        # PREVIOUS holder's pid — the message says "last recorded",
+        # not "is", because only the flock itself is authoritative
+        # (ADVICE r09 low #3).
         try:
             with open(lock, encoding="ascii") as fh:
                 words = fh.read().split()
-            holder = f"live pid {int(words[words.index('pid') + 1])}"
+            holder = ("a live process (holder last recorded as pid "
+                      f"{int(words[words.index('pid') + 1])})")
         except (OSError, ValueError, IndexError):
             holder = "a live process (payload not yet written)"
         os.close(fd)

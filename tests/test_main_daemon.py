@@ -232,7 +232,7 @@ def test_daemon_soak_ingest_compact_reconcile(
             assert f"pid {os.getpid()}" in fh.read()
         write_batch(3)
         assert main(drain) == 0
-        with _pytest.raises(CompactionLockHeld, match="live pid"):
+        with _pytest.raises(CompactionLockHeld, match="last recorded as pid"):
             compact_sink(spark, str(out), "tick")
 
     compact_sink(spark, str(out), "tick",

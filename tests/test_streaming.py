@@ -786,7 +786,7 @@ def test_compact_sink_reader_atomic_and_locked(spark, tmp_path):
         # and a racing compaction is refused while the LIVE lock is
         # held (our own pid is the recorded holder → named error,
         # NOT a stale-reclaim)
-        with pytest.raises(CompactionLockHeld, match="live pid"):
+        with pytest.raises(CompactionLockHeld, match="last recorded as pid"):
             compact_sink(spark, out, "tick")
 
     compact_sink(spark, out, "tick",
