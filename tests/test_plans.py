@@ -396,6 +396,25 @@ def test_triangles_semi_join_no_cartesian(spark):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
 
 
+def test_graph_serves_from_persisted_edges(spark):
+    """Build/serve split (VERDICT r09 task #2): once the session's
+    edge table exists, the graph queries' plans read the materialized
+    parquet relation — no trace of the co-occurrence build (the
+    order-keyed collect_set aggregate) may appear in a serve plan."""
+    from level2_to_cassandra_spark.queries.graph import (
+        _EDGE_TABLE,
+        _sparsified_supplier_edges,
+    )
+
+    _sparsified_supplier_edges(spark, SF)
+    app = spark.sparkContext.applicationId
+    assert (app, SF) in _EDGE_TABLE
+    for q in ("q_graph_khop", "q_graph_triangles"):
+        plan = plan_of(all_queries()[q].fn(spark, SF), "simple")
+        assert "collect_set" not in plan, q
+        assert "Scan parquet" in plan, q
+
+
 def test_twap_single_shuffle_no_join(spark):
     """q_twap: the lead window and the grouped aggregation ride ONE
     (user_id, day) exchange; no join anywhere (the day-end boundary
