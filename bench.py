@@ -110,6 +110,9 @@ HEADLINE = [
     "q_merge_upsert",        # MERGE INTO / CDC apply (one full outer)
     "q_graph_khop",          # BFS frontier sizes (bounded 2-step join)
     "q_agg_vector_mean",     # per-label embedding centroids
+    # r10 additions
+    "q_graph_components",    # pointer-jumping WCC over the edge table
+    "q_cluster_kmeans",      # standalone spherical k-means (2 Lloyd its)
 ]
 
 

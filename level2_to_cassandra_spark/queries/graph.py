@@ -388,6 +388,60 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_components",
+    # Transitive closure as a recursive CTE (the q_dedup_cluster
+    # oracle pattern): every node's component label is the minimum
+    # node id it can reach, component size counted over that label.
+    oracle=f"""
+    WITH RECURSIVE {_TRI_EDGE_CTES},
+    sym AS (SELECT a AS s, b AS d FROM edges
+            UNION SELECT b, a FROM edges),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+    lab AS (
+        SELECT s AS node, LEAST(s, MIN(d)) AS component_id
+        FROM reach GROUP BY s)
+    SELECT node, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size
+    FROM lab
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEAKLY-CONNECTED COMPONENTS over the same sparsified supplier
+    graph as q_graph_triangles/q_graph_khop — the third member of the
+    graph trio (fixed-point ranks, local structure, global
+    reachability) on the shared materialized edge relation.  The
+    operator is :func:`operators.dedup.connected_components` — the
+    pointer-jumping min-label propagation that already drives the
+    near-dup cluster decision (q_dedup_cluster) — run here over an
+    explicit graph: every node labeled with its component's canonical
+    (minimum) id plus the component size.
+
+    Scale shape: each iteration is two equi-joins over NARROW
+    2-column relations (one-hop min propagation + the pointer jump
+    label←label(label)), O(log diameter) rounds, per-iteration
+    localCheckpoint to truncate lineage — the label relation shuffles
+    on node ids only, never on payload, and the edge side is the
+    once-materialized parquet staging table.  The oracle replays the
+    closure as a recursive CTE — integer-exact, since min-label
+    propagation converges to exactly 'minimum reachable id'."""
+    from level2_to_cassandra_spark.operators import dedup
+
+    edges = _sparsified_supplier_edges(spark, sf_dir)
+    labels = dedup.connected_components(edges, src="a", dst="b")
+    return labels.select(
+        "node",
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("component_size"),
+    )
+
+
+@register(
     "q_graph_khop",
     oracle=f"""
     WITH {_TRI_EDGE_CTES},

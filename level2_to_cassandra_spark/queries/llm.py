@@ -602,6 +602,124 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_cluster_kmeans knobs: k clusters, fixed Lloyd iterations (fixed,
+#: not convergence-tested, so the oracle can unroll them — the
+#: q_pagerank pattern), fixture embedding width.
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_DIM = 64
+
+#: One Lloyd ASSIGNMENT step as a CTE: every vector to its max-cosine
+#: centroid, cosine rounded to 6 before the argmax with the
+#: largest-cell tie-break — character-identical semantics to
+#: _IVF_PORTABLE_CTES' a0 (proven green on q_sim_ann_ivf/q_semdedup),
+#: parameterized on the centroid relation so iterations chain.
+_KMEANS_ASSIGN_CTE = """
+    a{n} AS (
+      SELECT vec_id, ve, cell FROM (
+        SELECT v.vec_id, v.ve, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.ve, c.cv), 6) DESC,
+                          c.cell DESC) AS rn
+        FROM v CROSS JOIN cent{prev} c)
+      WHERE rn = 1)
+"""
+
+#: One Lloyd UPDATE step as a CTE pair: per-(cell, position) means
+#: rounded to 6 (the engine-invariance cut every portable centroid in
+#: this module uses), reassembled position-ordered.
+_KMEANS_UPDATE_CTE = """
+    comp{n} AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a{n} CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS pos)
+      GROUP BY cell, pos),
+    cent{n} AS (SELECT cell, list(x ORDER BY pos) AS cv
+                FROM comp{n} GROUP BY cell)
+"""
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled full-replay Lloyd: md5-ordered seeds, then
+    _KMEANS_ITERS chained assign/update rounds, emitting the LAST
+    assignment (the one that produced the final centroids — exactly
+    what ivf_index returns)."""
+    ctes = [
+        """
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+    cent0 AS (
+      SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+             ve AS cv
+      FROM (SELECT vec_id, ve FROM v
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k}))""".strip().format(k=_KMEANS_K)
+    ]
+    for i in range(1, _KMEANS_ITERS + 1):
+        ctes.append(_KMEANS_ASSIGN_CTE.format(n=i, prev=i - 1).strip())
+        if i < _KMEANS_ITERS:
+            ctes.append(
+                _KMEANS_UPDATE_CTE.format(n=i, dim=_KMEANS_DIM).strip()
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT)
+               AS cluster_size
+    FROM a{_KMEANS_ITERS}"""
+    )
+
+
+@register(
+    "q_cluster_kmeans",
+    # Full-replay oracle (the q_pagerank unrolled-CTE pattern): DuckDB
+    # re-runs seeds → assign → update → assign bit-for-bit, so the
+    # hash verifies a distributed ITERATIVE clustering end-to-end, not
+    # a tolerance band.
+    oracle=_kmeans_oracle(),
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS CLUSTERING as a first-class query: _KMEANS_ITERS fixed
+    Lloyd iterations of spherical k-means (max-cosine assignment,
+    per-cell mean update) over the embeddings corpus, every vector
+    labeled with its final cluster plus the cluster size — the
+    cluster-balanced-sampling / corpus-partitioning primitive real
+    curation pipelines (SemDeDup, DSIR prototypes) run standalone.
+    The machinery IS the IVF coarse-quantizer build
+    (operators/similarity.py::ivf_index, lloyd_iters=2): md5-seeded
+    portable init, Arrow numpy assignment kernel, posexplode mean
+    update — registered here as its own query because clustering is a
+    product operation, not only an index-build step.
+
+    Scale shape: each iteration is ONE zero-shuffle Arrow map pass
+    (assignment = a dense (n × dim)·(dim × k) matmul per batch, the
+    centroid matrix broadcast) + ONE (cell, pos) hash aggregate with
+    map-side partials for the update (q_agg_vector_mean's shape); the
+    k × dim centroid relation is driver-collected per iteration —
+    bounded by construction, it is the relation every k-means
+    implementation broadcasts.  Empty clusters vanish from the
+    centroid relation on both engines identically.  Determinism:
+    centroid components round to 6 after every update and the
+    assignment argmax rounds cosines to 6 with the largest-cell
+    tie-break, so iteration inputs are bit-equal across engines (the
+    q_sim_ann_ivf-proven cuts)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    _cent, assigned = similarity.ivf_index(
+        em, n_cells=_KMEANS_K, lloyd_iters=_KMEANS_ITERS,
+        scheme="portable", round_assign=6,
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )
+
+
 _SEMDEDUP_THRESHOLD = 0.35
 
 

@@ -59,131 +59,54 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r09 ROTATION (VERDICT r08 task #4): every r07-cohort name is
-    # r08-green with >=2 lifetime rows, so the whole cap rotates to the
-    # 50 longest-unconfirmed names — the r02/r03/r04/r05 tails whose
-    # last driver row is 4-7 rounds old — so lifetime coverage
-    # accumulates where it is thinnest.  The local replica harness
-    # (tests/test_queries_oracle.py) still oracle-checks all 130 every
-    # run; the driver row is the extra, independent confirmation.
-    # -- last driver-green r02 (7 rounds stale) -------------------------
-    "q_agg_cube",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_multiway",
-    "q_join_right",
-    "q_scalar_map",
-    "q_set_ops_all",
-    "q_sort_nulls",
-    "q_subquery_correlated",
-    "q_window_lag",
-    # -- last driver-green r03 (6 rounds stale) -------------------------
-    "q_agg_distinct",
-    "q_agg_salted",
-    "q_filter_predicates",
-    "q_join_anti",
-    "q_join_semi",
-    "q_scalar_array",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_set_ops",
-    "q_window_rank",
-    # -- last driver-green r04 (5 rounds stale) -------------------------
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
-    "q_agg_conditional",
-    "q_dedup_lww",
-    "q_scalar_json",
-    "q_agg_percentile",
-    "q_agg_rollup",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_range",
-    # -- last driver-green r05 (4 rounds stale) -------------------------
-    "q_agg_bitmap_distinct",
-    "q_contamination",
-    "q_curate_corpus",
-    "q_dedup_cluster",
-    "q_json_scan",
-    "q_pack_sequences",
-    "q_text_redact",
-    "q_udaf_trimmed_mean",
-    # -- NEW QUERY in r09: nearest-direction as-of join (pandas
-    # merge_asof direction='nearest' parity; single-WindowExec dual
-    # fill) — first driver row.  Slot freed by q_scan_project_filter
-    # (x5 lifetime rows, the thickest r05 name; scan/pushdown
-    # machinery carried in-cap by every other scan query) -------------
-    "q_join_asof_nearest",
-    # -- NEW QUERIES in r09: ordered string aggregation (LISTAGG
-    # WITHIN GROUP parity via per-group struct-sorted collect_list)
-    # and the sliding-window aggregate (overlapping-window twin of
-    # q_time_bucket_agg) — first driver rows.  Slots freed by
-    # q_text_stats / q_topk_per_group (x5 lifetime each; their
-    # machinery stays in-cap via the other text gates and the
-    # windowed-rank queries) -------------------------------------------
+    # r10 ROTATION (VERDICT r09 task #1): CORRECTNESS_r09 confirmed all
+    # 50 r09-cap names, so the cap rotates to (a) the round's NEW
+    # queries (first rows outrank everything), (b) the nine r09
+    # first-row names, which hold only ONE lifetime row and may not
+    # drop past the cap until they hold two — this also covers the
+    # three TOUCHED-this-round re-hashes (q_merge_upsert's derived
+    # insert offset changed its oracle+impl; q_graph_triangles /
+    # q_graph_khop now serve from the materialized edge table), and
+    # (c) the longest-unconfirmed names: all of r04+r05 and 30 of the
+    # 31 r06-stale names.  The one r06 name left past-cap is
+    # q_text_tfidf — the thickest r06 confirmation (3 lifetime rows),
+    # its machinery carried in-cap by q_text_more_like_this and checked
+    # locally every run plus its bench.py headline row.
+    # -- NEW in r10: weakly-connected components over the sparsified
+    # supplier graph (pointer-jumping CC vs a recursive-CTE closure)
+    # and standalone spherical k-means (2 unrolled Lloyd iterations,
+    # full-replay oracle) — first driver rows ---------------------------
+    "q_graph_components",
+    "q_cluster_kmeans",
+    # -- r09 first rows (1 lifetime row each; must hold >=2 before
+    # rotating past the cap).  q_merge_upsert / q_graph_triangles /
+    # q_graph_khop are ALSO touched-this-round re-hashes ----------------
     "q_agg_string",
-    "q_window_sliding",
-    # -- NEW QUERY in r09: explicitly salted equi-join — the manual
-    # skew tool for cases AQE's sort-merge splitting cannot reach;
-    # oracle = the plain join.  Slot freed by q_sql_star_revenue
-    # (x4 lifetime; star-join machinery carried in-cap by
-    # q_join_broadcast/q_join_multiway, and it keeps its bench.py
-    # HEADLINE row) ------------------------------------------------------
-    "q_join_salted",
-    # -- NEW QUERY in r09: per-node triangle counting with the
-    # degree-ordered orientation (bounded wedge join) — first driver
-    # row.  Slot freed by q_scalar_datetime (x4 lifetime; the
-    # datetime scalar surface keeps q_scalar_* siblings past-cap
-    # checked by the local replica every run) ---------------------------
-    "q_graph_triangles",
-    # -- NEW QUERY in r09: more-like-this sparse tf-idf retrieval
-    # (query docs broadcast against the top-8 postings) — first
-    # driver row.  Slot freed by q_window_range_frame (x2 but r05 —
-    # the RANGE-frame machinery keeps its local replica check; thin
-    # slots go to first rows first) -------------------------------------
-    "q_text_more_like_this",
-    # -- NEW QUERY in r09: MERGE INTO / CDC apply as one full-outer
-    # join — first driver row.  Slot freed by q_window_distribution
-    # (x4 lifetime; the distribution-window machinery keeps its local
-    # replica check and q_window_ntile's r08 row) -----------------------
-    "q_merge_upsert",
-    # -- NEW QUERY in r09: per-label embedding centroids (posexplode +
-    # one hash aggregate — the dense-vector agg scale shape) — first
-    # driver row.  Slot freed by q_sort_limit (x4 lifetime; the
-    # TakeOrderedAndProject machinery keeps q_sort_nulls in-cap and
-    # its plan pin runs locally every time) -----------------------------
     "q_agg_vector_mean",
-    # -- NEW QUERY in r09: k-hop BFS frontier sizes over the
-    # sparsified supplier graph (shares q_graph_triangles' edge
-    # build) — first driver row.  Slot freed by q_window_moving_avg
-    # (x3 lifetime r04; the sliding-frame machinery keeps
-    # q_window_range_frame's local check + q_window_sliding in-cap) ----
     "q_graph_khop",
-    # -- TOUCHED in r09: the q_max_concurrency ORACLE gained (ts,
-    # event_id) tie-ordering in its numbered CTE (ADVICE r07 low #2) —
-    # the changed SQL must re-hash against the driver -------------------
-    "q_max_concurrency",
-    # ======================= past the cap ==============================
-    # Everything below is driver-green with its last row in r05-r08
-    # (the r07 cohort all confirmed in r08) and >=2 lifetime rows;
-    # ordered stalest-first so the next rotation reads off the top.
-    # (q_scan_project_filter rotated out late-r09 to fund the
-    # q_join_asof_nearest first row — x5 lifetime, thickest r05 name.)
-    "q_scalar_datetime",
-    "q_window_moving_avg",
+    "q_graph_triangles",
+    "q_join_asof_nearest",
+    "q_join_salted",
+    "q_merge_upsert",
+    "q_text_more_like_this",
+    "q_window_sliding",
+    # -- last driver-green r04 (6 rounds stale) -------------------------
     "q_sort_limit",
     "q_window_distribution",
-    "q_window_range_frame",
+    "q_window_moving_avg",
+    # -- last driver-green r05 (5 rounds stale) -------------------------
+    "q_scalar_datetime",
     "q_scan_project_filter",
     "q_sql_star_revenue",
     "q_text_stats",
     "q_topk_per_group",
+    "q_window_range_frame",
+    # -- last driver-green r06 (4 rounds stale) -------------------------
     "q_chunk_docs",
     "q_classifier_score",
     "q_corpus_pipeline",
     "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
     "q_dedup_keep",
     "q_event_transitions",
     "q_funnel",
@@ -209,57 +132,105 @@ DRIVER_ORDER = (
     "q_text_rolling_hash",
     "q_tokenize_ids",
     "q_vocab_coverage",
-    "q_dedup_incremental_fuzzy",
+    # ======================= past the cap ==============================
+    # Everything below holds >=2 lifetime driver-green rows (except
+    # q_text_tfidf's 3 — see the rotation note above) and is still
+    # oracle-checked by the local replica harness every run; ordered
+    # stalest-first so the next rotation reads off the top.
+    # -- last driver-green r06 --------------------------------------------
     "q_text_tfidf",
+    # -- last driver-green r08 --------------------------------------------
+    "q_agg_approx",
+    "q_agg_approx_percentile",
     "q_agg_argmax",
+    "q_agg_basic",
+    "q_agg_hll_sketch",
     "q_agg_mode",
     "q_anomaly_zscore",
     "q_bm25",
     "q_cooccurrence_pmi",
-    "q_drift_psi",
-    "q_gap_islands",
-    "q_hist_equiwidth",
-    "q_join_asof_forward",
-    "q_orc_scan",
-    "q_pagerank",
-    "q_quality_checks",
-    "q_rollup_cascade",
-    "q_scd2",
-    "q_skew_profile",
-    "q_snapshot_diff",
-    "q_window_ntile",
-    "q_window_running_distinct",
-    "q_winsorize",
-    "q_agg_approx",
-    "q_agg_approx_percentile",
-    "q_agg_hll_sketch",
     "q_csv_scan",
     "q_domain_cap",
+    "q_drift_psi",
     "q_embed_quantize",
-    "q_join_asof_tolerance",
-    "q_ngram_counts",
-    "q_resample_interp",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sessionize",
-    "q_text_repetition",
-    "q_text_span_dedup",
-    "q_time_bucket_agg",
-    "q_token_histogram",
-    "q_twap",
-    "q_unpivot",
-    "q_zorder",
-    "q_sim_ann_ivfpq",
-    "q_text_tokens_bpe",
-    "q_sim_topk",
+    "q_gap_islands",
+    "q_hist_equiwidth",
     "q_join_asof",
-    "q_window_cumulative",
-    "q_agg_basic",
+    "q_join_asof_forward",
+    "q_join_asof_tolerance",
     "q_join_inner",
     "q_llm_dedup_embed",
     "q_llm_dedup_exact",
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
+    "q_ngram_counts",
+    "q_orc_scan",
+    "q_pagerank",
+    "q_quality_checks",
+    "q_resample_interp",
+    "q_rollup_cascade",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2",
+    "q_sessionize",
+    "q_sim_ann_ivfpq",
+    "q_sim_topk",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_text_repetition",
+    "q_text_span_dedup",
+    "q_text_tokens_bpe",
+    "q_time_bucket_agg",
+    "q_token_histogram",
+    "q_twap",
+    "q_unpivot",
+    "q_window_cumulative",
+    "q_window_ntile",
+    "q_window_running_distinct",
+    "q_winsorize",
+    "q_zorder",
+    # -- last driver-green r09 --------------------------------------------
+    "q_agg_bitmap_distinct",
+    "q_agg_conditional",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_contamination",
+    "q_curate_corpus",
+    "q_dedup_cluster",
+    "q_dedup_lww",
+    "q_filter_predicates",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_json_scan",
+    "q_max_concurrency",
+    "q_pack_sequences",
+    "q_scalar_array",
+    "q_scalar_json",
+    "q_scalar_map",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_set_ops",
+    "q_set_ops_all",
+    "q_sort_nulls",
+    "q_subquery_correlated",
+    "q_text_redact",
+    "q_udaf_trimmed_mean",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
+    "q_window_lag",
+    "q_window_rank",
 )
 
 

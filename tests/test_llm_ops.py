@@ -1409,3 +1409,54 @@ def test_ivfpq_ingest_merge_skips_uncommitted_batch_dir(spark, tmp_path):
     m2 = similarity.ivfpq_ingest_merge(idx, ingest)
     assert m2.index.count() == em.count()
     assert not os.path.exists(b0)         # consumed after commit
+
+
+def test_ivfpq_ingest_merge_cleans_empty_committed_and_warns_stray(
+        spark, tmp_path):
+    """ADVICE r09 low #1: a committed-but-EMPTY batch dir (_SUCCESS,
+    no part files — what an empty micro-batch commits) is a consumable
+    no-op that must be DELETED, not skipped forever; a stray
+    non-directory file in the staging root is left alone (never
+    deleted) but reported."""
+    import os
+
+    em = load_table(spark, SF, "embeddings")
+    idx = similarity.ivfpq_build(em, path=str(tmp_path / "idx"))
+    ingest = tmp_path / "ingest"
+    empty = ingest / "b00000042"
+    empty.mkdir(parents=True)
+    (empty / "_SUCCESS").touch()
+    stray = ingest / "README.txt"
+    stray.write_text("not a batch dir")
+
+    before = idx.index.count()
+    m = similarity.ivfpq_ingest_merge(idx, str(ingest))
+    assert m.index.count() == before      # no codes were appended
+    assert not empty.exists()             # the no-op dir is cleaned
+    assert stray.exists()                 # the stray file is untouched
+
+
+def test_kmeans_is_a_deterministic_partition(spark):
+    """q_cluster_kmeans: the output is a PARTITION of the corpus
+    (every vector labeled exactly once), cluster ids are seed slots
+    1.._KMEANS_K, cluster_size is the true group cardinality, and the
+    fixed md5 seeds + rounded Lloyd steps make the labeling
+    bit-reproducible across runs (the exactness the DuckDB full-replay
+    oracle then certifies cross-engine)."""
+    import collections
+
+    from level2_to_cassandra_spark.queries.llm import (
+        _KMEANS_K,
+        q_cluster_kmeans,
+    )
+
+    out = [tuple(r) for r in q_cluster_kmeans(spark, SF).collect()]
+    n_corpus = load_table(spark, SF, "embeddings").count()
+    assert len(out) == n_corpus
+    assert len({v for v, _, _ in out}) == n_corpus
+    sizes = collections.Counter(c for _, c, _ in out)
+    assert set(sizes) <= set(range(1, _KMEANS_K + 1))
+    assert len(sizes) > 1          # the corpus actually splits
+    assert all(s == sizes[c] for _, c, s in out)
+    rerun = [tuple(r) for r in q_cluster_kmeans(spark, SF).collect()]
+    assert sorted(out) == sorted(rerun)

@@ -773,3 +773,32 @@ def test_triangle_counting_known_graphs(spark):
     assert cycle4 == {}
     hub = run_on_edges([(9, i) for i in range(5)] + [(0, 1)])
     assert hub == {9: 1, 0: 1, 1: 1}
+
+
+def test_components_known_graphs(spark):
+    """q_graph_components must label hand-checkable graphs exactly:
+    two disjoint triangles → two components with min-id canonicals; a
+    path → one component; an isolated edge rides with nothing."""
+    from level2_to_cassandra_spark.queries.graph import q_graph_components
+
+    def run_on_edges(edge_list):
+        rows = [(i, s) for i, (a, b) in enumerate(edge_list)
+                for s in (a, b)]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+            out = q_graph_components(spark, d).collect()
+        return {r.node: (r.component_id, r.component_size) for r in out}
+
+    two_tris = run_on_edges(
+        [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (5, 7)]
+    )
+    assert two_tris == {
+        0: (0, 3), 1: (0, 3), 2: (0, 3),
+        5: (5, 3), 6: (5, 3), 7: (5, 3),
+    }
+    path = run_on_edges([(3, 1), (1, 4), (4, 0)])
+    assert path == {0: (0, 4), 1: (0, 4), 3: (0, 4), 4: (0, 4)}
+    mixed = run_on_edges([(0, 1), (8, 9)])
+    assert mixed == {0: (0, 2), 1: (0, 2), 8: (8, 2), 9: (8, 2)}
