@@ -82,6 +82,9 @@ _PYTHON_ALLOWED = {
     # simhash VOTE (64-bit popcount over per-doc hash lists) is the
     # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
     "q_llm_dedup_simhash",
+    # Lloyd assignment IS ivf_assign_np's dense (n×dim)·(dim×k)
+    # matmul — the same Arrow kernel q_sim_ann_ivf is allowed for
+    "q_cluster_kmeans",
 }
 
 

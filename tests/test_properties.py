@@ -727,7 +727,10 @@ def test_merge_upsert_laws(spark):
 
     upd = {k for k in base if k % 10 == 0}
     dele = {k for k in base if k % 10 == 1}
-    ins = {10_000_000 + k for k in base if k % 100 == 2}
+    # insert offset is DERIVED (max base key + 1) so inserts can never
+    # collide with base keys at any SF (ADVICE r09 low #4)
+    off = max(base) + 1
+    ins = {off + k for k in base if k % 100 == 2}
     assert len(out) == len(base) - len(dele) + len(ins)
     for k in dele:
         assert k not in out
