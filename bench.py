@@ -113,6 +113,8 @@ HEADLINE = [
     # r10 additions
     "q_graph_components",    # pointer-jumping WCC over the edge table
     "q_cluster_kmeans",      # standalone spherical k-means (2 Lloyd its)
+    "q_sample_cluster",      # cluster-balanced coreset draw
+    "q_importance_resample", # DSIR importance weights + Gumbel top-k
 ]
 
 

@@ -639,11 +639,12 @@ _KMEANS_UPDATE_CTE = """
 """
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled full-replay Lloyd: md5-ordered seeds, then
-    _KMEANS_ITERS chained assign/update rounds, emitting the LAST
-    assignment (the one that produced the final centroids — exactly
-    what ivf_index returns)."""
+def _kmeans_ctes() -> str:
+    """Unrolled full-replay Lloyd as a CTE chain: md5-ordered seeds,
+    then _KMEANS_ITERS chained assign/update rounds; a{_KMEANS_ITERS}
+    is the LAST assignment (the one that produced the final centroids
+    — exactly what ivf_index returns).  Shared by q_cluster_kmeans
+    and q_sample_cluster."""
     ctes = [
         """
     v AS (
@@ -663,8 +664,12 @@ def _kmeans_oracle() -> str:
             ctes.append(
                 _KMEANS_UPDATE_CTE.format(n=i, dim=_KMEANS_DIM).strip()
             )
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + _kmeans_ctes()
         + f"""
     SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT)
@@ -717,6 +722,74 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )
+
+
+#: Per-cluster sample quota and the salt keying the deterministic
+#: uniform draw (changing it redraws the sample, like q_shuffle_epoch's
+#: seed).  40 < the sf0.01 per-cluster sizes (~250) so the quota CUT is
+#: live, while sf0.001 clusters (~25) exercise the
+#: smaller-than-quota branch.
+_CLUSTER_SAMPLE_QUOTA = 40
+_CLUSTER_SAMPLE_SALT = "cbs1:"
+
+
+@register(
+    "q_sample_cluster",
+    # The kmeans CTEs replay the identical clustering; the draw is the
+    # q_sample_stratified discipline (salted-md5 order) per cluster.
+    oracle=(
+        "WITH " + _kmeans_ctes()
+        + f""",
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY cell
+                 ORDER BY md5('{_CLUSTER_SAMPLE_SALT}'
+                              || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM a{_KMEANS_ITERS})
+    SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_CLUSTER_SAMPLE_QUOTA}"""
+    ),
+)
+def q_sample_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED SAMPLING — the coreset-selection step that
+    makes q_cluster_kmeans actionable: an equal quota of vectors drawn
+    from EVERY k-means cluster, flattening the cluster-size
+    distribution so a downstream sample (curation eval sets, SemDeDup
+    prune candidates, diverse few-shot pools) covers embedding space
+    instead of mirroring its density.  The draw is deterministic: each
+    cluster's members race on the salted md5 of their stable id (the
+    q_sample_stratified discipline — no RNG state, identical redraw
+    across runs, engines, and partitionings), top _CLUSTER_SAMPLE_QUOTA
+    win.
+
+    Scale shape: the clustering is the q_cluster_kmeans plan (Arrow
+    matmul assignment vs broadcast centroids, zero extra shuffles);
+    the draw adds ONE per-cluster ranking window over the k-partition
+    relation — at cluster scale a TakeOrdered-per-group heap, and the
+    md5 key means the sample needs no coordination to reproduce.  A
+    cluster smaller than the quota contributes all its members (both
+    engines clip identically)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    _cent, assigned = similarity.ivf_index(
+        em, n_cells=_KMEANS_K, lloyd_iters=_KMEANS_ITERS,
+        scheme="portable", round_assign=6,
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit(_CLUSTER_SAMPLE_SALT),
+                       F.col("vec_id").cast("string"))),
+        F.asc("vec_id"),
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CLUSTER_SAMPLE_QUOTA)
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cluster_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
 
 

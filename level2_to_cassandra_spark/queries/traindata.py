@@ -547,6 +547,140 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_importance_resample knobs: the in-domain seed source, the draw
+#: size, and the salt keying the deterministic Gumbel race.
+_DSIR_TARGET_SOURCE = "src1"
+_DSIR_TOPK = 50
+_DSIR_SALT = "dsir1:"
+
+
+@register(
+    "q_importance_resample",
+    # Every LM count is an exact integer on both engines; the float
+    # steps are ln of exact-int ratios (1-ulp correct both sides), a
+    # per-doc sum whose order jitter (≲1e-12) the ROUND(.,6) absorbs,
+    # and the Gumbel transform of the SAME 48-bit md5 uniform
+    # q_sample_weighted already proved portable.  Ties (and last-ulp
+    # disagreements) break on doc_id identically.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+    tgt AS (SELECT t, COUNT(*) AS c FROM toks
+            WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY t),
+    alls AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT
+        (SELECT COUNT(*) FROM toks
+         WHERE source = '{_DSIR_TARGET_SOURCE}') AS nt,
+        (SELECT COUNT(*) FROM toks) AS na,
+        (SELECT COUNT(DISTINCT t) FROM toks) AS v),
+    sc AS (
+        SELECT k.doc_id,
+               SUM(ln((COALESCE(g.c, 0) + 1)::DOUBLE / (tot.nt + tot.v))
+                 - ln((a.c + 1)::DOUBLE / (tot.na + tot.v))) AS lw
+        FROM toks k
+        JOIN alls a USING (t)
+        LEFT JOIN tgt g USING (t)
+        CROSS JOIN tot
+        GROUP BY k.doc_id),
+    race AS (
+        SELECT doc_id, ROUND(lw, 6) AS log_weight,
+               ROUND(lw - LN(-LN(
+                   (CAST(concat('0x', substring(
+                        md5('{_DSIR_SALT}' || CAST(doc_id AS VARCHAR)),
+                        1, 12)) AS BIGINT) + 0.5) / {_ES_TWO48!r})),
+                   6) AS race_key
+        FROM sc)
+    SELECT doc_id, log_weight, race_key, rk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY race_key DESC, doc_id ASC) AS rk FROM race)
+    WHERE rk <= {_DSIR_TOPK}
+    """,
+)
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR recipe, Xie
+    et al. 2023): score every document by how much more likely its
+    tokens are under an in-domain language model than under the
+    general-corpus model, then draw the training subset with
+    probability ∝ exp(score).  Both models are add-one-smoothed
+    unigram LMs self-trained in the same pass (target = the
+    _DSIR_TARGET_SOURCE documents, the in-domain seed set); the per-doc
+    importance log-weight is Σ_tokens [ln p_tgt(t) − ln p_all(t)],
+    and the draw is Gumbel top-k — adding −ln(−ln(u)) with u from the
+    salted md5 of the stable id makes rank-by-key an EXACT
+    exp(weight)-proportional sample without replacement, the same
+    derandomized-race trick as q_sample_weighted's exponential race.
+
+    Scale shape: two Zipf-small count relations (target and corpus
+    unigram models — the reusable staging tables; train once, score
+    every incoming shard) + a 1-row totals broadcast; scoring re-joins
+    the models on the token key — model side one row per DISTINCT
+    token, AQE handles hot-token skew on the probe stream — then one
+    doc-keyed aggregate.  The final draw is a TakeOrdered top-K on
+    the race key (never a global sort); the md5-seeded race re-runs
+    identically on 100 TB.  The oracle replays models, weights and
+    race bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_scan(docs).select(
+        "doc_id", "source", F.explode(text.tokens("text")).alias("t")
+    )
+    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
+    tgt = toks.where(is_tgt).groupBy("t").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    alls = toks.groupBy("t").agg(F.count(F.lit(1)).alias("__ca"))
+    tot = F.broadcast(
+        toks.agg(
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__nt"),
+            F.count(F.lit(1)).alias("__na"),
+            F.countDistinct("t").alias("__v"),
+        )
+    )
+    lw = F.sum(
+        F.log(
+            (F.coalesce(F.col("__ct"), F.lit(0)) + 1).cast("double")
+            / (F.col("__nt") + F.col("__v")).cast("double")
+        )
+        - F.log(
+            (F.col("__ca") + 1).cast("double")
+            / (F.col("__na") + F.col("__v")).cast("double")
+        )
+    ).alias("lw")
+    scored = (
+        toks.join(alls, "t")
+        .join(tgt, "t", "left")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(lw)
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_DSIR_SALT),
+                           F.col("doc_id").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("double")
+    gumbel = -F.log(-F.log((u48 + F.lit(0.5)) / F.lit(_ES_TWO48)))
+    top = (
+        scored.select(
+            "doc_id",
+            F.round(F.col("lw"), 6).alias("log_weight"),
+            F.round(F.col("lw") + gumbel, 6).alias("race_key"),
+        )
+        .orderBy(F.desc("race_key"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+    # rank assignment runs over the already-cut _DSIR_TOPK rows — a
+    # bounded single-partition window, not a global sort
+    return top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("race_key"), F.asc("doc_id"))
+        ).cast("long"),
+    )
+
+
 @register(
     "q_text_repetition",
     oracle="""

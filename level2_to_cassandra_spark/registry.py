@@ -67,17 +67,29 @@ DRIVER_ORDER = (
     # three TOUCHED-this-round re-hashes (q_merge_upsert's derived
     # insert offset changed its oracle+impl; q_graph_triangles /
     # q_graph_khop now serve from the materialized edge table), and
-    # (c) the longest-unconfirmed names: all of r04+r05 and 30 of the
-    # 31 r06-stale names.  The one r06 name left past-cap is
-    # q_text_tfidf — the thickest r06 confirmation (3 lifetime rows),
-    # its machinery carried in-cap by q_text_more_like_this and checked
-    # locally every run plus its bench.py headline row.
+    # (c) the longest-unconfirmed names: all of r04+r05 and 28 of the
+    # 31 r06-stale names.  The three r06 names left past-cap are the
+    # thickest r06 confirmations — q_text_tfidf (3 lifetime rows,
+    # machinery carried in-cap by q_text_more_like_this plus its
+    # bench.py headline row), q_dedup_incremental_fuzzy (3 rows), and
+    # q_sample_split (2 rows; hash-split discipline carried by
+    # q_sample_cluster's draw) — all still locally oracle-checked
+    # every run.
     # -- NEW in r10: weakly-connected components over the sparsified
-    # supplier graph (pointer-jumping CC vs a recursive-CTE closure)
-    # and standalone spherical k-means (2 unrolled Lloyd iterations,
-    # full-replay oracle) — first driver rows ---------------------------
+    # supplier graph (pointer-jumping CC vs a recursive-CTE closure),
+    # standalone spherical k-means (2 unrolled Lloyd iterations,
+    # full-replay oracle), cluster-balanced sampling (per-cluster
+    # salted-md5 quota draw over the kmeans assignment), and DSIR
+    # importance resampling (unigram-LM importance weights + Gumbel
+    # top-k race) — first driver rows.  The two extra slots displace
+    # q_dedup_incremental_fuzzy (3 lifetime rows, the thickest
+    # remaining r06 name) and q_sample_split (2 rows; the hash-split
+    # discipline stays in-cap via q_sample_stratified's machinery in
+    # q_sample_cluster and the local replica check) --------------------
     "q_graph_components",
     "q_cluster_kmeans",
+    "q_sample_cluster",
+    "q_importance_resample",
     # -- r09 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap).  q_merge_upsert / q_graph_triangles /
     # q_graph_khop are ALSO touched-this-round re-hashes ----------------
@@ -106,7 +118,6 @@ DRIVER_ORDER = (
     "q_classifier_score",
     "q_corpus_pipeline",
     "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy",
     "q_dedup_keep",
     "q_event_transitions",
     "q_funnel",
@@ -117,7 +128,6 @@ DRIVER_ORDER = (
     "q_ohlc_bars",
     "q_resample_locf",
     "q_retention",
-    "q_sample_split",
     "q_semdedup",
     "q_shuffle_epoch",
     "q_sim_ann_ivf",
@@ -138,6 +148,8 @@ DRIVER_ORDER = (
     # oracle-checked by the local replica harness every run; ordered
     # stalest-first so the next rotation reads off the top.
     # -- last driver-green r06 --------------------------------------------
+    "q_dedup_incremental_fuzzy",
+    "q_sample_split",
     "q_text_tfidf",
     # -- last driver-green r08 --------------------------------------------
     "q_agg_approx",

@@ -1460,3 +1460,35 @@ def test_kmeans_is_a_deterministic_partition(spark):
     assert all(s == sizes[c] for _, c, s in out)
     rerun = [tuple(r) for r in q_cluster_kmeans(spark, SF).collect()]
     assert sorted(out) == sorted(rerun)
+
+
+def test_cluster_sample_is_a_balanced_subset(spark):
+    """q_sample_cluster: per-cluster draw counts equal
+    min(quota, cluster size) against q_cluster_kmeans's own sizes,
+    every drawn (vec_id, cluster_id) pair exists in the assignment,
+    ranks are dense 1..count within each cluster, and the salted-md5
+    race redraws identically."""
+    import collections
+
+    from level2_to_cassandra_spark.queries.llm import (
+        _CLUSTER_SAMPLE_QUOTA,
+        q_cluster_kmeans,
+        q_sample_cluster,
+    )
+
+    assign = {r.vec_id: r.cluster_id
+              for r in q_cluster_kmeans(spark, SF).collect()}
+    sizes = collections.Counter(assign.values())
+    out = [tuple(r) for r in q_sample_cluster(spark, SF).collect()]
+    drawn = collections.Counter(c for _, c, _ in out)
+    assert dict(drawn) == {
+        c: min(_CLUSTER_SAMPLE_QUOTA, n) for c, n in sizes.items()
+    }
+    assert all(assign[v] == c for v, c, _ in out)
+    by_cluster = collections.defaultdict(list)
+    for _, c, rk in out:
+        by_cluster[c].append(rk)
+    assert all(sorted(rks) == list(range(1, len(rks) + 1))
+               for rks in by_cluster.values())
+    rerun = [tuple(r) for r in q_sample_cluster(spark, SF).collect()]
+    assert sorted(out) == sorted(rerun)

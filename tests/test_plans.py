@@ -85,6 +85,7 @@ _PYTHON_ALLOWED = {
     # Lloyd assignment IS ivf_assign_np's dense (n×dim)·(dim×k)
     # matmul — the same Arrow kernel q_sim_ann_ivf is allowed for
     "q_cluster_kmeans",
+    "q_sample_cluster",    # draws from the same kernel's assignment
 }
 
 

@@ -514,3 +514,48 @@ def test_verify_export_detects_torn_shard(spark, tmp_path):
     victim.unlink()
     r = verify_export(spark, path)
     assert not r["ok"] and shard in r["mismatches"]
+
+
+def test_importance_resample_prefers_target_like_docs(spark):
+    """q_importance_resample: exactly _DSIR_TOPK dense-ranked rows,
+    deterministic across runs, and the scorer behaves like DSIR — the
+    in-domain seed docs' mean importance log-weight must exceed the
+    out-of-domain mean (a doc is by construction more likely under a
+    model trained on its own source's vocabulary)."""
+    from level2_to_cassandra_spark.queries.traindata import (
+        _DSIR_TARGET_SOURCE,
+        _DSIR_TOPK,
+        q_importance_resample,
+    )
+
+    from tests.conftest import SF_SMOKE as SF
+
+    out = q_importance_resample(spark, SF).collect()
+    assert len(out) == _DSIR_TOPK
+    assert sorted(r.rk for r in out) == list(range(1, _DSIR_TOPK + 1))
+    keys = [r.race_key for r in sorted(out, key=lambda r: r.rk)]
+    assert keys == sorted(keys, reverse=True)
+    rerun = q_importance_resample(spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+    # scorer sanity on the full corpus: rebuild per-doc weights via the
+    # registered DuckDB oracle and compare in-domain vs out means
+    import duckdb
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    sql = all_queries()["q_importance_resample"].oracle
+    # strip the top-k cut: score every doc
+    full = con.execute(
+        sql.replace(f"WHERE rk <= {_DSIR_TOPK}", "")
+    ).fetchall()
+    srcs = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, source FROM documents").fetchall()}
+    tgt = [lw for d, lw, *_ in full if srcs[d] == _DSIR_TARGET_SOURCE]
+    other = [lw for d, lw, *_ in full if srcs[d] != _DSIR_TARGET_SOURCE]
+    assert sum(tgt) / len(tgt) > sum(other) / len(other)
