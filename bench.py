@@ -115,6 +115,7 @@ HEADLINE = [
     "q_cluster_kmeans",      # standalone spherical k-means (2 Lloyd its)
     "q_sample_cluster",      # cluster-balanced coreset draw
     "q_importance_resample", # DSIR importance weights + Gumbel top-k
+    "q_join_interval",       # big-big interval overlap via bin join
 ]
 
 

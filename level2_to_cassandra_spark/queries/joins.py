@@ -586,3 +586,148 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="v_",
         direction="forward",
     )
+
+
+#: q_join_interval bin width (seconds).  Correctness never depends on
+#: it (sequence() covers every bin an interval touches); it only sets
+#: the explode fan-out — ≥ the typical interval length means ≤ 2 bins
+#: per interval (fixture sessions are ~1h; measured max 1.1h).
+_IV_BIN_SEC = 7200
+
+
+@register(
+    "q_join_interval",
+    # The oracle joins intervals by the PLAIN overlap predicate — the
+    # binning is invisible to the result, which is the point: it is a
+    # physical strategy, not a semantic change.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= 1800 * 1000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+    iv AS (SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+           FROM numbered GROUP BY user_id, sid),
+    pairs AS (
+        SELECT a.user_id AS ua, a.sid AS sa, b.user_id AS ub, b.sid AS sb
+        FROM iv a JOIN iv b
+          ON a.s <= b.e AND b.s <= a.e AND a.user_id < b.user_id),
+    ends AS (SELECT ua AS user_id, sa AS sid FROM pairs
+             UNION ALL SELECT ub AS user_id, sb AS sid FROM pairs),
+    cnt AS (SELECT user_id, sid, COUNT(*) AS c FROM ends
+            GROUP BY user_id, sid)
+    SELECT iv.user_id, CAST(iv.sid AS BIGINT) AS session_id,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS n_overlapping
+    FROM iv LEFT JOIN cnt c
+      ON c.user_id = iv.user_id AND c.sid = iv.sid
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG-BIG INTERVAL-OVERLAP JOIN via time-bin bucketing: for every
+    user session (the q_sessionize intervals), count how many OTHER
+    users' sessions overlap it in time — the concurrent-activity
+    relation behind collusion/fraud rings, shared-incident
+    correlation, and co-presence features.  This completes the join
+    family: q_join_range is a BROADCAST band probe (one side tiny),
+    the as-of joins match at a point; here BOTH interval sides are
+    corpus-scale, where a raw theta-join is a cartesian disaster.
+
+    Scale shape — the standard range-join binning strategy: each
+    interval explodes into the fixed-width time bins it touches
+    (``sequence`` of bin ids; ≤ 2 bins at the fixture's session
+    lengths), the pair search becomes an EQUI-join on the bin id
+    (shuffle keyed by bin, never all-pairs), and the exact overlap
+    predicate filters within the bin.  A pair sharing several bins is
+    emitted ONCE without any distinct: the join keeps only the bin
+    containing ``greatest(a.s, b.s)`` — an overlap always covers that
+    bin on both sides, so it picks exactly one match per pair.
+    Endpoint counting fans each pair to its two sessions with ONE
+    explode (never a 2-branch union re-running the join), and
+    zero-overlap sessions ride back in on a left join against the
+    persisted interval relation.  Work is Σ per-bin n_a·n_b — at
+    100 TB the bin key shards the timeline across the cluster, and a
+    hot bin (an absolute-time crunch) salts like any other hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            <= 1800 * 1_000_000,
+            0,
+        ).otherwise(1).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    # persisted: feeds both bin-join sides AND the final zero-count
+    # left join — three plan branches over the same session-scale
+    # staging table (union-branch recompute otherwise)
+    iv = (
+        numbered.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .persist()
+    )
+    binned = iv.select(
+        "user_id", "sid", "s", "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_seconds("s") / _IV_BIN_SEC),
+                F.floor(F.unix_seconds("e") / _IV_BIN_SEC),
+            )
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # dedup-by-construction: keep only the bin that contains the
+        # later start — covered by both sides of any overlapping pair
+        & (
+            F.floor(
+                F.greatest(
+                    F.unix_seconds("a.s"), F.unix_seconds("b.s")
+                ) / _IV_BIN_SEC
+            )
+            == F.col("a.bin")
+        ),
+    ).select(
+        F.col("a.user_id").alias("ua"), F.col("a.sid").alias("sa"),
+        F.col("b.user_id").alias("ub"), F.col("b.sid").alias("sb"),
+    )
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ua").alias("user_id"),
+                         F.col("sa").alias("sid")),
+                F.struct(F.col("ub").alias("user_id"),
+                         F.col("sb").alias("sid")),
+            )
+        ).alias("end")
+    ).select("end.user_id", "end.sid")
+    cnt = ends.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        iv.join(cnt, ["user_id", "sid"], "left")
+        .select(
+            "user_id",
+            F.col("sid").alias("session_id"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_overlapping"),
+        )
+    )

@@ -90,6 +90,11 @@ DRIVER_ORDER = (
     "q_cluster_kmeans",
     "q_sample_cluster",
     "q_importance_resample",
+    # -- NEW in r10 (late): big-big interval-overlap join via time-bin
+    # bucketing — first driver row.  Slot freed by q_text_rolling_hash
+    # (2 lifetime rows; the rolling-hash machinery stays in-cap via
+    # q_text_fingerprint) ------------------------------------------------
+    "q_join_interval",
     # -- r09 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap).  q_merge_upsert / q_graph_triangles /
     # q_graph_khop are ALSO touched-this-round re-hashes ----------------
@@ -139,7 +144,6 @@ DRIVER_ORDER = (
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_langid",
-    "q_text_rolling_hash",
     "q_tokenize_ids",
     "q_vocab_coverage",
     # ======================= past the cap ==============================
@@ -149,6 +153,7 @@ DRIVER_ORDER = (
     # stalest-first so the next rotation reads off the top.
     # -- last driver-green r06 --------------------------------------------
     "q_dedup_incremental_fuzzy",
+    "q_text_rolling_hash",
     "q_sample_split",
     "q_text_tfidf",
     # -- last driver-green r08 --------------------------------------------

@@ -698,3 +698,15 @@ def test_reconcile_diff_single_full_outer_join(spark):
     assert plan.count("FullOuter") == 1
     assert plan.lower().count("join") == 1  # the full outer, nothing else
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_binned_equi_join(spark):
+    """q_join_interval: the overlap search must ride the bin-id
+    EQUI-join — never a cartesian/nested-loop theta join — and the
+    session-interval staging relation is persisted (it feeds both join
+    sides plus the zero-count left join)."""
+    plan = plan_of(all_queries()["q_join_interval"].fn(spark, SF),
+                   "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan

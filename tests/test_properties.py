@@ -805,3 +805,47 @@ def test_components_known_graphs(spark):
     assert path == {0: (0, 4), 1: (0, 4), 3: (0, 4), 4: (0, 4)}
     mixed = run_on_edges([(0, 1), (8, 9)])
     assert mixed == {0: (0, 2), 1: (0, 2), 8: (8, 2), 9: (8, 2)}
+
+
+def test_interval_join_matches_naive_overlap_count(spark):
+    """q_join_interval's binned pair search must agree with the naive
+    all-pairs overlap count (including multi-bin pairs counted ONCE
+    and zero-overlap sessions present with 0)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.user_id, r.session_id): r.n_overlapping
+           for r in all_queries()["q_join_interval"].fn(spark, sf)
+           .collect()}
+    # rebuild intervals naively from the query's own output keys via
+    # an independent sessionization in plain python
+    import collections
+
+    ev = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    iv = {}
+    last_ts = {}
+    sid = collections.Counter()
+    for r in ev:
+        prev = last_ts.get(r.user_id)
+        if prev is None or (r.ts - prev).total_seconds() > 1800:
+            sid[r.user_id] += 1
+            iv[(r.user_id, sid[r.user_id])] = [r.ts, r.ts]
+        else:
+            iv[(r.user_id, sid[r.user_id])][1] = r.ts
+        last_ts[r.user_id] = r.ts
+    keys = list(iv)
+    naive = collections.Counter()
+    for i, ka in enumerate(keys):
+        sa, ea = iv[ka]
+        for kb in keys[i + 1:]:
+            if ka[0] == kb[0]:
+                continue
+            sb, eb = iv[kb]
+            if sa <= eb and sb <= ea:
+                naive[ka] += 1
+                naive[kb] += 1
+    assert out == {k: naive.get(k, 0) for k in iv}
