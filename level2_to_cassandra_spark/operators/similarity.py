@@ -1681,11 +1681,21 @@ def ivfpq_ingest_merge(index: IvfPqIndex, ingest_path: str) -> IvfPqIndex:
             # (ADVICE r09 low #1)
             stray.append(d)
             continue
+        # ORDER MATTERS (self-review r10): the _SUCCESS probe must come
+        # BEFORE the part-file walk.  Writers create the marker LAST,
+        # so marker-present at probe time implies the part files were
+        # already complete when we subsequently walk the dir.  The
+        # reverse order has a TOCTOU hole: a batch committing between
+        # the walk (sees no parquet yet) and the marker probe (sees
+        # _SUCCESS) would classify as an empty no-op dir and be
+        # DELETED — committed vectors silently lost with the batch id
+        # already checkpointed as done.
+        committed = os.path.exists(os.path.join(d, "_SUCCESS"))
         has_parquet = any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(d) for f in fs
         )
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        if not committed:
             # no marker + part files = a batch mid-write (see below);
             # no marker + nothing = a writer that crashed before
             # writing anything — either way the at-least-once replay

@@ -611,34 +611,43 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(weight)-proportional sample without replacement, the same
     derandomized-race trick as q_sample_weighted's exponential race.
 
-    Scale shape: two Zipf-small count relations (target and corpus
-    unigram models — the reusable staging tables; train once, score
-    every incoming shard) + a 1-row totals broadcast; scoring re-joins
-    the models on the token key — model side one row per DISTINCT
-    token, AQE handles hot-token skew on the probe stream — then one
-    doc-keyed aggregate.  The final draw is a TakeOrdered top-K on
-    the race key (never a global sort); the md5-seeded race re-runs
-    identically on 100 TB.  The oracle replays models, weights and
-    race bit-for-bit."""
+    Scale shape: BOTH unigram models train in one conditional
+    aggregate over a single token pass — one Zipf-small (token,
+    corpus count, target count) relation, the reusable staging table;
+    the totals (target mass, corpus mass, vocab size) fold from that
+    model relation as a 1-row broadcast, never a second corpus pass.
+    Scoring is the only other token pass: it re-joins the persisted
+    model on the token key — model side one row per DISTINCT token,
+    AQE handles hot-token skew on the probe stream — then one
+    doc-keyed aggregate.  Two corpus passes total (self-review r10:
+    the first cut ran four).  The final draw is a TakeOrdered top-K
+    on the race key (never a global sort); the md5-seeded race
+    re-runs identically on 100 TB.  The oracle replays models,
+    weights and race bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     toks = spread_scan(docs).select(
         "doc_id", "source", F.explode(text.tokens("text")).alias("t")
     )
     is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
-    tgt = toks.where(is_tgt).groupBy("t").agg(
-        F.count(F.lit(1)).alias("__ct")
+    # persisted: the model feeds the totals fold AND the scoring probe
+    model = (
+        toks.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("__ca"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__ct"),
+        )
+        .persist()
     )
-    alls = toks.groupBy("t").agg(F.count(F.lit(1)).alias("__ca"))
     tot = F.broadcast(
-        toks.agg(
-            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__nt"),
-            F.count(F.lit(1)).alias("__na"),
-            F.countDistinct("t").alias("__v"),
+        model.agg(
+            F.sum("__ct").alias("__nt"),
+            F.sum("__ca").alias("__na"),
+            F.count(F.lit(1)).alias("__v"),
         )
     )
     lw = F.sum(
         F.log(
-            (F.coalesce(F.col("__ct"), F.lit(0)) + 1).cast("double")
+            (F.col("__ct") + 1).cast("double")
             / (F.col("__nt") + F.col("__v")).cast("double")
         )
         - F.log(
@@ -647,8 +656,7 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("lw")
     scored = (
-        toks.join(alls, "t")
-        .join(tgt, "t", "left")
+        toks.join(model, "t")
         .crossJoin(tot)
         .groupBy("doc_id")
         .agg(lw)

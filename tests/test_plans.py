@@ -82,10 +82,10 @@ _PYTHON_ALLOWED = {
     # simhash VOTE (64-bit popcount over per-doc hash lists) is the
     # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
     "q_llm_dedup_simhash",
-    # Lloyd assignment IS ivf_assign_np's dense (n×dim)·(dim×k)
-    # matmul — the same Arrow kernel q_sim_ann_ivf is allowed for
-    "q_cluster_kmeans",
-    "q_sample_cluster",    # draws from the same kernel's assignment
+    # (q_cluster_kmeans / q_sample_cluster BUILD with ivf_assign_np's
+    # Arrow matmul, but their registered plans serve off the
+    # materialized assignment table — no Python nodes at serve time,
+    # pinned by test_cluster_queries_serve_from_assignment_table)
 }
 
 
@@ -698,6 +698,25 @@ def test_reconcile_diff_single_full_outer_join(spark):
     assert plan.count("FullOuter") == 1
     assert plan.lower().count("join") == 1  # the full outer, nothing else
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_queries_serve_from_assignment_table(spark):
+    """Build/serve split for the kmeans label table (self-review r10):
+    once the session's assignment exists, q_cluster_kmeans AND
+    q_sample_cluster serve off the materialized parquet — no
+    MapInPandas (the Lloyd Arrow kernel belongs to the build) and no
+    embeddings-table rebuild in either serve plan."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _KMEANS_TABLE,
+        _kmeans_assignment,
+    )
+
+    _kmeans_assignment(spark, SF)
+    assert (spark.sparkContext.applicationId, SF) in _KMEANS_TABLE
+    for q in ("q_cluster_kmeans", "q_sample_cluster"):
+        plan = plan_of(all_queries()[q].fn(spark, SF), "simple")
+        assert "MapInPandas" not in plan, q
+        assert "Scan parquet" in plan, q
 
 
 def test_interval_join_is_binned_equi_join(spark):

@@ -80,16 +80,17 @@ def test_cap_prioritizes_stale_confirmations():
     in mechanical form, tolerant to the handful of deliberate
     touched-this-round re-verifications.
 
-    Lifecycle (VERDICT r09 #1): the staleness comparison describes the
-    cap AT ROTATION TIME — the moment the driver's round artifact
-    lands, every in-cap name becomes maximally fresh by construction
-    and the comparison would trip on its own success.  So the check
-    short-circuits as SATISFIED when every in-cap name with any
-    history is green in the NEWEST artifact: that state is exactly
-    'the rotation ran and got its confirmations', i.e. the policy
-    worked.  The staleness assert therefore bites only in the window
-    where it is meaningful — after a DRIVER_ORDER edit, before the
-    next driver round."""
+    Lifecycle (VERDICT r09 #1 + self-review r10): the staleness
+    comparison describes the cap AT ROTATION TIME — the moment the
+    driver's round artifact lands, every in-cap name becomes maximally
+    fresh by construction and the comparison would trip on its own
+    success.  So the check accepts the post-artifact state (every
+    in-cap name with history green in the NEWEST artifact) — but ONLY
+    while the past-cap tail is within the staleness budget.  Without
+    that bound the short-circuit also matches 'nobody rotated and the
+    same cap got re-confirmed', and the tail could age forever with
+    the test green; with it, skipping rotation for enough rounds turns
+    the suite red and forces the overdue rotation."""
     last: dict[str, int] = {}
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(Path(f).stem.split("_r")[1])
@@ -103,9 +104,17 @@ def test_cap_prioritizes_stale_confirmations():
     if not tail or not in_cap:
         return
     newest = max(last.values())
-    if all(last[n] == newest for n in in_cap):
-        return  # post-artifact state: the cap just earned its rows
     oldest_tail = min(last[n] for n in tail)
+    if all(last[n] == newest for n in in_cap):
+        # post-artifact state: the cap just earned its rows.  Policy
+        # satisfied only while no tail name's last green row is older
+        # than the ~5-round budget (VERDICT r09 task #1's bar).
+        assert newest - oldest_tail <= 5, (
+            f"rotation overdue: the newest artifact is r{newest:02d} but "
+            f"the tail's stalest confirmation is r{oldest_tail:02d} — "
+            "rotate the stale tail into the cap"
+        )
+        return
     oldest_cap = min(last[n] for n in in_cap)
     assert oldest_cap <= oldest_tail + 1, (
         f"cap holds fresher confirmations (oldest r{oldest_cap:02d}) than "
