@@ -1735,6 +1735,66 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_xml_scan",
+    # The oracle reads the ORIGINAL parquet view: a hash match proves
+    # the XML round-trip is value-lossless (Spark serializes doubles
+    # as their shortest exactly-round-tripping decimal string, and the
+    # reader parses them back to the identical bits).
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value > 100.0
+    """,
+)
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source scan (SURVEY.md §2 B1 — the fourth raw-source format
+    beside q_json_scan/q_csv_scan/q_orc_scan, native since Spark 4
+    merged spark-xml): snapshot the events table to element-per-row
+    XML, read it back with an EXPLICIT schema (never schema inference,
+    which costs a full extra pass at corpus scale), filter, project.
+
+    Scale shape — deliberately different from the columnar scans: XML
+    is a row-oriented TEXT format with no stripe statistics, so
+    nothing pushes down; the predicate runs as a post-parse filter.
+    That is exactly why the honest 100 TB pattern is convert-once —
+    an XML drop lands, one schema-explicit pass parses + filters it
+    into parquet staging, and every downstream query gets columnar
+    pushdown — and this query IS that conversion pass's read side.
+    The oracle reads the original parquet, so the hash proves the
+    text round-trip lossless (nulls: the writer omits the element,
+    the reader restores NULL — identical on both engines)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    # spread_scan: the single-file fixture would otherwise stage (and
+    # read back) the whole XML snapshot as ONE task — text
+    # serialization is the expensive leg, so it must fan out
+    ev = spread_scan(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+    )
+    # fresh dir per invocation + interpreter-exit cleanup: same
+    # concurrent-session and leak rationale as q_json_scan above
+    path = tempfile.mkdtemp(prefix="l2c_xml_scan_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    ev.write.mode("overwrite").format("xml").option(
+        "rowTag", "event"
+    ).save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value double")
+        .load(path)
+        .where(F.col("value") > 100.0)
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
     "q_quality_checks",
     # Every check is INTEGER arithmetic (counts and count-diffs) so
     # pass/fail is bit-reproducible; the FK probe is a null-flag left

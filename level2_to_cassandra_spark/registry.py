@@ -95,6 +95,11 @@ DRIVER_ORDER = (
     # (2 lifetime rows; the rolling-hash machinery stays in-cap via
     # q_text_fingerprint) ------------------------------------------------
     "q_join_interval",
+    # -- NEW in r10 (late): native-XML source scan, the fourth raw
+    # format — first driver row.  Slot freed by q_mixture_plan (2
+    # lifetime rows; its tiny-aggregate machinery is executed by
+    # q_sample_weighted and locally checked every run) -------------------
+    "q_xml_scan",
     # -- r09 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap).  q_merge_upsert / q_graph_triangles /
     # q_graph_khop are ALSO touched-this-round re-hashes ----------------
@@ -128,7 +133,6 @@ DRIVER_ORDER = (
     "q_funnel",
     "q_length_buckets",
     "q_llm_dedup_simhash",
-    "q_mixture_plan",
     "q_multimodal_features",
     "q_ohlc_bars",
     "q_resample_locf",
@@ -153,6 +157,7 @@ DRIVER_ORDER = (
     # stalest-first so the next rotation reads off the top.
     # -- last driver-green r06 --------------------------------------------
     "q_dedup_incremental_fuzzy",
+    "q_mixture_plan",
     "q_text_rolling_hash",
     "q_sample_split",
     "q_text_tfidf",
