@@ -113,6 +113,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def staging_dir(prefix: str) -> str:
+    """A fresh staging directory for a format-snapshot query
+    (q_json_scan/q_csv_scan/q_orc_scan/q_xml_scan), reclaimed at
+    interpreter exit.
+
+    Fresh per invocation: a path shared across sessions would let one
+    session's ``mode("overwrite")`` delete files under another
+    session's concurrent scan (bench + pytest race).  Deleting eagerly
+    is unsafe while the caller's lazy read is still pending, so each
+    dir is reclaimed at interpreter exit instead (ADVICE r04 #1 —
+    without the atexit hook every bench rep / oracle check leaked a
+    text copy of events to /tmp for the host to accumulate across
+    rounds)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Give per-row-heavy compute (shingling, tokenization, hashing)
     full parallelism when the upstream SCAN cannot.

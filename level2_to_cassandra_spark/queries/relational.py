@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.catalog import (
+    load_table,
+    spread_scan,
+    staging_dir,
+)
 from level2_to_cassandra_spark.registry import register
 
 _SCALE = 4
@@ -95,10 +99,6 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (no sampling pass over 100 TB), per-record error
     isolation, corrupt payloads quarantined not dropped.
     """
-    import atexit
-    import shutil
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events")
     line = F.when(
         F.col("event_id") % 97 == 0,
@@ -106,15 +106,7 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.to_json(F.struct("event_id", "event_type", "value"))
     )
-    # fresh dir per invocation: a path shared across sessions would let
-    # one session's mode("overwrite") delete files under another
-    # session's concurrent scan (bench + pytest race).  Deleting
-    # eagerly is unsafe while the lazy read below is pending, so each
-    # dir is reclaimed at interpreter exit (ADVICE r04 #1 — without
-    # this every bench rep / oracle check leaked a JSONL copy of
-    # events to /tmp for the host to accumulate across rounds).
-    path = tempfile.mkdtemp(prefix="l2c_json_scan_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = staging_dir("l2c_json_scan_")
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read.schema(
@@ -1182,10 +1174,6 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     salvage + quarantined original, the delimited-log ingest
     contract.  Explicit schema as always: no inference pass over
     100 TB."""
-    import atexit
-    import shutil
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events")
     line = F.when(
         F.col("event_id") % 89 == 0,
@@ -1203,10 +1191,7 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("value").cast("string"), F.lit("")),
         )
     )
-    # fresh dir per invocation + interpreter-exit cleanup: same
-    # concurrent-session and leak rationale as q_json_scan above
-    path = tempfile.mkdtemp(prefix="l2c_csv_scan_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = staging_dir("l2c_csv_scan_")
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read.schema(
@@ -1715,17 +1700,10 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics skip whole stripes) is the difference between reading
     3 columns of survivors and reading everything.
     """
-    import atexit
-    import shutil
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    # fresh dir per invocation + interpreter-exit cleanup: same
-    # concurrent-session and leak rationale as q_json_scan above
-    path = tempfile.mkdtemp(prefix="l2c_orc_scan_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = staging_dir("l2c_orc_scan_")
     ev.write.mode("overwrite").orc(path)
     return (
         spark.read.orc(path)
@@ -1763,12 +1741,6 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reads the original parquet, so the hash proves the
     text round-trip lossless (nulls: the writer omits the element,
     the reader restores NULL — identical on both engines)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from level2_to_cassandra_spark.catalog import spread_scan
-
     # spread_scan: the single-file fixture would otherwise stage (and
     # read back) the whole XML snapshot as ONE task — text
     # serialization is the expensive leg, so it must fan out
@@ -1777,10 +1749,7 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value"
         )
     )
-    # fresh dir per invocation + interpreter-exit cleanup: same
-    # concurrent-session and leak rationale as q_json_scan above
-    path = tempfile.mkdtemp(prefix="l2c_xml_scan_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = staging_dir("l2c_xml_scan_")
     ev.write.mode("overwrite").format("xml").option(
         "rowTag", "event"
     ).save(path)
