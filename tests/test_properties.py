@@ -849,3 +849,71 @@ def test_interval_join_matches_naive_overlap_count(spark):
                 naive[ka] += 1
                 naive[kb] += 1
     assert out == {k: naive.get(k, 0) for k in iv}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),              # user_id
+            st.integers(0, 6 * 3600),       # ts offset (seconds)
+        ),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+)
+def test_interval_join_binning_vs_naive_on_random_events(spark, events):
+    """The binned pair search must equal the naive all-pairs overlap
+    count on RANDOM event sets — including sessions that chain across
+    several 2h bins (events 6h apart can link through <30min gaps) and
+    intervals whose endpoints land exactly on bin boundaries, the
+    cases where the greatest-start-bin dedup predicate earns its
+    keep."""
+    import collections
+    import datetime
+    import tempfile
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.UTC)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=off))
+        for i, (u, off) in enumerate(sorted(events))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            (r.user_id, r.session_id): r.n_overlapping
+            for r in all_queries()["q_join_interval"].fn(spark, d)
+            .collect()
+        }
+
+    # naive reference: python sessionize + all-pairs overlap
+    iv: dict = {}
+    last_ts: dict = {}
+    sid: collections.Counter = collections.Counter()
+    for _, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        prev = last_ts.get(u)
+        if prev is None or (ts - prev).total_seconds() > 1800:
+            sid[u] += 1
+            iv[(u, sid[u])] = [ts, ts]
+        else:
+            iv[(u, sid[u])][1] = ts
+        last_ts[u] = ts
+    keys = list(iv)
+    naive: collections.Counter = collections.Counter()
+    for i, ka in enumerate(keys):
+        sa, ea = iv[ka]
+        for kb in keys[i + 1:]:
+            if ka[0] == kb[0]:
+                continue
+            sb, eb = iv[kb]
+            if sa <= eb and sb <= ea:
+                naive[ka] += 1
+                naive[kb] += 1
+    assert out == {k: naive.get(k, 0) for k in iv}
