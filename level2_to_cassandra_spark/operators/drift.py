@@ -1,0 +1,157 @@
+"""Distribution-drift scoring against a frozen reference histogram.
+
+q_drift_psi (queries/traindata.py) is the BATCH spec: both windows
+live in one table and the whole pipeline — reference bounds, 10
+equal-width bins, Laplace-smoothed PSI, 0.2 alarm — replays inside a
+single hash-verified query.  Production monitors don't get that
+luxury: the reference window is scored ONCE into a small histogram
+relation and every incoming batch is compared against it, long after
+the reference rows are gone.  This module is that split:
+
+* :func:`reference_cells` — one pass over the reference window →
+  the per-(key, bin) histogram WITH the bin bounds and totals it was
+  built from (a #keys×10-row relation: broadcast-sized forever);
+* :func:`psi_against_reference` — score any batch against it.
+
+The math is character-identical to q_drift_psi (same clipped
+equal-width binning off the reference min/max, same +1/+n_bins
+Laplace smoothing, same rounded-then-compared alarm), and
+tests/test_streaming.py pins parity: splitting the fixture at the
+query's date cut and scoring the second half through this module
+reproduces the query's per-key psi/flag exactly.  Keeping the
+query's inline form untouched preserves its DuckDB-oracle status —
+the operator inherits the verification through the parity test (the
+fold-form-vs-kernel discipline used across operators/similarity.py).
+
+Scale shape: scoring a batch is one broadcast join of the tiny
+reference relation onto the batch scan, one (key, bin) count
+aggregate, and a cells-sized fold — nothing grows with batch size
+except the map-side binning pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.functions import round_half_up
+
+#: Fixed bin count — also the Laplace denominator offset, so it is
+#: part of the scoring contract, not a tuning knob to vary per call.
+N_BINS = 10
+
+#: Conventional PSI alarm threshold (compared against the ROUNDED psi,
+#: exactly like q_drift_psi, so a sub-ulp ln() divergence cannot flip
+#: the flag).
+PSI_ALARM = 0.2
+
+
+def _bin_expr() -> F.Column:
+    """Clipped equal-width bin off reference ``lo``/``hi`` — the same
+    expression q_drift_psi inlines (hi == lo collapses to bin 0
+    explicitly; out-of-range batch values clip into the edge bins,
+    which is how range escapes surface as drift)."""
+    return (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * F.lit(float(N_BINS))
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(N_BINS - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin")
+    )
+
+
+def reference_cells(ref: DataFrame, key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Freeze the reference window into its scoring histogram:
+    ``(key, bin, c_ref, lo, hi, n_ref)`` — one row per OCCUPIED bin
+    (absent bins score as zero-count at comparison time).  One scan +
+    one broadcast of the per-key bounds back over it; the result is
+    #keys × ≤N_BINS rows, small enough to broadcast against every
+    future batch."""
+    named = ref.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    )
+    bounds = named.groupBy("key").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = named.join(F.broadcast(bounds), "key").select(
+        "key", "lo", "hi", _bin_expr()
+    )
+    return (
+        binned.groupBy("key", "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .withColumn(
+            "n_ref", F.sum("c_ref").over(Window.partitionBy("key"))
+        )
+    )
+
+
+def psi_against_reference(batch: DataFrame, ref: DataFrame,
+                          key_col: str = "event_type",
+                          value_col: str = "value") -> DataFrame:
+    """Score one batch against a :func:`reference_cells` histogram:
+    ``(key, n_ref, n_batch, psi, drift_flag)`` per reference key.
+
+    Bins occupied on only one side still contribute their smoothed
+    term (full-outer on (key, bin), zero-filled counts) — identical
+    cell algebra to q_drift_psi's single-aggregate form.  Keys absent
+    from the reference are not scored (there is no distribution to
+    compare against); keys absent from the batch score with an empty
+    current histogram, which is itself maximal drift signal."""
+    kb = ref.select("key", "lo", "hi", "n_ref").distinct()
+    bcells = (
+        batch.select(
+            F.col(key_col).alias("key"), F.col(value_col).alias("value")
+        )
+        .join(F.broadcast(kb), "key")
+        .select("key", _bin_expr())
+        .groupBy("key", "bin")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    cells = (
+        ref.select("key", "bin", "c_ref")
+        .join(bcells, ["key", "bin"], "full_outer")
+        .select(
+            "key",
+            F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+        )
+        .join(F.broadcast(kb.select("key", "n_ref")), "key")
+        .withColumn(
+            "n_cur",
+            F.sum("c_cur").over(Window.partitionBy("key")),
+        )
+    )
+    p_cur = (F.col("c_cur").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(float(N_BINS))
+    )
+    p_ref = (F.col("c_ref").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(float(N_BINS))
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    psi = round_half_up(F.sum(term), 6)
+    return (
+        cells.withColumn("term", term)
+        .groupBy("key", "n_ref", "n_cur")
+        .agg(
+            psi.alias("psi"),
+        )
+        .select(
+            "key",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_batch"),
+            "psi",
+            (F.col("psi") > F.lit(PSI_ALARM)).alias("drift_flag"),
+        )
+    )

@@ -99,3 +99,70 @@ def read_metrics(spark, base_path: str, table_suffix: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(
         f"{metrics_path(base_path)}/{table_suffix}"
     )
+
+
+#: drift-audit schema (flat + scalar, same rationale as METRICS_SCHEMA)
+DRIFT_SCHEMA = (
+    "batch_id long, key string, n_ref long, n_batch long, "
+    "psi double, drift_flag boolean"
+)
+
+
+def drift_path(base: str) -> str:
+    """The drift audit lives beside the sink tables, underscore-
+    prefixed like the ingest-metrics table."""
+    return f"{base}/_drift_metrics"
+
+
+def foreach_batch_with_drift(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    ref_cells: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with per-batch DISTRIBUTION
+    DRIFT scoring — the streaming twin of q_drift_psi: every
+    micro-batch is compared against a FROZEN reference histogram
+    (:func:`operators.drift.reference_cells`, built once offline) and
+    one ``(batch_id, key, psi, drift_flag)`` audit row per reference
+    key is appended beside the sink.  This is the data-quality gate a
+    production ingest runs continuously: the alarm fires while the
+    drifted batches are landing, not at the next offline audit.
+
+    Cost/delivery semantics are :func:`foreach_batch_with_metrics`'s:
+    the batch is persisted once and shared by the sink write and the
+    scoring aggregate (trigger-bounded cache); the audit append runs
+    after the wrapped write succeeds inside the same at-least-once
+    attempt, so replayed batches duplicate their audit rows and
+    readers dedup on ``(batch_id, key)``.  The reference relation is
+    #keys × ≤N_BINS rows and broadcast into the scoring join — per
+    batch the added work is one map-side binning pass + one
+    (key, bin) count aggregate."""
+    from level2_to_cassandra_spark.operators.drift import (
+        psi_against_reference,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            out = psi_against_reference(
+                batch_df, ref_cells, key_col=key_col, value_col=value_col
+            ).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "key", "n_ref",
+                "n_batch", "psi", "drift_flag",
+            )
+            out.coalesce(1).write.mode("append").parquet(
+                drift_path(base_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_drift(spark, base_path: str) -> DataFrame:
+    """Read the drift audit table."""
+    return spark.read.schema(DRIFT_SCHEMA).parquet(drift_path(base_path))

@@ -1000,3 +1000,87 @@ def test_compact_evolved_sink_preserves_new_column(spark, fixture_dir,
     rows = read_sink_latest(spark, path, "book", merge_schema=True).collect()
     assert rows and all(r.venue == "primary" and r.volume > 100
                         for r in rows)
+
+
+def test_drift_operator_parity_with_registered_query(spark):
+    """operators/drift.py must reproduce q_drift_psi exactly when fed
+    the query's own window split: reference_cells on the first half,
+    psi_against_reference on the second — same psi, flags and totals
+    per key.  This parity binds the split build/score form to the
+    hash-verified single-query spec (the fold-form-vs-kernel
+    discipline)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators.drift import (
+        psi_against_reference,
+        reference_cells,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    ev = load_table(spark, sf_smoke, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = reference_cells(ev.where(F.col("ts") < cut))
+    got = {
+        r.key: (r.n_ref, r.n_batch, r.psi, r.drift_flag)
+        for r in psi_against_reference(
+            ev.where(F.col("ts") >= cut), ref
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi, r.drift_flag)
+        for r in all_queries()["q_drift_psi"].fn(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
+    """foreach_batch_with_drift: each micro-batch appends one audit row
+    per reference key; an in-distribution batch passes while a batch
+    whose values escape the reference range (clipping into the edge
+    bin) raises the drift flag — the alarm fires WHILE the drifted
+    data lands, not at the next offline audit."""
+    from level2_to_cassandra_spark.operators.drift import reference_cells
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_drift,
+        read_drift,
+    )
+
+    ref_rows = [("a", float(v)) for v in range(100)]
+    ref = reference_cells(
+        spark.createDataFrame(ref_rows, "event_type string, value double")
+    ).persist()
+    ref.count()  # freeze the histogram before the stream starts
+
+    src = str(tmp_path / "src")
+    ok = [("a", float((v * 37) % 100)) for v in range(50)]
+    shifted = [("a", 1000.0 + v) for v in range(40)]
+    spark.createDataFrame(
+        ok, "event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        shifted, "event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_drift(
+        lambda df, bid: None, base, ref
+    )
+    q = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    rows = read_drift(spark, base).collect()
+    assert len(rows) == 2 and len({r.batch_id for r in rows}) == 2
+    by_size = {r.n_batch: r for r in rows}
+    assert set(by_size) == {50, 40}
+    assert not by_size[50].drift_flag      # in-distribution batch
+    assert by_size[40].drift_flag          # range-escaped batch
+    assert all(r.key == "a" and r.n_ref == 100 for r in rows)
+    ref.unpersist()
