@@ -142,8 +142,7 @@ def psi_against_reference(batch: DataFrame, ref: DataFrame,
     term = (p_cur - p_ref) * F.log(p_cur / p_ref)
     psi = round_half_up(F.sum(term), 6)
     return (
-        cells.withColumn("term", term)
-        .groupBy("key", "n_ref", "n_cur")
+        cells.groupBy("key", "n_ref", "n_cur")
         .agg(
             psi.alias("psi"),
         )

@@ -101,16 +101,22 @@ def read_metrics(spark, base_path: str, table_suffix: str) -> DataFrame:
     )
 
 
-#: drift-audit schema (flat + scalar, same rationale as METRICS_SCHEMA)
+#: drift-audit schema (flat + scalar, same rationale as METRICS_SCHEMA;
+#: ``key`` is always written as STRING — the wrapper casts arbitrary
+#: key columns so the fixed read schema can never type-mismatch the
+#: written parquet)
 DRIFT_SCHEMA = (
-    "batch_id long, key string, n_ref long, n_batch long, "
-    "psi double, drift_flag boolean"
+    "batch_id long, stream string, key string, n_ref long, "
+    "n_batch long, psi double, drift_flag boolean"
 )
 
 
 def drift_path(base: str) -> str:
     """The drift audit lives beside the sink tables, underscore-
-    prefixed like the ingest-metrics table."""
+    prefixed like the ingest-metrics table; one subdirectory per
+    wrapped stream (the metrics-table discipline) so two streams
+    sharing a base never interleave their independent batch_id
+    sequences."""
     return f"{base}/_drift_metrics"
 
 
@@ -118,6 +124,7 @@ def foreach_batch_with_drift(
     inner: Callable[[DataFrame, int], None],
     base_path: str,
     ref_cells: DataFrame,
+    stream: str = "events",
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> Callable[[DataFrame, int], None]:
@@ -138,9 +145,20 @@ def foreach_batch_with_drift(
     readers dedup on ``(batch_id, key)``.  The reference relation is
     #keys × ≤N_BINS rows and broadcast into the scoring join — per
     batch the added work is one map-side binning pass + one
-    (key, bin) count aggregate."""
+    (key, bin) count aggregate.
+
+    The reference relation is SNAPSHOTTED here (one bounded collect —
+    it is #keys × ≤N_BINS rows by construction): the scoring join
+    reads it through three plan branches, so an unpersisted caller
+    relation would re-run the reference build ~3× on EVERY micro-batch
+    (union-branch recompute); a collected local relation replays for
+    free and survives the caller unpersisting theirs."""
     from level2_to_cassandra_spark.operators.drift import (
         psi_against_reference,
+    )
+
+    ref_snap = ref_cells.sparkSession.createDataFrame(
+        ref_cells.collect(), ref_cells.schema
     )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -148,14 +166,15 @@ def foreach_batch_with_drift(
         try:
             inner(batch_df, batch_id)
             out = psi_against_reference(
-                batch_df, ref_cells, key_col=key_col, value_col=value_col
+                batch_df, ref_snap, key_col=key_col, value_col=value_col
             ).select(
                 F.lit(int(batch_id)).cast("long").alias("batch_id"),
-                "key", "n_ref",
-                "n_batch", "psi", "drift_flag",
+                F.lit(stream).alias("stream"),
+                F.col("key").cast("string").alias("key"),
+                "n_ref", "n_batch", "psi", "drift_flag",
             )
             out.coalesce(1).write.mode("append").parquet(
-                drift_path(base_path)
+                f"{drift_path(base_path)}/{stream}"
             )
         finally:
             batch_df.unpersist()
@@ -163,6 +182,8 @@ def foreach_batch_with_drift(
     return _write
 
 
-def read_drift(spark, base_path: str) -> DataFrame:
-    """Read the drift audit table."""
-    return spark.read.schema(DRIFT_SCHEMA).parquet(drift_path(base_path))
+def read_drift(spark, base_path: str, stream: str = "events") -> DataFrame:
+    """Read one stream's drift audit table."""
+    return spark.read.schema(DRIFT_SCHEMA).parquet(
+        f"{drift_path(base_path)}/{stream}"
+    )

@@ -1020,11 +1020,12 @@ def test_drift_operator_parity_with_registered_query(spark):
     ev = load_table(spark, sf_smoke, "events")
     cut = F.lit("2024-01-16").cast("timestamp")
     ref = reference_cells(ev.where(F.col("ts") < cut))
+    # NULL ts rows belong to 'cur' in the query's when/otherwise split —
+    # a bare ts >= cut predicate would silently drop them
+    cur = ev.where(F.col("ts").isNull() | (F.col("ts") >= cut))
     got = {
         r.key: (r.n_ref, r.n_batch, r.psi, r.drift_flag)
-        for r in psi_against_reference(
-            ev.where(F.col("ts") >= cut), ref
-        ).collect()
+        for r in psi_against_reference(cur, ref).collect()
     }
     want = {
         r.event_type: (r.n_ref, r.n_cur, r.psi, r.drift_flag)
@@ -1046,10 +1047,10 @@ def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
     )
 
     ref_rows = [("a", float(v)) for v in range(100)]
+    # deliberately NOT persisted: the wrapper must snapshot it itself
     ref = reference_cells(
         spark.createDataFrame(ref_rows, "event_type string, value double")
-    ).persist()
-    ref.count()  # freeze the histogram before the stream starts
+    )
 
     src = str(tmp_path / "src")
     ok = [("a", float((v * 37) % 100)) for v in range(50)]
@@ -1083,4 +1084,4 @@ def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
     assert not by_size[50].drift_flag      # in-distribution batch
     assert by_size[40].drift_flag          # range-escaped batch
     assert all(r.key == "a" and r.n_ref == 100 for r in rows)
-    ref.unpersist()
+    assert all(r.stream == "events" for r in rows)
