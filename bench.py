@@ -209,6 +209,13 @@ def main() -> None:
         _sparsified_supplier_edges(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — warmup never kills the run
         print(f"graph edge prewarm failed: {e}", file=sys.stderr)
+    try:
+        from level2_to_cassandra_spark.queries.graph import (
+            _component_labels,
+        )
+        _component_labels(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — warmup never kills the run
+        print(f"graph component prewarm failed: {e}", file=sys.stderr)
     # And the kmeans label table shared by q_cluster_kmeans /
     # q_sample_cluster — the deterministic Lloyd build is session
     # overhead by the same build/serve argument.

@@ -417,6 +417,12 @@ def test_graph_serves_from_persisted_edges(spark):
         plan = plan_of(all_queries()[q].fn(spark, SF), "simple")
         assert "collect_set" not in plan, q
         assert "Scan parquet" in plan, q
+    # the component query serves off the materialized label table:
+    # label scan + ONE window — no joins, no trace of the CC loop
+    plan = plan_of(all_queries()["q_graph_components"].fn(spark, SF),
+                   "simple")
+    assert "Join" not in plan
+    assert "Scan parquet" in plan and "Window" in plan
 
 
 def test_twap_single_shuffle_no_join(spark):
