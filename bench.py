@@ -116,6 +116,7 @@ HEADLINE = [
     "q_sample_cluster",      # cluster-balanced coreset draw
     "q_importance_resample", # DSIR importance weights + Gumbel top-k
     "q_join_interval",       # big-big interval overlap via bin join
+    "q_drift_embedding",     # cluster-occupancy PSI (embedding drift)
 ]
 
 

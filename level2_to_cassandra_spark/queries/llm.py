@@ -832,6 +832,101 @@ def q_sample_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_drift_embedding",
+    # The kmeans CTEs replay the identical quantizer + assignment; the
+    # PSI fold is q_drift_psi's algebra with the Laplace denominator =
+    # the cell count (k).  Every count is an exact integer; psi_term
+    # and psi round before any comparison, so a sub-ulp ln divergence
+    # cannot flip the flag.
+    oracle=(
+        "WITH " + _kmeans_ctes()
+        + f""",
+    lab AS (
+      SELECT cell,
+             CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS period
+      FROM a{_KMEANS_ITERS}),
+    cells AS (
+      SELECT cell,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS c_cur
+      FROM lab GROUP BY cell),
+    tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM cells),
+    terms AS (
+      SELECT c.cell, c.c_ref, c.c_cur,
+             ((CAST(c.c_cur AS DOUBLE) + 1.0)
+                  / (CAST(t.n_cur AS DOUBLE) + {float(_KMEANS_K)!r})
+              - (CAST(c.c_ref AS DOUBLE) + 1.0)
+                  / (CAST(t.n_ref AS DOUBLE) + {float(_KMEANS_K)!r}))
+             * LN(((CAST(c.c_cur AS DOUBLE) + 1.0)
+                       / (CAST(t.n_cur AS DOUBLE) + {float(_KMEANS_K)!r}))
+                  / ((CAST(c.c_ref AS DOUBLE) + 1.0)
+                       / (CAST(t.n_ref AS DOUBLE) + {float(_KMEANS_K)!r})))
+                 AS term
+      FROM cells c CROSS JOIN tot t)
+    SELECT CAST(cell AS BIGINT) AS cluster_id,
+           CAST(c_ref AS BIGINT) AS c_ref,
+           CAST(c_cur AS BIGINT) AS c_cur,
+           FLOOR(term * 1000000 + 0.5) / 1000000 AS psi_term,
+           FLOOR(SUM(term) OVER () * 1000000 + 0.5) / 1000000 AS psi,
+           FLOOR(SUM(term) OVER () * 1000000 + 0.5) / 1000000 > 0.2
+               AS drift_flag
+    FROM terms"""
+    ),
+)
+def q_drift_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT: PSI over k-means CLUSTER OCCUPANCY — the
+    semantic twin of the per-feature drift gate (q_drift_psi) for data
+    that lives in a vector space, where no single scalar column
+    carries the distribution.  The shared quantizer (the session's
+    materialized kmeans label table, :func:`_kmeans_assignment`) bins
+    both cohorts into the SAME cells; occupancy shift between the
+    reference cohort (even vec_ids — the deterministic fixture stand-
+    in for 'last month's embeddings') and the current cohort (odd) is
+    folded into one Laplace-smoothed PSI with the conventional 0.2
+    alarm.  This is the embedding-drift monitor every ML observability
+    stack ships: codebook frozen, per-cell occupancy compared.
+
+    Scale shape: all corpus-scale work is the once-per-session label
+    build; this query is one scan of the label table + one k-row cell
+    aggregate + a k-row fold — nothing grows with corpus size except
+    the label scan.  Output is per-cell (counts + rounded term) plus
+    the total psi/flag, so the hash verifies every cell's
+    contribution, not just the scalar."""
+    labels = _kmeans_assignment(spark, sf_dir)
+    cells = labels.groupBy("cell").agg(
+        F.sum(
+            F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)
+        ).alias("c_ref"),
+        F.sum(
+            F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)
+        ).alias("c_cur"),
+    )
+    w = Window.partitionBy()
+    cells = cells.withColumn("n_ref", F.sum("c_ref").over(w)).withColumn(
+        "n_cur", F.sum("c_cur").over(w)
+    )
+    k = float(_KMEANS_K)
+    p_cur = (F.col("c_cur").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(k)
+    )
+    p_ref = (F.col("c_ref").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(k)
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    psi = round_half_up(F.sum(term).over(w), 6)
+    return cells.select(
+        F.col("cell").cast("long").alias("cluster_id"),
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        round_half_up(term, 6).alias("psi_term"),
+        psi.alias("psi"),
+        (psi > F.lit(0.2)).alias("drift_flag"),
+    )
+
+
 _SEMDEDUP_THRESHOLD = 0.35
 
 

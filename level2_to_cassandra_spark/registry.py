@@ -100,6 +100,11 @@ DRIVER_ORDER = (
     # lifetime rows; its tiny-aggregate machinery is executed by
     # q_sample_weighted and locally checked every run) -------------------
     "q_xml_scan",
+    # -- NEW in r10 (late): embedding-space drift — cluster-occupancy
+    # PSI over the materialized kmeans label table — first driver row.
+    # Slot freed by q_text_editdist (2 lifetime rows; the edit-distance
+    # operator keeps its unit tests + local oracle check every run) -----
+    "q_drift_embedding",
     # -- r09 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap).  q_merge_upsert / q_graph_triangles /
     # q_graph_khop are ALSO touched-this-round re-hashes ----------------
@@ -144,7 +149,6 @@ DRIVER_ORDER = (
     "q_sim_ann_pq",
     "q_sql_grouping_sets",
     "q_text_bigram_lm",
-    "q_text_editdist",
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_langid",
@@ -158,6 +162,7 @@ DRIVER_ORDER = (
     # -- last driver-green r06 --------------------------------------------
     "q_dedup_incremental_fuzzy",
     "q_mixture_plan",
+    "q_text_editdist",
     "q_text_rolling_hash",
     "q_sample_split",
     "q_text_tfidf",
