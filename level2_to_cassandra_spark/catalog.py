@@ -113,6 +113,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def materialize_once(cache: dict, spark, sf_dir: str, prefix: str,
+                     build) -> "DataFrame":
+    """Build/serve split memo shared by the session-scoped staging
+    tables (graph edges, kmeans assignment, component labels): run
+    ``build(path)`` — which must write parquet to ``path`` and handle
+    its own unpersists — ONCE per (applicationId, sf_dir), record the
+    path in ``cache``, and serve ``spark.read.parquet(path)`` on every
+    access.  Holding PATHS (never DataFrames) means nothing pins
+    executor storage or references a stopped session; entries for
+    other applicationIds are evicted on access and their tempdirs are
+    reaped by the atexit hooks registered at build time.  Like every
+    memo in this family, it assumes the fixture dir is immutable for
+    the session (true of the driver's testdata; a mutated sf_dir needs
+    a new session or an eviction in ``cache``)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in cache if k[0] != app]:
+        del cache[stale]
+    path = cache.get((app, sf_dir))
+    if path is None:
+        path = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build(path)
+        cache[(app, sf_dir)] = path
+    return spark.read.parquet(path)
+
+
 def staging_dir(prefix: str) -> str:
     """A fresh staging directory for a format-snapshot query
     (q_json_scan/q_csv_scan/q_orc_scan/q_xml_scan), reclaimed at

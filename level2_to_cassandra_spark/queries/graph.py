@@ -253,15 +253,9 @@ def _sparsified_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     union branches of `directed` — Catalyst does not common-
     subexpression across union branches, so it is persisted for the
     build job and unpersisted right after the write."""
-    import atexit
-    import shutil
-    import tempfile
+    from level2_to_cassandra_spark.catalog import materialize_once
 
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _EDGE_TABLE if k[0] != app]:
-        del _EDGE_TABLE[stale]
-    path = _EDGE_TABLE.get((app, sf_dir))
-    if path is None:
+    def _build(path: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         arrs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
             F.sort_array(F.collect_set("l_suppkey")).alias("ss")
@@ -291,12 +285,12 @@ def _sparsified_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("v", "nbr").alias("a"),
             F.greatest("v", "nbr").alias("b"),
         ).distinct()
-        path = tempfile.mkdtemp(prefix="l2c_graph_edges_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
         edges.write.mode("overwrite").parquet(path)
         co.unpersist()
-        _EDGE_TABLE[(app, sf_dir)] = path
-    return spark.read.parquet(path)
+
+    return materialize_once(
+        _EDGE_TABLE, spark, sf_dir, "l2c_graph_edges_", _build
+    )
 
 
 @register(
@@ -405,24 +399,17 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components, built once per (session, sf_dir) by
     :func:`operators.dedup.connected_components` over the materialized
     edge relation and served as a parquet staging table."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from level2_to_cassandra_spark.catalog import materialize_once
     from level2_to_cassandra_spark.operators import dedup
 
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _CC_TABLE if k[0] != app]:
-        del _CC_TABLE[stale]
-    path = _CC_TABLE.get((app, sf_dir))
-    if path is None:
+    def _build(path: str) -> None:
         edges = _sparsified_supplier_edges(spark, sf_dir)
         labels = dedup.connected_components(edges, src="a", dst="b")
-        path = tempfile.mkdtemp(prefix="l2c_graph_cc_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
         labels.write.mode("overwrite").parquet(path)
-        _CC_TABLE[(app, sf_dir)] = path
-    return spark.read.parquet(path)
+
+    return materialize_once(
+        _CC_TABLE, spark, sf_dir, "l2c_graph_cc_", _build
+    )
 
 
 @register(

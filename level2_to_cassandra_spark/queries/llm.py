@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.functions import round_half_up_sql
 from level2_to_cassandra_spark.operators import minhash, similarity, text
 from level2_to_cassandra_spark.registry import register
 
@@ -696,28 +697,22 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once and every consumer reads the label table) and
     cache-state-immune under the bench harness's per-query
     clearCache()."""
-    import atexit
-    import shutil
-    import tempfile
+    from level2_to_cassandra_spark.catalog import materialize_once
 
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _KMEANS_TABLE if k[0] != app]:
-        del _KMEANS_TABLE[stale]
-    path = _KMEANS_TABLE.get((app, sf_dir))
-    if path is None:
+    def _build(path: str) -> None:
         em = load_table(spark, sf_dir, "embeddings")
         _cent, assigned = similarity.ivf_index(
             em, n_cells=_KMEANS_K, lloyd_iters=_KMEANS_ITERS,
             scheme="portable", round_assign=6,
         )
-        path = tempfile.mkdtemp(prefix="l2c_kmeans_assign_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
         assigned.select("vec_id", "cell").write.mode("overwrite").parquet(
             path
         )
         assigned.unpersist()
-        _KMEANS_TABLE[(app, sf_dir)] = path
-    return spark.read.parquet(path)
+
+    return materialize_once(
+        _KMEANS_TABLE, spark, sf_dir, "l2c_kmeans_assign_", _build
+    )
 
 
 @register(
@@ -867,10 +862,9 @@ def q_sample_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(cell AS BIGINT) AS cluster_id,
            CAST(c_ref AS BIGINT) AS c_ref,
            CAST(c_cur AS BIGINT) AS c_cur,
-           FLOOR(term * 1000000 + 0.5) / 1000000 AS psi_term,
-           FLOOR(SUM(term) OVER () * 1000000 + 0.5) / 1000000 AS psi,
-           FLOOR(SUM(term) OVER () * 1000000 + 0.5) / 1000000 > 0.2
-               AS drift_flag
+           {round_half_up_sql("term", 6)} AS psi_term,
+           {round_half_up_sql("SUM(term) OVER ()", 6)} AS psi,
+           {round_half_up_sql("SUM(term) OVER ()", 6)} > 0.2 AS drift_flag
     FROM terms"""
     ),
 )
@@ -894,13 +888,14 @@ def q_drift_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total psi/flag, so the hash verifies every cell's
     contribution, not just the scalar."""
     labels = _kmeans_assignment(spark, sf_dir)
+    # the cohort split mirrors the oracle's CASE ... ELSE 'cur': a
+    # NULL or negative-odd vec_id must land in CUR on both engines,
+    # never in neither cohort (self-review r10 — the q_drift_psi
+    # when/otherwise discipline)
+    is_ref = F.col("vec_id") % 2 == 0
     cells = labels.groupBy("cell").agg(
-        F.sum(
-            F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)
-        ).alias("c_ref"),
-        F.sum(
-            F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)
-        ).alias("c_cur"),
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).alias("c_cur"),
     )
     w = Window.partitionBy()
     cells = cells.withColumn("n_ref", F.sum("c_ref").over(w)).withColumn(
