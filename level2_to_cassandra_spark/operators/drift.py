@@ -105,10 +105,15 @@ def psi_against_reference(batch: DataFrame, ref: DataFrame,
 
     Bins occupied on only one side still contribute their smoothed
     term (full-outer on (key, bin), zero-filled counts) — identical
-    cell algebra to q_drift_psi's single-aggregate form.  Keys absent
-    from the reference are not scored (there is no distribution to
-    compare against); keys absent from the batch score with an empty
-    current histogram, which is itself maximal drift signal."""
+    cell algebra to q_drift_psi's single-aggregate form.  NULL values
+    bin to a NULL bin, and q_drift_psi's groupBy treats that NULL bin
+    as ONE cell across both windows — so the bin leg of the join is
+    NULL-SAFE equality (a plain ``=`` would keep the ref-side and
+    batch-side NULL cells apart and double their smoothed terms).
+    Keys absent from the reference are not scored (there is no
+    distribution to compare against); keys absent from the batch score
+    with an empty current histogram, which is itself maximal drift
+    signal."""
     kb = ref.select("key", "lo", "hi", "n_ref").distinct()
     bcells = (
         batch.select(
@@ -119,13 +124,18 @@ def psi_against_reference(batch: DataFrame, ref: DataFrame,
         .groupBy("key", "bin")
         .agg(F.count(F.lit(1)).alias("c_cur"))
     )
+    rcells = ref.select("key", "bin", "c_ref")
     cells = (
-        ref.select("key", "bin", "c_ref")
-        .join(bcells, ["key", "bin"], "full_outer")
+        rcells.join(
+            bcells,
+            (rcells["key"] == bcells["key"])
+            & rcells["bin"].eqNullSafe(bcells["bin"]),
+            "full_outer",
+        )
         .select(
-            "key",
-            F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
-            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+            F.coalesce(rcells["key"], bcells["key"]).alias("key"),
+            F.coalesce(rcells["c_ref"], F.lit(0)).alias("c_ref"),
+            F.coalesce(bcells["c_cur"], F.lit(0)).alias("c_cur"),
         )
         .join(F.broadcast(kb.select("key", "n_ref")), "key")
         .withColumn(

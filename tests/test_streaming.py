@@ -1034,6 +1034,55 @@ def test_drift_operator_parity_with_registered_query(spark):
     assert got == want
 
 
+def test_drift_operator_parity_with_null_values(spark, tmp_path):
+    """Parity must hold when BOTH windows contain NULL values:
+    q_drift_psi's groupBy folds the NULL bin of each window into ONE
+    shared cell, so the operator's full-outer join must be NULL-SAFE on
+    bin (plain ``=`` keeps the two NULL cells apart and doubles their
+    smoothed terms).  The fixture is NULL-free, so this synthesizes an
+    events table with NULLs on both sides of the query's date cut and
+    runs the registered query against it as the oracle."""
+    from level2_to_cassandra_spark.operators.drift import (
+        psi_against_reference,
+        reference_cells,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = []
+    for i in range(200):
+        side = "2024-01-10" if i % 2 == 0 else "2024-01-20"
+        # every 5th row is a NULL value — i%5==0 hits both even and odd
+        # i, so NULLs land in BOTH windows
+        val = None if i % 5 == 0 else float((i * 13) % 97)
+        rows.append(("click" if i % 3 else "view", val, side))
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, day string"
+    ).select(
+        "event_type", "value", F.col("day").cast("timestamp").alias("ts")
+    )
+    sf_dir = str(tmp_path / "sf_null")
+    ev.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = reference_cells(ev.where(F.col("ts") < cut))
+    cur = ev.where(F.col("ts").isNull() | (F.col("ts") >= cut))
+    got = {
+        r.key: (r.n_ref, r.n_batch, r.psi, r.drift_flag)
+        for r in psi_against_reference(cur, ref).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi, r.drift_flag)
+        for r in all_queries()["q_drift_psi"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the synthetic data genuinely exercises the NULL cell on both sides
+    n_null_ref = ev.where(F.col("ts") < cut).where(
+        F.col("value").isNull()).count()
+    n_null_cur = ev.where(F.col("ts") >= cut).where(
+        F.col("value").isNull()).count()
+    assert n_null_ref > 0 and n_null_cur > 0
+
+
 def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
     """foreach_batch_with_drift: each micro-batch appends one audit row
     per reference key; an in-distribution batch passes while a batch
