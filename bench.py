@@ -117,6 +117,8 @@ HEADLINE = [
     "q_importance_resample", # DSIR importance weights + Gumbel top-k
     "q_join_interval",       # big-big interval overlap via bin join
     "q_drift_embedding",     # cluster-occupancy PSI (embedding drift)
+    # r11 additions
+    "q_dedup_multimodal",    # cross-modal dedup gate (text ∪ embed CC)
 ]
 
 
@@ -363,6 +365,20 @@ def main() -> None:
         except (ValueError, OSError) as e:
             print(f"baseline diff skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
+    # The driver keeps only a front-truncated TAIL of stdout, so the
+    # full per-query median/min maps can be cut from the recorded
+    # BENCH_r*.json (r10 preserved 11 of 75 medians).  Persist the
+    # COMPLETE output to a repo-local file the builder commits each
+    # round — the audit trail must not depend on the driver's buffer
+    # size.  Failure to write is a warning, never a bench failure.
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"local bench dump skipped: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -2051,6 +2051,172 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_multimodal",
+    # Full-replay oracle: the text leg is a plain window over text, the
+    # embedding leg replicates the ENTIRE sign-LSH candidate pipeline
+    # (same generated Rademacher planes as q_llm_dedup_embed's oracle),
+    # the union edge set is transitively closed by a recursive CTE, and
+    # the keep rule + both provenance flags are all hash-verified.  The
+    # engine emits STAR edges (group-min → member) for text groups while
+    # the oracle unions symmetric closures — different edge sets with
+    # identical CONNECTIVITY, so components and min-labels agree.
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, tbl,
+             list_reduce(
+               list_transform(range(0, 6), p ->
+                 CASE WHEN list_reduce(
+                        list_transform(range(0, 64), d -> ve[d+1] *
+                          {_rademacher_weight_sql()}),
+                        (a, x) -> a + x) >= 0
+                      THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+               (a, x) -> a + x) AS bucket
+      FROM v, (SELECT UNNEST(range(0, 8)) AS tbl)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    epairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+      WHERE ROUND(list_cosine_similarity(va.ve, vb.ve), 4) >= 0.35
+    ),
+    tgroup AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY text) AS head,
+             COUNT(*) OVER (PARTITION BY text) > 1 AS text_dup
+      FROM documents WHERE text IS NOT NULL
+    ),
+    edges AS (
+      SELECT head AS s, doc_id AS d FROM tgroup WHERE doc_id <> head
+      UNION SELECT doc_id, head FROM tgroup WHERE doc_id <> head
+      UNION SELECT id_a, id_b FROM epairs
+      UNION SELECT id_b, id_a FROM epairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    lab AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id
+      FROM reach GROUP BY s
+    ),
+    -- DISTINCT over UNION ALL, not bare UNION: DuckDB 1.0.0 fails to
+    -- fully deduplicate a plain UNION in a NON-recursive CTE when the
+    -- WITH list is RECURSIVE (observed: nondeterministic duplicate
+    -- ids here), while an explicit DISTINCT aggregate is reliable.
+    edup AS (SELECT DISTINCT doc_id FROM
+             (SELECT id_a AS doc_id FROM epairs
+              UNION ALL SELECT id_b AS doc_id FROM epairs))
+    SELECT d.doc_id,
+           COALESCE(t.text_dup, FALSE) AS text_dup,
+           (e.doc_id IS NOT NULL) AS embed_dup,
+           COALESCE(l.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(l.canonical_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d
+    LEFT JOIN tgroup t ON t.doc_id = d.doc_id
+    LEFT JOIN edup e ON e.doc_id = d.doc_id
+    LEFT JOIN lab l ON l.doc_id = d.doc_id
+    """,
+)
+def q_dedup_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup gate (VERDICT r10 task #5): the any-modality
+    duplicate decision a real multimodal curation pipeline runs.  A
+    multimodal asset here is (text, embedding) keyed by doc_id = vec_id
+    — the text column is one modality, its embedding stands in for the
+    other (image/audio feature head output; see operators/multimodal.py
+    for the binary plumbing).  Two independent verdicts:
+
+    * TEXT duplicate — exact content match, q_llm_dedup_exact's sha2
+      shuffle key (raw text never shuffles);
+    * EMBEDDING near-duplicate — q_llm_dedup_embed's sign-LSH buckets
+      (6 Rademacher planes × 8 tables) + exact rounded cosine ≥ 0.35.
+
+    THE RULE: the two edge sets are UNIONED and transitively closed
+    into connected components; a doc is kept iff it is the canonical
+    (minimum-id) member of its component — so a doc duplicated in
+    EITHER modality is dropped unless canonical, and cross-modality
+    chains (A≡B by text, B≈C by embedding) collapse into ONE cluster
+    instead of leaking C past a per-modality gate.  Output carries
+    per-modality provenance flags so a curation audit can see WHICH
+    gate fired.
+
+    Scale shape: the text leg shuffles on a fixed-width 256-bit hash;
+    the embedding leg is bucket-bounded (∝ Σ bucket², never N²); the
+    component closure is pointer-jumping over narrow id pairs
+    (operators/dedup.py); the final assembly is id-only left joins
+    against the pruned documents scan — content never re-shuffles."""
+    from level2_to_cassandra_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    # text verdict: one window pass over the sha2 content key — emits
+    # the group head (star-edge source) and the per-doc flag together.
+    # Persisted: feeds both the edge union and the provenance join.
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    tex = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("head"),
+            (F.count(F.lit(1)).over(w) > 1).alias("text_dup"),
+        )
+        .persist()
+    )
+    tpairs = tex.where(F.col("doc_id") != F.col("head")).select(
+        F.col("head").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    # embedding verdict: identical parameters to q_llm_dedup_embed so
+    # the two queries' pair sets are the same relation.  Persisted:
+    # feeds the edge union AND the embed_dup provenance flag.
+    epairs = (
+        similarity.lsh_candidate_pairs(
+            em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
+        )
+        .where(F.round(F.col("cos"), 4) >= 0.35)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    # the component loop re-evaluates its edge input per iteration —
+    # both branches are persisted above, so each pass is a cheap
+    # projection-union, not a window or an LSH rebuild
+    labels = dedup.connected_components(tpairs.unionByName(epairs))
+    edup = (
+        epairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(epairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("embed_dup", F.lit(True))
+    )
+    canon = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(tex.select("doc_id", "text_dup"), "doc_id", "left")
+        .join(edup, "doc_id", "left")
+        .join(
+            labels.select(F.col("node").alias("doc_id"), "label"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_dup"), F.lit(False)).alias("text_dup"),
+            F.coalesce(F.col("embed_dup"), F.lit(False)).alias("embed_dup"),
+            canon.alias("canonical_id"),
+            (canon == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+@register(
     "q_text_tokens_bpe",
     oracle="""
     SELECT doc_id,

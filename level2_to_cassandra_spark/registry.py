@@ -59,118 +59,44 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r10 ROTATION (VERDICT r09 task #1): CORRECTNESS_r09 confirmed all
-    # 50 r09-cap names, so the cap rotates to (a) the round's NEW
-    # queries (first rows outrank everything), (b) the nine r09
+    # r11 ROTATION (VERDICT r10 task #2): CORRECTNESS_r10 confirmed all
+    # 50 r10-cap names, so the cap rotates to (a) the round's NEW
+    # queries (first rows outrank everything), (b) the seven r10
     # first-row names, which hold only ONE lifetime row and may not
-    # drop past the cap until they hold two — this also covers the
-    # three TOUCHED-this-round re-hashes (q_merge_upsert's derived
-    # insert offset changed its oracle+impl; q_graph_triangles /
-    # q_graph_khop now serve from the materialized edge table), and
-    # (c) the longest-unconfirmed names: all of r04+r05 and 28 of the
-    # 31 r06-stale names.  The three r06 names left past-cap are the
-    # thickest r06 confirmations — q_text_tfidf (3 lifetime rows,
-    # machinery carried in-cap by q_text_more_like_this plus its
-    # bench.py headline row), q_dedup_incremental_fuzzy (3 rows), and
-    # q_sample_split (2 rows; hash-split discipline carried by
-    # q_sample_cluster's draw) — all still locally oracle-checked
-    # every run.
-    # -- NEW in r10: weakly-connected components over the sparsified
-    # supplier graph (pointer-jumping CC vs a recursive-CTE closure),
-    # standalone spherical k-means (2 unrolled Lloyd iterations,
-    # full-replay oracle), cluster-balanced sampling (per-cluster
-    # salted-md5 quota draw over the kmeans assignment), and DSIR
-    # importance resampling (unigram-LM importance weights + Gumbel
-    # top-k race) — first driver rows.  The two extra slots displace
-    # q_dedup_incremental_fuzzy (3 lifetime rows, the thickest
-    # remaining r06 name) and q_sample_split (2 rows; the hash-split
-    # discipline stays in-cap via q_sample_stratified's machinery in
-    # q_sample_cluster and the local replica check) --------------------
-    "q_graph_components",
+    # drop past the cap until they hold two, (c) the six r06-stale
+    # names (the oldest confirmations in the ledger), and (d) 36 of
+    # the 49 r08-stale names.  The 13 r08 names left past-cap are the
+    # THICKEST lifetime confirmations (8 rows: q_agg_basic,
+    # q_join_inner, the four q_llm_dedup_* anchors; 7: q_join_asof,
+    # q_window_cumulative; 6: q_sim_topk; 4: q_sim_ann_ivfpq,
+    # q_text_tokens_bpe; then q_agg_approx / q_agg_approx_percentile
+    # at 3) — deferring the most-confirmed names maximizes marginal
+    # ledger information per driver slot; all of them remain locally
+    # oracle-checked on every run and rotate in next round.
+    # -- NEW in r11: cross-modal dedup gate — union of the exact
+    # text-hash verdict and the embedding sign-LSH near-dup verdict,
+    # transitively closed, q_dedup_keep's canonical keep rule, with
+    # per-modality provenance flags (VERDICT r10 task #5) --------------
+    "q_dedup_multimodal",
+    # -- r10 first rows (1 lifetime row each; must hold >=2 before
+    # rotating past the cap) --------------------------------------------
     "q_cluster_kmeans",
-    "q_sample_cluster",
-    "q_importance_resample",
-    # -- NEW in r10 (late): big-big interval-overlap join via time-bin
-    # bucketing — first driver row.  Slot freed by q_text_rolling_hash
-    # (2 lifetime rows; the rolling-hash machinery stays in-cap via
-    # q_text_fingerprint) ------------------------------------------------
-    "q_join_interval",
-    # -- NEW in r10 (late): native-XML source scan, the fourth raw
-    # format — first driver row.  Slot freed by q_mixture_plan (2
-    # lifetime rows; its tiny-aggregate machinery is executed by
-    # q_sample_weighted and locally checked every run) -------------------
-    "q_xml_scan",
-    # -- NEW in r10 (late): embedding-space drift — cluster-occupancy
-    # PSI over the materialized kmeans label table — first driver row.
-    # Slot freed by q_text_editdist (2 lifetime rows; the edit-distance
-    # operator keeps its unit tests + local oracle check every run) -----
     "q_drift_embedding",
-    # -- r09 first rows (1 lifetime row each; must hold >=2 before
-    # rotating past the cap).  q_merge_upsert / q_graph_triangles /
-    # q_graph_khop are ALSO touched-this-round re-hashes ----------------
-    "q_agg_string",
-    "q_agg_vector_mean",
-    "q_graph_khop",
-    "q_graph_triangles",
-    "q_join_asof_nearest",
-    "q_join_salted",
-    "q_merge_upsert",
-    "q_text_more_like_this",
-    "q_window_sliding",
-    # -- last driver-green r04 (6 rounds stale) -------------------------
-    "q_sort_limit",
-    "q_window_distribution",
-    "q_window_moving_avg",
-    # -- last driver-green r05 (5 rounds stale) -------------------------
-    "q_scalar_datetime",
-    "q_scan_project_filter",
-    "q_sql_star_revenue",
-    "q_text_stats",
-    "q_topk_per_group",
-    "q_window_range_frame",
-    # -- last driver-green r06 (4 rounds stale) -------------------------
-    "q_chunk_docs",
-    "q_classifier_score",
-    "q_corpus_pipeline",
-    "q_dedup_incremental",
-    "q_dedup_keep",
-    "q_event_transitions",
-    "q_funnel",
-    "q_length_buckets",
-    "q_llm_dedup_simhash",
-    "q_multimodal_features",
-    "q_ohlc_bars",
-    "q_resample_locf",
-    "q_retention",
-    "q_semdedup",
-    "q_shuffle_epoch",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    "q_sim_ann_pq",
-    "q_sql_grouping_sets",
-    "q_text_bigram_lm",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_tokenize_ids",
-    "q_vocab_coverage",
-    # ======================= past the cap ==============================
-    # Everything below holds >=2 lifetime driver-green rows (except
-    # q_text_tfidf's 3 — see the rotation note above) and is still
-    # oracle-checked by the local replica harness every run; ordered
-    # stalest-first so the next rotation reads off the top.
-    # -- last driver-green r06 --------------------------------------------
+    "q_graph_components",
+    "q_importance_resample",
+    "q_join_interval",
+    "q_sample_cluster",
+    "q_xml_scan",
+    # -- last driver-green r06 (5 rounds stale — the whole band) --------
     "q_dedup_incremental_fuzzy",
     "q_mixture_plan",
+    "q_sample_split",
     "q_text_editdist",
     "q_text_rolling_hash",
-    "q_sample_split",
     "q_text_tfidf",
-    # -- last driver-green r08 --------------------------------------------
-    "q_agg_approx",
-    "q_agg_approx_percentile",
+    # -- last driver-green r08 (36 of 49; thinnest confirmations first
+    # in spirit, listed alphabetically) ----------------------------------
     "q_agg_argmax",
-    "q_agg_basic",
     "q_agg_hll_sketch",
     "q_agg_mode",
     "q_anomaly_zscore",
@@ -182,14 +108,8 @@ DRIVER_ORDER = (
     "q_embed_quantize",
     "q_gap_islands",
     "q_hist_equiwidth",
-    "q_join_asof",
     "q_join_asof_forward",
     "q_join_asof_tolerance",
-    "q_join_inner",
-    "q_llm_dedup_embed",
-    "q_llm_dedup_exact",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_minhash",
     "q_ngram_counts",
     "q_orc_scan",
     "q_pagerank",
@@ -200,22 +120,36 @@ DRIVER_ORDER = (
     "q_sample_weighted",
     "q_scd2",
     "q_sessionize",
-    "q_sim_ann_ivfpq",
-    "q_sim_topk",
     "q_skew_profile",
     "q_snapshot_diff",
     "q_text_repetition",
     "q_text_span_dedup",
-    "q_text_tokens_bpe",
     "q_time_bucket_agg",
     "q_token_histogram",
     "q_twap",
     "q_unpivot",
-    "q_window_cumulative",
     "q_window_ntile",
     "q_window_running_distinct",
     "q_winsorize",
     "q_zorder",
+    # ======================= past the cap ==============================
+    # Everything below holds >=2 lifetime driver-green rows and is
+    # still oracle-checked by the local replica harness every run;
+    # ordered stalest-first so the next rotation reads off the top.
+    # -- last driver-green r08 (the 13 thickest confirmations) ------------
+    "q_agg_approx",
+    "q_agg_approx_percentile",
+    "q_agg_basic",
+    "q_join_asof",
+    "q_join_inner",
+    "q_llm_dedup_embed",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_minhash",
+    "q_sim_ann_ivfpq",
+    "q_sim_topk",
+    "q_text_tokens_bpe",
+    "q_window_cumulative",
     # -- last driver-green r09 --------------------------------------------
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
@@ -258,6 +192,50 @@ DRIVER_ORDER = (
     "q_udtf_tokenize",
     "q_window_lag",
     "q_window_rank",
+    # -- last driver-green r10 --------------------------------------------
+    "q_agg_string",
+    "q_agg_vector_mean",
+    "q_chunk_docs",
+    "q_classifier_score",
+    "q_corpus_pipeline",
+    "q_dedup_incremental",
+    "q_dedup_keep",
+    "q_event_transitions",
+    "q_funnel",
+    "q_graph_khop",
+    "q_graph_triangles",
+    "q_join_asof_nearest",
+    "q_join_salted",
+    "q_length_buckets",
+    "q_llm_dedup_simhash",
+    "q_merge_upsert",
+    "q_multimodal_features",
+    "q_ohlc_bars",
+    "q_resample_locf",
+    "q_retention",
+    "q_scalar_datetime",
+    "q_scan_project_filter",
+    "q_semdedup",
+    "q_shuffle_epoch",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_ann_pq",
+    "q_sort_limit",
+    "q_sql_grouping_sets",
+    "q_sql_star_revenue",
+    "q_text_bigram_lm",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_more_like_this",
+    "q_text_stats",
+    "q_tokenize_ids",
+    "q_topk_per_group",
+    "q_vocab_coverage",
+    "q_window_distribution",
+    "q_window_moving_avg",
+    "q_window_range_frame",
+    "q_window_sliding",
 )
 
 

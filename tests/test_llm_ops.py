@@ -1492,3 +1492,57 @@ def test_cluster_sample_is_a_balanced_subset(spark):
                for rks in by_cluster.values())
     rerun = [tuple(r) for r in q_sample_cluster(spark, SF).collect()]
     assert sorted(out) == sorted(rerun)
+
+
+def test_dedup_multimodal_gate_decides_per_modality(spark, tmp_path):
+    """q_dedup_multimodal's documented rule on a fixture built so the
+    two modality verdicts DISAGREE: a doc that is only a text-dup and a
+    doc that is only an embedding near-dup must both be rejected (the
+    gate is any-modality), canonicals and untouched docs admitted, and
+    a CROSS-modal chain (5≡6 by text, 6≈7 by embedding) must collapse
+    into one cluster that rejects 7 even though no single-modality gate
+    links 5 and 7."""
+    from level2_to_cassandra_spark.queries.llm import q_dedup_multimodal
+
+    texts = {
+        0: "alpha unique text zero",
+        1: "bravo unique text one",
+        2: "shared duplicate body",
+        3: "shared duplicate body",       # text-dup of 2, embed-unique
+        4: "charlie standalone text",
+        5: "chain head shared text",
+        6: "chain head shared text",      # text-dup of 5
+        7: "delta unique tail text",      # embed-dup of 6 only
+    }
+    # one-hot embeddings: identical vector => sign-LSH candidate with
+    # cos 1.0; distinct one-hots are orthogonal (cos 0 < 0.35)
+    hot = {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5, 6: 7, 7: 7}
+    docs = [(i, t, "en", "synth", len(t)) for i, t in texts.items()]
+    vecs = [
+        (i, [1.0 if d == hot[i] else 0.0 for d in range(64)], 0)
+        for i in texts
+    ]
+    sf_dir = str(tmp_path / "sf_mm")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {
+        r.doc_id: (r.text_dup, r.embed_dup, r.canonical_id, r.keep)
+        for r in q_dedup_multimodal(spark, sf_dir).collect()
+    }
+    assert got == {
+        0: (False, True, 0, True),    # embed-dup canonical: admitted
+        1: (False, True, 0, False),   # embed-only dup: rejected
+        2: (True, False, 2, True),    # text-dup canonical: admitted
+        3: (True, False, 2, False),   # text-only dup: rejected
+        4: (False, False, 4, True),   # untouched by either gate
+        5: (True, False, 5, True),    # chain canonical: admitted
+        6: (True, True, 5, False),    # both gates fire: rejected
+        7: (False, True, 5, False),   # rejected ONLY via the cross-
+                                      # modal chain through 6
+    }
