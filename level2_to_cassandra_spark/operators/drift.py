@@ -97,6 +97,75 @@ def reference_cells(ref: DataFrame, key_col: str = "event_type",
     )
 
 
+def cluster_reference_cells(labels: DataFrame,
+                            cell_col: str = "cell") -> DataFrame:
+    """Freeze a labeled cohort into its cluster-occupancy histogram:
+    ``(cell, c_ref, n_ref)`` — one row per OCCUPIED cell.  This is the
+    embedding-space analog of :func:`reference_cells`: the "bins" are
+    the cells of a frozen coarse quantizer (e.g. the session's
+    materialized k-means label table, queries/llm.py::
+    _kmeans_assignment), so no bounds accompany the histogram — the
+    quantizer itself is the binning function.  The result is ≤n_cells
+    rows: broadcast-sized forever."""
+    cells = labels.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("c_ref")
+    )
+    return cells.withColumn(
+        "n_ref", F.sum("c_ref").over(Window.partitionBy())
+    )
+
+
+def psi_against_cluster_reference(batch_labels: DataFrame, ref: DataFrame,
+                                  n_cells: int,
+                                  cell_col: str = "cell") -> DataFrame:
+    """Score one already-quantized batch against a
+    :func:`cluster_reference_cells` histogram: per-cell
+    ``(cluster_id, c_ref, c_cur, psi_term, psi, drift_flag)`` —
+    character-identical algebra to q_drift_embedding (queries/llm.py),
+    whose Laplace denominator is the QUANTIZER's cell count
+    (``n_cells``), not the occupied-cell count — pass the k the frozen
+    quantizer was built with.  Cells occupied on only one side
+    contribute their smoothed term (full outer, zero-filled), exactly
+    like the query's single-aggregate cells relation; a cell empty in
+    BOTH cohorts contributes nothing there and nothing here."""
+    bcells = batch_labels.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("c_cur")
+    )
+    rcells = ref.select("cell", "c_ref")
+    w = Window.partitionBy()
+    cells = (
+        rcells.join(
+            bcells,
+            rcells["cell"].eqNullSafe(bcells["cell"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(rcells["cell"], bcells["cell"]).alias("cell"),
+            F.coalesce(rcells["c_ref"], F.lit(0)).alias("c_ref"),
+            F.coalesce(bcells["c_cur"], F.lit(0)).alias("c_cur"),
+        )
+        .withColumn("n_ref", F.sum("c_ref").over(w))
+        .withColumn("n_cur", F.sum("c_cur").over(w))
+    )
+    k = float(n_cells)
+    p_cur = (F.col("c_cur").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(k)
+    )
+    p_ref = (F.col("c_ref").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(k)
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    psi = round_half_up(F.sum(term).over(w), 6)
+    return cells.select(
+        F.col("cell").cast("long").alias("cluster_id"),
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        round_half_up(term, 6).alias("psi_term"),
+        psi.alias("psi"),
+        (psi > F.lit(PSI_ALARM)).alias("drift_flag"),
+    )
+
+
 def psi_against_reference(batch: DataFrame, ref: DataFrame,
                           key_col: str = "event_type",
                           value_col: str = "value") -> DataFrame:

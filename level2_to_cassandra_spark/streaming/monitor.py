@@ -187,3 +187,103 @@ def read_drift(spark, base_path: str, stream: str = "events") -> DataFrame:
     return spark.read.schema(DRIFT_SCHEMA).parquet(
         f"{drift_path(base_path)}/{stream}"
     )
+
+
+#: embedding-drift audit schema — one row per (batch, occupied cell),
+#: mirroring q_drift_embedding's per-cell output so the audit table
+#: carries every cell's contribution, not just the scalar psi.
+EMBED_DRIFT_SCHEMA = (
+    "batch_id long, stream string, cluster_id long, c_ref long, "
+    "c_cur long, psi_term double, psi double, drift_flag boolean"
+)
+
+
+def embed_drift_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed, one subdirectory per
+    stream — the drift_path/metrics_path discipline."""
+    return f"{base}/_embed_drift_metrics"
+
+
+def foreach_batch_with_embedding_drift(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    centroids: DataFrame,
+    ref_cells: DataFrame,
+    n_cells: int,
+    stream: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with per-batch EMBEDDING-SPACE
+    drift scoring — the streaming twin of q_drift_embedding
+    (VERDICT r10 task #6): each embedding micro-batch is quantized
+    against a FROZEN codebook (``centroids`` — the centroid relation
+    the offline label table was assigned against, e.g.
+    ``similarity.ivf_index(em, lloyd_iters=_KMEANS_ITERS-1)[0]``) and
+    its cluster occupancy is PSI-compared against the frozen reference
+    occupancy (:func:`operators.drift.cluster_reference_cells` over
+    the label table's reference cohort).  One audit row per occupied
+    cell per batch, so the per-cell contributions land in the audit
+    table exactly as the batch query emits them.
+
+    ``n_cells`` is the quantizer's cell count (the Laplace
+    denominator — queries/llm.py::_KMEANS_K for the session kmeans
+    table), NOT the occupied-cell count.
+
+    Cost/delivery semantics follow :func:`foreach_batch_with_drift`:
+    the batch is persisted and shared by the sink write and the
+    scoring pass; both the codebook and the reference occupancy are
+    SNAPSHOTTED once (bounded collects — each is ≤n_cells rows by
+    construction) so no per-batch rebuild or union-branch recompute
+    of the caller's relations can occur; the audit append runs after
+    the wrapped write inside the same at-least-once attempt, so
+    replayed batches duplicate audit rows and readers dedup on
+    ``(batch_id, cluster_id)``.  Per batch the added work is one
+    Arrow-batched matmul assignment (map-side, zero shuffles —
+    operators/similarity.py::ivf_assign_np) plus a ≤n_cells-row
+    aggregate and fold."""
+    from level2_to_cassandra_spark.operators.drift import (
+        psi_against_cluster_reference,
+    )
+    from level2_to_cassandra_spark.operators.similarity import (
+        ivf_assign_np,
+    )
+
+    cent_snap = centroids.sparkSession.createDataFrame(
+        centroids.collect(), centroids.schema
+    )
+    ref_snap = ref_cells.sparkSession.createDataFrame(
+        ref_cells.collect(), ref_cells.schema
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            labeled = ivf_assign_np(
+                batch_df, cent_snap, id_col=id_col, vec_col=vec_col,
+                round_assign=6,
+            )
+            out = psi_against_cluster_reference(
+                labeled, ref_snap, n_cells=n_cells
+            ).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(stream).alias("stream"),
+                "cluster_id", "c_ref", "c_cur", "psi_term", "psi",
+                "drift_flag",
+            )
+            out.coalesce(1).write.mode("append").parquet(
+                f"{embed_drift_path(base_path)}/{stream}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_embed_drift(spark, base_path: str,
+                     stream: str = "embeddings") -> DataFrame:
+    """Read one stream's embedding-drift audit table."""
+    return spark.read.schema(EMBED_DRIFT_SCHEMA).parquet(
+        f"{embed_drift_path(base_path)}/{stream}"
+    )

@@ -1134,3 +1134,74 @@ def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
     assert by_size[40].drift_flag          # range-escaped batch
     assert all(r.key == "a" and r.n_ref == 100 for r in rows)
     assert all(r.stream == "events" for r in rows)
+
+
+def test_streaming_embedding_drift_parity_with_registered_query(
+        spark, tmp_path):
+    """foreach_batch_with_embedding_drift must reproduce
+    q_drift_embedding exactly when fed the query's own cohort split:
+    reference occupancy = the even-vec_id half of the session's
+    materialized kmeans label table, and the odd half streamed as ONE
+    micro-batch of raw embeddings quantized against the FROZEN
+    codebook (the cent1 the label table's final assignment was
+    computed against — ivf_index at lloyd_iters-1).  Same per-cell
+    counts, terms, psi and flag — the fold-form-vs-kernel parity
+    discipline, binding the streaming monitor to the hash-verified
+    batch spec."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import similarity
+    from level2_to_cassandra_spark.operators.drift import (
+        cluster_reference_cells,
+    )
+    from level2_to_cassandra_spark.queries.llm import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _kmeans_assignment,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_embedding_drift,
+        read_embed_drift,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    em = load_table(spark, sf_smoke, "embeddings")
+    cent1, a1 = similarity.ivf_index(
+        em, n_cells=_KMEANS_K, lloyd_iters=_KMEANS_ITERS - 1,
+        scheme="portable", round_assign=6,
+    )
+    labels = _kmeans_assignment(spark, sf_smoke)
+    ref = cluster_reference_cells(labels.where(F.col("vec_id") % 2 == 0))
+
+    src = str(tmp_path / "src")
+    em.where(F.col("vec_id") % 2 != 0).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_embedding_drift(
+        lambda df, bid: None, base, cent1, ref, n_cells=_KMEANS_K
+    )
+    q = (
+        spark.readStream.schema(em.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    if a1 is not None:
+        a1.unpersist()
+
+    rows = read_embed_drift(spark, base).collect()
+    assert rows and all(
+        r.batch_id == 0 and r.stream == "embeddings" for r in rows
+    )
+    got = {
+        r.cluster_id: (r.c_ref, r.c_cur, r.psi_term, r.psi, r.drift_flag)
+        for r in rows
+    }
+    want = {
+        r.cluster_id: (r.c_ref, r.c_cur, r.psi_term, r.psi, r.drift_flag)
+        for r in all_queries()["q_drift_embedding"].fn(
+            spark, sf_smoke).collect()
+    }
+    assert got == want
