@@ -119,6 +119,8 @@ HEADLINE = [
     "q_drift_embedding",     # cluster-occupancy PSI (embedding drift)
     # r11 additions
     "q_dedup_multimodal",    # cross-modal dedup gate (text ∪ embed CC)
+    "q_embed_covariance",    # one-pass map-side Gram/covariance
+    "q_text_containment",    # asymmetric shingle containment pairs
 ]
 
 
@@ -229,6 +231,13 @@ def main() -> None:
         _kmeans_assignment(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — warmup never kills the run
         print(f"kmeans assignment prewarm failed: {e}", file=sys.stderr)
+    # And the term-frequency postings staging table shared by
+    # q_text_tfidf / q_text_more_like_this (r11 build/serve split).
+    try:
+        from level2_to_cassandra_spark.queries.llm import _tf_relation
+        _tf_relation(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — warmup never kills the run
+        print(f"tf postings prewarm failed: {e}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}

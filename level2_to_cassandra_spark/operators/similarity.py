@@ -1881,3 +1881,63 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                              id_col, vec_col, probes=probes, qrows=qrows)
     return _adc_finish(scored, corpus, queries, topk, shortlist,
                        id_col, vec_col, round_cos)
+
+
+def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle Gram/sum partials for the corpus covariance in
+    ONE map-side pass: per Arrow batch emit dim·(dim+1)/2 rows
+    ``(i, j, sxy, sxi, syj, cnt)`` where ``sxy = Σ x_i·x_j``,
+    ``sxi/syj`` are the component sums and ``cnt`` the batch row
+    count; summing the partials per (i, j) downstream yields exact
+    global sums.  This is the classic distributed-covariance shape:
+    the partial state is O(dim²) PER TASK — independent of row count —
+    so a 100 TB corpus reduces through an aggregate whose input is
+    (#tasks · dim²/2) rows, and the corpus itself is read exactly
+    once with zero shuffles before that tiny aggregate.
+
+    Why a Python kernel (the engine bans row-Python): ``X·Xᵀ``
+    accumulation is a dense matrix product — the same shape argument
+    as :func:`lsh_buckets_np` / :func:`ivf_assign_np`; a JVM
+    double-explode form fans each row into dim² join rows (4096× row
+    amplification at dim 64) before aggregating, paying the shuffle
+    this kernel exists to avoid.  numpy's pairwise summation inside a
+    batch differs from a sequential fold at the last ulp; consumers
+    round their moments (the q_agg_vector_mean discipline), so
+    cross-engine hash parity holds at the rounded scale.
+
+    NULL / wrong-length vectors are dropped (no content to correlate —
+    callers mirror the filter on their oracle side)."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = (a.astype("int64") for a in np.triu_indices(dim))
+
+    def gen(it):
+        for pdf in it:
+            vecs = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+                if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.stack(vecs)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "sxy": g[iu, ju],
+                    "sxi": s[iu],
+                    "syj": s[ju],
+                    "cnt": np.int64(x.shape[0]),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=("i long, j long, sxy double, sxi double, syj double, "
+                "cnt long"),
+    )

@@ -78,6 +78,14 @@ DRIVER_ORDER = (
     # transitively closed, q_dedup_keep's canonical keep rule, with
     # per-modality provenance flags (VERDICT r10 task #5) --------------
     "q_dedup_multimodal",
+    # -- NEW in r11: corpus covariance of the embedding space (map-side
+    # Gram partials, one pass, zero shuffles) and asymmetric shingle
+    # containment (doc-inside-doc detection) — first driver rows.  The
+    # two slots displace q_agg_hll_sketch / q_csv_scan (3 lifetime
+    # rows each — the thickest r08 names still in-cap; both remain
+    # locally oracle-checked every run) ---------------------------------
+    "q_embed_covariance",
+    "q_text_containment",
     # -- r10 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap) --------------------------------------------
     "q_cluster_kmeans",
@@ -97,12 +105,10 @@ DRIVER_ORDER = (
     # -- last driver-green r08 (36 of 49; thinnest confirmations first
     # in spirit, listed alphabetically) ----------------------------------
     "q_agg_argmax",
-    "q_agg_hll_sketch",
     "q_agg_mode",
     "q_anomaly_zscore",
     "q_bm25",
     "q_cooccurrence_pmi",
-    "q_csv_scan",
     "q_domain_cap",
     "q_drift_psi",
     "q_embed_quantize",
@@ -136,10 +142,12 @@ DRIVER_ORDER = (
     # Everything below holds >=2 lifetime driver-green rows and is
     # still oracle-checked by the local replica harness every run;
     # ordered stalest-first so the next rotation reads off the top.
-    # -- last driver-green r08 (the 13 thickest confirmations) ------------
+    # -- last driver-green r08 (the 15 thickest confirmations) ------------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
+    "q_agg_hll_sketch",
+    "q_csv_scan",
     "q_join_asof",
     "q_join_inner",
     "q_llm_dedup_embed",

@@ -1546,3 +1546,62 @@ def test_dedup_multimodal_gate_decides_per_modality(spark, tmp_path):
         7: (False, True, 5, False),   # rejected ONLY via the cross-
                                       # modal chain through 6
     }
+
+
+def test_embed_covariance_matches_numpy(spark):
+    """q_embed_covariance vs numpy's np.cov-style direct computation on
+    the collected fixture — validates the distributed Gram-partial
+    reduction independent of the DuckDB oracle (kernel-vs-spec
+    discipline).  Rounded at 6 on both sides, upper triangle only."""
+    import numpy as np
+
+    from level2_to_cassandra_spark.queries.llm import q_embed_covariance
+
+    X = np.array(
+        [r.embedding for r in
+         load_table(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    n = X.shape[0]
+    mean = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    got = {(r.i, r.j): (r.cov, r.n)
+           for r in q_embed_covariance(spark, SF).collect()}
+    assert len(got) == 64 * 65 // 2
+    for (i, j), (c, cnt) in got.items():
+        assert cnt == n and i <= j
+        assert c == pytest.approx(round(cov[i, j], 6), abs=2e-6)
+    # the diagonal is a variance: non-negative (allow the -0.0 that
+    # rounding a tiny negative float artifact can produce)
+    assert all(c >= -1e-6 for (i, j), (c, _) in got.items() if i == j)
+
+
+def test_text_containment_is_asymmetric(spark, tmp_path):
+    """Containment semantics on a constructed corpus: a short doc fully
+    inside a much longer one scores containment 1.0 in the short→long
+    direction while the long→short direction and the symmetric Jaccard
+    both stay far below threshold — exactly the subset-document case
+    q_llm_dedup_fuzzy is blind to."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _CONTAINMENT_THRESHOLD,
+        q_text_containment,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i:03d} x{i:03d} y{i:03d}" for i in range(30))
+    docs = [
+        (0, short, "en", "synth", len(short)),
+        (1, short + " " + filler, "en", "synth", 1),
+        (2, "totally unrelated words only here", "en", "synth", 1),
+    ]
+    sf_dir = str(tmp_path / "sf_cont")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = {(r.inner_id, r.outer_id): r.containment
+            for r in q_text_containment(spark, sf_dir).collect()}
+    # doc 0's 4 shingles all occur in doc 1 → containment 1.0 one way
+    assert rows == {(0, 1): 1.0}
+    assert 1.0 >= _CONTAINMENT_THRESHOLD

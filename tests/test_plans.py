@@ -71,6 +71,8 @@ _PYTHON_ALLOWED = {
     # bit-identity/parity with the JVM forms is tested
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
+    "q_dedup_multimodal",      # embedding leg rides the same LSH kernel
+    "q_embed_covariance",      # map-side Gram partials (gram_partials)
     "q_sim_ann_ivf",
     "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # PQ codebook assignment + ADC lookup-table scoring are dense
