@@ -737,3 +737,43 @@ def test_interval_join_is_binned_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_covariance_one_scan_one_shuffle(spark):
+    """q_embed_covariance claims the map-side moment reduction: ONE
+    embeddings scan feeding the Arrow Gram kernel, ONE hash exchange
+    (the (i, j) partial-sum aggregate), and no join anywhere — the
+    double-posexplode row-amplification plan must never reappear."""
+    plan = plan_of(all_queries()["q_embed_covariance"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Generate" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_containment_no_cartesian_no_union(spark):
+    """q_text_containment: the intersection join is a shingle
+    EQUI-join (never cartesian); both directional rows come from ONE
+    explode over the co-count relation (a union would re-run the
+    whole intersection subtree per direction); the postings relation
+    is persisted for its three consumers."""
+    plan = plan_of(all_queries()["q_text_containment"].fn(spark, SF),
+                   "simple")
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_multimodal_gate_no_cartesian_id_only_assembly(spark):
+    """q_dedup_multimodal: no cartesian anywhere (text edges ride the
+    sha2 window, embedding edges the (table, bucket) equi-join), and
+    the final assembly joins carry ids/flags only — document text must
+    not survive past the scan stage into any join (content never
+    re-shuffles)."""
+    df = all_queries()["q_dedup_multimodal"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    for join_line in (ln for ln in plan.splitlines()
+                      if "Join" in ln and "text" in ln):
+        raise AssertionError(f"text column reached a join: {join_line}")
