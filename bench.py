@@ -238,6 +238,13 @@ def main() -> None:
         _tf_relation(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — warmup never kills the run
         print(f"tf postings prewarm failed: {e}", file=sys.stderr)
+    # And the cross-modal gate decision table (r11 build/serve split —
+    # one LSH pass + one component closure per session, not per rep).
+    try:
+        from level2_to_cassandra_spark.queries.llm import _multimodal_gate
+        _multimodal_gate(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — warmup never kills the run
+        print(f"multimodal gate prewarm failed: {e}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}

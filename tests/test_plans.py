@@ -71,8 +71,11 @@ _PYTHON_ALLOWED = {
     # bit-identity/parity with the JVM forms is tested
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
-    "q_dedup_multimodal",      # embedding leg rides the same LSH kernel
     "q_embed_covariance",      # map-side Gram partials (gram_partials)
+    # (q_dedup_multimodal BUILDS with the LSH Arrow kernel, but its
+    # registered plan serves off the materialized decision table — no
+    # Python nodes at serve time, pinned by
+    # test_multimodal_gate_no_cartesian_id_only_assembly)
     "q_sim_ann_ivf",
     "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # PQ codebook assignment + ADC lookup-table scoring are dense
@@ -766,14 +769,26 @@ def test_containment_no_cartesian_no_union(spark):
 
 
 def test_multimodal_gate_no_cartesian_id_only_assembly(spark):
-    """q_dedup_multimodal: no cartesian anywhere (text edges ride the
-    sha2 window, embedding edges the (table, bucket) equi-join), and
-    the final assembly joins carry ids/flags only — document text must
-    not survive past the scan stage into any join (content never
-    re-shuffles)."""
-    df = all_queries()["q_dedup_multimodal"].fn(spark, SF)
-    plan = plan_of(df, "simple")
+    """q_dedup_multimodal build/serve split: the BUILD frame has no
+    cartesian anywhere (text edges ride the sha2 window, embedding
+    edges the (table, bucket) equi-join) and its assembly joins carry
+    ids/flags only — document text must not survive past the scan
+    stage into any join (content never re-shuffles).  The SERVE plan
+    (the registered query) reads the materialized decision table: a
+    parquet scan, no joins, no Python nodes."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _multimodal_gate_frame,
+    )
+
+    frame, persisted = _multimodal_gate_frame(spark, SF)
+    plan = plan_of(frame, "simple")
+    for p in persisted:
+        p.unpersist()
     assert "CartesianProduct" not in plan
     for join_line in (ln for ln in plan.splitlines()
                       if "Join" in ln and "text" in ln):
         raise AssertionError(f"text column reached a join: {join_line}")
+    plan = plan_of(all_queries()["q_dedup_multimodal"].fn(spark, SF),
+                   "simple")
+    assert "Scan parquet" in plan
+    assert "Join" not in plan and "MapInPandas" not in plan
