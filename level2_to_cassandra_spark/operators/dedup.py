@@ -206,3 +206,170 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
             admitted.unpersist()
 
     return fn
+
+
+def _read_store_or_none(spark, path: str):
+    """Read a staging-store parquet dir, classifying the empty-store
+    conditions exactly like foreach_batch_incremental_dedup (see its
+    docstring): PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA → None
+    (nothing seen yet / crash-left empty dir, re-admit per the
+    documented at-least-once semantics); anything else re-raises —
+    swallowing it would silently re-admit already-seen content."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        try:
+            cond = e.getCondition() or ""
+        except Exception:  # noqa: BLE001 — legacy error without condition
+            cond = ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return None
+
+
+def seed_multimodal_store(assets: DataFrame, store_path: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          vec_col: str = "embedding",
+                          n_planes: int = 6, n_tables: int = 8,
+                          dim: int = 64) -> None:
+    """Bootstrap the multimodal admit store from an already-ingested
+    corpus: ``{store}/hashes`` (distinct content hashes — the exact
+    leg's anti-join side), ``{store}/buckets`` (every seen vector's
+    sign-LSH (table, bucket) rows — the near-dup probe index) and
+    ``{store}/vecs`` (id → vector, for the exact cosine re-rank).
+    ALL seen rows seed the store — duplicate-content history is still
+    history (the batch spec's seen side is unfiltered).  At production
+    scale each of these is a bucketed staging table; here they are the
+    parquet twins."""
+    from level2_to_cassandra_spark.operators import similarity
+
+    seen = assets.where(F.col(text_col).isNotNull())
+    seen.select(
+        content_hash(text_col).alias("__h")
+    ).distinct().write.mode("overwrite").parquet(f"{store_path}/hashes")
+    similarity.lsh_buckets_np(
+        seen, id_col, vec_col, n_planes, n_tables, dim=dim,
+        scheme="rademacher",
+    ).select("table", "bucket", F.col(id_col).alias("__sid")).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/buckets")
+    seen.select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
+    ).write.mode("overwrite").parquet(f"{store_path}/vecs")
+
+
+def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   vec_col: str = "embedding",
+                                   n_planes: int = 6, n_tables: int = 8,
+                                   dim: int = 64,
+                                   threshold: float = 0.35):
+    """``foreachBatch`` sink factory: STREAMING cross-modal incremental
+    admit — the micro-batch twin of q_dedup_incremental_multimodal
+    (queries/llm.py), which hash-verifies the same admit rule against
+    DuckDB in batch form.  Per micro-batch of (id, text, vector)
+    assets:
+
+    * EXACT leg — keep the first-of-content row (lowest id per
+      sha2(text)), LEFT ANTI against ``{store}/hashes``;
+    * EMBEDDING leg — sign-LSH bucketize the exact survivors (ONE
+      Arrow matmul pass, the same Rademacher planes as
+      q_llm_dedup_embed), equi-join ``{store}/buckets`` on
+      (table, bucket), re-rank candidates with the exact rounded
+      cosine against ``{store}/vecs``, and reject survivors with any
+      seen neighbor at cos ≥ ``threshold``;
+    * append admitted rows, THEN their hashes, THEN their bucket and
+      vector rows — the replay-safe ordering of
+      :func:`foreach_batch_incremental_dedup`: a replayed batch
+      re-admits rather than silently dropping rows whose store entries
+      landed before a crash; duplicate store rows are harmless (the
+      anti join and the probe are set-semantics).
+
+    Admitted batches GROW the store, so a later micro-batch's
+    near-dup of an earlier admitted doc is rejected — first-arrival
+    wins across the stream, the sequential generalization of the batch
+    query's new-vs-seen split.
+
+    Scale shape per batch: one content-hash shuffle + anti join (store
+    side bucketed by hash in production), one map-side bucketize pass,
+    and a candidate join bounded by batch × bucket occupancy — the
+    batch never joins the corpus, only its bucket collisions."""
+    from level2_to_cassandra_spark.operators import similarity
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.where(F.col(text_col).isNotNull())
+            .withColumn("__h", content_hash(text_col))
+        )
+        first = latest_by_key(batch, ["__h"], [F.asc(id_col)])
+        seen_h = _read_store_or_none(spark, f"{store_path}/hashes")
+        if seen_h is not None:
+            first = first.join(seen_h.select("__h"), "__h", "left_anti")
+        # the survivors feed the bucketize pass, the candidate probe
+        # AND the three writes — one cache, trigger-bounded
+        first.persist()
+        try:
+            bkts = similarity.lsh_buckets_np(
+                first, id_col, vec_col, n_planes, n_tables, dim=dim,
+                scheme="rademacher",
+            ).select("table", "bucket", F.col(id_col).alias("__nid"))
+            seen_b = _read_store_or_none(spark, f"{store_path}/buckets")
+            seen_v = _read_store_or_none(spark, f"{store_path}/vecs")
+            admitted = first
+            if seen_b is not None and seen_v is not None:
+                cand = (
+                    bkts.join(seen_b, ["table", "bucket"])
+                    .select("__nid", "__sid")
+                    .distinct()
+                )
+                nv = similarity.as_double(F.col(vec_col))
+                sv = similarity.as_double(F.col("__sv"))
+                pairs = (
+                    cand.join(
+                        first.select(
+                            F.col(id_col).alias("__nid"), F.col(vec_col)
+                        ),
+                        "__nid",
+                    )
+                    .join(seen_v, "__sid")
+                    .select(
+                        "__nid",
+                        (
+                            similarity.dot(nv, sv)
+                            / (similarity.l2_norm(nv)
+                               * similarity.l2_norm(sv))
+                        ).alias("__cos"),
+                    )
+                )
+                rejected = (
+                    pairs.where(F.round(F.col("__cos"), 4) >= threshold)
+                    .select(F.col("__nid").alias(id_col))
+                    .distinct()
+                )
+                admitted = first.join(rejected, id_col, "left_anti")
+            admitted.persist()
+            try:
+                admitted.drop("__h").write.mode("append").parquet(
+                    admitted_path
+                )
+                admitted.select("__h").write.mode("append").parquet(
+                    f"{store_path}/hashes"
+                )
+                similarity.lsh_buckets_np(
+                    admitted, id_col, vec_col, n_planes, n_tables,
+                    dim=dim, scheme="rademacher",
+                ).select(
+                    "table", "bucket", F.col(id_col).alias("__sid")
+                ).write.mode("append").parquet(f"{store_path}/buckets")
+                admitted.select(
+                    F.col(id_col).alias("__sid"),
+                    F.col(vec_col).alias("__sv"),
+                ).write.mode("append").parquet(f"{store_path}/vecs")
+            finally:
+                admitted.unpersist()
+        finally:
+            first.unpersist()
+
+    return fn

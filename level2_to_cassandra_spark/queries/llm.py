@@ -2391,6 +2391,117 @@ def _multimodal_gate_frame(
     return frame, [tex, epairs]
 
 
+@register(
+    "q_dedup_incremental_multimodal",
+    # q_dedup_incremental's exact-hash admit rule composed with the
+    # cross-side flagging of q_dedup_incremental_fuzzy, the near-dup
+    # verdict being q_llm_dedup_embed's full LSH replication — no
+    # recursive closure here (admission is per-doc, not clustered), so
+    # the WITH list is plain and the UNION quirk cannot bite.
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, tbl,
+             list_reduce(
+               list_transform(range(0, 6), p ->
+                 CASE WHEN list_reduce(
+                        list_transform(range(0, 64), d -> ve[d+1] *
+                          {_rademacher_weight_sql()}),
+                        (a, x) -> a + x) >= 0
+                      THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+               (a, x) -> a + x) AS bucket
+      FROM v, (SELECT UNNEST(range(0, 8)) AS tbl)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    epairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+      WHERE ROUND(list_cosine_similarity(va.ve, vb.ve), 4) >= 0.35
+    ),
+    eflagged AS (
+      SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id
+      FROM epairs
+      WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND d.text IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM documents s
+                      WHERE s.doc_id % 10 != 0 AND s.text = d.text)
+      AND d.doc_id = (SELECT MIN(d2.doc_id) FROM documents d2
+                      WHERE d2.doc_id % 10 = 0 AND d2.text = d.text)
+      AND d.doc_id NOT IN (SELECT doc_id FROM eflagged)
+    """,
+)
+def q_dedup_incremental_multimodal(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-modal admit: the batch spec of the gate a
+    multimodal ingest runs per arriving batch — a new doc (doc_id % 10
+    = 0, the fixture's new/seen split) is admitted iff
+
+    * EXACT text: first of its content within the batch (lowest
+      doc_id per sha2) and its content never appeared in the seen
+      corpus (q_dedup_incremental's rule), and
+    * EMBEDDING: no sign-LSH near-dup (rounded cos ≥ 0.35, the
+      q_llm_dedup_embed verdict) against the SEEN side — cross-side
+      pairs only, like q_dedup_incremental_fuzzy: new-vs-new near-dups
+      are batch dedup's job, seen-vs-seen are history.
+
+    This is q_dedup_multimodal's decision applied at the ingest
+    boundary, where re-clustering the corpus per batch is impossible;
+    the streaming twin (operators/dedup.py::
+    foreach_batch_multimodal_admit) runs the same rule per micro-batch
+    against persisted hash/bucket/vector staging stores and is
+    parity-pinned to this hash-verified query.
+
+    Scale shape: the exact leg anti-joins on the fixed-width content
+    hash; the embedding leg probes only (table, bucket) collisions
+    between the batch and the store (∝ batch × bucket occupancy,
+    never batch × corpus); the admit assembly is id-only anti joins."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    h = F.sha2(F.col("text"), 256)
+    new = docs.where(F.col("doc_id") % 10 == 0).withColumn("__h", h)
+    seen_h = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    first_in_batch = (
+        new.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    epairs = similarity.lsh_candidate_pairs(
+        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
+    ).where(F.round(F.col("cos"), 4) >= 0.35)
+    eflagged = (
+        epairs.where((F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0))
+        .select(
+            F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return (
+        first_in_batch.join(seen_h, "__h", "left_anti")
+        .join(eflagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 #: (applicationId, sf_dir) → parquet path of the materialized gate
 #: decision table (the _KMEANS_TABLE pattern): the verdict pipeline is
 #: deterministic per corpus snapshot, so one LSH pass + one component

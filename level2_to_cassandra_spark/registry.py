@@ -86,6 +86,12 @@ DRIVER_ORDER = (
     # locally oracle-checked every run) ---------------------------------
     "q_embed_covariance",
     "q_text_containment",
+    # -- NEW in r11 (late): incremental cross-modal admit — the gate's
+    # decision at the ingest boundary (exact-hash anti + cross-side
+    # LSH near-dup flag), streaming twin parity-pinned.  Slot freed by
+    # q_domain_cap (3 lifetime rows — the thickest r08 name left
+    # in-cap; still locally oracle-checked every run) --------------------
+    "q_dedup_incremental_multimodal",
     # -- r10 first rows (1 lifetime row each; must hold >=2 before
     # rotating past the cap) --------------------------------------------
     "q_cluster_kmeans",
@@ -109,7 +115,6 @@ DRIVER_ORDER = (
     "q_anomaly_zscore",
     "q_bm25",
     "q_cooccurrence_pmi",
-    "q_domain_cap",
     "q_drift_psi",
     "q_embed_quantize",
     "q_gap_islands",
@@ -142,12 +147,13 @@ DRIVER_ORDER = (
     # Everything below holds >=2 lifetime driver-green rows and is
     # still oracle-checked by the local replica harness every run;
     # ordered stalest-first so the next rotation reads off the top.
-    # -- last driver-green r08 (the 15 thickest confirmations) ------------
+    # -- last driver-green r08 (the 16 thickest confirmations) ------------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
     "q_agg_hll_sketch",
     "q_csv_scan",
+    "q_domain_cap",
     "q_join_asof",
     "q_join_inner",
     "q_llm_dedup_embed",

@@ -72,6 +72,7 @@ _PYTHON_ALLOWED = {
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
     "q_embed_covariance",      # map-side Gram partials (gram_partials)
+    "q_dedup_incremental_multimodal",  # embed leg rides the LSH kernel
     # (q_dedup_multimodal BUILDS with the LSH Arrow kernel, but its
     # registered plan serves off the materialized decision table — no
     # Python nodes at serve time, pinned by

@@ -1205,3 +1205,97 @@ def test_streaming_embedding_drift_parity_with_registered_query(
             spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_streaming_multimodal_admit_parity_with_registered_query(
+        spark, tmp_path):
+    """foreach_batch_multimodal_admit must reproduce
+    q_dedup_incremental_multimodal when fed the query's own split:
+    store seeded from the seen side (doc_id % 10 != 0), the new side
+    streamed as ONE micro-batch of (text, embedding) assets — same
+    admitted ids, the fold-form-vs-kernel parity discipline binding
+    the streaming admit to the hash-verified batch spec."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators.dedup import (
+        foreach_batch_multimodal_admit,
+        seed_multimodal_store,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    em = load_table(spark, sf_smoke, "embeddings")
+    assets = docs.join(
+        em, docs["doc_id"] == em["vec_id"]
+    ).select("doc_id", "text", "lang", "source", "embedding")
+    store = str(tmp_path / "store")
+    seed_multimodal_store(
+        assets.where(F.col("doc_id") % 10 != 0), store
+    )
+
+    src = str(tmp_path / "src")
+    assets.where(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(src)
+    admitted_path = str(tmp_path / "admitted")
+    cb = foreach_batch_multimodal_admit(admitted_path, store)
+    q = (
+        spark.readStream.schema(assets.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    got = {r.doc_id for r in
+           spark.read.parquet(admitted_path).collect()}
+    want = {r.doc_id for r in
+            all_queries()["q_dedup_incremental_multimodal"].fn(
+                spark, sf_smoke).collect()}
+    assert got == want and got
+
+
+def test_streaming_multimodal_admit_store_grows_across_batches(
+        spark, tmp_path):
+    """Admitted batches must GROW the store: batch 2's embedding
+    near-dup of a doc ADMITTED in batch 1 (identical vector, different
+    text — invisible to the exact leg) is rejected, while an
+    orthogonal newcomer is admitted; an exact text copy of a batch-1
+    doc is rejected by the hash leg."""
+    from level2_to_cassandra_spark.operators.dedup import (
+        foreach_batch_multimodal_admit,
+    )
+
+    def one_hot(d):
+        return [1.0 if i == d else 0.0 for i in range(64)]
+
+    b1 = [(1, "first unique document text", "en", "s", one_hot(1))]
+    b2 = [
+        (10, "a different text entirely", "en", "s", one_hot(1)),   # embed dup of 1
+        (11, "first unique document text", "en", "s", one_hot(11)),  # text dup of 1
+        (12, "another fresh document body", "en", "s", one_hot(12)),  # clean
+    ]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "embedding array<float>")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    admitted_path = str(tmp_path / "admitted")
+    cb = foreach_batch_multimodal_admit(
+        admitted_path, str(tmp_path / "store")
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    got = {r.doc_id for r in spark.read.parquet(admitted_path).collect()}
+    assert got == {1, 12}
