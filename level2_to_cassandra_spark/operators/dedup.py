@@ -279,12 +279,17 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
       (table, bucket), re-rank candidates with the exact rounded
       cosine against ``{store}/vecs``, and reject survivors with any
       seen neighbor at cos ≥ ``threshold``;
-    * append admitted rows, THEN their hashes, THEN their bucket and
-      vector rows — the replay-safe ordering of
-      :func:`foreach_batch_incremental_dedup`: a replayed batch
-      re-admits rather than silently dropping rows whose store entries
-      landed before a crash; duplicate store rows are harmless (the
-      anti join and the probe are set-semantics).
+    * append admitted rows, THEN bucket and vector rows, THEN hashes —
+      the hash store must land LAST: it is what gates re-admission on
+      replay (foreachBatch is at-least-once), so every store entry a
+      replay will NOT rebuild has to be durable before the batch can
+      be classified as seen.  A crash anywhere earlier re-admits the
+      batch and rewrites everything (duplicate admitted rows are
+      reconciled by content-hash downstream; duplicate bucket/vector
+      rows are harmless — the candidate probe and the reject list are
+      set-semantics).  Hashes-before-buckets would instead leave a
+      PERMANENT near-dup blind spot: the replay would anti-join the
+      batch away while its vectors never reach the store.
 
     Admitted batches GROW the store, so a later micro-batch's
     near-dup of an earlier admitted doc is rejected — first-arrival
@@ -354,9 +359,6 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
                 admitted.drop("__h").write.mode("append").parquet(
                     admitted_path
                 )
-                admitted.select("__h").write.mode("append").parquet(
-                    f"{store_path}/hashes"
-                )
                 similarity.lsh_buckets_np(
                     admitted, id_col, vec_col, n_planes, n_tables,
                     dim=dim, scheme="rademacher",
@@ -367,6 +369,10 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
                     F.col(id_col).alias("__sid"),
                     F.col(vec_col).alias("__sv"),
                 ).write.mode("append").parquet(f"{store_path}/vecs")
+                # hashes LAST — see the ordering note in the docstring
+                admitted.select("__h").write.mode("append").parquet(
+                    f"{store_path}/hashes"
+                )
             finally:
                 admitted.unpersist()
         finally:

@@ -60,18 +60,20 @@ DRIVER_CAP = 50
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
     # r11 ROTATION (VERDICT r10 task #2): CORRECTNESS_r10 confirmed all
-    # 50 r10-cap names, so the cap rotates to (a) the round's NEW
+    # 50 r10-cap names, so the cap rotates to (a) the round's FOUR new
     # queries (first rows outrank everything), (b) the seven r10
     # first-row names, which hold only ONE lifetime row and may not
     # drop past the cap until they hold two, (c) the six r06-stale
-    # names (the oldest confirmations in the ledger), and (d) 36 of
-    # the 49 r08-stale names.  The 13 r08 names left past-cap are the
+    # names (the oldest confirmations in the ledger), and (d) 33 of
+    # the 49 r08-stale names.  The 16 r08 names left past-cap are the
     # THICKEST lifetime confirmations (8 rows: q_agg_basic,
     # q_join_inner, the four q_llm_dedup_* anchors; 7: q_join_asof,
     # q_window_cumulative; 6: q_sim_topk; 4: q_sim_ann_ivfpq,
-    # q_text_tokens_bpe; then q_agg_approx / q_agg_approx_percentile
-    # at 3) — deferring the most-confirmed names maximizes marginal
-    # ledger information per driver slot; all of them remain locally
+    # q_text_tokens_bpe; then the 3-row names q_agg_approx,
+    # q_agg_approx_percentile, q_agg_hll_sketch, q_csv_scan and
+    # q_domain_cap, each displaced by a late-round new query) —
+    # deferring the most-confirmed names maximizes marginal ledger
+    # information per driver slot; all of them remain locally
     # oracle-checked on every run and rotate in next round.
     # -- NEW in r11: cross-modal dedup gate — union of the exact
     # text-hash verdict and the embedding sign-LSH near-dup verdict,
