@@ -406,3 +406,126 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     return _verify_jaccard(postings, cand).where(
         F.col("jaccard") >= threshold
     )
+
+
+def containment_pairs(docs: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3,
+                      max_shingle_df: int | None = None,
+                      max_shingle_frac: float | None = None,
+                      min_cap_df: int = 50,
+                      candidates_only: bool = False) -> DataFrame:
+    """All DIRECTIONAL pairs with shingle-set containment
+    |Sa ∩ Sb| / |Sa| ≥ threshold (exact).  Output:
+    (inner_id, outer_id, containment) — ``inner`` is the contained
+    doc, ``outer`` the container.  The asymmetric sibling of
+    :func:`exact_jaccard_pairs`: J shrinks with the CONTAINER's size,
+    containment does not, so this is the detector for quotes,
+    syndication and subset documents.
+
+    ASYMMETRIC PREFIX FILTER: a qualifying pair needs overlap ≥
+    ⌈t·n_a⌉, so under the global rarest-first shingle order at least
+    one of A's first ⌊(1−t)·n_a⌋+1 shingles must occur ANYWHERE in B
+    (if A's whole prefix misses B, the overlap fits in A's suffix of
+    ⌈t·n_a⌉−1 < t·n_a elements — contradiction).  The candidate join
+    is therefore PREFIX(inner) ⋈ FULL(outer) — the inner side indexes
+    ~(1−t) of its postings, the outer side stays complete so recall is
+    exact; per-shingle bucket cost is prefix_df × df, and rarest-first
+    ordering keeps prefix buckets small.  Two inline lossless filters
+    tighten it before the distinct: the container size bound
+    (n_b ≥ ⌈t·n_a⌉ — overlap cannot exceed n_b) and the positional
+    bound (for the pair's minimal common shingle every other common
+    shingle ranks after it in BOTH docs, so overlap ≤
+    1 + min(n_a−p_a, n_b−p_b)).  Verification computes the true
+    intersection on FULL postings, so precision is exact.
+
+    The stop-shingle cap (``max_shingle_df`` / corpus-relative
+    ``max_shingle_frac`` with the ``min_cap_df`` inertness floor, both
+    exactly as in :func:`exact_jaccard_pairs`) prunes hot shingles
+    from the PREFIX index only — same recall trade, documented there;
+    ``min_df > cap`` docs keep their whole prefix."""
+    if threshold <= 0:
+        raise ValueError("containment_pairs requires threshold > 0")
+    postings = shingle_postings(docs, id_col, text_col, k).persist()
+    by_id = Window.partitionBy("id")
+    w_sh = Window.partitionBy("shingle")
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    capped = max_shingle_df is not None or max_shingle_frac is not None
+    index = postings.withColumn(
+        "df", F.count(F.lit(1)).over(w_sh)
+    ).withColumn("pos", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(by_id)
+    )
+    if capped:
+        index = index.withColumn("min_df", F.first("df").over(w))
+    # Candidate join reads the windowed relation on both branches —
+    # persist or the df/pos/n stack executes twice (the
+    # exact_jaccard_pairs measurement).
+    index = index.persist()
+    prefix = index.where(
+        F.col("pos")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + 1
+    )
+    cap = None
+    if max_shingle_df is not None:
+        cap = F.lit(max_shingle_df)
+    elif max_shingle_frac is not None:
+        n_docs = docs.select(
+            F.count_distinct(F.col(id_col)).alias("__n_docs")
+        )
+        prefix = prefix.crossJoin(F.broadcast(n_docs))
+        cap = F.greatest(
+            F.lit(min_cap_df),
+            F.ceil(F.lit(max_shingle_frac) * F.col("__n_docs")),
+        )
+    if cap is not None:
+        prefix = prefix.where(
+            (F.col("df") <= cap) | (F.col("min_df") > cap)
+        )
+    prefix = prefix.select("id", "shingle", "pos", "n")
+    full = index.select("id", "shingle", "pos", "n")
+    # required overlap, from the INNER side's size only
+    alpha = F.ceil(F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+    cand = (
+        prefix.alias("a")
+        .join(full.alias("b"), "shingle")
+        .where(
+            (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.n") >= alpha)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= alpha
+            )
+        )
+        .select(
+            F.col("a.id").alias("inner_id"),
+            F.col("b.id").alias("outer_id"),
+            F.col("a.n").alias("n_inner"),
+        )
+        .distinct()
+    )
+    if candidates_only:
+        return cand
+    co = (
+        postings.alias("pa")
+        .join(cand, F.col("pa.id") == F.col("inner_id"))
+        .join(
+            postings.alias("pb"),
+            (F.col("pb.id") == F.col("outer_id"))
+            & (F.col("pa.shingle") == F.col("pb.shingle")),
+        )
+        .groupBy("inner_id", "outer_id", "n_inner")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return co.select(
+        "inner_id",
+        "outer_id",
+        (F.col("inter").cast("double") / F.col("n_inner"))
+        .alias("containment"),
+    ).where(F.col("containment") >= threshold)

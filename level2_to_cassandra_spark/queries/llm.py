@@ -1971,55 +1971,38 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     family after q_llm_dedup_fuzzy (symmetric) and q_text_span_dedup
     (span-level).
 
-    Scale shape: the intersection join is the SAME shingle equi-join
-    as the fuzzy-dedup family — candidates form only inside a
-    shingle's posting bucket (∝ Σ df², never N²), and the stop-shingle
-    cap (operators/minhash.py::_cap_postings, inert on the fixture by
-    the 50-df floor) bounds every bucket at web scale; at a live
-    threshold the asymmetric prefix filter (index only each doc's
-    ⌊(1−t)·n⌋+1 rarest shingles on the CONTAINED side, full postings
-    on the container side) is the standard tightening.  Each unordered
-    pair's intersection is computed ONCE and fanned into both
-    directions with one explode (a union would re-run the whole
-    co-count subtree per direction); sizes attach by one id-only
-    join.  The postings relation is persisted — it feeds the sizes
-    aggregate and both sides of the intersection join."""
+    Scale shape — the ASYMMETRIC PREFIX FILTER
+    (operators/minhash.py::containment_pairs): only each doc's
+    ⌊(1−t)·n⌋+1 rarest shingles enter the candidate index on the
+    CONTAINED side, joined against full postings on the container
+    side (lossless — a qualifying pair's overlap cannot fit in the
+    inner doc's suffix), with inline container-size and PPJoin-style
+    positional bounds cutting candidates before the distinct;
+    verification computes the true intersection on full postings so
+    the result is EXACT.  The stop-shingle cap (corpus-relative,
+    inert on the fixture by the 50-df floor — the
+    q_llm_dedup_fuzzy discipline) bounds every prefix bucket at web
+    scale.  Operator threshold 0.79 < the query's rounded 0.8 cut
+    keeps the prefix filter lossless for every pair the oracle can
+    emit (the fuzzy-dedup boundary trick).
+
+    Measured trade (sf0.1): the prefix form generates 183 k candidates
+    vs the all-pairs co-count's 1.13 M grouped pairs, but runs ~4.5 s
+    vs ~2.0 s HERE — the fixture's fixed vocabulary makes every
+    shingle common, so candidate verification (two postings joins)
+    costs more than the dense all-pairs aggregate it replaces.  The
+    fixture is the pathological case: on a real corpus the vocabulary
+    grows with the data, prefixes are near-unique, candidates track
+    true pairs, and the all-pairs form is the one that dies (Σ df²
+    → N² as df grows linearly under a fixed vocab) — the same
+    trade q_llm_dedup_fuzzy documents for exact PPJoin."""
     docs = load_table(spark, sf_dir, "documents")
-    posts = minhash.shingle_postings(docs, k=3).persist()
-    sizes = posts.groupBy(F.col("id").alias("inner_id")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    co = (
-        posts.alias("a")
-        .join(posts.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    both = co.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("inner_id"),
-                    F.col("id_b").alias("outer_id"),
-                    F.col("inter").alias("inter"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("inner_id"),
-                    F.col("id_a").alias("outer_id"),
-                    F.col("inter").alias("inter"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    cont = F.round(F.col("inter").cast("double") / F.col("n"), 6)
-    return (
-        both.join(sizes, "inner_id")
-        .select("inner_id", "outer_id", cont.alias("containment"))
-        .where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
-    )
+    pairs = minhash.containment_pairs(docs, threshold=0.79, k=3,
+                                      max_shingle_frac=0.01)
+    c = F.round(F.col("containment"), 6)
+    return pairs.select(
+        "inner_id", "outer_id", c.alias("containment")
+    ).where(c >= _CONTAINMENT_THRESHOLD)
 
 
 @register(

@@ -1605,3 +1605,47 @@ def test_text_containment_is_asymmetric(spark, tmp_path):
     # doc 0's 4 shingles all occur in doc 1 → containment 1.0 one way
     assert rows == {(0, 1): 1.0}
     assert 1.0 >= _CONTAINMENT_THRESHOLD
+
+
+def test_containment_pairs_match_brute_force(spark):
+    """containment_pairs (asymmetric prefix filter + positional/size
+    bounds + cap) vs a driver-side brute-force over every ordered pair
+    of a seeded random corpus: identical directional pair sets and
+    containment values — the filters must be lossless at the operator
+    threshold."""
+    import itertools
+    import random
+
+    from level2_to_cassandra_spark.operators.minhash import (
+        containment_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(4, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a true subset pair and a near-subset pair
+    rows.append((100, rows[3][1] + " extra tail words here"))
+    rows.append((101, rows[5][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    t = 0.6
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        if not sets[a]:
+            continue
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= t:
+            want[(a, b)] = round(c, 9)
+    got = {
+        (r.inner_id, r.outer_id): round(r.containment, 9)
+        for r in containment_pairs(docs, threshold=t, k=3).collect()
+    }
+    assert got == want and want  # non-vacuous: planted pairs found
