@@ -202,3 +202,26 @@ def test_fuzzy_candidates_only_matches_verified_support(spark):
     }
     assert verified <= cand
     spark.catalog.clearCache()
+
+
+def test_containment_candidates_bounded_on_fixture(spark):
+    """q_text_containment's candidate relation (asymmetric prefix
+    filter + container-size + positional bounds, corpus-relative
+    stop-shingle cap) must stay a vanishing fraction of the
+    DIRECTIONAL all-pairs join (n·(n−1)) at every fixture SF — the
+    measured values are 0.02 % at sf0.01 and 0.73 % at sf0.1.  Like
+    the fuzzy test above, no raw cross-SF exponent is asserted: the
+    fixture's fixed template vocabulary grows shingle dfs ∝ N (real
+    corpora grow vocabulary — Heaps' law), and the operator's scale
+    mechanism under boilerplate is the same stop-shingle cap exercised
+    by test_fuzzy_df_cap_linearizes_boilerplate (shared cap code
+    path)."""
+    for sf_dir in (SF_SMALL, SF_LARGE):
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        cand = minhash.containment_pairs(
+            docs, threshold=0.79, k=3, max_shingle_frac=0.01,
+            candidates_only=True,
+        ).count()
+        assert cand < 0.01 * n * (n - 1), (sf_dir, n, cand)
+        spark.catalog.clearCache()
