@@ -757,11 +757,11 @@ def test_covariance_one_scan_one_shuffle(spark):
 
 
 def test_containment_no_cartesian_no_union(spark):
-    """q_text_containment: the intersection join is a shingle
-    EQUI-join (never cartesian); both directional rows come from ONE
-    explode over the co-count relation (a union would re-run the
-    whole intersection subtree per direction); the postings relation
-    is persisted for its three consumers."""
+    """q_text_containment: every join is a shingle/id EQUI-join (never
+    cartesian, never a union re-running the candidate subtree per
+    direction — the asymmetric prefix join emits directional rows
+    natively); the windowed prefix index is persisted so the candidate
+    join's two branches read one materialization."""
     plan = plan_of(all_queries()["q_text_containment"].fn(spark, SF),
                    "simple")
     assert "CartesianProduct" not in plan
