@@ -171,32 +171,15 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
             .withColumn("__h", content_hash(text_col))
         )
         first = latest_by_key(batch, ["__h"], [F.asc(id_col)])
-        try:
-            # no .distinct(): LEFT ANTI is set-semantics on the build
-            # side already, and a distinct would shuffle the whole
-            # ever-growing store every micro-batch
-            seen = spark.read.parquet(store_path).select("__h")
-            admitted = first.join(seen, "__h", "left_anti")
-        except AnalysisException as e:
-            # Classify by the STRUCTURED error condition (a message
-            # substring match could be spoofed by a path that happens
-            # to contain the error name).  Empty-store conditions mean
-            # "nothing seen yet": PATH_NOT_FOUND is the true first
-            # batch; UNABLE_TO_INFER_SCHEMA is the directory a crash
-            # left with no readable footer (e.g. died between the rows
-            # write and the store write) — retrying the read can never
-            # succeed there, and re-admitting is exactly the documented
-            # at-least-once replay behavior.  Everything else
-            # (permissions, transient FS, corrupt footer on a populated
-            # store) fails the batch for retry — swallowing it would
-            # silently re-admit already-seen content.
-            try:
-                cond = e.getCondition() or ""
-            except Exception:
-                cond = ""
-            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                raise
-            admitted = first
+        # no .distinct(): LEFT ANTI is set-semantics on the build side
+        # already, and a distinct would shuffle the whole ever-growing
+        # store every micro-batch.  Empty-store classification lives in
+        # _read_store_or_none (shared with the multimodal admit sink).
+        seen = _read_store_or_none(spark, store_path)
+        admitted = (
+            first.join(seen.select("__h"), "__h", "left_anti")
+            if seen is not None else first
+        )
         # rows BEFORE hashes — replay-safe ordering (see docstring)
         admitted.persist()
         try:
@@ -209,12 +192,21 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
 
 
 def _read_store_or_none(spark, path: str):
-    """Read a staging-store parquet dir, classifying the empty-store
-    conditions exactly like foreach_batch_incremental_dedup (see its
-    docstring): PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA → None
-    (nothing seen yet / crash-left empty dir, re-admit per the
-    documented at-least-once semantics); anything else re-raises —
-    swallowing it would silently re-admit already-seen content."""
+    """Read a staging-store parquet dir, or None if it does not hold
+    data yet — shared by both incremental-admit sinks so the
+    classification cannot drift between them.
+
+    Classify by the STRUCTURED error condition (a message substring
+    match could be spoofed by a path that happens to contain the error
+    name).  Empty-store conditions mean "nothing seen yet":
+    PATH_NOT_FOUND is the true first batch; UNABLE_TO_INFER_SCHEMA is
+    the directory a crash left with no readable footer (e.g. died
+    between the rows write and the store write) — retrying the read
+    can never succeed there, and re-admitting is exactly the
+    documented at-least-once replay behavior.  Everything else
+    (permissions, transient FS, corrupt footer on a populated store)
+    re-raises to fail the batch for retry — swallowing it would
+    silently re-admit already-seen content."""
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
@@ -237,23 +229,26 @@ def seed_multimodal_store(assets: DataFrame, store_path: str,
     leg's anti-join side), ``{store}/buckets`` (every seen vector's
     sign-LSH (table, bucket) rows — the near-dup probe index) and
     ``{store}/vecs`` (id → vector, for the exact cosine re-rank).
-    ALL seen rows seed the store — duplicate-content history is still
-    history (the batch spec's seen side is unfiltered).  At production
-    scale each of these is a bucketed staging table; here they are the
-    parquet twins."""
+    ALL seen rows seed the bucket/vector legs — duplicate-content
+    history is still history, and the batch spec's embedding leg scans
+    the UNFILTERED embeddings table, so a NULL-text asset's vector
+    must still reject near-dups (only the HASH leg drops NULL text:
+    sha2(NULL) can never anti-match, mirroring the batch spec's
+    ``d.text IS NOT NULL`` on the documents side alone).  At
+    production scale each of these is a bucketed staging table; here
+    they are the parquet twins."""
     from level2_to_cassandra_spark.operators import similarity
 
-    seen = assets.where(F.col(text_col).isNotNull())
-    seen.select(
+    assets.where(F.col(text_col).isNotNull()).select(
         content_hash(text_col).alias("__h")
     ).distinct().write.mode("overwrite").parquet(f"{store_path}/hashes")
     similarity.lsh_buckets_np(
-        seen, id_col, vec_col, n_planes, n_tables, dim=dim,
+        assets, id_col, vec_col, n_planes, n_tables, dim=dim,
         scheme="rademacher",
     ).select("table", "bucket", F.col(id_col).alias("__sid")).write.mode(
         "overwrite"
     ).parquet(f"{store_path}/buckets")
-    seen.select(
+    assets.select(
         F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
     ).write.mode("overwrite").parquet(f"{store_path}/vecs")
 
@@ -313,19 +308,30 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
         if seen_h is not None:
             first = first.join(seen_h.select("__h"), "__h", "left_anti")
         # the survivors feed the bucketize pass, the candidate probe
-        # AND the three writes — one cache, trigger-bounded
+        # AND the three writes — one cache, trigger-bounded.  The
+        # bucket rows are ALSO persisted: the store-append write reuses
+        # them (semi-joined down to the admitted ids) instead of paying
+        # the Arrow matmul kernel a second time per micro-batch.
         first.persist()
+        bkts = similarity.lsh_buckets_np(
+            first, id_col, vec_col, n_planes, n_tables, dim=dim,
+            scheme="rademacher",
+        ).select("table", "bucket", F.col(id_col).alias("__nid")).persist()
         try:
-            bkts = similarity.lsh_buckets_np(
-                first, id_col, vec_col, n_planes, n_tables, dim=dim,
-                scheme="rademacher",
-            ).select("table", "bucket", F.col(id_col).alias("__nid"))
             seen_b = _read_store_or_none(spark, f"{store_path}/buckets")
             seen_v = _read_store_or_none(spark, f"{store_path}/vecs")
             admitted = first
             if seen_b is not None and seen_v is not None:
+                # __nid != __sid: a crash-replay AFTER the bucket/vector
+                # writes re-presents this batch's own rows as "seen";
+                # without the guard every replayed doc self-rejects at
+                # cos 1.0 and — since rejection skips the hashes append
+                # — the batch would classify as seen on the NEXT replay
+                # too, silently losing it from the admitted output (and
+                # its hash from the exact gate) forever.
                 cand = (
                     bkts.join(seen_b, ["table", "bucket"])
+                    .where(F.col("__nid") != F.col("__sid"))
                     .select("__nid", "__sid")
                     .distinct()
                 )
@@ -359,11 +365,15 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
                 admitted.drop("__h").write.mode("append").parquet(
                     admitted_path
                 )
-                similarity.lsh_buckets_np(
-                    admitted, id_col, vec_col, n_planes, n_tables,
-                    dim=dim, scheme="rademacher",
+                # the probe pass's bucket rows, cut to the admitted ids
+                # — identical rows to re-bucketizing `admitted`, for
+                # zero extra kernel passes
+                bkts.join(
+                    admitted.select(F.col(id_col).alias("__nid")),
+                    "__nid",
+                    "left_semi",
                 ).select(
-                    "table", "bucket", F.col(id_col).alias("__sid")
+                    "table", "bucket", F.col("__nid").alias("__sid")
                 ).write.mode("append").parquet(f"{store_path}/buckets")
                 admitted.select(
                     F.col(id_col).alias("__sid"),
@@ -377,5 +387,6 @@ def foreach_batch_multimodal_admit(admitted_path: str, store_path: str,
                 admitted.unpersist()
         finally:
             first.unpersist()
+            bkts.unpersist()
 
     return fn

@@ -110,7 +110,7 @@ DRIVER_ORDER = (
     "q_text_editdist",
     "q_text_rolling_hash",
     "q_text_tfidf",
-    # -- last driver-green r08 (36 of 49; thinnest confirmations first
+    # -- last driver-green r08 (33 of 49; thinnest confirmations first
     # in spirit, listed alphabetically) ----------------------------------
     "q_agg_argmax",
     "q_agg_mode",

@@ -1299,3 +1299,75 @@ def test_streaming_multimodal_admit_store_grows_across_batches(
     assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {r.doc_id for r in spark.read.parquet(admitted_path).collect()}
     assert got == {1, 12}
+
+
+def test_streaming_multimodal_admit_replay_after_partial_store_write(
+        spark, tmp_path):
+    """Crash-replay safety: if a batch's bucket/vector rows landed but
+    the crash hit BEFORE the hashes append (the one window the
+    hashes-last ordering leaves open), the replayed batch must
+    RE-ADMIT — its own store rows must not self-reject it (the __nid
+    != __sid guard), and the replay must complete the store so the
+    exact gate works afterwards."""
+    from level2_to_cassandra_spark.operators.dedup import (
+        foreach_batch_multimodal_admit,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "embedding array<float>")
+    vec = [1.0 if i == 7 else 0.0 for i in range(64)]
+    batch = spark.createDataFrame(
+        [(1, "some document text", "en", "s", vec)], schema
+    )
+    store = str(tmp_path / "store")
+    admitted_path = str(tmp_path / "admitted")
+    cb = foreach_batch_multimodal_admit(admitted_path, store)
+
+    cb(batch, 0)
+    # simulate the crash window: the attempt's rows/buckets/vecs are
+    # durable but the hashes append never happened
+    shutil.rmtree(f"{store}/hashes")
+    cb(batch, 0)
+
+    rows = spark.read.parquet(admitted_path).collect()
+    # at-least-once: both attempts' rows are present (downstream
+    # content-hash dedup reconciles), NOT zero rows from self-rejection
+    assert [r.doc_id for r in rows] == [1, 1]
+    # the replay completed the store: an exact text copy is now gated
+    copy = spark.createDataFrame(
+        [(2, "some document text", "en", "s",
+          [1.0 if i == 9 else 0.0 for i in range(64)])], schema
+    )
+    cb(copy, 1)
+    after = {r.doc_id for r in spark.read.parquet(admitted_path).collect()}
+    assert after == {1}
+
+
+def test_streaming_multimodal_admit_null_text_seed_still_rejects(
+        spark, tmp_path):
+    """The batch spec's embedding leg scans the UNFILTERED embeddings
+    table, so a seen asset with NULL text but a valid vector must
+    still reject near-dups of that vector — only the HASH leg drops
+    NULL text.  Regression for the seed filter that silently excluded
+    NULL-text assets from the bucket/vector stores."""
+    from level2_to_cassandra_spark.operators.dedup import (
+        foreach_batch_multimodal_admit,
+        seed_multimodal_store,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "embedding array<float>")
+    vec = [1.0 if i == 3 else 0.0 for i in range(64)]
+    seen = spark.createDataFrame([(1, None, "en", "s", vec)], schema)
+    store = str(tmp_path / "store")
+    seed_multimodal_store(seen, store)
+
+    batch = spark.createDataFrame(
+        [(10, "new doc near the null-text asset", "en", "s", vec),
+         (11, "orthogonal newcomer", "en", "s",
+          [1.0 if i == 40 else 0.0 for i in range(64)])], schema
+    )
+    admitted_path = str(tmp_path / "admitted")
+    foreach_batch_multimodal_admit(admitted_path, store)(batch, 0)
+    got = {r.doc_id for r in spark.read.parquet(admitted_path).collect()}
+    assert got == {11}
