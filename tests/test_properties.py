@@ -917,3 +917,47 @@ def test_interval_join_binning_vs_naive_on_random_events(spark, events):
                 naive[ka] += 1
                 naive[kb] += 1
     assert out == {k: naive.get(k, 0) for k in iv}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+                 min_size=3, max_size=15),
+        min_size=4, max_size=16),
+    threshold=st.sampled_from([0.5, 0.7, 0.85]),
+)
+def test_containment_pairs_lossless_on_random_corpora(spark, docs,
+                                                      threshold):
+    """containment_pairs' prefix + positional + container-size filters
+    must be LOSSLESS at every threshold: on random small-vocab corpora
+    (dense shingle collisions — the adversarial case for prefix
+    filtering) the directional pair set and containment values must
+    equal the brute-force over all ordered pairs."""
+    import itertools
+
+    from level2_to_cassandra_spark.operators.minhash import (
+        containment_pairs,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    sets = {
+        i: {" ".join(t.split(" ")[j:j + 3])
+            for j in range(len(t.split(" ")) - 2)}
+        for i, t in rows
+    }
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        if sets[a]:
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= threshold:
+                want[(a, b)] = round(c, 9)
+    got = {
+        (r.inner_id, r.outer_id): round(r.containment, 9)
+        for r in containment_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold=threshold, k=3,
+        ).collect()
+    }
+    assert got == want
