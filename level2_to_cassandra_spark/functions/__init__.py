@@ -26,6 +26,29 @@ def round_half_up_sql(expr: str, scale: int) -> str:
     return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
 
 
+def round_signless(col: Column, scale: int) -> Column:
+    """``F.round`` with IEEE negative zero normalized to +0.0.
+
+    Spark's ``round`` goes through BigDecimal HALF_UP (no signed zero,
+    always emits +0.0) while DuckDB's ``ROUND`` preserves the IEEE sign
+    of the input, so a value that rounds to zero from below emits -0.0
+    there.  The two are numerically equal — every tolerant compare
+    passes — but the driver's order-insensitive VALUE HASH distinguishes
+    the representations (r11's q_embed_covariance failure: one 2080-cell
+    covariance matrix entry ≈ -3e-8 at sf0.01).  ``x + 0.0`` is the
+    IEEE-754 idempotent sign normalization (-0.0 + 0.0 == +0.0 under
+    round-to-nearest); apply it on BOTH engine sides via this helper and
+    :func:`round_signless_sql` so the representations cannot diverge no
+    matter which engine signs its zero.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
+def round_signless_sql(expr: str, scale: int) -> str:
+    """DuckDB-side twin of :func:`round_signless`."""
+    return f"(ROUND({expr}, {scale}) + 0.0)"
+
+
 def positive_or_none(raw: str | None, name: str) -> int | None:
     """Validate a trigger-cap setting: a positive int, or None/'' for
     unset.  '0' is a truthy STRING, so `int(raw) if raw else None`

@@ -179,10 +179,16 @@ def psi_against_reference(batch: DataFrame, ref: DataFrame,
     as ONE cell across both windows — so the bin leg of the join is
     NULL-SAFE equality (a plain ``=`` would keep the ref-side and
     batch-side NULL cells apart and double their smoothed terms).
-    Keys absent from the reference are not scored (there is no
-    distribution to compare against); keys absent from the batch score
-    with an empty current histogram, which is itself maximal drift
-    signal."""
+    NULL KEYS are different (ADVICE r11): the batch spec's bounds join
+    is an inner equi-join USING (event_type), so NULL-key rows never
+    reach its cell relation — they are DROPPED, not scored as a group
+    (SQL ``NULL = NULL`` is not true).  This twin's inner key joins
+    (here and in :func:`reference_cells`) drop them through the same
+    shape, which IS batch parity — pinned by
+    test_drift_operator_parity_with_null_keys.  Keys absent from the
+    reference are not scored (there is no distribution to compare
+    against); keys absent from the batch score with an empty current
+    histogram, which is itself maximal drift signal."""
     kb = ref.select("key", "lo", "hi", "n_ref").distinct()
     bcells = (
         batch.select(

@@ -1907,7 +1907,14 @@ def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
     cross-engine hash parity holds at the rounded scale.
 
     NULL / wrong-length vectors are dropped (no content to correlate —
-    callers mirror the filter on their oracle side)."""
+    callers mirror the filter on their oracle side).  Rows with
+    NON-FINITE content (a NULL element arrives here as NaN via Arrow;
+    Inf from upstream arithmetic) are masked too: one poisoned element
+    would otherwise turn the GLOBAL sxy/sxi sums for its dimensions
+    into NaN, silently diverging from a SQL oracle whose SUM skips
+    NULL products while COUNT(*) still counts the row (ADVICE r11).
+    Callers that need exact oracle parity mirror an element-null
+    filter on both sides (q_embed_covariance does)."""
     import numpy as np
     import pandas as pd
 
@@ -1923,6 +1930,9 @@ def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
             if not vecs:
                 continue
             x = np.stack(vecs)
+            x = x[np.isfinite(x).all(axis=1)]
+            if not x.shape[0]:
+                continue
             g = x.T @ x
             s = x.sum(axis=0)
             yield pd.DataFrame(

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table
-from level2_to_cassandra_spark.functions import round_half_up_sql
+from level2_to_cassandra_spark.functions import (
+    round_half_up_sql,
+    round_signless,
+    round_signless_sql,
+)
 from level2_to_cassandra_spark.operators import minhash, similarity, text
 from level2_to_cassandra_spark.registry import register
 
@@ -1886,16 +1890,22 @@ def q_text_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combined in the SAME operation order (SUM/COUNT, then the
     # mean-product subtraction), rounded at 6 like every moment in the
     # registry so summation-order ulp jitter cannot flip the hash.
-    oracle="""
+    # ROUND is sign-normalized with "+ 0.0" on BOTH sides (r11 driver
+    # failure: DuckDB ROUND preserves IEEE sign and emitted -0.0 for a
+    # ≈-3e-8 cell; Spark round is BigDecimal HALF_UP, which has no
+    # signed zero — numerically equal, hash-distinct).
+    oracle=f"""
     WITH p AS (SELECT UNNEST(range(0, 64)) AS i),
     v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) = 64),
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     pr AS (SELECT a.i AS i, b.i AS j FROM p a JOIN p b ON a.i <= b.i)
     SELECT i, j,
-           ROUND(SUM(ve[i + 1] * ve[j + 1]) / COUNT(*)
+           {round_signless_sql(
+               '''SUM(ve[i + 1] * ve[j + 1]) / COUNT(*)
                  - (SUM(ve[i + 1]) / COUNT(*))
-                   * (SUM(ve[j + 1]) / COUNT(*)), 6) AS cov,
+                   * (SUM(ve[j + 1]) / COUNT(*))''', 6)} AS cov,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM v CROSS JOIN pr
     GROUP BY i, j
@@ -1921,7 +1931,13 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-sized forever; downstream eigendecomposition is a local
     O(dim³) step, not a distributed one."""
     em = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        # element-null vectors are out (mirrored in the oracle's
+        # list_filter): Arrow hands a NULL element to the Gram kernel
+        # as NaN, which would poison the global sums while DuckDB's
+        # SUM silently skips the NULL product (ADVICE r11)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     parts = similarity.gram_partials(em, dim=64)
     agg = parts.groupBy("i", "j").agg(
@@ -1931,7 +1947,7 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n"),
     )
     nd = F.col("n").cast("double")
-    cov = F.round(
+    cov = round_signless(
         F.col("sxy") / nd - (F.col("sxi") / nd) * (F.col("syj") / nd), 6
     )
     return agg.select(
@@ -2047,11 +2063,17 @@ def q_agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udf_pandas_cosine",
-    oracle="""
+    # sign-normalized rounding: a vector whose component sum is a tiny
+    # negative has cos_ones ≈ -1e-5…-1e-9, which DuckDB's
+    # sign-preserving ROUND emits as -0.0 while Spark emits +0.0 —
+    # numerically equal, driver-hash distinct (the r11
+    # q_embed_covariance failure class; found here by the hardened
+    # repr-strict harness at sf0.001)
+    oracle=f"""
     SELECT vec_id, label,
-           ROUND(list_cosine_similarity(
+           {round_signless_sql('''list_cosine_similarity(
                list_transform(embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(embedding, x -> 1.0)), 4) AS cos_ones
+               list_transform(embedding, x -> 1.0))''', 4)} AS cos_ones
     FROM embeddings
     """,
 )
@@ -2064,7 +2086,7 @@ def q_udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return em.select(
         "vec_id", "label",
-        F.round(cosine_to_ones("embedding"), 4).alias("cos_ones"),
+        round_signless(cosine_to_ones("embedding"), 4).alias("cos_ones"),
     )
 
 

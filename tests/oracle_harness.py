@@ -92,7 +92,26 @@ def _exact_int_width(spark_df, want_pd) -> None:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
-            float_tol: float = 1e-6) -> None:
+            float_tol: float | None = None) -> None:
+    """Driver-strict by default (``float_tol=None``): float columns
+    canonicalize to ``repr(round(v, 6))`` — SIGN-PRESERVING, so a
+    signed-zero flip (-0.0 vs +0.0) or any rounding flip at the
+    registry's standard 6-decimal scale fails, exactly like the
+    driver's value hash.  r11 shipped exactly such a bug
+    (q_embed_covariance: DuckDB ROUND emitted -0.0 where Spark emitted
+    +0.0 — numerically equal, hash-distinct), invisible to the old
+    ``1e-6 + 1e-6·|w|`` band.
+
+    Why round-to-6 and not raw repr: the driver's recorded verdicts
+    pin its normalization between the two.  It FAILED -0.0 vs +0.0
+    (r11) but PASSED q_scalar_array for four rounds, whose oracle-side
+    ``ROUND(FLOAT, 4)`` stays float32 and widens to -0.4104999899864197
+    against Spark's decimal -0.4105 — raw repr would flag that, a
+    plain tolerance misses the signed zero; ``repr(round(v, 6))``
+    reproduces both recorded verdicts.  Python's ``round`` keeps the
+    IEEE sign of a zero result, so the signed-zero class stays caught.
+    Pass an explicit ``float_tol`` ONLY for checks that are
+    approximate by design (q_agg_approx-style band tests)."""
     got_raw = spark_df.toPandas()
     want_raw = con.sql(sql).df()
     _exact_int_width(spark_df, want_raw)
@@ -109,6 +128,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ga = pd.to_numeric(g, errors="coerce")
             wa = pd.to_numeric(w, errors="coerce")
+            if float_tol is None:
+                canon = (lambda v: "<NA>" if pd.isna(v)
+                         else repr(round(float(v), 6)))
+                gs, ws = ga.map(canon), wa.map(canon)
+                bad = gs != ws
+                assert not bad.any(), (
+                    f"repr mismatch in float col {c!r} (driver-hash "
+                    f"strictness, canon=repr(round(v,6))): "
+                    f"{list(zip(gs[bad].head(5), ws[bad].head(5)))}"
+                )
+                continue
             bad = ~(
                 (ga.isna() & wa.isna())
                 | ((ga - wa).abs() <= float_tol + float_tol * wa.abs())

@@ -1576,6 +1576,60 @@ def test_embed_covariance_matches_numpy(spark):
     assert all(c >= -1e-6 for (i, j), (c, _) in got.items() if i == j)
 
 
+def test_embed_covariance_negative_zero_normalized(spark, tmp_path):
+    """Regression for the r11 driver hash failure: a covariance cell
+    whose true value is a TINY NEGATIVE (engineered here: cov(5,9) =
+    (x1-x2)(y1-y2)/4 = -1e-8 on a 2-row corpus) rounds to -0.0 under
+    DuckDB's sign-preserving ROUND but +0.0 under Spark's BigDecimal
+    HALF_UP round — numerically equal, so every tolerant compare
+    passed, but the driver's value hash distinguishes the
+    representations.  round_signless(_sql) normalizes with `+ 0.0` on
+    BOTH sides; this test pins repr-level agreement (the driver's
+    strictness) and that neither side ever emits '-0.0'.  Also pins
+    the element-null mirror: a vector with a NULL element is dropped
+    by both engines (n stays 2)."""
+    import duckdb
+
+    from level2_to_cassandra_spark.queries.llm import q_embed_covariance
+    from level2_to_cassandra_spark.registry import all_queries
+
+    base = [0.0] * 64
+    a, b = list(base), list(base)
+    a[5], a[9] = 2e-4, 0.0
+    b[5], b[9] = 0.0, 2e-4
+    null_elem = list(base)
+    null_elem[3] = None
+    sf_dir = str(tmp_path / "sf_negzero")
+    spark.createDataFrame(
+        [(0, a), (1, b), (2, null_elem)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {(r.i, r.j): (r.cov, r.n)
+           for r in q_embed_covariance(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        # Spark writes a part-file directory; the testdata fixtures the
+        # driver reads are single files — glob covers both
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    oracle = all_queries()["q_embed_covariance"].oracle
+    want = {(i, j): (cov, n)
+            for i, j, cov, n in con.sql(oracle).fetchall()}
+    con.close()
+
+    assert got.keys() == want.keys() and len(got) == 64 * 65 // 2
+    for key, (gc, gn) in got.items():
+        wc, wn = want[key]
+        # repr-exact: the driver's hash bar, strictly stronger than ==
+        assert repr(float(gc)) == repr(float(wc)), (key, gc, wc)
+        assert gn == wn == 2  # the element-null vector dropped BOTH sides
+        assert repr(float(gc)) != "-0.0"
+    # the engineered cell actually exercised the tiny-negative path
+    assert got[(5, 9)][0] == 0.0
+
+
 def test_text_containment_is_asymmetric(spark, tmp_path):
     """Containment semantics on a constructed corpus: a short doc fully
     inside a much longer one scores containment 1.0 in the short→long
@@ -1649,3 +1703,35 @@ def test_containment_pairs_match_brute_force(spark):
         for r in containment_pairs(docs, threshold=t, k=3).collect()
     }
     assert got == want and want  # non-vacuous: planted pairs found
+
+
+def test_containment_cap_inert_at_driver_sf(spark):
+    """q_text_containment's stop-shingle cap (max_shingle_frac=0.01,
+    min_cap_df=50) must prune NOTHING the candidate join needs on the
+    fixtures the driver hashes (ADVICE r11: the cap is theoretically
+    lossy, and its fixture inertness was asserted in prose only).
+    Candidate sets with and without the cap must be identical at
+    SF_CORRECT — the driver's correctness SF — which, with the
+    exact-verification stage lossless by construction, makes the
+    registered query exact there.  If a fixture regeneration ever
+    drops min_df below the floor for some doc, this fails before the
+    driver does."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators.minhash import (
+        containment_pairs,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    kw = dict(threshold=0.79, k=3, candidates_only=True)
+    plain = {
+        (r.inner_id, r.outer_id)
+        for r in containment_pairs(docs, **kw).collect()
+    }
+    capped = {
+        (r.inner_id, r.outer_id)
+        for r in containment_pairs(
+            docs, max_shingle_frac=0.01, min_cap_df=50, **kw
+        ).collect()
+    }
+    assert capped == plain and plain  # non-vacuous

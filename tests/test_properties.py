@@ -953,11 +953,37 @@ def test_containment_pairs_lossless_on_random_corpora(spark, docs,
             c = len(sets[a] & sets[b]) / len(sets[a])
             if c >= threshold:
                 want[(a, b)] = round(c, 9)
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r.inner_id, r.outer_id): round(r.containment, 9)
-        for r in containment_pairs(
-            spark.createDataFrame(rows, "doc_id long, text string"),
-            threshold=threshold, k=3,
-        ).collect()
+        for r in containment_pairs(sdf, threshold=threshold, k=3).collect()
     }
     assert got == want
+    # CAP PATH ENABLED (ADVICE r11): q_text_containment's exact
+    # parameters (max_shingle_frac=0.01, min_cap_df=50).  On any
+    # corpus of <=16 docs every df <= 16 < floor 50, so the cap is
+    # INERT BY THE FLOOR — the capped plan (min_df column, n_docs
+    # crossJoin, cap filter) must be bit-identical to brute force.
+    # This is the same floor-inertness regime the registered query
+    # relies on at the driver's fixtures (pinned at driver SF by
+    # test_containment_cap_inert_at_driver_sf).
+    capped = {
+        (r.inner_id, r.outer_id): round(r.containment, 9)
+        for r in containment_pairs(
+            sdf, threshold=threshold, k=3,
+            max_shingle_frac=0.01, min_cap_df=50,
+        ).collect()
+    }
+    assert capped == want
+    # AGGRESSIVE CAP (real pruning: df > cap=1 for every repeated
+    # shingle): recall may be traded, but precision and values must
+    # survive — a SUBSET of brute force with unchanged containments.
+    tight = {
+        (r.inner_id, r.outer_id): round(r.containment, 9)
+        for r in containment_pairs(
+            sdf, threshold=threshold, k=3, max_shingle_df=1,
+        ).collect()
+    }
+    assert set(tight) <= set(want)
+    for pair, c in tight.items():
+        assert c == want[pair]

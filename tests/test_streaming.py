@@ -1083,6 +1083,55 @@ def test_drift_operator_parity_with_null_values(spark, tmp_path):
     assert n_null_ref > 0 and n_null_cur > 0
 
 
+def test_drift_operator_parity_with_null_keys(spark, tmp_path):
+    """Parity must hold when the KEY column itself is NULL (ADVICE
+    r11): q_drift_psi's bounds join is an inner equi-join USING
+    (event_type), so NULL-key rows never reach the cell relation —
+    they are DROPPED by the batch spec, not scored as a group (SQL
+    NULL ≠ NULL under ``=``; DuckDB's USING agrees).  The operator
+    twin's inner key joins (reference_cells' bounds join,
+    psi_against_reference's kb join) drop them through the identical
+    shape, so parity on a NULL-key corpus is exact equality of the
+    scored key set AND per-key numbers — and neither side may emit a
+    NULL-key row."""
+    from level2_to_cassandra_spark.operators.drift import (
+        psi_against_reference,
+        reference_cells,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = []
+    for i in range(200):
+        side = "2024-01-10" if i % 2 == 0 else "2024-01-20"
+        # every 4th row has a NULL key — lands in BOTH windows
+        key = None if i % 4 == 0 else ("click" if i % 3 else "view")
+        rows.append((key, float((i * 13) % 97), side))
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, day string"
+    ).select(
+        "event_type", "value", F.col("day").cast("timestamp").alias("ts")
+    )
+    sf_dir = str(tmp_path / "sf_nullkey")
+    ev.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = reference_cells(ev.where(F.col("ts") < cut))
+    cur = ev.where(F.col("ts").isNull() | (F.col("ts") >= cut))
+    got = {
+        r.key: (r.n_ref, r.n_batch, r.psi, r.drift_flag)
+        for r in psi_against_reference(cur, ref).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi, r.drift_flag)
+        for r in all_queries()["q_drift_psi"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert None not in got and None not in want
+    assert set(got) == {"click", "view"}
+    # the NULL-key rows existed on both sides of the cut
+    assert ev.where(F.col("event_type").isNull()).count() == 50
+
+
 def test_streaming_drift_audit_flags_shifted_batch(spark, tmp_path):
     """foreach_batch_with_drift: each micro-batch appends one audit row
     per reference key; an in-distribution batch passes while a batch
