@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.functions import (
+    round_signless,
+    round_signless_sql,
+)
 from level2_to_cassandra_spark.registry import register
 
 _SCALE = 4
@@ -137,15 +141,21 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scalar_array",
-    oracle="""
+    # sign-normalized rounding on every rounded float column: a tiny
+    # negative first element / sum / max rounds to -0.0 under DuckDB's
+    # sign-preserving ROUND but +0.0 under Spark (the r11
+    # q_embed_covariance failure class — first_elem hit it at sf0.1)
+    oracle=f"""
     SELECT vec_id,
            label,
            len(embedding)                                   AS dim,
-           ROUND(embedding[1], 4)                           AS first_elem,
-           ROUND(list_aggregate(embedding, 'sum'), 4)       AS vec_sum,
-           ROUND(list_aggregate(embedding, 'max'), 4)       AS vec_max,
-           ROUND(list_aggregate(
-               list_transform(embedding, x -> x * x), 'sum'), 4)
+           {round_signless_sql('embedding[1]', 4)}          AS first_elem,
+           {round_signless_sql(
+               "list_aggregate(embedding, 'sum')", 4)}      AS vec_sum,
+           {round_signless_sql(
+               "list_aggregate(embedding, 'max')", 4)}      AS vec_max,
+           {round_signless_sql('''list_aggregate(
+               list_transform(embedding, x -> x * x), 'sum')''', 4)}
                                                             AS sq_norm,
            len(list_filter(embedding, x -> x > 0))          AS n_positive
     FROM embeddings
@@ -161,12 +171,14 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.col("embedding")[0].cast("double"), _SCALE).alias("first_elem"),
-        F.round(
+        round_signless(
+            F.col("embedding")[0].cast("double"), _SCALE
+        ).alias("first_elem"),
+        round_signless(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), _SCALE
         ).alias("vec_sum"),
-        F.round(F.array_max(dbl), _SCALE).alias("vec_max"),
-        F.round(
+        round_signless(F.array_max(dbl), _SCALE).alias("vec_max"),
+        round_signless(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), _SCALE
         ).alias("sq_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_positive"),

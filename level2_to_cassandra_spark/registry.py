@@ -103,8 +103,12 @@ DRIVER_ORDER = (
     "q_text_tokens_bpe",
     "q_window_cumulative",
     # -- last driver-green r09 (30 of 41, thinnest-first: all 23
-    # 3-row names incl. the changed q_udf_pandas_cosine, plus the
-    # alphabetically-first seven 4-row names) ---------------------------
+    # 3-row names incl. the changed q_udf_pandas_cosine, six of the
+    # alphabetically-first 4-row names, plus q_scalar_array FORCED IN
+    # because its oracle+impl changed this round — the sf0.1
+    # scale-divergence probe caught first_elem rounding a tiny
+    # negative float32 to -0.0 on the DuckDB side; fixed with
+    # round_signless on all four rounded columns) ------------------------
     "q_agg_bitmap_distinct",
     "q_agg_conditional",
     "q_agg_cube",
@@ -122,10 +126,10 @@ DRIVER_ORDER = (
     "q_join_full",
     "q_join_multiway",
     "q_join_right",
-    "q_join_semi",
     "q_json_scan",
     "q_max_concurrency",
     "q_pack_sequences",
+    "q_scalar_array",
     "q_scalar_map",
     "q_set_ops_all",
     "q_sort_nulls",
@@ -145,7 +149,7 @@ DRIVER_ORDER = (
     "q_join_broadcast",
     "q_join_outer",
     "q_join_range",
-    "q_scalar_array",
+    "q_join_semi",
     "q_scalar_json",
     "q_scalar_math",
     "q_scalar_string",

@@ -287,3 +287,129 @@ def read_embed_drift(spark, base_path: str,
     return spark.read.schema(EMBED_DRIFT_SCHEMA).parquet(
         f"{embed_drift_path(base_path)}/{stream}"
     )
+
+
+#: incremental second-moment journal — one row per (batch, upper-
+#: triangle cell): the per-batch Gram/sum partials that
+#: operators/similarity.py::gram_partials emits, reduced to one row
+#: per cell per batch before landing.  Append-only (never
+#: read-modify-write) so a replayed batch can only write IDENTICAL
+#: rows under the same batch_id; readers dedup on (batch_id, i, j).
+COVARIANCE_SCHEMA = (
+    "batch_id long, i long, j long, sxy double, sxi double, "
+    "syj double, cnt long"
+)
+
+
+def covariance_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed, one subdirectory per
+    stream — the drift_path/metrics_path discipline."""
+    return f"{base}/_covariance_state"
+
+
+def foreach_batch_with_covariance(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    dim: int = 64,
+    stream: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with INCREMENTAL COVARIANCE
+    maintenance — the streaming twin of q_embed_covariance: each
+    embedding micro-batch folds into the running second-moment state,
+    so the corpus covariance (the moment matrix behind PCA/whitening
+    and eigen-spectrum drift diagnostics) is ALWAYS CURRENT at the
+    ingest boundary instead of requiring a full offline corpus pass
+    after every load.
+
+    The Gram sums are exactly additive over row-disjoint batches
+    (sxy/sxi/syj/cnt are plain sums), so the state is an append-only
+    journal of per-batch partials — dim·(dim+1)/2 rows per batch —
+    and :func:`read_covariance` reduces it to the query's output
+    shape on demand.  Per batch the added work is ONE Arrow-batched
+    numpy matrix product over the admitted rows (map-side, zero
+    shuffles — the same kernel the offline query runs) plus a
+    2080-row aggregate and a single-file append: O(dim²) cost
+    regardless of corpus size, which is what makes moment maintenance
+    viable at 100 TB where the offline re-scan is a full corpus read.
+
+    Row admission mirrors q_embed_covariance exactly (non-NULL,
+    correct length, no NULL elements; the kernel additionally masks
+    non-finite content) so the maintained state and the offline query
+    agree cell-for-cell — parity-pinned by
+    test_streaming_covariance_matches_batch_query.
+
+    Delivery semantics follow the module's audit-table discipline:
+    the journal append runs AFTER the wrapped sink write inside the
+    same at-least-once attempt; a replayed batch re-derives the SAME
+    deterministic partials under the same batch_id, and readers dedup
+    on (batch_id, i, j) — so replay cannot double-count a batch into
+    the moments (no read-modify-write race by construction)."""
+    from level2_to_cassandra_spark.operators.similarity import (
+        gram_partials,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            admitted = batch_df.where(
+                F.col(vec_col).isNotNull()
+                & (F.size(vec_col) == dim)
+                & ~F.exists(vec_col, lambda x: x.isNull())
+            )
+            parts = (
+                gram_partials(admitted, dim=dim, id_col=id_col,
+                              vec_col=vec_col)
+                .groupBy("i", "j")
+                .agg(
+                    F.sum("sxy").alias("sxy"),
+                    F.sum("sxi").alias("sxi"),
+                    F.sum("syj").alias("syj"),
+                    F.sum("cnt").alias("cnt"),
+                )
+                .select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "i", "j", "sxy", "sxi", "syj", "cnt",
+                )
+            )
+            parts.coalesce(1).write.mode("append").parquet(
+                f"{covariance_path(base_path)}/{stream}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_covariance(spark, base_path: str,
+                    stream: str = "embeddings") -> DataFrame:
+    """Reduce the moment journal to q_embed_covariance's exact output
+    shape — upper-triangle ``(i, j, cov, n)``, covariance rounded
+    sign-normalized at 6 like every moment in the registry.  Replayed
+    batches collapse via dropDuplicates on (batch_id, i, j) (their
+    re-derived rows are identical by determinism of the kernel); the
+    reduction then runs over #batches · dim²/2 journal rows — never
+    the corpus."""
+    from level2_to_cassandra_spark.functions import round_signless
+
+    agg = (
+        spark.read.schema(COVARIANCE_SCHEMA)
+        .parquet(f"{covariance_path(base_path)}/{stream}")
+        .dropDuplicates(["batch_id", "i", "j"])
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxi").alias("sxi"),
+            F.sum("syj").alias("syj"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = round_signless(
+        F.col("sxy") / nd - (F.col("sxi") / nd) * (F.col("syj") / nd), 6
+    )
+    return agg.select(
+        "i", "j", cov.alias("cov"), F.col("n").cast("long").alias("n")
+    )

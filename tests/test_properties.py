@@ -426,6 +426,42 @@ def test_spark_round_divergence_confined_to_repr_ties(spark):
     assert math.copysign(1.0, got[-1]) == 1.0
 
 
+def test_round_signless_normalizes_negative_zero_both_engines(spark):
+    """round_signless / round_signless_sql must close divergence (b)
+    of the test above — the signed zero that shipped r11's only
+    driver-hash failure: for any input that rounds to zero, BOTH
+    engines must emit bit-positive 0.0, and for every non-tie input
+    the pair must agree bit-exactly (``+ 0.0`` is the identity off
+    zero)."""
+    import math
+    import duckdb
+    import numpy as np
+
+    from level2_to_cassandra_spark.functions import (
+        round_signless,
+        round_signless_sql,
+    )
+
+    rng = np.random.default_rng(927)
+    xs = [float(x) for x in rng.uniform(-1.0, 1.0, 200)]
+    xs += [-1e-8, 1e-8, -4.9e-7, 4.9e-7, -0.0, 0.0,
+           math.nextafter(0.0, -2.0)]
+
+    duck = duckdb.connect()
+    want = [duck.execute(
+        f"SELECT {round_signless_sql('?::DOUBLE', 6)}", [x]).fetchone()[0]
+        for x in xs]
+    duck.close()
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x double")
+    got = [r.r for r in
+           df.select("i", round_signless("x", 6).alias("r"))
+           .orderBy("i").collect()]
+    for x, a, b in zip(xs, got, want):
+        assert repr(a) == repr(b), (x, a, b)      # incl. zero sign
+        assert math.copysign(1.0, a) == 1.0 or a != 0.0
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ids=st.lists(st.integers(min_value=-10**9, max_value=10**9),

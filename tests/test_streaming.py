@@ -1304,6 +1304,72 @@ def test_streaming_multimodal_admit_parity_with_registered_query(
     assert got == want and got
 
 
+def test_streaming_covariance_matches_batch_query(spark, tmp_path):
+    """foreach_batch_with_covariance must reproduce q_embed_covariance
+    exactly when the fixture corpus arrives as MULTIPLE micro-batches:
+    the Gram sums are additive over row-disjoint batches, so the
+    journal reduction (read_covariance) and the offline one-pass query
+    agree cell-for-cell at the registry's rounded scale — the
+    fold-form-vs-kernel parity discipline binding incremental moment
+    maintenance to the hash-verified batch spec.  Also pins the
+    journal's replay semantics: re-running a batch under its batch_id
+    folds in ONCE (dedup on batch_id), and an all-invalid batch
+    contributes nothing without corrupting the state."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_covariance,
+        read_covariance,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    em = load_table(spark, sf_smoke, "embeddings")
+    src = str(tmp_path / "src")
+    em.repartition(3).write.parquet(src)
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_covariance(lambda df, bid: None, base)
+    q = (
+        spark.readStream.schema(em.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    got = {(r.i, r.j): (r.cov, r.n)
+           for r in read_covariance(spark, base).collect()}
+    want = {(r.i, r.j): (r.cov, r.n)
+            for r in all_queries()["q_embed_covariance"].fn(
+                spark, sf_smoke).collect()}
+    assert len(got) == 64 * 65 // 2
+    assert got == want
+
+    # replay: the same rows under the same batch_id fold in ONCE
+    chunk = spark.read.parquet(src).where(F.col("vec_id") < 100)
+    cb(chunk, 99)
+    once = {(r.i, r.j): (r.cov, r.n)
+            for r in read_covariance(spark, base).collect()}
+    assert once[(0, 0)][1] > got[(0, 0)][1]  # batch 99 landed
+    cb(chunk, 99)
+    twice = {(r.i, r.j): (r.cov, r.n)
+             for r in read_covariance(spark, base).collect()}
+    assert twice == once
+
+    # an all-invalid batch (NULL vectors, wrong length, NULL element)
+    # admits zero rows and leaves the state untouched
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0]), (9003, [None] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    cb(bad, 100)
+    after = {(r.i, r.j): (r.cov, r.n)
+             for r in read_covariance(spark, base).collect()}
+    assert after == once
+
+
 def test_streaming_multimodal_admit_store_grows_across_batches(
         spark, tmp_path):
     """Admitted batches must GROW the store: batch 2's embedding
