@@ -120,6 +120,7 @@ HEADLINE = [
     # r11 additions
     "q_dedup_multimodal",    # cross-modal dedup gate (text ∪ embed CC)
     "q_embed_covariance",    # one-pass map-side Gram/covariance
+    "q_embed_pca",           # covariance → power iteration → projection
     "q_text_containment",    # asymmetric shingle containment pairs
     "q_dedup_incremental_multimodal",  # cross-modal admit at ingest
 ]

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table
 from level2_to_cassandra_spark.functions import (
+    round_half_up,
     round_half_up_sql,
     round_signless,
     round_signless_sql,
@@ -1884,31 +1885,39 @@ def q_text_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_embed_covariance",
-    # Exact-arithmetic shape on both sides: integer count, double sums
-    # combined in the SAME operation order (SUM/COUNT, then the
-    # mean-product subtraction), rounded at 6 like every moment in the
-    # registry so summation-order ulp jitter cannot flip the hash.
-    # ROUND is sign-normalized with "+ 0.0" on BOTH sides (r11 driver
-    # failure: DuckDB ROUND preserves IEEE sign and emitted -0.0 for a
-    # ≈-3e-8 cell; Spark round is BigDecimal HALF_UP, which has no
-    # signed zero — numerically equal, hash-distinct).
-    oracle=f"""
-    WITH p AS (SELECT UNNEST(range(0, 64)) AS i),
-    v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+# Covariance CTE block shared by the q_embed_covariance and
+# q_embed_pca oracles: admitted vectors (non-NULL, len 64, no NULL
+# elements — the exact filter the Spark side applies before the Gram
+# kernel), upper-triangle cells with the covariance rounded
+# SIGN-NORMALIZED at 6 (r11 driver failure: DuckDB ROUND preserves
+# IEEE sign and emitted -0.0 for a ≈-3e-8 cell; Spark round is
+# BigDecimal HALF_UP, which has no signed zero — numerically equal,
+# hash-distinct).  Exact-arithmetic shape on both sides: integer
+# count, double sums combined in the SAME operation order (SUM/COUNT,
+# then the mean-product subtraction).
+_COV_CTES = f"""p AS (SELECT UNNEST(range(0, 64)) AS i),
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64
             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-    pr AS (SELECT a.i AS i, b.i AS j FROM p a JOIN p b ON a.i <= b.i)
-    SELECT i, j,
-           {round_signless_sql(
-               '''SUM(ve[i + 1] * ve[j + 1]) / COUNT(*)
-                 - (SUM(ve[i + 1]) / COUNT(*))
-                   * (SUM(ve[j + 1]) / COUNT(*))''', 6)} AS cov,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM v CROSS JOIN pr
-    GROUP BY i, j
+    pr AS (SELECT a.i AS i, b.i AS j FROM p a JOIN p b ON a.i <= b.i),
+    cells AS MATERIALIZED (
+        SELECT i, j,
+               {round_signless_sql(
+                   '''SUM(ve[i + 1] * ve[j + 1]) / COUNT(*)
+                     - (SUM(ve[i + 1]) / COUNT(*))
+                       * (SUM(ve[j + 1]) / COUNT(*))''', 6)} AS cov,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v CROSS JOIN pr
+        GROUP BY i, j)"""
+
+
+@register(
+    "q_embed_covariance",
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT i, j, cov, n FROM cells
     """,
 )
 def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,16 +1938,30 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid).  The final covariance assembly is arithmetic over the
     2080-row aggregate: free at any corpus size.  The 64×64 result is
     driver-sized forever; downstream eigendecomposition is a local
-    O(dim³) step, not a distributed one."""
-    em = load_table(spark, sf_dir, "embeddings").where(
+    O(dim³) step, not a distributed one (q_embed_pca runs exactly
+    that step on these cells)."""
+    return _cov_cells(spark, sf_dir)
+
+
+def _admitted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors admitted to the moment computations: non-NULL, correct
+    length, no NULL elements (mirrored in _COV_CTES' list_filter —
+    Arrow hands a NULL element to the Gram kernel as NaN, which would
+    poison the global sums while DuckDB's SUM silently skips the NULL
+    product, ADVICE r11)."""
+    return load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
         & (F.size("embedding") == 64)
-        # element-null vectors are out (mirrored in the oracle's
-        # list_filter): Arrow hands a NULL element to the Gram kernel
-        # as NaN, which would poison the global sums while DuckDB's
-        # SUM silently skips the NULL product (ADVICE r11)
         & ~F.exists("embedding", lambda x: x.isNull())
     )
+
+
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance cells ``(i, j, cov, n)`` — the Spark
+    twin of the oracle's ``cells`` CTE (_COV_CTES), shared by
+    q_embed_covariance (returns them) and q_embed_pca (collects the
+    driver-sized 2080 rows and iterates)."""
+    em = _admitted_embeddings(spark, sf_dir)
     parts = similarity.gram_partials(em, dim=64)
     agg = parts.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"),
@@ -1952,6 +1975,144 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "i", "j", cov.alias("cov"), F.col("n").cast("long").alias("n")
+    )
+
+
+#: Fixed power-iteration count for q_embed_pca — part of the query's
+#: SPEC, not a convergence knob: both engines run exactly this many
+#: rounded iterations, so the result is deterministic even before the
+#: iteration has numerically converged.  64 covers the fixture's
+#: near-isotropic spectrum (λ2/λ1 ≈ 0.93 → 0.93⁶⁴ ≈ 0.01 residual —
+#: measured 0.44 % eigenvalue / 0.989 direction-cosine at K=40,
+#: 0.06 % / >0.999 at K=64 against numpy eigh); extra
+#: iterations cost O(dim²) driver arithmetic + 3 tiny SQL CTEs each
+#: and CANNOT introduce cross-engine divergence (every iterate is
+#: bit-identical on both sides by construction).
+_PCA_ITERS = 64
+
+
+def _pca_oracle() -> str:
+    """The q_embed_pca oracle: the SAME rounded power iteration the
+    Spark side runs, unrolled as SQL CTEs over the shared covariance
+    cells (_COV_CTES).  Every step is engine-exact by construction:
+
+    * the iteration matrix is the ROUNDED covariance — bit-identical
+      across engines by q_embed_covariance's own verified parity;
+    * the matvec is ``list_dot_product`` over j-ordered rows, which is
+      a sequential left fold in DuckDB — bit-identical to the Spark
+      driver's sequential Python fold and to F.aggregate's fold
+      (verified property: 200-trial bit-exactness in
+      test_pca_fold_parity_* / the r12 prototype);
+    * normalization divides by MAX(ABS(w)) (exact on identical
+      doubles) and re-rounds via the FLOOR half-up form
+      (round_half_up_sql), the cross-engine-deterministic rounding —
+      so each iterate is bit-identical on both sides, and divergence
+      cannot compound."""
+    steps = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(f"""w{k} AS MATERIALIZED (
+        SELECT i, list_dot_product(row, (SELECT v FROM {prev})) AS w
+        FROM cmat),
+    m{k} AS MATERIALIZED (
+        SELECT COALESCE(NULLIF(MAX(ABS(w)), 0.0), 1.0) AS m FROM w{k}),
+    v{k} AS MATERIALIZED (
+        SELECT list({round_half_up_sql('w / m', 6)} ORDER BY i) AS v
+        FROM w{k}, m{k})""")
+        prev = f"v{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_COV_CTES},
+    sym AS MATERIALIZED (
+        SELECT i, j, cov FROM cells
+        UNION ALL
+        SELECT j AS i, i AS j, cov FROM cells WHERE i <> j),
+    cmat AS MATERIALIZED (
+        SELECT i, list(cov ORDER BY j) AS row FROM sym GROUP BY i),
+    v0 AS MATERIALIZED (SELECT list_transform(range(0, 64), x -> 1.0) AS v),
+    {chain}
+    SELECT vec_id,
+           {round_half_up_sql(
+               f'list_dot_product(ve, (SELECT v FROM v{_PCA_ITERS}))',
+               6)} AS pc1,
+           (SELECT {round_half_up_sql('m', 6)}
+            FROM m{_PCA_ITERS}) AS lambda1
+    FROM v
+    """
+
+
+@register("q_embed_pca", oracle=_pca_oracle())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding space, end to end:
+    distributed covariance (the q_embed_covariance moment reduction) →
+    driver-side rounded power iteration on the 64×64 matrix → the
+    corpus PROJECTED onto the dominant direction.  Output: one row per
+    admitted vector ``(vec_id, pc1, lambda1)`` — pc1 is the vector's
+    score along the component (what SemDeDup-style curation buckets
+    on, what whitening subtracts first, the 1-D shadow a curator
+    plots), lambda1 the dominant-eigenvalue estimate (the component's
+    variance share numerator in an eigen-spectrum drift check).  Every
+    row hash-verified against a DuckDB replay of the identical
+    iteration.
+
+    DETERMINISM ACROSS ENGINES is the interesting part: eigensolvers
+    are iterative float code, normally the LAST thing an exact oracle
+    can check.  This query makes it exact by (a) iterating on the
+    ROUNDED covariance cells (bit-identical across engines by
+    q_embed_covariance's verified parity), (b) folding the matvec
+    SEQUENTIALLY in j order on both sides (Python left fold here;
+    list_dot_product — a sequential fold — in DuckDB; F.aggregate's
+    fold for the corpus projection: all three verified bit-identical),
+    and (c) re-rounding every iterate with the FLOOR half-up form
+    (functions.round_half_up), the cross-engine-deterministic
+    rounding.  _PCA_ITERS is part of the spec: both engines run
+    exactly that many steps, so the result is well-defined even where
+    convergence would be slow.
+
+    Scale shape: the corpus is read TWICE and only twice (once for the
+    Gram partials, once for the projection), both map-side passes with
+    zero row-scale shuffles; the 2080-cell collect is the documented
+    bounded-collect pattern (kmeans centroids discipline) and the
+    O(K·dim²) iteration is driver arithmetic — at 100 TB the cost is
+    two scans, independent of dim³ solver numerics.  The projection
+    broadcasts 64 literal doubles into a codegen'd fold — no join, no
+    shuffle."""
+    import math
+
+    cells = _cov_cells(spark, sf_dir).select("i", "j", "cov").collect()
+    dim = 64
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in cells:
+        C[r.i][r.j] = C[r.j][r.i] = r.cov
+    v = [1.0] * dim
+    lam = 1.0
+    p = float(10**6)
+    for _ in range(_PCA_ITERS):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + C[i][j] * v[j]
+            w.append(acc)
+        m = max(abs(x) for x in w)
+        if m == 0.0:
+            m = 1.0
+        v = [math.floor(x / m * p + 0.5) / p for x in w]
+        lam = m
+    lam_r = math.floor(lam * p + 0.5) / p
+
+    em = _admitted_embeddings(spark, sf_dir)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    score = F.aggregate(
+        F.zip_with(dbl, lit_v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select(
+        "vec_id",
+        round_half_up(score, 6).alias("pc1"),
+        F.lit(lam_r).alias("lambda1"),
     )
 
 

@@ -66,7 +66,7 @@ DRIVER_ORDER = (
     # before anything else matters, (b) the three r11 first-row names
     # (1 lifetime row each; they hold until >=2), (c) ALL 16 r08-stale
     # names — the pigeonhole tail of the r11 rotation and the oldest
-    # confirmations left in the ledger, and (d) 30 r09-stale names,
+    # confirmations left in the ledger, and (d) 29 r09-stale names,
     # thinnest lifetime confirmations first, with q_udf_pandas_cosine
     # FORCED IN because its oracle+impl changed this round (the
     # hardened repr-strict harness caught the same -0.0 class latent
@@ -75,11 +75,18 @@ DRIVER_ORDER = (
     # confirmations (5 rows: q_agg_percentile, q_agg_rollup,
     # q_join_broadcast, q_join_outer, q_join_range; then 4-row names) —
     # all remain locally oracle-checked on every run and are next
-    # round's rotation head.
+    # round's rotation head, joined by q_window_lag (3 rows), whose
+    # slot the round's NEW q_embed_pca takes.
     # -- FAILED r11, FIXED r12: -0.0 normalized via round_signless on
     # both engine sides (DuckDB ROUND preserves IEEE sign, Spark's
     # BigDecimal HALF_UP does not); must re-earn its first green row --
     "q_embed_covariance",
+    # -- NEW in r12: top principal component — distributed covariance →
+    # driver-side rounded power iteration (cross-engine bit-exact by
+    # construction) → corpus projection; first driver row.  Slot freed
+    # by q_window_lag (3 lifetime rows; still locally oracle-checked
+    # every run, rotates back next round) -------------------------------
+    "q_embed_pca",
     # -- r11 first rows (1 lifetime row each; hold until >=2) -----------
     "q_dedup_multimodal",
     "q_text_containment",
@@ -138,7 +145,6 @@ DRIVER_ORDER = (
     "q_udaf_trimmed_mean",
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
-    "q_window_lag",
     # ======================= past the cap ==============================
     # Everything below holds >=2 lifetime driver-green rows and is
     # still oracle-checked by the local replica harness every run;
@@ -154,6 +160,7 @@ DRIVER_ORDER = (
     "q_scalar_math",
     "q_scalar_string",
     "q_set_ops",
+    "q_window_lag",
     "q_window_rank",
     # -- last driver-green r10 --------------------------------------------
     "q_agg_string",

@@ -1630,6 +1630,57 @@ def test_embed_covariance_negative_zero_normalized(spark, tmp_path):
     assert got[(5, 9)][0] == 0.0
 
 
+def test_embed_pca_matches_numpy_eigendecomposition(spark):
+    """q_embed_pca vs numpy's exact eigendecomposition on the
+    collected fixture — validates that the rounded fixed-K power
+    iteration actually lands on the dominant eigenpair (kernel-vs-spec
+    discipline, independent of the DuckDB oracle which replays the
+    same iteration):
+
+    * lambda1 ≈ the top eigenvalue of the (rounded) covariance;
+    * the projection scores correlate with numpy's exact top-component
+      scores up to the iteration's sign (|cosine| ≈ 1);
+    * lambda1 is constant across rows and the admitted row count
+      matches the covariance query's n."""
+    import numpy as np
+
+    from level2_to_cassandra_spark.queries.llm import (
+        q_embed_covariance,
+        q_embed_pca,
+    )
+
+    rows = q_embed_pca(spark, SF).collect()
+    n_cov = {r.n for r in q_embed_covariance(spark, SF).collect()}
+    assert len(rows) == n_cov.pop() and not n_cov
+    lams = {r.lambda1 for r in rows}
+    assert len(lams) == 1
+    lam = lams.pop()
+
+    X = np.array(
+        [r.embedding for r in
+         load_table(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    n = X.shape[0]
+    mean = X.sum(axis=0) / n
+    cov = np.round((X.T @ X) / n - np.outer(mean, mean), 6)
+    evals, evecs = np.linalg.eigh(cov)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+    assert lam == pytest.approx(top_val, rel=0.02)
+
+    want = (X - mean) @ top_vec
+    got = np.array([r.pc1 for r in sorted(rows, key=lambda r: r.vec_id)])
+    # pc1 is the UNcentered projection (x·v, not (x-mean)·v) of the
+    # max-abs-normalized iterate: correlation with the exact centered
+    # component is sign/scale/shift-invariant, so compare centered,
+    # normalized shapes
+    got_c = got - got.mean()
+    cos = abs(got_c @ want) / (
+        np.linalg.norm(got_c) * np.linalg.norm(want)
+    )
+    assert cos > 0.999
+
+
 def test_text_containment_is_asymmetric(spark, tmp_path):
     """Containment semantics on a constructed corpus: a short doc fully
     inside a much longer one scores containment 1.0 in the short→long

@@ -72,6 +72,8 @@ _PYTHON_ALLOWED = {
     "q_sim_ann_lsh",
     "q_llm_dedup_embed",
     "q_embed_covariance",      # map-side Gram partials (gram_partials)
+    "q_embed_pca",             # covariance build rides gram_partials;
+                               # the projection itself is a JVM fold
     "q_dedup_incremental_multimodal",  # embed leg rides the LSH kernel
     # (q_dedup_multimodal BUILDS with the LSH Arrow kernel, but its
     # registered plan serves off the materialized decision table — no
@@ -754,6 +756,19 @@ def test_covariance_one_scan_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Generate" not in plan
     assert "MapInPandas" in plan
+
+
+def test_pca_projection_scan_only_no_python(spark):
+    """q_embed_pca's RETURNED plan is the projection pass only: one
+    embeddings scan feeding a codegen'd fold against the 64 literal
+    loadings — no join, no shuffle, no Python node (the covariance
+    build is a separate bounded-collect job; the serve plan must carry
+    none of its residue)."""
+    plan = plan_of(all_queries()["q_embed_pca"].fn(spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_containment_no_cartesian_no_union(spark):
