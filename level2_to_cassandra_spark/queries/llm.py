@@ -2896,3 +2896,232 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s"), 6).alias("bm25"),
         )
     )
+
+
+_OUTLIER_TAU = -0.15
+
+
+def _outlier_oracle() -> str:
+    """q_embed_outlier oracle: same admitted-vector filter as
+    _COV_CTES, per-dimension means rounded with the FLOOR half-up
+    form (cross-engine deterministic), then a sequential-fold cosine
+    (list_dot_product) against the rounded centroid — the exact
+    arithmetic the Spark side mirrors (F.aggregate's fold + a
+    driver-side Python fold for the centroid norm, both verified
+    bit-identical to list_dot_product by the q_embed_pca parity
+    work)."""
+    cos = ("list_dot_product(ve, cv) / "
+           "(SQRT(list_dot_product(ve, ve)) * cnorm)")
+    cos_r = round_half_up_sql(cos, 6)
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    p AS (SELECT UNNEST(range(0, 64)) AS pos),
+    c AS (SELECT pos, {round_half_up_sql('AVG(ve[pos + 1])', 6)} AS m
+          FROM v CROSS JOIN p GROUP BY pos),
+    cent AS (SELECT list(m ORDER BY pos) AS cv FROM c),
+    cn AS (SELECT cv, SQRT(list_dot_product(cv, cv)) AS cnorm FROM cent)
+    SELECT vec_id, label, cos_centroid,
+           (CASE WHEN cos_centroid < {_OUTLIER_TAU} THEN 1 ELSE 0
+            END)::BIGINT AS is_outlier
+    FROM (
+        SELECT vec_id, label, {cos_r} AS cos_centroid
+        FROM v CROSS JOIN cn
+        WHERE SQRT(list_dot_product(ve, ve)) > 0 AND cnorm > 0)
+    """
+
+
+@register("q_embed_outlier", oracle=_outlier_oracle())
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID-COSINE OUTLIER SCORING of the embedding corpus — the
+    cheap first-line quality gate an embedding-curation pipeline runs
+    before anything cluster-shaped: a vector pointing away from the
+    corpus centroid (cosine < -0.15, _OUTLIER_TAU) is a corrupted
+    decode, an
+    off-distribution scrape, or an encoder failure, and flagging it
+    costs two map passes.  Output: one row per admitted vector
+    ``(vec_id, label, cos_centroid, is_outlier)``, every value
+    hash-verified.
+
+    Cross-engine determinism (the q_embed_pca discipline): the
+    centroid is the per-dimension mean rounded with the FLOOR
+    half-up form (functions.round_half_up — bit-identical in any
+    IEEE engine), the centroid NORM is a sequential Python fold over
+    the 64 rounded means (bit-identical to DuckDB's
+    list_dot_product fold), and the per-vector cosine is
+    ``F.aggregate``'s sequential fold against 64 literal doubles
+    with the SAME division/multiplication order as the oracle, so
+    the only cross-engine jitter left is the pre-rounding mean (the
+    accepted q_agg_vector_mean risk).  The outlier flag compares the
+    ROUNDED cosine so the cut cannot straddle engines.
+
+    Scale shape: build = one scan collapsing map-side to 64 mean
+    cells (bounded 64-row collect — the kmeans-centroid discipline);
+    serve = one scan, ZERO shuffles, the cosine fused into
+    whole-stage codegen as a fold over literal doubles (no join, no
+    UDF).  At 100 TB: two scans total, state O(dim) — the same
+    two-pass contract as q_embed_pca, one pass cheaper than any
+    clustering-based outlier gate."""
+    import math
+
+    em = _admitted_embeddings(spark, sf_dir)
+    p = float(10**6)
+    rows = (
+        em.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    cv = [0.0] * 64
+    for r in rows:
+        cv[r.pos] = math.floor(r.m * p + 0.5) / p
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    cnorm = math.sqrt(acc)
+
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+    dot = F.aggregate(
+        F.zip_with(dbl, lit_cv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(dbl, dbl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cos_r = round_half_up(dot / (vnorm * F.lit(cnorm)), 6)
+    scored = em.where(vnorm > 0).select(
+        "vec_id", "label", cos_r.alias("cos_centroid")
+    )
+    if cnorm <= 0:  # degenerate corpus: centroid at origin — no scores
+        scored = scored.where(F.lit(False))
+    return scored.select(
+        "vec_id", "label", "cos_centroid",
+        F.when(F.col("cos_centroid") < F.lit(_OUTLIER_TAU), 1)
+        .otherwise(0).cast("long").alias("is_outlier"),
+    )
+
+
+#: Boilerplate gate: a word-3-gram is HOT when its document frequency
+#: reaches max(5, ceil(n_docs / 500)) — corpus-relative so the hot set
+#: stays bounded as the corpus grows (≤ avg-grams-per-doc × 500
+#: entries regardless of corpus size: each hot shingle needs
+#: n_docs/500 supporting docs, and docs contribute a fixed gram
+#: budget), absolute-floored so tiny corpora don't call everything
+#: hot.  The DIVISION form (n/500.0, not 0.002·n) keeps the threshold
+#: engine-exact: multiplying by the inexact double 0.002 lands
+#: 0.002·500 an ulp ABOVE 1.0 and CEIL flips between engines' const
+#: folding; dividing by the exact double 500.0 cannot.
+_BOILER_DENOM = 500.0
+_BOILER_FLOOR = 5
+_BOILER_TAU = 0.2
+
+
+def _boilerplate_oracle() -> str:
+    frac = round_half_up_sql("per.hot_n3 / CAST(per.n3 AS DOUBLE)", 6)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w) - 1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g3
+          FROM w),
+    nd AS (SELECT GREATEST({_BOILER_FLOOR},
+                           CEIL(COUNT(*) / {_BOILER_DENOM})) AS k
+           FROM documents),
+    dfreq AS (SELECT g3, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g3),
+    hot AS (SELECT g3 FROM dfreq, nd WHERE df >= k),
+    per AS (SELECT g.doc_id, COUNT(*) AS n3,
+                   SUM(CASE WHEN h.g3 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS hot_n3
+            FROM g LEFT JOIN hot h USING (g3)
+            GROUP BY g.doc_id)
+    SELECT doc_id, n3, hot_n3, boilerplate_frac,
+           (CASE WHEN boilerplate_frac >= {_BOILER_TAU} THEN 1 ELSE 0
+            END)::BIGINT AS flagged
+    FROM (
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n3, 0) AS BIGINT) AS n3,
+               CAST(COALESCE(per.hot_n3, 0) AS BIGINT) AS hot_n3,
+               CASE WHEN COALESCE(per.n3, 0) > 0 THEN {frac}
+                    ELSE 0.0 END AS boilerplate_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+    """
+
+
+@register("q_text_boilerplate", oracle=_boilerplate_oracle())
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-LEVEL BOILERPLATE FRACTION per document — the Gopher /
+    C4 filter family's cross-document member: the fraction of a doc's
+    word-3-gram OCCURRENCES that are corpus-hot (df ≥ max(5,
+    ⌈n_docs/500⌉)).  Within-doc repetition (q_text_repetition) catches
+    a doc stuttering against itself; THIS catches navigation chrome,
+    license headers, templated spam — text repeated ACROSS documents
+    that per-doc statistics cannot see.  Output: (doc_id, n3, hot_n3,
+    boilerplate_frac, flagged), every value hash-verified.
+
+    Scale shape: the df aggregate is the one unavoidable shuffle (the
+    same postings aggregate tf-idf runs); the HOT SET after the
+    corpus-relative cut is bounded by construction — a hot shingle
+    needs n_docs/500 supporting docs, so the hot set is at most
+    500 × (total grams / n_docs) ≈ 500 × avg-grams-per-doc entries NO
+    MATTER how large the corpus grows — and therefore rides a
+    BROADCAST join back onto the occurrence stream (plan-pinned): the
+    per-doc scoring pass never shuffles row-scale data.  The final
+    doc_id reattach (docs with <3 words must still report 0.0) joins
+    ids only.  The shingle explode is recomputed on the scoring pass
+    rather than materialized: the exploded relation is ~3× corpus
+    size, and a second map-side explode is cheaper than writing it."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(text.word_shingles("text", 3)).alias("g3")
+    )
+    k_rel = docs.select(
+        F.greatest(
+            F.lit(_BOILER_FLOOR),
+            F.ceil(F.count(F.lit(1)) / F.lit(_BOILER_DENOM)),
+        ).alias("k")
+    )
+    dfreq = (
+        g.distinct()
+        .groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hot = (
+        dfreq.crossJoin(F.broadcast(k_rel))
+        .where(F.col("df") >= F.col("k"))
+        .select("g3", F.lit(1).alias("__hot"))
+    )
+    per = (
+        g.join(F.broadcast(hot), "g3", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n3"),
+            F.sum(F.coalesce("__hot", F.lit(0))).alias("hot_n3"),
+        )
+    )
+    joined = docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n3", F.lit(0)).cast("long").alias("n3"),
+        F.coalesce("hot_n3", F.lit(0)).cast("long").alias("hot_n3"),
+        F.when(
+            F.coalesce("n3", F.lit(0)) > 0,
+            round_half_up(
+                F.col("hot_n3").cast("double")
+                / F.col("n3").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("boilerplate_frac"),
+    )
+    return joined.select(
+        "doc_id", "n3", "hot_n3", "boilerplate_frac",
+        F.when(F.col("boilerplate_frac") >= F.lit(_BOILER_TAU), 1)
+        .otherwise(0).cast("long").alias("flagged"),
+    )

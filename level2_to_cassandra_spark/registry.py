@@ -87,6 +87,14 @@ DRIVER_ORDER = (
     # by q_window_lag (3 lifetime rows; still locally oracle-checked
     # every run, rotates back next round) -------------------------------
     "q_embed_pca",
+    # -- NEW in r12 (mid-round): centroid-cosine outlier gate and the
+    # corpus-level hot-3-gram boilerplate fraction — first driver rows.
+    # Slots freed by q_agg_conditional / q_agg_distinct (4 lifetime
+    # rows each, last green r09 — the thickest movable confirmations;
+    # both remain locally oracle-checked every run and rejoin the
+    # rotation head with the other r09 names next round) ---------------
+    "q_embed_outlier",
+    "q_text_boilerplate",
     # -- r11 first rows (1 lifetime row each; hold until >=2) -----------
     "q_dedup_multimodal",
     "q_text_containment",
@@ -117,9 +125,7 @@ DRIVER_ORDER = (
     # negative float32 to -0.0 on the DuckDB side; fixed with
     # round_signless on all four rounded columns) ------------------------
     "q_agg_bitmap_distinct",
-    "q_agg_conditional",
     "q_agg_cube",
-    "q_agg_distinct",
     "q_agg_pivot",
     "q_agg_salted",
     "q_agg_stats",
@@ -149,7 +155,11 @@ DRIVER_ORDER = (
     # Everything below holds >=2 lifetime driver-green rows and is
     # still oracle-checked by the local replica harness every run;
     # ordered stalest-first so the next rotation reads off the top.
-    # -- last driver-green r09 (the 11 thickest r09 confirmations) --------
+    # -- last driver-green r09 (the 13 thickest r09 confirmations;
+    # q_agg_conditional / q_agg_distinct moved here mid-r12 to free
+    # cap slots for q_embed_outlier / q_text_boilerplate) -----------------
+    "q_agg_conditional",
+    "q_agg_distinct",
     "q_agg_percentile",
     "q_agg_rollup",
     "q_join_broadcast",

@@ -1786,3 +1786,69 @@ def test_containment_cap_inert_at_driver_sf(spark):
         ).collect()
     }
     assert capped == plain and plain  # non-vacuous
+
+
+def test_outlier_flags_constructed_directions(spark):
+    """q_embed_outlier semantics on a constructed corpus: vectors
+    aligned WITH the bulk score cosine ≈ 1 and pass; a vector pointing
+    AWAY from the centroid scores below the -0.15 cut and flags.  Also
+    pins the admission filter: NULL / wrong-length / element-NULL
+    vectors are excluded from both the centroid and the output."""
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_embed_outlier
+
+    base = [1.0] + [0.0] * 63
+    anti = [-1.0] + [0.0] * 63
+    rows = [(i, base, 0) for i in range(9)] + [(9, anti, 1)]
+    rows += [(10, None, 0), (11, [1.0, 2.0], 0),
+             (12, [None] + [0.0] * 63, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.vec_id: r for r in q_embed_outlier(spark, d).collect()}
+    assert set(out) == set(range(10))  # 10-12 not admitted
+    assert out[9].is_outlier == 1 and out[9].cos_centroid < -0.15
+    for i in range(9):
+        assert out[i].is_outlier == 0 and out[i].cos_centroid > 0.9
+
+
+def test_boilerplate_flags_constructed_corpus(spark):
+    """q_text_boilerplate semantics on a constructed corpus: a
+    3-gram repeated across >= 5 docs (the floor threshold at tiny
+    n_docs) counts as hot in EVERY doc containing it, occurrences
+    counted with multiplicity; unique text contributes zero; docs with
+    fewer than 3 words report n3 = 0 and frac = 0.0."""
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_text_boilerplate
+
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} words{i} here{i}", "en", "s", 0)
+            for i in range(5)]
+    rows.append((5, f"{boiler} {boiler}", "en", "s", 0))  # 4 grams, 2 hot
+    rows.append((6, "totally fresh text body", "en", "s", 0))
+    rows.append((7, "too short", "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in q_text_boilerplate(spark, d).collect()}
+    assert len(out) == 8
+    # "all rights reserved" appears in docs 0-5 → df = 6 >= 5 → hot
+    for i in range(5):
+        assert out[i].hot_n3 == 1 and out[i].n3 == 4
+        assert out[i].flagged == (1 if out[i].boilerplate_frac >= 0.2
+                                  else 0)
+    # doc 5: "a r r a r r" → grams at every position; the two copies
+    # of the hot gram both count (multiplicity)
+    assert out[5].n3 == 4 and out[5].hot_n3 == 2
+    assert out[5].boilerplate_frac == 0.5 and out[5].flagged == 1
+    assert out[6].hot_n3 == 0 and out[6].flagged == 0
+    assert out[7].n3 == 0 and out[7].boilerplate_frac == 0.0

@@ -808,3 +808,36 @@ def test_multimodal_gate_no_cartesian_id_only_assembly(spark):
                    "simple")
     assert "Scan parquet" in plan
     assert "Join" not in plan and "MapInPandas" not in plan
+
+
+def test_outlier_serve_scan_only_no_python(spark):
+    """q_embed_outlier's RETURNED plan is the scoring pass only: one
+    embeddings scan feeding a codegen'd cosine fold against 64 literal
+    centroid doubles — no join, no shuffle, no Python node (the
+    64-cell centroid build is a separate bounded-collect job; the
+    serve plan must carry none of its residue)."""
+    plan = plan_of(all_queries()["q_embed_outlier"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    """q_text_boilerplate's scale claim: the hot-shingle set (bounded
+    by construction under the corpus-relative df cut) joins the
+    occurrence stream as a BROADCAST — the per-doc scoring pass must
+    never shuffle the exploded corpus for the hot probe, and nothing
+    in the plan may be a cartesian (the 1-row threshold relation rides
+    a broadcast nested loop, which is the broadcast of a single row,
+    not a row-scale cartesian)."""
+    plan = plan_of(all_queries()["q_text_boilerplate"].fn(spark, SF),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    hot_probe_shuffles = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "g3" in ln
+    ]
+    assert not hot_probe_shuffles, hot_probe_shuffles
