@@ -1951,3 +1951,88 @@ def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
         schema=("i long, j long, sxy double, sxi double, syj double, "
                 "cnt long"),
     )
+
+
+def admit_predicate(dim: int, vec_col: str = "embedding") -> Column:
+    """The vector admission predicate shared by every moment/centroid
+    computation (q_embed_covariance / _pca / _outlier and the
+    streaming outlier gate): non-NULL, correct length, no NULL
+    elements.  NEVER evaluates to SQL NULL — ``isNotNull()`` is false
+    (not null) for a NULL vector and ``false AND x`` is false for any
+    x — so ``where(~pred)`` selects exactly the rejected rows (a
+    nullable predicate would silently drop NULL-vector rows from BOTH
+    sides of the split)."""
+    c = F.col(vec_col)
+    return (
+        c.isNotNull()
+        & (F.size(c) == dim)
+        & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
+def centroid_stats(em: DataFrame, dim: int = 64,
+                   vec_col: str = "embedding") -> tuple[list[float], float]:
+    """The FROZEN corpus centroid for cosine gating: per-dimension
+    means over admitted vectors, each rounded with the FLOOR half-up
+    form (functions.round_half_up's arithmetic — bit-identical in any
+    IEEE engine), plus the centroid norm as a SEQUENTIAL Python fold
+    over the rounded means (bit-identical to DuckDB's
+    list_dot_product fold — the q_embed_pca parity discipline).  One
+    scan collapsing map-side to ``dim`` mean cells; the collect is
+    the bounded kmeans-centroid pattern.  Shared by q_embed_outlier
+    (queries/llm.py) and the streaming outlier gate
+    (streaming/monitor.py::foreach_batch_with_outlier_gate) so batch
+    and stream score against the SAME arithmetic by construction."""
+    import math
+
+    p = float(10**6)
+    rows = (
+        em.where(admit_predicate(dim, vec_col))
+        .select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    cv = [0.0] * dim
+    for r in rows:
+        cv[r.pos] = math.floor(r.m * p + 0.5) / p
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    return cv, math.sqrt(acc)
+
+
+def centroid_cosine(cv: list[float], cnorm: float,
+                    vec_col: str = "embedding") -> Column:
+    """Rounded cosine of a vector column against a frozen centroid:
+    ``F.aggregate``'s sequential fold over ``zip_with`` products
+    against ``len(cv)`` LITERAL doubles — whole-stage codegen, no
+    join, no shuffle, no Python — with the exact division /
+    multiplication order the DuckDB oracle uses
+    (``dot / (|v| · cnorm)``), rounded with the FLOOR half-up form.
+    NULL/short vectors fold to a NULL or wrong-sized product — callers
+    gate with :func:`admit_predicate` first."""
+    from level2_to_cassandra_spark.functions import round_half_up
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+    dot = F.aggregate(
+        F.zip_with(dbl, lit_cv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    vn = vector_norm(vec_col)
+    return round_half_up(dot / (vn * F.lit(float(cnorm))), 6)
+
+
+def vector_norm(vec_col: str = "embedding") -> Column:
+    """Euclidean norm of a vector column via the same sequential
+    codegen'd fold as :func:`centroid_cosine`'s dot product."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(dbl, dbl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )

@@ -1950,9 +1950,7 @@ def _admitted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     poison the global sums while DuckDB's SUM silently skips the NULL
     product, ADVICE r11)."""
     return load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == 64)
-        & ~F.exists("embedding", lambda x: x.isNull())
+        similarity.admit_predicate(64)
     )
 
 
@@ -2964,42 +2962,20 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen as a fold over literal doubles (no join, no
     UDF).  At 100 TB: two scans total, state O(dim) — the same
     two-pass contract as q_embed_pca, one pass cheaper than any
-    clustering-based outlier gate."""
-    import math
+    clustering-based outlier gate.
 
-    em = _admitted_embeddings(spark, sf_dir)
-    p = float(10**6)
-    rows = (
-        em.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .collect()
-    )
-    cv = [0.0] * 64
-    for r in rows:
-        cv[r.pos] = math.floor(r.m * p + 0.5) / p
-    acc = 0.0
-    for x in cv:
-        acc = acc + x * x
-    cnorm = math.sqrt(acc)
-
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    lit_cv = F.array(*[F.lit(float(x)) for x in cv])
-    dot = F.aggregate(
-        F.zip_with(dbl, lit_cv, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.zip_with(dbl, dbl, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    cos_r = round_half_up(dot / (vnorm * F.lit(cnorm)), 6)
-    scored = em.where(vnorm > 0).select(
-        "vec_id", "label", cos_r.alias("cos_centroid")
+    The centroid/cosine arithmetic lives in
+    operators/similarity.py::centroid_stats / centroid_cosine, SHARED
+    with the streaming gate
+    (streaming/monitor.py::foreach_batch_with_outlier_gate) so batch
+    and stream score identically by construction."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cv, cnorm = similarity.centroid_stats(em, dim=64)
+    cos_r = similarity.centroid_cosine(cv, cnorm)
+    scored = (
+        em.where(similarity.admit_predicate(64))
+        .where(similarity.vector_norm() > 0)
+        .select("vec_id", "label", cos_r.alias("cos_centroid"))
     )
     if cnorm <= 0:  # degenerate corpus: centroid at origin — no scores
         scored = scored.where(F.lit(False))

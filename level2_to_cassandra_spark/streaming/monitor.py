@@ -413,3 +413,111 @@ def read_covariance(spark, base_path: str,
     return agg.select(
         "i", "j", cov.alias("cov"), F.col("n").cast("long").alias("n")
     )
+
+
+#: Outlier-gate quarantine schema: one row per REJECTED asset per
+#: batch — the scored cosine for distribution outliers, NULL for
+#: vectors the admission filter refused to score.
+OUTLIER_GATE_SCHEMA = (
+    "batch_id long, vec_id long, cos_centroid double, reason string"
+)
+
+
+def outlier_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the drift_path
+    discipline."""
+    return f"{base}/_embed_outliers"
+
+
+def foreach_batch_with_outlier_gate(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    centroid: list[float],
+    cnorm: float,
+    tau: float = -0.15,
+    stream: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with the CENTROID-COSINE
+    OUTLIER GATE — the streaming twin of q_embed_outlier
+    (queries/llm.py): each micro-batch is scored against a FROZEN
+    centroid (``centroid``/``cnorm`` from
+    operators/similarity.py::centroid_stats over the reference
+    corpus — the same frozen-reference discipline as the drift
+    monitors) and split three ways:
+
+    * rows the admission filter accepts whose rounded cosine clears
+      ``tau`` flow to the wrapped sink UNCHANGED (original columns);
+    * admitted rows scoring BELOW ``tau`` are quarantined with their
+      cosine (``reason='outlier'``);
+    * rows the filter refuses (NULL / wrong-length / element-NULL /
+      zero-norm vectors — exactly the rows the batch query excludes)
+      are quarantined unscored (``reason='malformed'``).
+
+    Scoring is operators/similarity.py::centroid_cosine — the SAME
+    codegen'd fold over literal doubles the batch query runs, so gate
+    and query agree bit-for-bit on every admitted vector
+    (parity-pinned by
+    test_streaming_outlier_gate_parity_with_registered_query).  The
+    split predicates are null-safe by admit_predicate's construction,
+    so the three legs PARTITION the batch: nothing is dropped, nothing
+    lands twice.
+
+    Cost: the batch is persisted and shared by the three legs; per
+    batch the added work is two map-side folds (cosine + norm) over
+    the batch — zero shuffles, zero Python, O(dim) frozen state.
+    Delivery follows the monitor discipline: the quarantine append
+    runs AFTER the wrapped write inside the same at-least-once
+    attempt, so replays duplicate quarantine rows and readers dedup
+    on (batch_id, vec_id)."""
+    from level2_to_cassandra_spark.operators.similarity import (
+        admit_predicate,
+        centroid_cosine,
+        vector_norm,
+    )
+
+    cos_r = centroid_cosine(centroid, cnorm, vec_col)
+    scoreable = admit_predicate(dim, vec_col) & (vector_norm(vec_col) > 0)
+    if cnorm <= 0:  # degenerate reference: nothing is scoreable
+        scoreable = F.lit(False)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            scored = batch_df.withColumn("__cos", cos_r)
+            inner(
+                batch_df.where(scoreable & (cos_r >= F.lit(tau))),
+                batch_id,
+            )
+            quarantined = scored.where(
+                scoreable & (F.col("__cos") < F.lit(tau))
+            ).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col("__cos").alias("cos_centroid"),
+                F.lit("outlier").alias("reason"),
+            ).unionByName(
+                batch_df.where(~scoreable).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    F.col(id_col).cast("long").alias("vec_id"),
+                    F.lit(None).cast("double").alias("cos_centroid"),
+                    F.lit("malformed").alias("reason"),
+                )
+            )
+            quarantined.coalesce(1).write.mode("append").parquet(
+                f"{outlier_path(base_path)}/{stream}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_outlier_quarantine(spark, base_path: str,
+                            stream: str = "embeddings") -> DataFrame:
+    """Read one stream's outlier-gate quarantine table."""
+    return spark.read.schema(OUTLIER_GATE_SCHEMA).parquet(
+        f"{outlier_path(base_path)}/{stream}"
+    )

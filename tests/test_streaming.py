@@ -1486,3 +1486,117 @@ def test_streaming_multimodal_admit_null_text_seed_still_rejects(
     foreach_batch_multimodal_admit(admitted_path, store)(batch, 0)
     got = {r.doc_id for r in spark.read.parquet(admitted_path).collect()}
     assert got == {11}
+
+
+def test_streaming_outlier_gate_parity_with_registered_query(
+        spark, tmp_path):
+    """foreach_batch_with_outlier_gate must reproduce q_embed_outlier
+    exactly when the centroid is frozen from the corpus the stream
+    replays: clean-leg ids = the query's non-flagged rows, quarantine
+    'outlier' rows = the flagged rows WITH the same rounded cosines —
+    the fold-form parity discipline binding the gate to the
+    hash-verified batch spec.  The three legs must PARTITION the
+    batch (nothing dropped, nothing duplicated)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators.similarity import (
+        centroid_stats,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_outlier_gate,
+        read_outlier_quarantine,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    em = load_table(spark, sf_smoke, "embeddings")
+    cv, cnorm = centroid_stats(em, dim=64)
+
+    src = str(tmp_path / "src")
+    em.coalesce(1).write.parquet(src)
+    base = str(tmp_path / "sink")
+    clean_path = str(tmp_path / "clean")
+    cb = foreach_batch_with_outlier_gate(
+        lambda df, bid: df.write.mode("append").parquet(clean_path),
+        base, cv, cnorm,
+    )
+    q = (
+        spark.readStream.schema(em.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    want = all_queries()["q_embed_outlier"].fn(spark, sf_smoke).collect()
+    want_clean = {r.vec_id for r in want if r.is_outlier == 0}
+    want_out = {r.vec_id: r.cos_centroid for r in want
+                if r.is_outlier == 1}
+    assert want_out, "fixture must flag at least one outlier"
+
+    clean_ids = {r.vec_id for r in spark.read.parquet(clean_path)
+                 .collect()}
+    assert clean_ids == want_clean
+    qrows = read_outlier_quarantine(spark, base).collect()
+    got_out = {r.vec_id: r.cos_centroid for r in qrows
+               if r.reason == "outlier"}
+    assert got_out == want_out
+    # partition law: batch rows the query admitted land exactly once
+    n_total = em.count()
+    n_malformed = sum(1 for r in qrows if r.reason == "malformed")
+    assert len(clean_ids) + len(got_out) + n_malformed == n_total
+
+
+def test_streaming_outlier_gate_routes_malformed(spark, tmp_path):
+    """Routing semantics on a constructed batch: aligned vectors pass
+    to the inner sink, the anti-aligned vector quarantines with its
+    cosine, and NULL / wrong-length / element-NULL / zero-norm vectors
+    quarantine unscored as 'malformed' — the exact rows the batch
+    query silently excludes become auditable at the ingest boundary."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_outlier_gate,
+        read_outlier_quarantine,
+    )
+
+    base_v = [1.0] + [0.0] * 63
+    anti_v = [-1.0] + [0.0] * 63
+    rows = [(i, base_v, 0) for i in range(9)] + [(9, anti_v, 1)]
+    rows += [(10, None, 0), (11, [1.0, 2.0], 0),
+             (12, [None] + [0.0] * 63, 0), (13, [0.0] * 64, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    from level2_to_cassandra_spark.operators.similarity import (
+        centroid_stats,
+    )
+    cv, cnorm = centroid_stats(df, dim=64)
+    base = str(tmp_path / "sink")
+    clean_path = str(tmp_path / "clean")
+    cb = foreach_batch_with_outlier_gate(
+        lambda d, bid: d.write.mode("append").parquet(clean_path),
+        base, cv, cnorm,
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_path).collect()
+    assert {r.vec_id for r in clean} == set(range(9))
+    assert clean[0].embedding is not None  # original columns intact
+    qrows = {r.vec_id: r for r in
+             read_outlier_quarantine(spark, base).collect()}
+    assert set(qrows) == {9, 10, 11, 12, 13}
+    assert qrows[9].reason == "outlier" and qrows[9].cos_centroid < -0.15
+    for vid in (10, 11, 12, 13):
+        assert qrows[vid].reason == "malformed"
+        assert qrows[vid].cos_centroid is None
