@@ -123,6 +123,11 @@ HEADLINE = [
     "q_embed_pca",           # covariance → power iteration → projection
     "q_text_containment",    # asymmetric shingle containment pairs
     "q_dedup_incremental_multimodal",  # cross-modal admit at ingest
+    # r12 additions
+    "q_embed_outlier",       # centroid-cosine outlier gate (2 scans)
+    "q_text_boilerplate",    # corpus-hot 3-gram fraction (bcast hot set)
+    "q_text_zipf",           # frequency-spectrum power-law fit
+    "q_embed_separation",    # per-label between/within scatter audit
 ]
 
 

@@ -3101,3 +3101,208 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("boilerplate_frac") >= F.lit(_BOILER_TAU), 1)
         .otherwise(0).cast("long").alias("flagged"),
     )
+
+
+def _zipf_oracle() -> str:
+    slope = round_half_up_sql(
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)
+    intercept = round_half_up_sql(
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)
+    return f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    freq AS (SELECT term, SUM(tf) AS f FROM tf GROUP BY term),
+    spec AS (SELECT f, COUNT(*) AS n_terms FROM freq GROUP BY f),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(LN(f)) AS sx, SUM(LN(n_terms)) AS sy,
+                 SUM(LN(f) * LN(n_terms)) AS sxy,
+                 SUM(LN(f) * LN(f)) AS sxx
+          FROM spec),
+    fit AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE {slope} END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE {intercept} END AS intercept
+            FROM s)
+    SELECT CAST(f AS BIGINT) AS f, CAST(n_terms AS BIGINT) AS n_terms,
+           slope, intercept
+    FROM spec CROSS JOIN fit
+    """
+
+
+@register("q_text_zipf", oracle=_zipf_oracle())
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF FREQUENCY-SPECTRUM FIT of the corpus vocabulary — the
+    corpus-statistics sanity check a curation pipeline runs after any
+    big dedup/filter pass: natural text keeps a power-law frequency
+    spectrum (many singletons, few hot terms; log-log slope ≈ -2 by
+    Zipf's law for the spectrum), while templated/duplicated corpora
+    flatten it.  Output: the full (f, n_terms) spectrum — n_terms =
+    how many distinct terms occur exactly f times — with the fitted
+    log-log slope/intercept broadcast onto every row, all
+    hash-verified.
+
+    The SPECTRUM form is the scale trick: the classic rank-frequency
+    Zipf plot needs a GLOBAL ordering of the vocabulary (a
+    single-reducer sort at corpus scale); the frequency-of-frequencies
+    spectrum is the same power law re-parameterized (slope_spec =
+    -(1/slope_rank) - 1) and needs only two hash aggregates —
+    corpus → term totals (vocabulary-sized, the tf-idf postings
+    aggregate this query serves from) → spectrum (≤ #distinct
+    frequencies rows: TINY — max term frequency bounds it).  The fit
+    is a closed-form least squares over the spectrum's log points,
+    computed from five sums in ONE aggregate over that tiny relation —
+    identical formula text on both engines, rounded half-up; LN's
+    last-ulp libm differences are absorbed by the rounding.
+
+    Serves from the session's materialized term-frequency staging
+    table (_tf_relation — shared with q_text_tfidf /
+    q_text_more_like_this), so the corpus is not re-tokenized."""
+    tf = _tf_relation(spark, sf_dir)
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    spec = (
+        freq.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .select(
+            F.col("f").cast("long").alias("f"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+    )
+    lx, ly = F.log(F.col("f")), F.log(F.col("n_terms"))
+    s = spec.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_raw = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / den
+    fit = s.select(
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(round_half_up(slope_raw, 6)).alias("slope"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(round_half_up(
+            (F.col("sy") - slope_raw * F.col("sx")) / F.col("n"), 6
+        )).alias("intercept"),
+    )
+    return spec.crossJoin(F.broadcast(fit))
+
+
+def _separation_oracle() -> str:
+    d2 = ("list_dot_product("
+          "list_transform(range(1, 65), i -> ve[i] - mv[i]), "
+          "list_transform(range(1, 65), i -> ve[i] - mv[i]))")
+    b2 = ("list_dot_product("
+          "list_transform(range(1, 65), i -> mv[i] - gv[i]), "
+          "list_transform(range(1, 65), i -> mv[i] - gv[i]))")
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            AND label IS NOT NULL),
+    p AS (SELECT UNNEST(range(0, 64)) AS pos),
+    cl AS (SELECT label, pos,
+                  {round_half_up_sql('AVG(ve[pos + 1])', 6)} AS m
+           FROM v CROSS JOIN p GROUP BY label, pos),
+    cg AS (SELECT pos, {round_half_up_sql('AVG(ve[pos + 1])', 6)} AS m
+           FROM v CROSS JOIN p GROUP BY pos),
+    clv AS (SELECT label, list(m ORDER BY pos) AS mv FROM cl
+            GROUP BY label),
+    cgv AS (SELECT list(m ORDER BY pos) AS gv FROM cg),
+    within AS (SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n,
+                      {round_half_up_sql('AVG(' + d2 + ')', 6)}
+                          AS within_var
+               FROM v JOIN clv USING (label) GROUP BY v.label),
+    btw AS (SELECT label, {round_half_up_sql(b2, 6)} AS between_sq
+            FROM clv CROSS JOIN cgv)
+    SELECT w.label, w.n, w.within_var, b.between_sq,
+           CASE WHEN w.within_var = 0 THEN 0.0
+                ELSE {round_half_up_sql(
+                    'b.between_sq / w.within_var', 6)} END AS separation
+    FROM within w JOIN btw b USING (label)
+    """
+
+
+@register("q_embed_separation", oracle=_separation_oracle())
+def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-SEPARABILITY AUDIT of a labeled embedding corpus — the
+    Fisher-style diagnostic a curation pipeline runs before trusting
+    labels as a sampling/stratification signal: per label, the
+    BETWEEN-class scatter (squared distance from the label centroid
+    to the global centroid) over the WITHIN-class scatter (mean
+    squared distance of members to their centroid).  Separation near
+    zero = the label carries no geometric signal (mislabeled cohort,
+    collapsed encoder); large = tight, well-placed cluster.  Output:
+    one row per label ``(label, n, within_var, between_sq,
+    separation)``, every value hash-verified.
+
+    Cross-engine determinism: both centroid tiers are FLOOR-half-up
+    rounded means (the q_embed_pca discipline); between_sq is a
+    sequential fold over the 64 rounded means on both sides (Python
+    here, list_dot_product there — verified bit-identical); per-row
+    within distances fold sequentially too, and only their AVERAGE is
+    emitted, rounded, so row-order summation jitter is absorbed.
+
+    Scale shape: two map-side mean aggregates ((label × 64) + 64
+    cells — both bounded collects), then ONE corpus pass scoring each
+    row against its label centroid via a BROADCAST join on label (the
+    centroid lookup is #labels rows) and a codegen'd fold — zero
+    row-scale shuffles beyond the one (label) aggregate of partial
+    sums.  At 100 TB: two scans, state O(#labels · dim)."""
+    import math
+
+    em = load_table(spark, sf_dir, "embeddings").where(
+        similarity.admit_predicate(64) & F.col("label").isNotNull()
+    )
+    p = float(10**6)
+    lrows = (
+        em.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    by_label: dict[int, list[float]] = {}
+    for r in lrows:
+        by_label.setdefault(r.label, [0.0] * 64)[r.pos] = (
+            math.floor(r.m * p + 0.5) / p
+        )
+    gv, _ = similarity.centroid_stats(em, dim=64)
+
+    cent_rows = []
+    for lab, mv in sorted(by_label.items()):
+        acc = 0.0
+        for i in range(64):
+            d = mv[i] - gv[i]
+            acc = acc + d * d
+        cent_rows.append((lab, mv, math.floor(acc * p + 0.5) / p))
+    cents = em.sparkSession.createDataFrame(
+        cent_rows, "label int, mv array<double>, between_sq double"
+    )
+
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(dbl, F.col("mv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    within = (
+        em.join(F.broadcast(cents), "label")
+        .groupBy("label", "between_sq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            round_half_up(F.avg(d2), 6).alias("within_var"),
+        )
+    )
+    return within.select(
+        "label", "n", "within_var", "between_sq",
+        F.when(F.col("within_var") == 0, F.lit(0.0))
+        .otherwise(round_half_up(
+            F.col("between_sq") / F.col("within_var"), 6
+        )).alias("separation"),
+    )

@@ -87,14 +87,18 @@ DRIVER_ORDER = (
     # by q_window_lag (3 lifetime rows; still locally oracle-checked
     # every run, rotates back next round) -------------------------------
     "q_embed_pca",
-    # -- NEW in r12 (mid-round): centroid-cosine outlier gate and the
-    # corpus-level hot-3-gram boilerplate fraction — first driver rows.
-    # Slots freed by q_agg_conditional / q_agg_distinct (4 lifetime
-    # rows each, last green r09 — the thickest movable confirmations;
-    # both remain locally oracle-checked every run and rejoin the
-    # rotation head with the other r09 names next round) ---------------
+    # -- NEW in r12 (mid-round): centroid-cosine outlier gate, the
+    # corpus-level hot-3-gram boilerplate fraction, the Zipf
+    # frequency-spectrum fit, and the class-separability audit —
+    # first driver rows.  Slots freed by q_agg_conditional /
+    # q_agg_distinct / q_agg_salted / q_dedup_lww (4 lifetime rows
+    # each, last green r09 — the thickest movable confirmations; all
+    # remain locally oracle-checked every run and rejoin the rotation
+    # head with the other r09 names next round) -------------------------
     "q_embed_outlier",
     "q_text_boilerplate",
+    "q_text_zipf",
+    "q_embed_separation",
     # -- r11 first rows (1 lifetime row each; hold until >=2) -----------
     "q_dedup_multimodal",
     "q_text_containment",
@@ -127,12 +131,10 @@ DRIVER_ORDER = (
     "q_agg_bitmap_distinct",
     "q_agg_cube",
     "q_agg_pivot",
-    "q_agg_salted",
     "q_agg_stats",
     "q_contamination",
     "q_curate_corpus",
     "q_dedup_cluster",
-    "q_dedup_lww",
     "q_filter_predicates",
     "q_join_anti",
     "q_join_cross",
@@ -155,13 +157,16 @@ DRIVER_ORDER = (
     # Everything below holds >=2 lifetime driver-green rows and is
     # still oracle-checked by the local replica harness every run;
     # ordered stalest-first so the next rotation reads off the top.
-    # -- last driver-green r09 (the 13 thickest r09 confirmations;
-    # q_agg_conditional / q_agg_distinct moved here mid-r12 to free
-    # cap slots for q_embed_outlier / q_text_boilerplate) -----------------
+    # -- last driver-green r09 (the 15 thickest r09 confirmations;
+    # q_agg_conditional / q_agg_distinct / q_agg_salted / q_dedup_lww
+    # moved here mid-r12 to free cap slots for q_embed_outlier /
+    # q_text_boilerplate / q_text_zipf / q_embed_separation) --------------
     "q_agg_conditional",
     "q_agg_distinct",
     "q_agg_percentile",
     "q_agg_rollup",
+    "q_agg_salted",
+    "q_dedup_lww",
     "q_join_broadcast",
     "q_join_outer",
     "q_join_range",

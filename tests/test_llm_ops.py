@@ -1852,3 +1852,64 @@ def test_boilerplate_flags_constructed_corpus(spark):
     assert out[5].boilerplate_frac == 0.5 and out[5].flagged == 1
     assert out[6].hot_n3 == 0 and out[6].flagged == 0
     assert out[7].n3 == 0 and out[7].boilerplate_frac == 0.0
+
+
+def test_zipf_fits_exact_power_law_corpus(spark):
+    """q_text_zipf on a corpus engineered to an EXACT power-law
+    spectrum — one term at frequency 4, two at 2, four at 1 gives
+    spectrum points (1,4), (2,2), (4,1), colinear in log-log with
+    slope exactly -1 and intercept ln 4 — so the least-squares fit
+    must recover them to rounding precision, and the spectrum rows
+    must be the exact frequency-of-frequencies counts."""
+    import math
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_text_zipf
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c c d e f g", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {r.f: r for r in q_text_zipf(spark, d).collect()}
+    assert {f: rows[f].n_terms for f in rows} == {1: 4, 2: 2, 4: 1}
+    for r in rows.values():
+        assert abs(r.slope - (-1.0)) <= 1e-5
+        assert abs(r.intercept - math.log(4.0)) <= 1e-5
+
+
+def test_separation_scores_constructed_cohorts(spark):
+    """q_embed_separation on two tight, well-separated cohorts: both
+    labels must score large separation (between ≈ 1, within ≈ 0.01),
+    and NULL-label / malformed vectors are excluded from every
+    statistic."""
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_embed_separation
+
+    def vec(x0, x1):
+        return [x0, x1] + [0.0] * 62
+
+    rows = [
+        (0, vec(1.0, 0.1), 0), (1, vec(1.0, -0.1), 0),
+        (2, vec(-1.0, 0.1), 1), (3, vec(-1.0, -0.1), 1),
+        (4, vec(9.9, 9.9), None),     # NULL label: excluded
+        (5, [1.0, 2.0], 0),           # wrong length: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.label: r for r in q_embed_separation(spark, d).collect()}
+    assert set(out) == {0, 1}
+    for lab in (0, 1):
+        r = out[lab]
+        assert r.n == 2
+        assert abs(r.within_var - 0.01) <= 1e-6   # ±0.1 on one axis
+        assert abs(r.between_sq - 1.0) <= 1e-6    # centroids at ±e1
+        assert r.separation > 50

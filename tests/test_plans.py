@@ -841,3 +841,32 @@ def test_boilerplate_hot_set_broadcasts(spark):
         if "SortMergeJoin" in ln and "g3" in ln
     ]
     assert not hot_probe_shuffles, hot_probe_shuffles
+
+
+def test_zipf_serves_postings_no_global_sort(spark):
+    """q_text_zipf's scale claim: the spectrum form needs NO global
+    rank ordering — the plan must contain no Sort-for-window and no
+    single-partition Exchange beyond the final 1-row fit broadcast,
+    and it must serve from the materialized tf postings table (a
+    parquet scan, not a re-tokenization Generate over documents)."""
+    from level2_to_cassandra_spark.queries.llm import _tf_relation
+
+    _tf_relation(spark, SF)  # session build, outside the serve plan
+    plan = plan_of(all_queries()["q_text_zipf"].fn(spark, SF), "simple")
+    assert "Generate" not in plan  # no explode: postings are staged
+    assert "Window" not in plan    # no rank-frequency global window
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row fit attach
+    assert "CartesianProduct" not in plan
+
+
+def test_separation_centroid_lookup_broadcasts(spark):
+    """q_embed_separation's scoring pass: the per-label centroid
+    lookup (#labels rows) must ride a BROADCAST hash join, the
+    within-distance fold must stay JVM-side (no Python node), and the
+    corpus must be scanned — not exploded — in the returned plan."""
+    plan = plan_of(all_queries()["q_embed_separation"].fn(spark, SF),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # posexplode belongs to the build
