@@ -521,3 +521,93 @@ def read_outlier_quarantine(spark, base_path: str,
     return spark.read.schema(OUTLIER_GATE_SCHEMA).parquet(
         f"{outlier_path(base_path)}/{stream}"
     )
+
+
+def vocab_store_path(base: str) -> str:
+    """The seen-term store — beside the sink, underscore-prefixed."""
+    return f"{base}/_vocab_terms"
+
+
+def foreach_batch_with_vocab_growth(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with a VOCABULARY-GROWTH
+    monitor — Heaps' law at the ingest boundary: per micro-batch, the
+    batch's distinct terms are anti-joined against the seen-term
+    store and only the UNSEEN ones are appended, keyed by the batch
+    that first contributed them.  A flattening new-term curve is the
+    signal that more of this source adds no lexical diversity — the
+    streaming complement of q_text_zipf's spectrum check.
+
+    REPLAY SEMANTICS BY CONSTRUCTION (no separate audit table to
+    de-duplicate): the store row ``(term, batch_id)`` is the only
+    state, and a replayed batch's terms are already in the store from
+    the first attempt, so its anti-join contributes nothing — the
+    growth curve (:func:`read_vocab_growth`) is DERIVED from the
+    store and is identical under at-least-once delivery; attribution
+    stays with the first-writing batch (the dedup.py write-order
+    discipline, with the store itself as the journal).
+
+    Cost: one map-side tokenize+distinct over the batch and one term
+    equi-(anti-)join against the store — batch-bounded × vocabulary,
+    never corpus; the store is vocabulary-sized (Heaps-sublinear in
+    the corpus), the same scale class as the tf postings staging
+    table.  The store append runs AFTER the wrapped write inside the
+    same attempt; the fresh-term relation is PERSISTED before the
+    append so the write never re-scans the store it is appending to
+    (the dedup.py store discipline, whose empty-store classification
+    this shares)."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+    from level2_to_cassandra_spark.operators.dedup import (
+        _read_store_or_none,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            terms = (
+                batch_df.select(
+                    F.explode(text_ops.tokens(text_col)).alias("term")
+                )
+                .distinct()
+            )
+            spark = batch_df.sparkSession
+            store = vocab_store_path(base_path)
+            seen = _read_store_or_none(spark, store)
+            if seen is not None:
+                terms = terms.join(
+                    seen.select("term"), "term", "left_anti"
+                )
+            fresh = terms.select(
+                "term", F.lit(int(batch_id)).cast("long").alias("batch_id")
+            ).persist()
+            try:
+                fresh.write.mode("append").parquet(store)
+            finally:
+                fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_vocab_growth(spark, base_path: str) -> DataFrame:
+    """Reduce the seen-term store to the growth curve: one row per
+    contributing batch ``(batch_id, n_new, vocab_size)`` with
+    vocab_size the running total — #batches rows, reduced from the
+    vocabulary-sized store with one aggregate + one tiny window."""
+    from pyspark.sql import Window as W
+
+    per = (
+        spark.read.schema("term string, batch_id long")
+        .parquet(vocab_store_path(base_path))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = W.orderBy("batch_id").rowsBetween(W.unboundedPreceding, 0)
+    return per.select(
+        "batch_id", "n_new", F.sum("n_new").over(w).alias("vocab_size")
+    )

@@ -1600,3 +1600,51 @@ def test_streaming_outlier_gate_routes_malformed(spark, tmp_path):
     for vid in (10, 11, 12, 13):
         assert qrows[vid].reason == "malformed"
         assert qrows[vid].cos_centroid is None
+
+
+def test_streaming_vocab_growth_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_vocab_growth: (a) the vocabulary after
+    streaming equals the batch engine's distinct-term count over the
+    same tokenizer; (b) a later batch contributes only UNSEEN terms,
+    attributed to the first-writing batch; (c) replaying a batch
+    through the callback contributes nothing — the growth curve is
+    at-least-once-stable by construction.  Constructed corpus: the
+    testdata fixture's unigram vocabulary is only ~31 words (fully
+    covered by a handful of docs), so growth needs controlled text."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_vocab_growth,
+        read_vocab_growth,
+    )
+
+    schema = "doc_id long, text string"
+    first = spark.createDataFrame(
+        [(0, "w0 w1 w2 w3 w4"), (1, "w3 w4 w5 w6 w7"), (2, None)],
+        schema,
+    )
+    second = spark.createDataFrame(
+        [(3, "w5 w6 w7 w8 w9"), (4, "w9 wA wB")], schema
+    )
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_vocab_growth(lambda df, bid: None, base)
+    cb(first, 0)
+    cb(second, 1)
+
+    curve = {r.batch_id: r for r in
+             read_vocab_growth(spark, base).collect()}
+    assert set(curve) == {0, 1}
+    n0 = first.select(
+        F.explode(text_ops.tokens("text")).alias("t")).distinct().count()
+    total = first.unionByName(second).select(
+        F.explode(text_ops.tokens("text")).alias("t")).distinct().count()
+    assert curve[0].n_new == n0 == 8          # w0..w7
+    assert curve[0].vocab_size == n0
+    assert curve[1].n_new == total - n0 == 4  # w8, w9, wA, wB only
+    assert curve[1].vocab_size == total == 12
+
+    # replay: batch 1 re-delivered — store and curve must not change
+    cb(second, 1)
+    again = {r.batch_id: (r.n_new, r.vocab_size) for r in
+             read_vocab_growth(spark, base).collect()}
+    assert again == {0: (n0, n0), 1: (total - n0, total)}
