@@ -1023,3 +1023,100 @@ def test_containment_pairs_lossless_on_random_corpora(spark, docs,
     assert set(tight) <= set(want)
     for pair, c in tight.items():
         assert c == want[pair]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(8)]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=14),
+)
+def test_boilerplate_matches_brute_force(spark, docs):
+    """q_text_boilerplate on random small-vocab corpora (dense 3-gram
+    collisions) must equal the brute force: per doc, the fraction of
+    3-gram OCCURRENCES whose corpus document frequency clears
+    max(5, ceil(n_docs/500)) — which on <=14 docs is the floor 5 —
+    with docs of <3 words reporting n3=0 / frac 0.0."""
+    import math
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_text_boilerplate
+
+    rows = [(i, " ".join(words), "en", "s", 0)
+            for i, words in enumerate(docs)]
+    grams = {
+        i: [" ".join(words[j:j + 3]) for j in range(len(words) - 2)]
+        for i, words in enumerate(docs)
+    }
+    df_of = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_of[g] = df_of.get(g, 0) + 1
+    k = max(5, math.ceil(len(rows) / 500))
+    want = {}
+    for i, gs in grams.items():
+        hot = sum(1 for g in gs if df_of[g] >= k)
+        frac = round(hot / len(gs), 9) if gs else 0.0
+        want[i] = (len(gs), hot, frac)
+
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        sdf.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n3, r.hot_n3, round(r.boilerplate_frac, 9))
+            for r in q_text_boilerplate(spark, d).collect()
+        }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    freqs=st.lists(st.integers(min_value=1, max_value=40),
+                   min_size=1, max_size=20),
+)
+def test_zipf_spectrum_matches_brute_force(spark, freqs):
+    """q_text_zipf's spectrum rows must equal the brute-force
+    frequency-of-frequencies over any term-frequency assignment, and
+    the fit must match the closed-form least squares over the
+    spectrum's log points (0.0 when the spectrum is a single point)."""
+    import math
+    import os
+    import tempfile
+
+    from level2_to_cassandra_spark.queries.llm import q_text_zipf
+
+    # one doc per term, term t{i} repeated freqs[i] times
+    rows = [(i, " ".join([f"t{i}"] * f), "en", "s", 0)
+            for i, f in enumerate(freqs)]
+    spec = {}
+    for f in freqs:
+        spec[f] = spec.get(f, 0) + 1
+    pts = [(math.log(f), math.log(n)) for f, n in spec.items()]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        slope = intercept = 0.0
+    else:
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        sdf.write.parquet(os.path.join(d, "documents.parquet"))
+        out = q_text_zipf(spark, d).collect()
+    assert {r.f: r.n_terms for r in out} == spec
+    for r in out:
+        assert abs(r.slope - slope) <= 2e-6
+        assert abs(r.intercept - intercept) <= 2e-6
