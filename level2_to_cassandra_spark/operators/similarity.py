@@ -1913,8 +1913,10 @@ def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
     would otherwise turn the GLOBAL sxy/sxi sums for its dimensions
     into NaN, silently diverging from a SQL oracle whose SUM skips
     NULL products while COUNT(*) still counts the row (ADVICE r11).
-    Callers that need exact oracle parity mirror an element-null
-    filter on both sides (q_embed_covariance does)."""
+    Since r12 callers exclude non-finite rows SYMMETRICALLY via
+    :func:`admit_predicate` (mirrored as ``isnan(x) OR isinf(x)`` in
+    the oracle CTEs), so this mask is defense-in-depth for callers
+    without an oracle, not the parity mechanism."""
     import numpy as np
     import pandas as pd
 
@@ -1955,18 +1957,28 @@ def gram_partials(df: DataFrame, dim: int, id_col: str = "vec_id",
 
 def admit_predicate(dim: int, vec_col: str = "embedding") -> Column:
     """The vector admission predicate shared by every moment/centroid
-    computation (q_embed_covariance / _pca / _outlier and the
-    streaming outlier gate): non-NULL, correct length, no NULL
-    elements.  NEVER evaluates to SQL NULL — ``isNotNull()`` is false
-    (not null) for a NULL vector and ``false AND x`` is false for any
-    x — so ``where(~pred)`` selects exactly the rejected rows (a
-    nullable predicate would silently drop NULL-vector rows from BOTH
-    sides of the split)."""
+    computation (q_embed_covariance / _pca / _outlier /
+    _separation, the streaming outlier gate, and the covariance
+    journal): non-NULL, correct length, no NULL elements, no
+    NON-FINITE elements.  The finiteness leg matters for oracle
+    parity: a stored NaN/Inf (legal in a parquet float column) would
+    poison Spark-side numpy sums where DuckDB's SUM propagates it
+    differently, and an Inf mean crashes the driver-side FLOOR
+    rounding — excluding the row identically on both engine sides
+    (``isnan(x) OR isinf(x)`` in the oracle CTEs) keeps every moment
+    query comparable.  NEVER evaluates to SQL NULL — ``isNotNull()``
+    is false (not null) for a NULL vector, ``false AND x`` is false
+    for any x, and the NULL-element disjunct runs before the
+    finiteness test can see a NULL — so ``where(~pred)`` selects
+    exactly the rejected rows (a nullable predicate would silently
+    drop NULL-vector rows from BOTH sides of the split)."""
     c = F.col(vec_col)
+    inf = F.lit(float("inf"))
     return (
         c.isNotNull()
         & (F.size(c) == dim)
         & ~F.exists(c, lambda x: x.isNull())
+        & ~F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == inf))
     )
 
 

@@ -1900,7 +1900,8 @@ _COV_CTES = f"""p AS (SELECT UNNEST(range(0, 64)) AS i),
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64
-            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     pr AS (SELECT a.i AS i, b.i AS j FROM p a JOIN p b ON a.i <= b.i),
     cells AS MATERIALIZED (
         SELECT i, j,
@@ -2916,7 +2917,8 @@ def _outlier_oracle() -> str:
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64
-            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     p AS (SELECT UNNEST(range(0, 64)) AS pos),
     c AS (SELECT pos, {round_half_up_sql('AVG(ve[pos + 1])', 6)} AS m
           FROM v CROSS JOIN p GROUP BY pos),
@@ -3205,6 +3207,7 @@ def _separation_oracle() -> str:
           FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64
             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
             AND label IS NOT NULL),
     p AS (SELECT UNNEST(range(0, 64)) AS pos),
     cl AS (SELECT label, pos,
@@ -3249,30 +3252,45 @@ def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     within distances fold sequentially too, and only their AVERAGE is
     emitted, rounded, so row-order summation jitter is absorbed.
 
-    Scale shape: two map-side mean aggregates ((label × 64) + 64
-    cells — both bounded collects), then ONE corpus pass scoring each
-    row against its label centroid via a BROADCAST join on label (the
-    centroid lookup is #labels rows) and a codegen'd fold — zero
-    row-scale shuffles beyond the one (label) aggregate of partial
-    sums.  At 100 TB: two scans, state O(#labels · dim)."""
+    Scale shape: ONE map-side (label × 64)-cell sum/count aggregate
+    carries BOTH centroid tiers (the global means are the label sums
+    re-reduced driver-side — bounded collect, kmeans-centroid
+    discipline), then ONE corpus pass scoring each row against its
+    label centroid via a BROADCAST join on label (the centroid lookup
+    is #labels rows) and a codegen'd fold.  At 100 TB: exactly two
+    scans, state O(#labels · dim)."""
     import math
 
     em = load_table(spark, sf_dir, "embeddings").where(
         similarity.admit_predicate(64) & F.col("label").isNotNull()
     )
     p = float(10**6)
+    # ONE aggregate carries both centroid tiers: per-(label, pos) sums
+    # and counts, from which the label means AND the global means
+    # (total sum / total count per dimension) derive driver-side —
+    # a separate global-mean scan would read the corpus a third time
+    # for numbers already contained in these partials.
     lrows = (
         em.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.sum(F.col("x").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
         .collect()
     )
     by_label: dict[int, list[float]] = {}
+    gsum, gcnt = [0.0] * 64, [0] * 64
     for r in lrows:
         by_label.setdefault(r.label, [0.0] * 64)[r.pos] = (
-            math.floor(r.m * p + 0.5) / p
+            math.floor(r.s / r.c * p + 0.5) / p
         )
-    gv, _ = similarity.centroid_stats(em, dim=64)
+        gsum[r.pos] = gsum[r.pos] + r.s
+        gcnt[r.pos] = gcnt[r.pos] + r.c
+    gv = [
+        math.floor(gsum[i] / gcnt[i] * p + 0.5) / p if gcnt[i] else 0.0
+        for i in range(64)
+    ]
 
     cent_rows = []
     for lab, mv in sorted(by_label.items()):

@@ -347,6 +347,7 @@ def foreach_batch_with_covariance(
     on (batch_id, i, j) — so replay cannot double-count a batch into
     the moments (no read-modify-write race by construction)."""
     from level2_to_cassandra_spark.operators.similarity import (
+        admit_predicate,
         gram_partials,
     )
 
@@ -354,11 +355,11 @@ def foreach_batch_with_covariance(
         batch_df.persist()
         try:
             inner(batch_df, batch_id)
-            admitted = batch_df.where(
-                F.col(vec_col).isNotNull()
-                & (F.size(vec_col) == dim)
-                & ~F.exists(vec_col, lambda x: x.isNull())
-            )
+            # the SHARED admission predicate — an inline copy here
+            # would silently desynchronize the journal from
+            # q_embed_covariance the first time the predicate evolves
+            # (it did in r12: the finiteness leg)
+            admitted = batch_df.where(admit_predicate(dim, vec_col))
             parts = (
                 gram_partials(admitted, dim=dim, id_col=id_col,
                               vec_col=vec_col)
@@ -555,10 +556,12 @@ def foreach_batch_with_vocab_growth(
     never corpus; the store is vocabulary-sized (Heaps-sublinear in
     the corpus), the same scale class as the tf postings staging
     table.  The store append runs AFTER the wrapped write inside the
-    same attempt; the fresh-term relation is PERSISTED before the
-    append so the write never re-scans the store it is appending to
-    (the dedup.py store discipline, whose empty-store classification
-    this shares)."""
+    same attempt.  Appending to the store the anti-join reads is safe
+    because the parquet read's file index is SNAPSHOTTED when
+    :func:`_read_store_or_none` builds the relation — files the
+    append adds are not in that index, so the write cannot observe
+    its own output (no persist needed: unlike the dedup sinks, there
+    is only ONE action over the fresh relation)."""
     from level2_to_cassandra_spark.operators import text as text_ops
     from level2_to_cassandra_spark.operators.dedup import (
         _read_store_or_none,
@@ -581,13 +584,9 @@ def foreach_batch_with_vocab_growth(
                 terms = terms.join(
                     seen.select("term"), "term", "left_anti"
                 )
-            fresh = terms.select(
+            terms.select(
                 "term", F.lit(int(batch_id)).cast("long").alias("batch_id")
-            ).persist()
-            try:
-                fresh.write.mode("append").parquet(store)
-            finally:
-                fresh.unpersist()
+            ).write.mode("append").parquet(store)
         finally:
             batch_df.unpersist()
 

@@ -1913,3 +1913,51 @@ def test_separation_scores_constructed_cohorts(spark):
         assert abs(r.within_var - 0.01) <= 1e-6   # ±0.1 on one axis
         assert abs(r.between_sq - 1.0) <= 1e-6    # centroids at ±e1
         assert r.separation > 50
+
+
+def test_moment_queries_exclude_nonfinite_symmetrically(spark):
+    """r12 review finding: a stored NaN/Inf element (legal in a
+    parquet float column) must be excluded IDENTICALLY on both engine
+    sides of every moment query — Spark's numpy kernels would mask the
+    row while DuckDB's SUM propagates the poison, a silent hash
+    divergence on clean-looking fixtures.  Constructed corpus with an
+    Inf-element row, a NaN-element row, and clean rows: the full
+    driver-strict harness compare must pass for q_embed_covariance,
+    q_embed_outlier and q_embed_separation, and the non-finite rows
+    must be absent from the outputs."""
+    import math
+    import os
+    import tempfile
+
+    import duckdb
+
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.oracle_harness import compare
+
+    base = [1.0] + [0.0] * 63
+    bad_inf = [float("inf")] + [0.0] * 63
+    bad_nan = [float("nan")] + [0.0] * 63
+    rows = [(i, [v + 0.01 * i for v in base], i % 2) for i in range(6)]
+    rows += [(6, bad_inf, 0), (7, bad_nan, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{d}/embeddings.parquet/*.parquet'"
+        )
+        for name in ("q_embed_covariance", "q_embed_outlier",
+                     "q_embed_separation"):
+            q = all_queries()[name]
+            out = q.fn(spark, d)
+            compare(out, con, q.oracle)
+            for r in out.collect():
+                for v in r.asDict().values():
+                    assert not (isinstance(v, float)
+                                and not math.isfinite(v)), (name, r)
+        ids = {r.vec_id for r in
+               all_queries()["q_embed_outlier"].fn(spark, d).collect()}
+        assert ids == set(range(6))  # 6 (Inf) and 7 (NaN) excluded

@@ -1120,3 +1120,64 @@ def test_zipf_spectrum_matches_brute_force(spark, freqs):
     for r in out:
         assert abs(r.slope - slope) <= 2e-6
         assert abs(r.intercept - intercept) <= 2e-6
+
+
+def test_pca_fold_parity_bitexact_across_engines(spark):
+    """The load-bearing assumption under q_embed_pca / q_embed_outlier
+    / q_embed_separation's exact oracles: a dot product folds to the
+    BIT-IDENTICAL double in all three evaluators — Python's sequential
+    left fold, DuckDB's list_dot_product, and Spark's F.aggregate over
+    zip_with products — across 200 random vector pairs (seeded; mixed
+    magnitudes and signs, including exact zeros and subnormal-scale
+    values).  Compared at the raw-bits level so a -0.0/+0.0 or
+    last-ulp pairwise-summation divergence cannot hide."""
+    import struct
+
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dims = rng.choice([1, 2, 7, 64], size=200)
+    pairs = []
+    for d in dims:
+        scale = 10.0 ** rng.uniform(-8, 6, size=2)
+        a = (rng.randn(d) * scale[0]).tolist()
+        b = (rng.randn(d) * scale[1]).tolist()
+        if rng.rand() < 0.3:
+            a[rng.randint(d)] = 0.0
+        pairs.append((a, b))
+
+    def bits(v: float) -> bytes:
+        return struct.pack("<d", v)
+
+    py = []
+    for a, b in pairs:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        py.append(acc)
+
+    con = duckdb.connect()
+    dd = [
+        con.execute(
+            "SELECT list_dot_product($a::DOUBLE[], $b::DOUBLE[])",
+            {"a": a, "b": b},
+        ).fetchone()[0]
+        for a, b in pairs
+    ]
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<double>, b array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sp = {r.i: r.d for r in df.select("i", dot.alias("d")).collect()}
+
+    for i in range(len(pairs)):
+        assert bits(py[i]) == bits(dd[i]) == bits(sp[i]), (
+            i, py[i], dd[i], sp[i]
+        )
