@@ -225,3 +225,43 @@ def test_containment_candidates_bounded_on_fixture(spark):
         ).count()
         assert cand < 0.01 * n * (n - 1), (sf_dir, n, cand)
         spark.catalog.clearCache()
+
+
+def test_boilerplate_hot_set_bounded_at_every_sf(spark):
+    """q_text_boilerplate's broadcast claim rests on the hot-set bound:
+    under the corpus-relative cut (df >= max(5, ceil(n_docs/500))) a
+    hot shingle needs n_docs/500 supporting docs, so the hot set can
+    never exceed 500 x (total 3-gram postings / n_docs) ~ 500 x
+    avg-grams-per-doc entries AT ANY corpus size — the quantity that
+    makes the scoring join broadcastable forever.  Measure the actual
+    hot set at both fixture SFs against the bound (fixture readings:
+    ~150-190 at sf0.001/0.01, ~13k at sf0.1 — both far under the
+    ~30k bound)."""
+    import math
+
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.llm import (
+        _BOILER_DENOM,
+        _BOILER_FLOOR,
+    )
+
+    for sf_dir in (SF_SMALL, SF_LARGE):
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        g = docs.select(
+            "doc_id", F.explode(text.word_shingles("text", 3)).alias("g3")
+        )
+        total_postings = g.select("doc_id", "g3").distinct().count()
+        k = max(_BOILER_FLOOR, math.ceil(n_docs / _BOILER_DENOM))
+        hot = (
+            g.select("doc_id", "g3").distinct()
+            .groupBy("g3").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") >= k)
+            .count()
+        )
+        bound = _BOILER_DENOM * (total_postings / n_docs)
+        assert hot <= bound, (sf_dir, hot, bound)
+        # and the bound itself is broadcast-scale (docs have bounded
+        # gram budgets — the quantity is avg grams/doc, not corpus)
+        assert bound < 1_000_000, (sf_dir, bound)
+        spark.catalog.clearCache()
