@@ -238,3 +238,50 @@ def simhash_fingerprints(docs, id_col: str = "doc_id",
     return spread.select(id_col).join(fps, id_col, "left").select(
         F.col(id_col), F.coalesce("fp", F.lit(0)).alias("fp")
     )
+
+
+#: Corpus-hot shingle cut (q_text_boilerplate and the streaming
+#: shingle-df journal): a word-3-gram is HOT when its document
+#: frequency reaches max(BOILER_FLOOR, ceil(n_docs / BOILER_DENOM)).
+#: Corpus-relative so the hot set stays bounded as the corpus grows
+#: (each hot shingle needs n_docs/DENOM supporting docs, and docs
+#: contribute a fixed gram budget → ≤ DENOM × avg-grams-per-doc
+#: entries at ANY corpus size — the broadcast-forever bound measured
+#: by tests/test_scaling.py); absolute-floored so tiny corpora don't
+#: call everything hot.  The DIVISION form (n / 500.0, not 0.002·n)
+#: keeps the threshold engine-exact: multiplying by the inexact
+#: double 0.002 lands 0.002·500 an ulp ABOVE 1.0 and CEIL flips
+#: between engines' const folding; dividing by the exact double
+#: 500.0 cannot.
+BOILER_DENOM = 500.0
+BOILER_FLOOR = 5
+
+
+def shingle_occurrences(docs, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3):
+    """The word-k-gram OCCURRENCE stream ``(id, g3)`` — duplicates
+    kept (boilerplate fractions count occurrences); docs with < k
+    words or NULL text contribute no rows."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("g3"),
+    )
+
+
+def hot_shingles(dfreq, n_docs_rel):
+    """Apply the corpus-relative hot cut to a ``(g3, df)`` document-
+    frequency relation given a 1-row ``(n_docs)`` relation → the hot
+    shingle set ``(g3)``.  ONE shared implementation for the batch
+    query and the streaming journal reader so the cut cannot drift
+    between them; the threshold relation rides a 1-row broadcast."""
+    k_rel = n_docs_rel.select(
+        F.greatest(
+            F.lit(BOILER_FLOOR),
+            F.ceil(F.col("n_docs") / F.lit(BOILER_DENOM)),
+        ).alias("k")
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(k_rel))
+        .where(F.col("df") >= F.col("k"))
+        .select("g3")
+    )

@@ -2988,18 +2988,12 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Boilerplate gate: a word-3-gram is HOT when its document frequency
-#: reaches max(5, ceil(n_docs / 500)) — corpus-relative so the hot set
-#: stays bounded as the corpus grows (≤ avg-grams-per-doc × 500
-#: entries regardless of corpus size: each hot shingle needs
-#: n_docs/500 supporting docs, and docs contribute a fixed gram
-#: budget), absolute-floored so tiny corpora don't call everything
-#: hot.  The DIVISION form (n/500.0, not 0.002·n) keeps the threshold
-#: engine-exact: multiplying by the inexact double 0.002 lands
-#: 0.002·500 an ulp ABOVE 1.0 and CEIL flips between engines' const
-#: folding; dividing by the exact double 500.0 cannot.
-_BOILER_DENOM = 500.0
-_BOILER_FLOOR = 5
+#: Aliases of the shared hot-cut constants (operators/text.py — the
+#: single source the batch query, its oracle, and the streaming
+#: shingle-df journal all read; rationale for the values and the
+#: division form lives there).
+_BOILER_DENOM = text.BOILER_DENOM
+_BOILER_FLOOR = text.BOILER_FLOOR
 _BOILER_TAU = 0.2
 
 
@@ -3058,24 +3052,18 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than materialized: the exploded relation is ~3× corpus
     size, and a second map-side explode is cheaper than writing it."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(text.word_shingles("text", 3)).alias("g3")
-    )
-    k_rel = docs.select(
-        F.greatest(
-            F.lit(_BOILER_FLOOR),
-            F.ceil(F.count(F.lit(1)) / F.lit(_BOILER_DENOM)),
-        ).alias("k")
-    )
+    g = text.shingle_occurrences(docs)
     dfreq = (
         g.distinct()
         .groupBy("g3")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    hot = (
-        dfreq.crossJoin(F.broadcast(k_rel))
-        .where(F.col("df") >= F.col("k"))
-        .select("g3", F.lit(1).alias("__hot"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # the SHARED hot cut (operators/text.py::hot_shingles) — also the
+    # streaming shingle-df journal's reader, so batch and stream agree
+    # on hotness by construction
+    hot = text.hot_shingles(dfreq, n_docs).withColumn(
+        "__hot", F.lit(1)
     )
     per = (
         g.join(F.broadcast(hot), "g3", "left")

@@ -610,3 +610,95 @@ def read_vocab_growth(spark, base_path: str) -> DataFrame:
     return per.select(
         "batch_id", "n_new", F.sum("n_new").over(w).alias("vocab_size")
     )
+
+
+def shingle_df_path(base: str) -> str:
+    """The shingle document-frequency journal — beside the sink,
+    underscore-prefixed; ``dfs/`` holds per-batch df deltas, ``docs/``
+    the per-batch document counts the corpus-relative cut needs."""
+    return f"{base}/_shingle_df"
+
+
+def foreach_batch_with_shingle_df(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with SHINGLE-DF JOURNAL
+    maintenance — the streaming twin of q_text_boilerplate's
+    expensive global state (the 3-gram document-frequency relation):
+    each micro-batch appends its per-shingle df DELTA and its doc
+    count, and :func:`read_hot_shingles` reduces the journal to the
+    CURRENT corpus-hot set under the exact batch cut
+    (operators/text.py::hot_shingles — one shared implementation, so
+    batch and stream agree on hotness by construction).  Scoring any
+    batch is then one broadcast join of that bounded set onto its
+    occurrence stream — what the batch query does corpus-wide, priced
+    per-batch.
+
+    The journal is the covariance-journal pattern: per-batch rows are
+    DETERMINISTIC re-derivations, so a replayed batch re-appends
+    identical rows under the same batch_id and the reader's
+    dropDuplicates collapses them — at-least-once delivery cannot
+    double-count a batch into any df.  Each document must arrive in
+    exactly one batch (the incremental-admit sinks upstream are what
+    enforce that); a doc re-admitted under a different batch_id would
+    double its shingles' dfs, same as re-inserting it into the batch
+    corpus.
+
+    Cost per batch: one map-side shingle explode + one df aggregate
+    over the BATCH (batch-bounded, never corpus) and two appends; the
+    journal grows by the batch's distinct-shingle count and reduces
+    vocabulary-sized, the tf-postings scale class."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            bid = F.lit(int(batch_id)).cast("long").alias("batch_id")
+            occ = text_ops.shingle_occurrences(
+                batch_df, id_col=id_col, text_col=text_col
+            )
+            (
+                occ.distinct()
+                .groupBy("g3")
+                .agg(F.count(F.lit(1)).alias("df_delta"))
+                .select("g3", "df_delta", bid)
+                .write.mode("append")
+                .parquet(f"{shingle_df_path(base_path)}/dfs")
+            )
+            batch_df.select(F.count(F.lit(1)).alias("n_docs")).select(
+                "n_docs", bid
+            ).write.mode("append").parquet(
+                f"{shingle_df_path(base_path)}/docs"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_hot_shingles(spark, base_path: str) -> DataFrame:
+    """Reduce the shingle-df journal to the CURRENT corpus-hot set
+    ``(g3)`` — identical to q_text_boilerplate's hot relation over the
+    union of all delivered batches (parity-pinned).  Replayed batches
+    collapse via dropDuplicates before the sums; the reduction runs
+    over the vocabulary-sized journal, never the corpus."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+
+    dfreq = (
+        spark.read.schema("g3 string, df_delta long, batch_id long")
+        .parquet(f"{shingle_df_path(base_path)}/dfs")
+        .dropDuplicates(["batch_id", "g3"])
+        .groupBy("g3")
+        .agg(F.sum("df_delta").alias("df"))
+    )
+    n_docs = (
+        spark.read.schema("n_docs long, batch_id long")
+        .parquet(f"{shingle_df_path(base_path)}/docs")
+        .dropDuplicates(["batch_id"])
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return text_ops.hot_shingles(dfreq, n_docs)

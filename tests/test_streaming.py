@@ -1648,3 +1648,54 @@ def test_streaming_vocab_growth_parity_and_replay(spark, tmp_path):
     again = {r.batch_id: (r.n_new, r.vocab_size) for r in
              read_vocab_growth(spark, base).collect()}
     assert again == {0: (n0, n0), 1: (total - n0, total)}
+
+
+def test_streaming_shingle_df_journal_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_shingle_df: the journal reduced by
+    read_hot_shingles must equal an INDEPENDENT DuckDB computation of
+    q_text_boilerplate's hot set over the union of the delivered
+    batches (not just the shared Spark helper — independent
+    arithmetic), and replaying a batch must change nothing (the
+    deterministic-rederivation journal law)."""
+    import duckdb
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_shingle_df,
+        read_hot_shingles,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 != 0)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    cb(first, 0)
+    cb(second, 1)
+
+    got = {r.g3 for r in read_hot_shingles(spark, base).collect()}
+
+    con = duckdb.connect()
+    want = {
+        r[0]
+        for r in con.execute(f"""
+            WITH g AS (
+                SELECT doc_id, UNNEST(list_transform(
+                    range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g3
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM '{sf_smoke}/documents.parquet')),
+            dfreq AS (SELECT g3, COUNT(DISTINCT doc_id) AS df
+                      FROM g GROUP BY g3),
+            nd AS (SELECT GREATEST(5, CEIL(COUNT(*) / 500.0)) AS k
+                   FROM '{sf_smoke}/documents.parquet')
+            SELECT g3 FROM dfreq, nd WHERE df >= k
+        """).fetchall()
+    }
+    assert got == want and got  # non-vacuous
+
+    cb(second, 1)  # replay: identical rows under the same batch_id
+    again = {r.g3 for r in read_hot_shingles(spark, base).collect()}
+    assert again == want
