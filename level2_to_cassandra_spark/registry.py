@@ -61,22 +61,23 @@ DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
     # r12 ROTATION (VERDICT r11 task #3): CORRECTNESS_r11 confirmed 49
     # of the 50 r11-cap names (q_embed_covariance failed on a -0.0
-    # representation flip), so the cap rotates to (a) the failed +
-    # FIXED covariance query — a hash-red row must re-earn green
-    # before anything else matters, (b) the three r11 first-row names
-    # (1 lifetime row each; they hold until >=2), (c) ALL 16 r08-stale
-    # names — the pigeonhole tail of the r11 rotation and the oldest
-    # confirmations left in the ledger, and (d) 29 r09-stale names,
-    # thinnest lifetime confirmations first, with q_udf_pandas_cosine
-    # FORCED IN because its oracle+impl changed this round (the
+    # representation flip), so the cap holds (a) the failed + FIXED
+    # covariance query — a hash-red row must re-earn green before
+    # anything else matters, (b) the FIVE r12 first-row names
+    # (q_embed_pca at round start; q_embed_outlier /
+    # q_text_boilerplate / q_text_zipf / q_embed_separation
+    # mid-round), (c) the three r11 first-row names (1 lifetime row
+    # each; they hold until >=2), (d) ALL 16 r08-stale names — the
+    # pigeonhole tail of the r11 rotation and the oldest confirmations
+    # in the ledger, and (e) 25 r09-stale names, thinnest lifetime
+    # confirmations first, with q_udf_pandas_cosine and q_scalar_array
+    # FORCED IN because their oracles+impls changed this round (the
     # hardened repr-strict harness caught the same -0.0 class latent
-    # in it at sf0.001 — fixed with round_signless on both sides).
-    # The 11 r09 names left past-cap are the thickest r09
-    # confirmations (5 rows: q_agg_percentile, q_agg_rollup,
-    # q_join_broadcast, q_join_outer, q_join_range; then 4-row names) —
+    # in both — fixed with round_signless on both sides).  The 16 r09
+    # names left past-cap are the thickest r09 confirmations (the
+    # 5-row and 4-row names plus q_window_lag/q_window_rank at 3) —
     # all remain locally oracle-checked on every run and are next
-    # round's rotation head, joined by q_window_lag (3 rows), whose
-    # slot the round's NEW q_embed_pca takes.
+    # round's rotation head.
     # -- FAILED r11, FIXED r12: -0.0 normalized via round_signless on
     # both engine sides (DuckDB ROUND preserves IEEE sign, Spark's
     # BigDecimal HALF_UP does not); must re-earn its first green row --
@@ -121,13 +122,13 @@ DRIVER_ORDER = (
     "q_sim_topk",
     "q_text_tokens_bpe",
     "q_window_cumulative",
-    # -- last driver-green r09 (30 of 41, thinnest-first: all 23
-    # 3-row names incl. the changed q_udf_pandas_cosine, six of the
-    # alphabetically-first 4-row names, plus q_scalar_array FORCED IN
-    # because its oracle+impl changed this round — the sf0.1
-    # scale-divergence probe caught first_elem rounding a tiny
-    # negative float32 to -0.0 on the DuckDB side; fixed with
-    # round_signless on all four rounded columns) ------------------------
+    # -- last driver-green r09 (25 of 41, thinnest-first: the 3-row
+    # names incl. the changed q_udf_pandas_cosine, the two remaining
+    # 4-row names, plus q_scalar_array FORCED IN because its
+    # oracle+impl changed this round — the sf0.1 scale-divergence
+    # probe caught first_elem rounding a tiny negative float32 to
+    # -0.0 on the DuckDB side; fixed with round_signless on all four
+    # rounded columns) ----------------------------------------------------
     "q_agg_bitmap_distinct",
     "q_agg_cube",
     "q_agg_pivot",
