@@ -1945,11 +1945,16 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _admitted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectors admitted to the moment computations: non-NULL, correct
-    length, no NULL elements (mirrored in _COV_CTES' list_filter —
-    Arrow hands a NULL element to the Gram kernel as NaN, which would
-    poison the global sums while DuckDB's SUM silently skips the NULL
-    product, ADVICE r11)."""
+    """Vectors admitted to the moment computations, per the single
+    shared admission rule (operators/similarity.py::admit_predicate):
+    non-NULL, correct length, no NULL elements, and no NON-FINITE
+    elements.  The NULL-element leg is mirrored in _COV_CTES'
+    list_filter (Arrow hands a NULL element to the Gram kernel as
+    NaN, which would poison the global sums while DuckDB's SUM
+    silently skips the NULL product, ADVICE r11); the finiteness leg
+    (r12) excludes stored NaN/Inf identically on both engine sides
+    (``isnan(x) OR isinf(x)`` in the oracle CTEs) — see
+    admit_predicate's docstring for why each leg exists."""
     return load_table(spark, sf_dir, "embeddings").where(
         similarity.admit_predicate(64)
     )

@@ -94,10 +94,39 @@ def foreach_batch_with_metrics(
     return _write
 
 
+def _read_journal(spark, path: str, schema: str) -> DataFrame:
+    """Read a monitor journal/store directory with its pinned schema,
+    or an EMPTY relation of that schema when no batch has been
+    delivered yet — the same structured-error classification the
+    incremental-admit sinks use (operators/dedup.py::
+    _read_store_or_none): PATH_NOT_FOUND is the true before-first-
+    batch read; UNABLE_TO_INFER_SCHEMA is the directory a crash left
+    with no readable footer (cannot occur with an explicit read
+    schema, kept for classification symmetry).  Everything else
+    (permissions, transient FS, corrupt footer on a populated
+    journal) re-raises — swallowing it would silently report an empty
+    monitor over a journal that exists (ADVICE r12: the raw readers
+    raised before the first delivered batch, unlike the admit
+    stores' graceful empty classification)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        try:
+            cond = e.getCondition() or ""
+        except Exception:  # noqa: BLE001 — legacy error without condition
+            cond = ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return spark.createDataFrame([], schema)
+
+
 def read_metrics(spark, base_path: str, table_suffix: str) -> DataFrame:
-    """Read the audit table for one sink table."""
-    return spark.read.schema(METRICS_SCHEMA).parquet(
-        f"{metrics_path(base_path)}/{table_suffix}"
+    """Read the audit table for one sink table (empty before the
+    first delivered batch)."""
+    return _read_journal(
+        spark, f"{metrics_path(base_path)}/{table_suffix}", METRICS_SCHEMA
     )
 
 
@@ -183,9 +212,10 @@ def foreach_batch_with_drift(
 
 
 def read_drift(spark, base_path: str, stream: str = "events") -> DataFrame:
-    """Read one stream's drift audit table."""
-    return spark.read.schema(DRIFT_SCHEMA).parquet(
-        f"{drift_path(base_path)}/{stream}"
+    """Read one stream's drift audit table (empty before the first
+    delivered batch)."""
+    return _read_journal(
+        spark, f"{drift_path(base_path)}/{stream}", DRIFT_SCHEMA
     )
 
 
@@ -283,9 +313,10 @@ def foreach_batch_with_embedding_drift(
 
 def read_embed_drift(spark, base_path: str,
                      stream: str = "embeddings") -> DataFrame:
-    """Read one stream's embedding-drift audit table."""
-    return spark.read.schema(EMBED_DRIFT_SCHEMA).parquet(
-        f"{embed_drift_path(base_path)}/{stream}"
+    """Read one stream's embedding-drift audit table (empty before
+    the first delivered batch)."""
+    return _read_journal(
+        spark, f"{embed_drift_path(base_path)}/{stream}", EMBED_DRIFT_SCHEMA
     )
 
 
@@ -396,8 +427,10 @@ def read_covariance(spark, base_path: str,
     from level2_to_cassandra_spark.functions import round_signless
 
     agg = (
-        spark.read.schema(COVARIANCE_SCHEMA)
-        .parquet(f"{covariance_path(base_path)}/{stream}")
+        _read_journal(
+            spark, f"{covariance_path(base_path)}/{stream}",
+            COVARIANCE_SCHEMA,
+        )
         .dropDuplicates(["batch_id", "i", "j"])
         .groupBy("i", "j")
         .agg(
@@ -518,9 +551,10 @@ def foreach_batch_with_outlier_gate(
 
 def read_outlier_quarantine(spark, base_path: str,
                             stream: str = "embeddings") -> DataFrame:
-    """Read one stream's outlier-gate quarantine table."""
-    return spark.read.schema(OUTLIER_GATE_SCHEMA).parquet(
-        f"{outlier_path(base_path)}/{stream}"
+    """Read one stream's outlier-gate quarantine table (empty before
+    the first delivered batch)."""
+    return _read_journal(
+        spark, f"{outlier_path(base_path)}/{stream}", OUTLIER_GATE_SCHEMA
     )
 
 
@@ -601,8 +635,10 @@ def read_vocab_growth(spark, base_path: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     per = (
-        spark.read.schema("term string, batch_id long")
-        .parquet(vocab_store_path(base_path))
+        _read_journal(
+            spark, vocab_store_path(base_path),
+            "term string, batch_id long",
+        )
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
@@ -689,15 +725,23 @@ def read_hot_shingles(spark, base_path: str) -> DataFrame:
     from level2_to_cassandra_spark.operators import text as text_ops
 
     dfreq = (
-        spark.read.schema("g3 string, df_delta long, batch_id long")
-        .parquet(f"{shingle_df_path(base_path)}/dfs")
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/dfs",
+            "g3 string, df_delta long, batch_id long",
+        )
         .dropDuplicates(["batch_id", "g3"])
         .groupBy("g3")
         .agg(F.sum("df_delta").alias("df"))
     )
+    # before the first delivered batch both journals are empty: dfreq
+    # has no groups and the hot set is trivially empty, matching the
+    # batch query over an empty corpus (the n_docs aggregate yields a
+    # NULL sum nothing joins against).
     n_docs = (
-        spark.read.schema("n_docs long, batch_id long")
-        .parquet(f"{shingle_df_path(base_path)}/docs")
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/docs",
+            "n_docs long, batch_id long",
+        )
         .dropDuplicates(["batch_id"])
         .agg(F.sum("n_docs").alias("n_docs"))
     )

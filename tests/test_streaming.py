@@ -1699,3 +1699,43 @@ def test_streaming_shingle_df_journal_parity_and_replay(spark, tmp_path):
     cb(second, 1)  # replay: identical rows under the same batch_id
     again = {r.g3 for r in read_hot_shingles(spark, base).collect()}
     assert again == want
+
+
+def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
+    """Every monitor reader must return an EMPTY relation of its
+    pinned schema when called before any batch has been delivered
+    (ADVICE r12: the raw readers raised PATH_NOT_FOUND, unlike the
+    admit stores' graceful _read_store_or_none classification) —
+    dashboards and reconcile jobs poll these tables on a schedule
+    that does not know whether the stream has produced yet."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        read_covariance,
+        read_drift,
+        read_embed_drift,
+        read_hot_shingles,
+        read_metrics,
+        read_outlier_quarantine,
+        read_vocab_growth,
+    )
+
+    base = str(tmp_path / "never_written")
+    readers = {
+        "metrics": lambda: read_metrics(spark, base, "events_tick"),
+        "drift": lambda: read_drift(spark, base),
+        "embed_drift": lambda: read_embed_drift(spark, base),
+        "covariance": lambda: read_covariance(spark, base),
+        "outliers": lambda: read_outlier_quarantine(spark, base),
+        "vocab": lambda: read_vocab_growth(spark, base),
+        "hot_shingles": lambda: read_hot_shingles(spark, base),
+    }
+    for name, fn in readers.items():
+        df = fn()
+        assert df.count() == 0, name
+        assert len(df.schema) > 0, name
+    # schema shape is the READ schema, not inference over nothing
+    assert [f.name for f in readers["covariance"]().schema] == [
+        "i", "j", "cov", "n"
+    ]
+    assert [f.name for f in readers["vocab"]().schema] == [
+        "batch_id", "n_new", "vocab_size"
+    ]
