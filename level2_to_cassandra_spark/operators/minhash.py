@@ -114,9 +114,20 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         max_shingle_df: int | None = None,
                         max_shingle_frac: float | None = None,
                         min_cap_df: int = 50,
-                        candidates_only: bool = False) -> DataFrame:
+                        candidates_only: bool = False,
+                        postings: DataFrame | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``postings`` optionally supplies a pre-built ``(id, shingle)``
+    relation (distinct per doc, :func:`shingle_postings` semantics —
+    same tokenizer, same k) so callers sharing one corpus can
+    materialize the shingling ONCE and serve every member of the
+    lexical dedup family from it (the inverted-index staging table a
+    retrieval stack maintains anyway; queries/llm.py::
+    _shingle_relation).  The relation is read by 3+ plan branches —
+    a parquet-backed staging table replays per branch for the cost of
+    the scan, which is why no persist is layered on top of it.
 
     ``candidates_only=True`` returns the CANDIDATE relation
     (id_a, id_b, na, nb) before exact verification instead — the
@@ -170,12 +181,14 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     if max_shingle_frac is not None and threshold <= 0:
         raise ValueError("max_shingle_frac requires threshold > 0; "
                          "use max_shingle_df on the all-pairs path")
-    # The postings relation feeds 3+ plan branches (prefix index, both
-    # verification sides); persisting it computes the shingling once
-    # instead of per branch (≈3× on the fixture).  At cluster scale the
-    # same role is played by a checkpoint/staging table; memory-and-disk
-    # keeps local behavior safe under pressure.
-    postings = shingle_postings(docs, id_col, text_col, k).persist()
+    if postings is None:
+        # The postings relation feeds 3+ plan branches (prefix index,
+        # both verification sides); persisting it computes the
+        # shingling once instead of per branch (≈3× on the fixture).
+        # At cluster scale the same role is played by a checkpoint/
+        # staging table; memory-and-disk keeps local behavior safe
+        # under pressure.
+        postings = shingle_postings(docs, id_col, text_col, k).persist()
     by_id = Window.partitionBy("id")
     if threshold <= 0:
         index = postings.withColumn("n", F.count(F.lit(1)).over(by_id))
@@ -309,9 +322,15 @@ def minhash_pairs(docs: DataFrame, threshold: float,
                   id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, n_hashes: int = 16, bands: int = 8,
                   max_shingle_df: int | None = None,
-                  candidates_only: bool = False) -> DataFrame:
+                  candidates_only: bool = False,
+                  postings: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``postings`` optionally supplies the pre-built ``(id, shingle)``
+    relation (the exact_jaccard_pairs contract) — signatures and
+    verification both derive from it, so the lexical dedup family can
+    share one materialized shingling.
 
     ``candidates_only=True`` returns the banded-bucket CANDIDATE
     relation (id_a, id_b, na, nb) before verification — the Σ bucket²
@@ -334,8 +353,9 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     disables.
     """
     r = n_hashes // bands
-    # shared by signatures + verification — see exact_jaccard_pairs
-    postings = shingle_postings(docs, id_col, text_col, k).persist()
+    if postings is None:
+        # shared by signatures + verification — see exact_jaccard_pairs
+        postings = shingle_postings(docs, id_col, text_col, k).persist()
     sig_postings = (
         postings if max_shingle_df is None
         else _cap_postings(postings, max_shingle_df, keep_all_hot_docs=True)
@@ -414,7 +434,8 @@ def containment_pairs(docs: DataFrame, threshold: float,
                       max_shingle_df: int | None = None,
                       max_shingle_frac: float | None = None,
                       min_cap_df: int = 50,
-                      candidates_only: bool = False) -> DataFrame:
+                      candidates_only: bool = False,
+                      postings: DataFrame | None = None) -> DataFrame:
     """All DIRECTIONAL pairs with shingle-set containment
     |Sa ∩ Sb| / |Sa| ≥ threshold (exact).  Output:
     (inner_id, outer_id, containment) — ``inner`` is the contained
@@ -443,10 +464,16 @@ def containment_pairs(docs: DataFrame, threshold: float,
     ``max_shingle_frac`` with the ``min_cap_df`` inertness floor, both
     exactly as in :func:`exact_jaccard_pairs`) prunes hot shingles
     from the PREFIX index only — same recall trade, documented there;
-    ``min_df > cap`` docs keep their whole prefix."""
+    ``min_df > cap`` docs keep their whole prefix.
+
+    ``postings`` optionally supplies the pre-built ``(id, shingle)``
+    relation — the exact_jaccard_pairs contract (same tokenizer, same
+    k, distinct per doc); no persist is layered on a caller-provided
+    staging table."""
     if threshold <= 0:
         raise ValueError("containment_pairs requires threshold > 0")
-    postings = shingle_postings(docs, id_col, text_col, k).persist()
+    if postings is None:
+        postings = shingle_postings(docs, id_col, text_col, k).persist()
     by_id = Window.partitionBy("id")
     w_sh = Window.partitionBy("shingle")
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
