@@ -128,6 +128,11 @@ HEADLINE = [
     "q_text_boilerplate",    # corpus-hot 3-gram fraction (bcast hot set)
     "q_text_zipf",           # frequency-spectrum power-law fit
     "q_embed_separation",    # per-label between/within scatter audit
+    # r13 additions
+    "q_rank_fusion",         # hybrid retrieval: RRF(lexical, dense)
+    "q_hist_equiheight",     # exact quantile bins (one exchange)
+    "q_tokenizer_fertility", # per-lang tokens/char budgeting
+    "q_mix_temperature",     # sqrt-damped source sampling weights
 ]
 
 

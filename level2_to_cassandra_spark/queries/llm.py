@@ -1527,6 +1527,58 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tokenizer_fertility",
+    # Every sum is an exact integer on both engines, so the two ratio
+    # outputs divide identical values — the rounding is pure
+    # convention, not a parity mechanism.
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           (ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                  / SUM(n_chars), 6) + 0.0) AS tokens_per_char,
+           (ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                  / SUM(len(string_split(text, ' '))), 6) + 0.0)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: tokens-per-char and its
+    inverse over each lang's corpus slice — the budgeting metric
+    behind per-language token accounting (a tokenizer that is twice
+    as fertile on one language doubles that language's effective
+    epoch cost; multilingual data planning reads exactly this table
+    before setting mixture weights).  Whitespace tokens stand in for
+    the subword tokenizer, as everywhere in this module (the metric's
+    shape — corpus-sliced token/char ratios — is the capability).
+
+    Scale shape: token counts are map-side array-size math (no
+    explode), one map-side-combined aggregate shuffles #langs rows —
+    a single narrow corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        round_signless(
+            F.col("n_tokens").cast("double") / F.col("n_chars"), 6
+        ).alias("tokens_per_char"),
+        round_signless(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def _langid_sql_parts() -> tuple[str, str, str]:
     """(score columns, best-score expr, argmax-lang expr) for the
     marker-vote language ID, in DuckDB SQL — shared by the langid
@@ -1799,6 +1851,72 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mlt_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full more-like-this ranking — (query_id, neighbor_id, cos,
+    rank) for the 5 query docs over ALL candidates sharing a top-8
+    tf-idf term, rank deterministic on (rounded cos DESC,
+    neighbor_id) — shared by q_text_more_like_this (cuts at 3) and
+    q_rank_fusion's lexical leg (cuts at 20).  See
+    q_text_more_like_this for the scoring spec and scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _tf_relation(spark, sf_dir)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    weight = F.round(
+        (F.col("tf").cast("double") / F.col("dl"))
+        * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+        6,
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    top8 = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .select("doc_id", "term", weight.alias("w"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 8)
+        .select("doc_id", "term", "w")
+        .persist()
+    )
+    nrm = top8.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nr")
+    )
+    q = top8.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(
+            top8.select(F.col("doc_id").alias("neighbor_id"), "term",
+                        F.col("w").alias("wc")),
+            "term",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            nrm.select(F.col("doc_id").alias("query_id"),
+                       F.col("nr").alias("nq")), "query_id")
+        .join(
+            nrm.select(F.col("doc_id").alias("neighbor_id"),
+                       F.col("nr").alias("nc")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 4)
+            .alias("cos"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w_top).cast("long")
+    )
+
+
 @register(
     "q_text_more_like_this",
     # Weights/top-8 pruning/norms replicated exactly; candidates are
@@ -1859,64 +1977,147 @@ def q_text_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, the corpus side and both norm lookups) stays persisted.
     Same machinery as q_text_tfidf (shared tokenizer, weights rounded
     at 6 so both engines sum identical value sets; cosine rounded at 4
-    on top of norm-6)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = _tf_relation(spark, sf_dir)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
-    w_doc = Window.partitionBy("doc_id")
-    weight = F.round(
-        (F.col("tf").cast("double") / F.col("dl"))
-        * F.log(F.col("__n_docs").cast("double") / F.col("df")),
-        6,
+    on top of norm-6).  The ranking itself lives in
+    :func:`_mlt_ranking`, shared with q_rank_fusion's lexical leg."""
+    return _mlt_ranking(spark, sf_dir).where(F.col("rank") <= 3)
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: the per-leg candidate depth — part of the query SPEC.
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@register(
+    "q_rank_fusion",
+    # The lexical CTEs are q_text_more_like_this's oracle verbatim
+    # (same weights/top-8/norms), the vector CTEs q_sim_topk's; both
+    # legs rank on their ROUNDED score with neighbor_id tiebreak, so
+    # the rank lists — and therefore the fused scores — are
+    # cross-engine deterministic.  The RRF sum is two fixed-order
+    # terms of 1/(60+rank) (exact integer denominators), rounded with
+    # the FLOOR half-up form for the final ordering and output.
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 ROUND((tf::DOUBLE / dl) * LN(n::DOUBLE / df), 6) AS w
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+    top8 AS (SELECT doc_id, term, w FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY w DESC, term) AS rk
+               FROM w)
+             WHERE rk <= 8),
+    nrm AS (SELECT doc_id, ROUND(SQRT(SUM(w * w)), 6) AS nr
+            FROM top8 GROUP BY 1),
+    dots AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               SUM(q.w * c.w) AS dot
+        FROM top8 q JOIN top8 c
+          ON q.term = c.term AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+        GROUP BY 1, 2),
+    lex AS (
+        SELECT query_id, neighbor_id, rank AS lex_rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nr * nc.nr), 4) DESC,
+                                neighbor_id) AS rank
+            FROM dots
+            JOIN nrm nq ON nq.doc_id = query_id
+            JOIN nrm nc ON nc.doc_id = neighbor_id)
+        WHERE rank <= {_RRF_DEPTH}),
+    vq AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    vec AS (
+        SELECT query_id, neighbor_id, rank AS vec_rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         ROUND(list_cosine_similarity(
+                             list_transform(e.embedding,
+                                            x -> CAST(x AS DOUBLE)), qv), 4)
+                             AS cos
+                  FROM embeddings e CROSS JOIN vq q
+                  WHERE e.vec_id <> q.query_id))
+        WHERE rank <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+               CAST(l.lex_rank AS BIGINT) AS lex_rank,
+               CAST(v.vec_rank AS BIGINT) AS vec_rank,
+               COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id)
+    SELECT query_id, neighbor_id, lex_rank, vec_rank,
+           {{rrf_rounded}} AS rrf,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY {{rrf_rounded_raw}} DESC, neighbor_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 10
+    """.format(
+        rrf_rounded=round_half_up_sql("rrf", 6),
+        rrf_rounded_raw=round_half_up_sql("rrf", 6),
+    ),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.
+    2009): for each of the 5 query documents, fuse the LEXICAL
+    more-like-this ranking (sparse tf-idf cosine, :func:`_mlt_ranking`
+    — shared verbatim with q_text_more_like_this) with the DENSE
+    embedding ranking (brute cosine, q_sim_topk's operator) at depth
+    {_RRF_DEPTH} per leg, score = Σ_legs 1/({_RRF_K}+rank), keep the
+    fused top-10 — the standard hybrid-search shape every modern
+    retrieval stack (BM25+vector) runs, and the missing combinator
+    between this module's independent lexical and dense rankers.
+
+    Determinism: each leg ranks on its ROUNDED score with
+    neighbor_id tiebreak (both legs' conventions are individually
+    hash-verified queries), the RRF sum is two fixed-order terms with
+    exact integer denominators, and the fused ordering uses the FLOOR
+    half-up rounded score — bit-identical in any IEEE engine.
+
+    Scale shape: both legs are already bounded (query side 5 docs,
+    broadcast; candidate generation probe-sized, never corpus²); the
+    fusion itself is a full-outer join of two ≤(5·{_RRF_DEPTH})-row
+    relations and a window over ≤200 rows — free at any corpus size.
+    A leg list missing a doc contributes 0 to its RRF term (COALESCE,
+    not inner join): fusion must not require membership in BOTH lists
+    (that asymmetry is RRF's entire point)."""
+    lex = _mlt_ranking(spark, sf_dir).where(
+        F.col("rank") <= _RRF_DEPTH
+    ).select("query_id", "neighbor_id", F.col("rank").alias("lex_rank"))
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    vec = similarity.brute_topk(em, queries, k=_RRF_DEPTH, round_cos=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("vec_rank")
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
-    top8 = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("dl", F.sum("tf").over(w_doc))
-        .select("doc_id", "term", weight.alias("w"))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") <= 8)
-        .select("doc_id", "term", "w")
-        .persist()
+    fused = lex.join(vec, ["query_id", "neighbor_id"], "full_outer")
+    rrf_raw = (
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
+                     F.lit(0.0))
     )
-    nrm = top8.groupBy("doc_id").agg(
-        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nr")
-    )
-    q = top8.where(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
-    )
-    dots = (
-        F.broadcast(q)
-        .join(
-            top8.select(F.col("doc_id").alias("neighbor_id"), "term",
-                        F.col("w").alias("wc")),
-            "term",
-        )
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
-    )
-    scored = (
-        dots.join(
-            nrm.select(F.col("doc_id").alias("query_id"),
-                       F.col("nr").alias("nq")), "query_id")
-        .join(
-            nrm.select(F.col("doc_id").alias("neighbor_id"),
-                       F.col("nr").alias("nc")), "neighbor_id")
-        .select(
-            "query_id", "neighbor_id",
-            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 4)
-            .alias("cos"),
-        )
-    )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
+    rrf = round_half_up(rrf_raw, 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(rrf), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w_top).cast("long"))
-        .where(F.col("rank") <= 3)
+        fused.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+        .select("query_id", "neighbor_id", "lex_rank", "vec_rank",
+                "rrf", "fused_rank")
     )
 
 

@@ -1367,6 +1367,58 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hist_equiheight",
+    # NTILE over a TOTAL order (value, event_id — event_id unique) is
+    # deterministic and standard-SQL-identical in both engines:
+    # ceil-sized leading buckets, floor-sized tail.  lo/hi are RAW
+    # parquet doubles (no arithmetic), cnt an exact integer — nothing
+    # here can diverge at any SF.  NULL and NaN values are excluded
+    # explicitly: each engine totals-orders them differently, and a
+    # quantile bin for "no value" is meaningless anyway.
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               NTILE(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS tile
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value))
+    SELECT event_type, CAST(tile AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM ranked GROUP BY event_type, tile
+    """,
+)
+def q_hist_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-HEIGHT (quantile) histogram: 10 equal-count bins per
+    event_type with each bin's bounds — the companion to
+    q_hist_equiwidth (equal-WIDTH bins mis-resolve skewed
+    distributions; equal-count bins are what query optimizers and
+    drift monitors actually store).  NTILE over the (value, event_id)
+    total order makes the bin assignment deterministic under ties.
+
+    Scale shape: ONE hash exchange on event_type feeding a window
+    sort, then a map-side-combined aggregate over #keys × 10 groups.
+    At 100 TB the per-key sort is the honest cost of EXACT quantiles —
+    the approximate sibling (q_agg_approx_percentile) is the
+    sketch-based scale path; this query is the exact-answer member of
+    that pair."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value",
+                  F.ntile(10).over(w).cast("long").alias("tile"))
+        .groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
     "q_agg_mode",
     # Deterministic mode: both engines rank (count DESC, value ASC)
     # and keep rank 1 — never the builtin mode()/any-tie aggregate,

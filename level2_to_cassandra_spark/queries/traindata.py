@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table, spread_scan
+from level2_to_cassandra_spark.functions import round_signless
 from level2_to_cassandra_spark.operators import dedup, export, minhash, text
 from level2_to_cassandra_spark.registry import register
 
@@ -1484,6 +1485,52 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("target_tokens") > F.col("avail_tokens"))
         .cast("long")
         .alias("capped"),
+    )
+
+
+@register(
+    "q_mix_temperature",
+    # SQRT is IEEE-correctly-rounded in every engine (POWER is not —
+    # hence the explicit SQRT form on both sides); the normalizer is
+    # an empty-frame window sum over #sources rows whose summation
+    # order may differ cross-engine at the last ulp, so both ratio
+    # outputs are rounded (sign-normalized; they are positive, the
+    # +0.0 is the house convention).
+    oracle="""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 SQRT(CAST(n_docs AS DOUBLE)) AS wt FROM s)
+    SELECT source, n_docs,
+           (ROUND(wt / SUM(wt) OVER (), 6) + 0.0) AS weight,
+           (ROUND(wt / SUM(wt) OVER () * 100000, 2) + 0.0) AS epoch_docs
+    FROM w
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED sampling weights per source: w_s ∝ n_s^τ
+    with τ = 0.5 (the mT5/multilingual-mixing move — upweight small
+    sources, damp head sources, without the hand-set weights
+    q_mixture_plan takes as input), plus each source's expected
+    document count in a 100k-doc epoch.  Together with q_mixture_plan
+    (explicit weights + budget caps) this completes the two standard
+    mixture-planning modes of a pretraining pipeline.
+
+    Scale shape: one map-side-combined count per source (#sources
+    rows), then windows over that tiny aggregate — the corpus is
+    scanned exactly once, one narrow column."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wt = F.sqrt(F.col("n_docs").cast("double"))
+    tot = Window.partitionBy()
+    share = wt / F.sum(wt).over(tot)
+    return s.select(
+        "source",
+        "n_docs",
+        round_signless(share, 6).alias("weight"),
+        round_signless(share * F.lit(100000), 2).alias("epoch_docs"),
     )
 
 

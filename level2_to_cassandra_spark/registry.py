@@ -59,109 +59,43 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r12 ROTATION (VERDICT r11 task #3): CORRECTNESS_r11 confirmed 49
-    # of the 50 r11-cap names (q_embed_covariance failed on a -0.0
-    # representation flip), so the cap holds (a) the failed + FIXED
-    # covariance query — a hash-red row must re-earn green before
-    # anything else matters, (b) the FIVE r12 first-row names
-    # (q_embed_pca at round start; q_embed_outlier /
-    # q_text_boilerplate / q_text_zipf / q_embed_separation
-    # mid-round), (c) the three r11 first-row names (1 lifetime row
-    # each; they hold until >=2), (d) ALL 16 r08-stale names — the
-    # pigeonhole tail of the r11 rotation and the oldest confirmations
-    # in the ledger, and (e) 25 r09-stale names, thinnest lifetime
-    # confirmations first, with q_udf_pandas_cosine and q_scalar_array
-    # FORCED IN because their oracles+impls changed this round (the
-    # hardened repr-strict harness caught the same -0.0 class latent
-    # in both — fixed with round_signless on both sides).  The 16 r09
-    # names left past-cap are the thickest r09 confirmations (the
-    # 5-row and 4-row names plus q_window_lag/q_window_rank at 3) —
+    # r13 ROTATION (VERDICT r12 task #1): CORRECTNESS_r12 confirmed the
+    # whole r12 cap (50/50), so the cap rebuilds from the policy: (a)
+    # the FOUR r13 first-row names (hybrid RRF retrieval, temperature
+    # mixture weights, tokenizer fertility, exact equi-height bins),
+    # (b) the six r12 first-row names (1 lifetime green each; they
+    # hold until >=2), (c) the five queries whose IMPLEMENTATION
+    # changed this round — the lexical dedup family now serves from
+    # the materialized shingle-postings staging table and
+    # q_text_more_like_this's ranking was refactored into the shared
+    # _mlt_ranking helper — which must re-hash against the driver,
+    # (d) ALL 16 r09-stale names (VERDICT r12 task #1 verbatim: the
+    # staleness frontier, last green three rounds old), and (e) 19
+    # r10-stale names, thinnest lifetime confirmations first (the
+    # eight 2-row names, then 3-row names alphabetically).  The 23
+    # r10 names left past-cap are the thickest r10 confirmations —
     # all remain locally oracle-checked on every run and are next
     # round's rotation head.
-    # -- FAILED r11, FIXED r12: -0.0 normalized via round_signless on
-    # both engine sides (DuckDB ROUND preserves IEEE sign, Spark's
-    # BigDecimal HALF_UP does not); must re-earn its first green row --
+    # -- NEW in r13 (first driver rows) ------------------------------
+    "q_rank_fusion",
+    "q_mix_temperature",
+    "q_tokenizer_fertility",
+    "q_hist_equiheight",
+    # -- r12 first rows (1 lifetime row each; hold until >=2) ------
     "q_embed_covariance",
-    # -- NEW in r12: top principal component — distributed covariance →
-    # driver-side rounded power iteration (cross-engine bit-exact by
-    # construction) → corpus projection; first driver row.  Slot freed
-    # by q_window_lag (3 lifetime rows; still locally oracle-checked
-    # every run, rotates back next round) -------------------------------
-    "q_embed_pca",
-    # -- NEW in r12 (mid-round): centroid-cosine outlier gate, the
-    # corpus-level hot-3-gram boilerplate fraction, the Zipf
-    # frequency-spectrum fit, and the class-separability audit —
-    # first driver rows.  Slots freed by q_agg_conditional /
-    # q_agg_distinct / q_agg_salted / q_dedup_lww (4 lifetime rows
-    # each, last green r09 — the thickest movable confirmations; all
-    # remain locally oracle-checked every run and rejoin the rotation
-    # head with the other r09 names next round) -------------------------
     "q_embed_outlier",
+    "q_embed_pca",
+    "q_embed_separation",
     "q_text_boilerplate",
     "q_text_zipf",
-    "q_embed_separation",
-    # -- r11 first rows (1 lifetime row each; hold until >=2) -----------
-    "q_dedup_multimodal",
+    # -- impl CHANGED in r13 (re-hash against the driver) ----------
     "q_text_containment",
-    "q_dedup_incremental_multimodal",
-    # -- last driver-green r08 (the 16 names the r11 rotation's
-    # pigeonhole bound left behind — VERDICT r11 task #3 verbatim) ------
-    "q_agg_approx",
-    "q_agg_approx_percentile",
-    "q_agg_basic",
-    "q_agg_hll_sketch",
-    "q_csv_scan",
-    "q_domain_cap",
-    "q_join_asof",
-    "q_join_inner",
-    "q_llm_dedup_embed",
-    "q_llm_dedup_exact",
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
-    "q_sim_ann_ivfpq",
-    "q_sim_topk",
-    "q_text_tokens_bpe",
-    "q_window_cumulative",
-    # -- last driver-green r09 (25 of 41, thinnest-first: the 3-row
-    # names incl. the changed q_udf_pandas_cosine, the two remaining
-    # 4-row names, plus q_scalar_array FORCED IN because its
-    # oracle+impl changed this round — the sf0.1 scale-divergence
-    # probe caught first_elem rounding a tiny negative float32 to
-    # -0.0 on the DuckDB side; fixed with round_signless on all four
-    # rounded columns) ----------------------------------------------------
-    "q_agg_bitmap_distinct",
-    "q_agg_cube",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_contamination",
-    "q_curate_corpus",
-    "q_dedup_cluster",
-    "q_filter_predicates",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_multiway",
-    "q_join_right",
-    "q_json_scan",
-    "q_max_concurrency",
-    "q_pack_sequences",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_set_ops_all",
-    "q_sort_nulls",
-    "q_subquery_correlated",
-    "q_text_redact",
-    "q_udaf_trimmed_mean",
-    "q_udf_pandas_cosine",
-    "q_udtf_tokenize",
-    # ======================= past the cap ==============================
-    # Everything below holds >=2 lifetime driver-green rows and is
-    # still oracle-checked by the local replica harness every run;
-    # ordered stalest-first so the next rotation reads off the top.
-    # -- last driver-green r09 (the 15 thickest r09 confirmations;
-    # q_agg_conditional / q_agg_distinct / q_agg_salted / q_dedup_lww
-    # moved here mid-r12 to free cap slots for q_embed_outlier /
-    # q_text_boilerplate / q_text_zipf / q_embed_separation) --------------
+    "q_dedup_incremental_fuzzy",
+    "q_text_more_like_this",
+    # -- last driver-green r09 (VERDICT r12 task #1 verbatim: the
+    # staleness frontier, all 16 rotate in) -------------------------
     "q_agg_conditional",
     "q_agg_distinct",
     "q_agg_percentile",
@@ -178,9 +112,16 @@ DRIVER_ORDER = (
     "q_set_ops",
     "q_window_lag",
     "q_window_rank",
-    # -- last driver-green r10 --------------------------------------------
+    # -- last driver-green r10, thinnest lifetime confirmations first
+    # (the 2-row names, then 3-row alphabetical up to the cap) ------
     "q_agg_string",
     "q_agg_vector_mean",
+    "q_graph_khop",
+    "q_graph_triangles",
+    "q_join_asof_nearest",
+    "q_join_salted",
+    "q_merge_upsert",
+    "q_window_sliding",
     "q_chunk_docs",
     "q_classifier_score",
     "q_corpus_pipeline",
@@ -188,15 +129,13 @@ DRIVER_ORDER = (
     "q_dedup_keep",
     "q_event_transitions",
     "q_funnel",
-    "q_graph_khop",
-    "q_graph_triangles",
-    "q_join_asof_nearest",
-    "q_join_salted",
     "q_length_buckets",
     "q_llm_dedup_simhash",
-    "q_merge_upsert",
     "q_multimodal_features",
     "q_ohlc_bars",
+    # ======================= past the cap ==============================
+    # -- last driver-green r10 (the thicker 3-4-row confirmations;
+    # next round's rotation head) -----------------------------------
     "q_resample_locf",
     "q_retention",
     "q_scalar_datetime",
@@ -213,7 +152,6 @@ DRIVER_ORDER = (
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_langid",
-    "q_text_more_like_this",
     "q_text_stats",
     "q_tokenize_ids",
     "q_topk_per_group",
@@ -221,16 +159,13 @@ DRIVER_ORDER = (
     "q_window_distribution",
     "q_window_moving_avg",
     "q_window_range_frame",
-    "q_window_sliding",
-    # -- last driver-green r11 (the whole r11 cap minus the four names
-    # still in-cap: freshest confirmations, rotate last) -------------------
+    # -- last driver-green r11 ----------------------------------------
     "q_agg_argmax",
     "q_agg_mode",
     "q_anomaly_zscore",
     "q_bm25",
     "q_cluster_kmeans",
     "q_cooccurrence_pmi",
-    "q_dedup_incremental_fuzzy",
     "q_drift_embedding",
     "q_drift_psi",
     "q_embed_quantize",
@@ -270,6 +205,48 @@ DRIVER_ORDER = (
     "q_winsorize",
     "q_xml_scan",
     "q_zorder",
+    # -- last driver-green r12 (freshest confirmations, rotate last) --
+    "q_agg_approx",
+    "q_agg_approx_percentile",
+    "q_agg_basic",
+    "q_agg_bitmap_distinct",
+    "q_agg_cube",
+    "q_agg_hll_sketch",
+    "q_agg_pivot",
+    "q_agg_stats",
+    "q_contamination",
+    "q_csv_scan",
+    "q_curate_corpus",
+    "q_dedup_cluster",
+    "q_dedup_incremental_multimodal",
+    "q_dedup_multimodal",
+    "q_domain_cap",
+    "q_filter_predicates",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_join_right",
+    "q_json_scan",
+    "q_llm_dedup_embed",
+    "q_llm_dedup_exact",
+    "q_max_concurrency",
+    "q_pack_sequences",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_set_ops_all",
+    "q_sim_ann_ivfpq",
+    "q_sim_topk",
+    "q_sort_nulls",
+    "q_subquery_correlated",
+    "q_text_redact",
+    "q_text_tokens_bpe",
+    "q_udaf_trimmed_mean",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokenize",
+    "q_window_cumulative",
 )
 
 

@@ -870,3 +870,54 @@ def test_separation_centroid_lookup_broadcasts(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" not in plan  # posexplode belongs to the build
+
+
+def test_hist_equiheight_single_exchange(spark):
+    """q_hist_equiheight's scale claim: ONE hash exchange total — the
+    (event_type, tile) aggregation reuses the window's event_type
+    partitioning (hash on a prefix of the grouping keys co-locates
+    every group), so exact quantile binning costs exactly one shuffle
+    of the filtered scan."""
+    plan = plan_of(all_queries()["q_hist_equiheight"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "ntile" in plan
+    # the NULL/NaN guard reaches the scan as a data filter
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_tokenizer_fertility_map_side_counts(spark):
+    """q_tokenizer_fertility: token counts are array-size math inside
+    the scan stage (no Generate/explode), one exchange of #langs
+    partial aggregates, and the scan reads only the three columns the
+    query touches."""
+    plan = plan_of(all_queries()["q_tokenizer_fertility"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_rank_fusion_bounded_legs_no_cartesian(spark):
+    """q_rank_fusion: both retrieval legs are bounded (5-doc query
+    sides broadcast; candidates probe-sized), the fusion join runs
+    over two <=100-row lists — the plan may broadcast freely but must
+    never contain a row-scale cartesian, and the whole query stays
+    JVM-side."""
+    plan = plan_of(all_queries()["q_rank_fusion"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_temperature_one_corpus_exchange(spark):
+    """q_mix_temperature: one narrow-column corpus exchange (the
+    per-source count), then windows over the #sources-row aggregate —
+    the single-partition exchange operates on rows that number the
+    sources, never the corpus."""
+    plan = plan_of(all_queries()["q_mix_temperature"].fn(spark, SF),
+                   "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # only the source column is read

@@ -206,3 +206,104 @@ def test_drift_psi_degenerate_constant_feature(spark, tmp_path):
     for r in res.values():
         assert math.isfinite(r.psi) and r.psi >= 0.0
     assert res["const"].n_ref == 20 and res["const"].n_cur == 20
+
+
+def test_mix_temperature_is_a_sqrt_damped_simplex(spark):
+    """Temperature weights must (a) sum to 1 up to the rounding grain,
+    (b) order exactly by source size, and (c) damp the head: every
+    pairwise weight ratio equals the sqrt of the size ratio (within
+    rounding), which is strictly closer to 1 than the raw proportion
+    for unequal sources."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_mix_temperature"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    by_n = sorted(rows, key=lambda r: (r.n_docs, r.source))
+    weights = [r.weight for r in by_n]
+    assert weights == sorted(weights)
+    big, small = by_n[-1], by_n[0]
+    if big.n_docs > small.n_docs:
+        raw = big.n_docs / small.n_docs
+        damped = big.weight / small.weight
+        assert damped < raw  # temperature < 1 always damps
+        assert abs(damped - (big.n_docs / small.n_docs) ** 0.5) < 1e-2
+    for r in rows:
+        assert abs(r.epoch_docs - r.weight * 100000) < 1.0
+
+
+def test_hist_equiheight_bins_partition_each_key(spark):
+    """Per key: bin counts must sum to the key's (non-NULL, non-NaN)
+    row count, differ by at most one row (the NTILE guarantee), and
+    the value ranges must be ordered (lo of tile t+1 >= hi of tile
+    t — ties may straddle a boundary but never invert it)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_hist_equiheight"].fn(spark, sf).collect()
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.event_type].append(r)
+    assert set(by_key) == set(want)
+    for key, bins in by_key.items():
+        bins.sort(key=lambda r: r.tile)
+        assert sum(b.cnt for b in bins) == want[key]
+        sizes = [b.cnt for b in bins]
+        assert max(sizes) - min(sizes) <= 1
+        # NTILE's exact split: ceil-sized leading buckets
+        n, k = want[key], len(bins)
+        assert sizes == [
+            math.ceil(n / k) if i < n % k else n // k for i in range(k)
+        ] if n % k else [n // k] * k
+        for prev, cur in zip(bins, bins[1:]):
+            assert cur.lo >= prev.hi
+            assert cur.lo >= prev.lo and cur.hi >= prev.hi
+
+
+def test_rank_fusion_rrf_arithmetic_and_leg_union(spark):
+    """The fused output must be internally consistent: rrf recomputes
+    from its own rank columns (missing leg contributes 0 — full-outer,
+    never inner), fused ranks are contiguous from 1 per query, rrf is
+    non-increasing along them, and the fixture must exercise BOTH
+    single-leg cases (a lexical-only and a vector-only survivor) or
+    the full-outer semantics would be vacuously tested."""
+    from collections import defaultdict
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_rank_fusion"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r)
+        got = r.rrf
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank is not None else 0.0) \
+            + (1.0 / (60 + r.vec_rank) if r.vec_rank is not None else 0.0)
+        # output is the FLOOR half-up rounding of the recomputation
+        import math
+        assert got == math.floor(want * 1e6 + 0.5) / 1e6
+        assert r.lex_rank is not None or r.vec_rank is not None
+    assert any(r.lex_rank is None for r in rows)
+    assert any(r.vec_rank is None for r in rows)
+    assert any(r.lex_rank is not None and r.vec_rank is not None
+               for r in rows)
+    for q, lst in per_q.items():
+        lst.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in lst] == list(range(1, len(lst) + 1))
+        assert all(a.rrf >= b.rrf for a, b in zip(lst, lst[1:]))
+        assert len(lst) <= 10
