@@ -1302,6 +1302,116 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_recall",
+    # The ann CTE chain is q_sim_ann_ivf's oracle VERBATIM (comp /
+    # cent / q / probes / scored over _IVF_PORTABLE_CTES) and the
+    # exact chain is q_sim_topk's — any drift between this copy and
+    # those specs fails THIS query's hash check, so the duplication
+    # is self-policing.  The recall arithmetic is exact integers and
+    # one division.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    comp AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+      GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(x ORDER BY pos) AS cv FROM comp GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 6
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.ve), 4) AS cos
+      FROM probes p JOIN a0 a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM scored)
+      WHERE rank <= 10
+    ),
+    exscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 q.qv), 4) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM exscored)
+      WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hits
+      FROM ann a JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ),
+    ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+    SELECT ex.query_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           (ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_exact, 6) + 0.0)
+               AS recall
+    FROM ex LEFT JOIN hits ON hits.query_id = ex.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX QUALITY EVALUATION: recall@10 of the IVF index
+    (q_sim_ann_ivf's registered plan, called verbatim) against the
+    exact brute-force ranking (q_sim_topk's) per query — THE metric an
+    ANN deployment regression-gates on before swapping an index into
+    serving.  Composing the two registered queries as DataFrames is
+    the point: the evaluation measures the real plans, not a
+    reimplementation.
+
+    Scale shape: the eval harness pattern — recall is always measured
+    on a SAMPLED query set (here the 5 fixture queries), so the
+    brute-force leg is bounded by sample × corpus (one broadcast-
+    nested-loop pass, the q_sim_topk shape) while the ANN leg prices
+    the index being evaluated; the intersection join and recall
+    arithmetic run over ≤(sample · k) rows — free.  At 100 TB the
+    same query evaluates an index over any corpus the brute leg can
+    scan once."""
+    ann = q_sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return ex.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        round_signless(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+@register(
     "q_embed_quantize",
     oracle="""
     SELECT vec_id,

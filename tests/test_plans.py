@@ -80,6 +80,8 @@ _PYTHON_ALLOWED = {
     # Python nodes at serve time, pinned by
     # test_multimodal_gate_no_cartesian_id_only_assembly)
     "q_sim_ann_ivf",
+    "q_ann_recall",            # evaluates q_sim_ann_ivf's real plan,
+                               # so it inherits that plan's Arrow kernel
     "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # PQ codebook assignment + ADC lookup-table scoring are dense
     # numpy table ops (similarity.py::pq_assign_np, the adc kernel in

@@ -307,3 +307,23 @@ def test_rank_fusion_rrf_arithmetic_and_leg_union(spark):
         assert [r.fused_rank for r in lst] == list(range(1, len(lst) + 1))
         assert all(a.rrf >= b.rrf for a, b in zip(lst, lst[1:]))
         assert len(lst) <= 10
+
+
+def test_ann_recall_laws_and_index_quality(spark):
+    """q_ann_recall must satisfy the recall laws — one row per query,
+    n_exact = 10 (the fixture has >10 candidates per query),
+    0 <= n_hits <= n_exact, recall = n_hits/n_exact at the rounded
+    grain — and the evaluated IVF index must actually be good on the
+    fixture (mean recall@10 >= 0.5, far above the ~0.02 random-baseline
+    expectation), otherwise the metric is measuring a broken index."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_ann_recall"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert {r.query_id for r in rows} == set(range(5))
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits <= r.n_exact
+        assert abs(r.recall - r.n_hits / r.n_exact) < 1e-9
+    assert sum(r.recall for r in rows) / len(rows) >= 0.5
