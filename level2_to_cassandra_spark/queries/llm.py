@@ -3401,14 +3401,19 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST join back onto the occurrence stream (plan-pinned): the
     per-doc scoring pass never shuffles row-scale data.  The final
     doc_id reattach (docs with <3 words must still report 0.0) joins
-    ids only.  The shingle explode is recomputed on the scoring pass
-    rather than materialized: the exploded relation is ~3× corpus
-    size, and a second map-side explode is cheaper than writing it."""
+    ids only.  The OCCURRENCE explode is recomputed on the scoring
+    pass rather than materialized (the occurrence relation is ~3×
+    corpus size and duplicate-keeping, so a second map-side explode is
+    cheaper than writing it) — but the df branch serves from the
+    materialized shingle-postings staging table (:func:`
+    _shingle_relation`, r13): its rows ARE the distinct (doc, 3-gram)
+    pairs this aggregate needs, already shuffled once at build time,
+    so the per-call distinct over the exploded corpus disappears."""
     docs = load_table(spark, sf_dir, "documents")
     g = text.shingle_occurrences(docs)
     dfreq = (
-        g.distinct()
-        .groupBy("g3")
+        _shingle_relation(spark, sf_dir)
+        .groupBy(F.col("shingle").alias("g3"))
         .agg(F.count(F.lit(1)).alias("df"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

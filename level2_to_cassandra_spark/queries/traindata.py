@@ -247,22 +247,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, semi-join shaped): the train side is deduplicated before
     the join so a boilerplate shingle contributes one row, not its
     document frequency — the same hot-key discipline as the dedup
-    operators.  Emits only contaminated docs (n_overlap ≥ 1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    operators.  Emits only contaminated docs (n_overlap ≥ 1).
+
+    The distinct (doc, 3-gram) postings are EXACTLY the materialized
+    shingle-postings staging table the lexical dedup family serves
+    from (queries/llm.py::_shingle_relation, r13), and the split is a
+    pure function of the id — so the three plan branches read the
+    staged parquet instead of re-shingling the corpus per call."""
+    from level2_to_cassandra_spark.queries.llm import _shingle_relation
+
     split = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        F.substring(F.md5(F.col("id").cast("string")), 1, 2) < "cd",
         "train",
     ).otherwise("eval")
-    posts = (
-        spread_scan(docs)
-        .select(
-            F.col("doc_id").alias("id"),
-            split.alias("split"),
-            F.explode(
-                F.array_distinct(text.word_shingles("text", 3))
-            ).alias("shingle"),
-        )
-        .persist()  # feeds three branches: train side, eval sizes, eval join
+    posts = _shingle_relation(spark, sf_dir).select(
+        "id", split.alias("split"), "shingle"
     )
     train_sh = posts.where(F.col("split") == "train").select("shingle").distinct()
     eval_posts = posts.where(F.col("split") == "eval")
