@@ -131,6 +131,7 @@ HEADLINE = [
     # r13 additions
     "q_rank_fusion",         # hybrid retrieval: RRF(lexical, dense)
     "q_ann_recall",          # recall@10 eval of the IVF index plan
+    "q_ann_ndcg",            # graded NDCG@10 eval of the same plan
     "q_hist_equiheight",     # exact quantile bins (one exchange)
     "q_tokenizer_fertility", # per-lang tokens/char budgeting
     "q_mix_temperature",     # sqrt-damped source sampling weights

@@ -1411,6 +1411,134 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DCG position discounts 1/log2(rank+1) for ranks 1..10, FROZEN as
+#: literals: libm log2 is not guaranteed correctly rounded, so instead
+#: of trusting two engines' log2 to agree at the last ulp, both sides
+#: index the SAME ten decimal literals (identical doubles by parse).
+_NDCG_DISCOUNTS = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+)
+
+
+@register(
+    "q_ann_ndcg",
+    # Same composed-plans philosophy as q_ann_recall, with GRADED
+    # relevance: the gain of a returned neighbor is its exact rounded
+    # cosine (clamped at 0 — NDCG assumes non-negative gains), so the
+    # metric rewards ranking the strong neighbors early, which the
+    # set-overlap recall metric cannot see.  dcg/idcg are FLOOR
+    # half-up rounded before the ratio on both sides.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    comp AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+      GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(x ORDER BY pos) AS cv FROM comp GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 6
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.ve), 4) AS cos
+      FROM probes p JOIN a0 a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ann AS (
+      SELECT query_id, cos, rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM scored)
+      WHERE rank <= 10
+    ),
+    exscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 q.qv), 4) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, cos, rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM exscored)
+      WHERE rank <= 10
+    ),
+    d AS (SELECT [{', '.join(_NDCG_DISCOUNTS)}] AS w),
+    dcg AS (
+      SELECT query_id,
+             FLOOR(SUM(GREATEST(cos, 0.0) * w[rank]) * 1000000 + 0.5)
+                 / 1000000 AS dcg
+      FROM ann CROSS JOIN d GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             FLOOR(SUM(GREATEST(cos, 0.0) * w[rank]) * 1000000 + 0.5)
+                 / 1000000 AS idcg
+      FROM exact CROSS JOIN d GROUP BY query_id
+    )
+    SELECT idcg.query_id, dcg.dcg, idcg.idcg,
+           (ROUND(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6)
+            + 0.0) AS ndcg
+    FROM idcg JOIN dcg ON dcg.query_id = idcg.query_id
+    """,
+)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED ANN quality: NDCG@10 of the registered IVF plan against
+    the exact ranking's ideal ordering — recall@10 (q_ann_recall) is
+    blind to WHERE in the list the true neighbors land; NDCG weights
+    each position by 1/log2(rank+1), so an index that finds the right
+    set but ranks the strong neighbors late scores lower.  Gains are
+    the exact rounded cosines (the IVF re-rank is exact cosine over
+    candidates, so a returned neighbor's gain is its true rounded
+    similarity), clamped at 0.
+
+    Determinism: the ten position discounts are FROZEN decimal
+    literals indexed by rank on both engines (libm log2 is not
+    correctly-rounded-guaranteed); gains are rounded-at-4 cosines;
+    dcg/idcg are FLOOR half-up rounded before the ratio.  Scale shape:
+    identical to q_ann_recall — sampled query set, both legs bounded,
+    the metric arithmetic runs over ≤(sample · k) rows."""
+    darr = F.array(*[F.lit(float(d)) for d in _NDCG_DISCOUNTS])
+    gain = (
+        F.greatest(F.col("cos"), F.lit(0.0))
+        * F.element_at(darr, F.col("rank").cast("int"))
+    )
+    ann = q_sim_ann_ivf(spark, sf_dir)
+    exact = q_sim_topk(spark, sf_dir)
+    dcg = ann.groupBy("query_id").agg(
+        round_half_up(F.sum(gain), 6).alias("dcg")
+    )
+    idcg = exact.groupBy("query_id").agg(
+        round_half_up(F.sum(gain), 6).alias("idcg")
+    )
+    return idcg.join(dcg, "query_id").select(
+        "query_id",
+        "dcg",
+        "idcg",
+        round_signless(
+            F.when(F.col("idcg") == 0, F.lit(0.0))
+            .otherwise(F.col("dcg") / F.col("idcg")),
+            6,
+        ).alias("ndcg"),
+    )
+
+
 @register(
     "q_embed_quantize",
     oracle="""

@@ -61,9 +61,10 @@ DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
     # r13 ROTATION (VERDICT r12 task #1): CORRECTNESS_r12 confirmed the
     # whole r12 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the FIVE r13 first-row names (hybrid RRF retrieval, ANN recall
-    # evaluation, temperature mixture weights, tokenizer fertility,
-    # exact equi-height bins), (b) the six r12 first-row names (1
+    # the SIX r13 first-row names (hybrid RRF retrieval, ANN recall +
+    # NDCG evaluation, temperature mixture weights, tokenizer
+    # fertility, exact equi-height bins), (b) the six r12 first-row
+    # names (1
     # lifetime green each; they hold until >=2), (c) the five queries
     # whose IMPLEMENTATION changed this round — the lexical dedup
     # family now serves from the materialized shingle-postings staging
@@ -71,14 +72,15 @@ DRIVER_ORDER = (
     # the shared _mlt_ranking helper — which must re-hash against the
     # driver, (d) ALL 16 r09-stale names (VERDICT r12 task #1
     # verbatim: the staleness frontier, last green three rounds old),
-    # and (e) 18 r10-stale names, thinnest lifetime confirmations
+    # and (e) 17 r10-stale names, thinnest lifetime confirmations
     # first (the eight 2-row names, then 3-row names alphabetically).
-    # The 24 r10 names left past-cap are the thickest r10
+    # The 25 r10 names left past-cap are the thickest r10
     # confirmations — all remain locally oracle-checked on every run
     # and are next round's rotation head.
     # -- NEW in r13 (first driver rows) ------------------------------
     "q_rank_fusion",
     "q_ann_recall",
+    "q_ann_ndcg",
     "q_mix_temperature",
     "q_tokenizer_fertility",
     "q_hist_equiheight",
@@ -132,10 +134,10 @@ DRIVER_ORDER = (
     "q_funnel",
     "q_length_buckets",
     "q_llm_dedup_simhash",
-    "q_multimodal_features",
     # ======================= past the cap ==============================
     # -- last driver-green r10 (the thicker 3-4-row confirmations;
     # next round's rotation head) -----------------------------------
+    "q_multimodal_features",
     "q_ohlc_bars",
     "q_resample_locf",
     "q_retention",

@@ -82,6 +82,7 @@ _PYTHON_ALLOWED = {
     "q_sim_ann_ivf",
     "q_ann_recall",            # evaluates q_sim_ann_ivf's real plan,
                                # so it inherits that plan's Arrow kernel
+    "q_ann_ndcg",              # same composed-plans inheritance
     "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # PQ codebook assignment + ADC lookup-table scoring are dense
     # numpy table ops (similarity.py::pq_assign_np, the adc kernel in

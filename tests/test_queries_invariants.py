@@ -327,3 +327,26 @@ def test_ann_recall_laws_and_index_quality(spark):
         assert 0 <= r.n_hits <= r.n_exact
         assert abs(r.recall - r.n_hits / r.n_exact) < 1e-9
     assert sum(r.recall for r in rows) / len(rows) >= 0.5
+
+
+def test_ann_ndcg_laws(spark):
+    """NDCG laws: the rearrangement inequality makes IDCG the maximum
+    DCG any 10-list can score under the same gains, so dcg <= idcg and
+    0 <= ndcg <= 1 up to the rounding grain; idcg > 0 on the fixture;
+    ndcg recomputes from the emitted dcg/idcg.  (No implication is
+    asserted between ndcg == 1 and recall == 1: a missed neighbor
+    whose replacement ties at the rounded-4 cosine yields identical
+    gains — equal DCG with recall < 1 is legitimate.)"""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_ann_ndcg"].fn(spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.idcg > 0
+        assert r.dcg <= r.idcg + 1e-6
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-6
+        want = r.dcg / r.idcg
+        assert abs(r.ndcg - want) < 1e-6
+    # the fixture index is good: mean NDCG comfortably above random
+    assert sum(r.ndcg for r in rows) / len(rows) >= 0.5
