@@ -133,8 +133,15 @@ def main(argv: list[str] | None = None) -> int:
                     F.min("min_event_ts").alias("first_event"),
                     F.max("max_event_ts").alias("last_event"),
                 ).first()
-            except Exception as e:  # noqa: BLE001 — table may not exist
+            except Exception as e:  # noqa: BLE001 — unreadable table
                 print(f"metrics {suffix}: absent ({type(e).__name__})",
+                      file=sys.stderr)
+                continue
+            if r["batches"] == 0:
+                # read_metrics returns an EMPTY relation (not an
+                # error) before the first delivered batch since r13 —
+                # report absence instead of a misleading zero row
+                print(f"metrics {suffix}: absent (no batches delivered)",
                       file=sys.stderr)
                 continue
             print(f"metrics {suffix}: batches={r['batches']} "

@@ -191,10 +191,12 @@ def foreach_batch_incremental_dedup(admitted_path: str, store_path: str,
     return fn
 
 
-def _read_store_or_none(spark, path: str):
-    """Read a staging-store parquet dir, or None if it does not hold
-    data yet — shared by both incremental-admit sinks so the
-    classification cannot drift between them.
+def is_empty_store_error(e: "AnalysisException") -> bool:
+    """True iff an AnalysisException means "this store holds nothing
+    yet" — THE shared classifier for every store/journal reader (the
+    admit sinks here, the monitor journal readers in
+    streaming/monitor.py), so the condition set cannot drift between
+    copies (self-review r13).
 
     Classify by the STRUCTURED error condition (a message substring
     match could be spoofed by a path that happens to contain the error
@@ -202,19 +204,28 @@ def _read_store_or_none(spark, path: str):
     PATH_NOT_FOUND is the true first batch; UNABLE_TO_INFER_SCHEMA is
     the directory a crash left with no readable footer (e.g. died
     between the rows write and the store write) — retrying the read
-    can never succeed there, and re-admitting is exactly the
+    can never succeed there.  Everything else (permissions, transient
+    FS, corrupt footer on a populated store) is NOT empty and must
+    propagate — swallowing it would silently misreport real state."""
+    try:
+        cond = e.getCondition() or ""
+    except Exception:  # noqa: BLE001 — legacy error without condition
+        cond = ""
+    return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _read_store_or_none(spark, path: str):
+    """Read a staging-store parquet dir, or None if it does not hold
+    data yet — shared by both incremental-admit sinks.  Empty-store
+    classification via :func:`is_empty_store_error`; on the
+    crash-torn-directory condition, re-admitting is exactly the
     documented at-least-once replay behavior.  Everything else
-    (permissions, transient FS, corrupt footer on a populated store)
     re-raises to fail the batch for retry — swallowing it would
     silently re-admit already-seen content."""
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        try:
-            cond = e.getCondition() or ""
-        except Exception:  # noqa: BLE001 — legacy error without condition
-            cond = ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if not is_empty_store_error(e):
             raise
         return None
 

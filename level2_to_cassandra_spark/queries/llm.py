@@ -1301,6 +1301,41 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) → parquet paths of the MATERIALIZED
+#: ANN-eval rankings — q_sim_ann_ivf's and q_sim_topk's top-10 lists,
+#: each built ONCE per (session, fixture) from the REGISTERED plan and
+#: shared by q_ann_recall and q_ann_ndcg (self-review r13: the two
+#: eval queries each re-ran both full retrieval pipelines).  The
+#: build/serve split also makes both eval queries' SERVE plans pure
+#: scans + tiny joins — the Python-kernel IVF assignment runs at
+#: build time only (the _KMEANS_TABLE / multimodal-decision-table
+#: discipline), plan-pinned.
+_ANN_IVF_TABLE: dict[tuple[str, str], str] = {}
+_ANN_EXACT_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _ann_eval_tables(spark: SparkSession,
+                     sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(ivf top-10, exact top-10) staging tables — each column-complete
+    (query_id, neighbor_id, cos, rank) so both eval metrics serve off
+    the same two materializations."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build_ivf(path: str) -> None:
+        q_sim_ann_ivf(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+    def _build_exact(path: str) -> None:
+        q_sim_topk(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+    return (
+        materialize_once(_ANN_IVF_TABLE, spark, sf_dir, "l2c_annivf_",
+                         _build_ivf),
+        materialize_once(_ANN_EXACT_TABLE, spark, sf_dir, "l2c_anntopk_",
+                         _build_exact),
+    )
+
+
+
 @register(
     "q_ann_recall",
     # The ann CTE chain is q_sim_ann_ivf's oracle VERBATIM (comp /
@@ -1375,23 +1410,25 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX QUALITY EVALUATION: recall@10 of the IVF index
-    (q_sim_ann_ivf's registered plan, called verbatim) against the
-    exact brute-force ranking (q_sim_topk's) per query — THE metric an
-    ANN deployment regression-gates on before swapping an index into
-    serving.  Composing the two registered queries as DataFrames is
-    the point: the evaluation measures the real plans, not a
-    reimplementation.
+    (q_sim_ann_ivf's registered plan) against the exact brute-force
+    ranking (q_sim_topk's) per query — THE metric an ANN deployment
+    regression-gates on before swapping an index into serving.
+    Composing the two registered queries is the point: the evaluation
+    measures the real plans, not a reimplementation; both rankings
+    are staged once per (session, fixture) and shared with q_ann_ndcg
+    (:func:`_ann_eval_tables`).
 
     Scale shape: the eval harness pattern — recall is always measured
     on a SAMPLED query set (here the 5 fixture queries), so the
     brute-force leg is bounded by sample × corpus (one broadcast-
     nested-loop pass, the q_sim_topk shape) while the ANN leg prices
-    the index being evaluated; the intersection join and recall
-    arithmetic run over ≤(sample · k) rows — free.  At 100 TB the
-    same query evaluates an index over any corpus the brute leg can
-    scan once."""
-    ann = q_sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = q_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    the index being evaluated — both priced ONCE at staging-build
+    time; the served intersection join and recall arithmetic run over
+    ≤(sample · k) rows — free.  At 100 TB the same query evaluates an
+    index over any corpus the brute leg can scan once."""
+    ivf, ex_t = _ann_eval_tables(spark, sf_dir)
+    ann = ivf.select("query_id", "neighbor_id")
+    exact = ex_t.select("query_id", "neighbor_id")
     hits = (
         ann.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1512,15 +1549,16 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals indexed by rank on both engines (libm log2 is not
     correctly-rounded-guaranteed); gains are rounded-at-4 cosines;
     dcg/idcg are FLOOR half-up rounded before the ratio.  Scale shape:
-    identical to q_ann_recall — sampled query set, both legs bounded,
-    the metric arithmetic runs over ≤(sample · k) rows."""
+    identical to q_ann_recall — sampled query set, both legs bounded
+    and staged once per (session, fixture) via
+    :func:`_ann_eval_tables`, the served metric arithmetic runs over
+    ≤(sample · k) rows."""
     darr = F.array(*[F.lit(float(d)) for d in _NDCG_DISCOUNTS])
     gain = (
         F.greatest(F.col("cos"), F.lit(0.0))
         * F.element_at(darr, F.col("rank").cast("int"))
     )
-    ann = q_sim_ann_ivf(spark, sf_dir)
-    exact = q_sim_topk(spark, sf_dir)
+    ann, exact = _ann_eval_tables(spark, sf_dir)
     dcg = ann.groupBy("query_id").agg(
         round_half_up(F.sum(gain), 6).alias("dcg")
     )
@@ -2313,10 +2351,11 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     more-like-this ranking (sparse tf-idf cosine, :func:`_mlt_ranking`
     — shared verbatim with q_text_more_like_this) with the DENSE
     embedding ranking (brute cosine, q_sim_topk's operator) at depth
-    {_RRF_DEPTH} per leg, score = Σ_legs 1/({_RRF_K}+rank), keep the
-    fused top-10 — the standard hybrid-search shape every modern
-    retrieval stack (BM25+vector) runs, and the missing combinator
-    between this module's independent lexical and dense rankers.
+    20 per leg (_RRF_DEPTH), score = Σ_legs 1/(60+rank) (_RRF_K),
+    keep the fused top-10 — the standard hybrid-search shape every
+    modern retrieval stack (BM25+vector) runs, and the missing
+    combinator between this module's independent lexical and dense
+    rankers.
 
     Determinism: each leg ranks on its ROUNDED score with
     neighbor_id tiebreak (both legs' conventions are individually
@@ -2326,7 +2365,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both legs are already bounded (query side 5 docs,
     broadcast; candidate generation probe-sized, never corpus²); the
-    fusion itself is a full-outer join of two ≤(5·{_RRF_DEPTH})-row
+    fusion itself is a full-outer join of two ≤(5·20)-row
     relations and a window over ≤200 rows — free at any corpus size.
     A leg list missing a doc contributes 0 to its RRF term (COALESCE,
     not inner join): fusion must not require membership in BOTH lists

@@ -72,11 +72,13 @@ DRIVER_ORDER = (
     # the shared _mlt_ranking helper — which must re-hash against the
     # driver, (d) ALL 16 r09-stale names (VERDICT r12 task #1
     # verbatim: the staleness frontier, last green three rounds old),
-    # and (e) 17 r10-stale names, thinnest lifetime confirmations
+    # and (e) 16 r10-stale names, thinnest lifetime confirmations
     # first (the eight 2-row names, then 3-row names alphabetically).
-    # The 25 r10 names left past-cap are the thickest r10
+    # The 26 r10 names left past-cap are the thickest r10
     # confirmations — all remain locally oracle-checked on every run
-    # and are next round's rotation head.
+    # and are next round's rotation head; q_contamination (r12-fresh
+    # but impl-changed this round: it now serves from the shingle
+    # staging table) takes the freed slot per rule (c).
     # -- NEW in r13 (first driver rows) ------------------------------
     "q_rank_fusion",
     "q_ann_recall",
@@ -91,12 +93,14 @@ DRIVER_ORDER = (
     "q_embed_separation",
     "q_text_boilerplate",
     "q_text_zipf",
-    # -- impl CHANGED in r13 (re-hash against the driver) ----------
+    # -- impl CHANGED in r13 (re-hash against the driver; the changed
+    # q_text_boilerplate is already in-cap via the first-row rule) ---
     "q_text_containment",
     "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
     "q_dedup_incremental_fuzzy",
     "q_text_more_like_this",
+    "q_contamination",
     # -- last driver-green r09 (VERDICT r12 task #1 verbatim: the
     # staleness frontier, all 16 rotate in) -------------------------
     "q_agg_conditional",
@@ -133,10 +137,10 @@ DRIVER_ORDER = (
     "q_event_transitions",
     "q_funnel",
     "q_length_buckets",
-    "q_llm_dedup_simhash",
     # ======================= past the cap ==============================
     # -- last driver-green r10 (the thicker 3-4-row confirmations;
     # next round's rotation head) -----------------------------------
+    "q_llm_dedup_simhash",
     "q_multimodal_features",
     "q_ohlc_bars",
     "q_resample_locf",
@@ -217,7 +221,6 @@ DRIVER_ORDER = (
     "q_agg_hll_sketch",
     "q_agg_pivot",
     "q_agg_stats",
-    "q_contamination",
     "q_csv_scan",
     "q_curate_corpus",
     "q_dedup_cluster",

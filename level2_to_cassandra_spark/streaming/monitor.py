@@ -97,27 +97,24 @@ def foreach_batch_with_metrics(
 def _read_journal(spark, path: str, schema: str) -> DataFrame:
     """Read a monitor journal/store directory with its pinned schema,
     or an EMPTY relation of that schema when no batch has been
-    delivered yet — the same structured-error classification the
-    incremental-admit sinks use (operators/dedup.py::
-    _read_store_or_none): PATH_NOT_FOUND is the true before-first-
-    batch read; UNABLE_TO_INFER_SCHEMA is the directory a crash left
-    with no readable footer (cannot occur with an explicit read
-    schema, kept for classification symmetry).  Everything else
-    (permissions, transient FS, corrupt footer on a populated
-    journal) re-raises — swallowing it would silently report an empty
-    monitor over a journal that exists (ADVICE r12: the raw readers
-    raised before the first delivered batch, unlike the admit
-    stores' graceful empty classification)."""
+    delivered yet — the SAME classifier the incremental-admit sinks
+    use (operators/dedup.py::is_empty_store_error, one definition so
+    the condition set cannot drift between the two reader families).
+    Non-empty errors (permissions, transient FS, corrupt footer on a
+    populated journal) re-raise — swallowing one would silently
+    report an empty monitor over a journal that exists (ADVICE r12:
+    the raw readers raised before the first delivered batch, unlike
+    the admit stores' graceful empty classification)."""
     from pyspark.errors import AnalysisException
+
+    from level2_to_cassandra_spark.operators.dedup import (
+        is_empty_store_error,
+    )
 
     try:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException as e:
-        try:
-            cond = e.getCondition() or ""
-        except Exception:  # noqa: BLE001 — legacy error without condition
-            cond = ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if not is_empty_store_error(e):
             raise
         return spark.createDataFrame([], schema)
 
