@@ -135,6 +135,7 @@ HEADLINE = [
     "q_hist_equiheight",     # exact quantile bins (one exchange)
     "q_tokenizer_fertility", # per-lang tokens/char budgeting
     "q_mix_temperature",     # sqrt-damped source sampling weights
+    "q_window_ewma",         # truncated EWMA (8 lags, 1 WindowExec)
 ]
 
 

@@ -260,3 +260,86 @@ def q_window_running_distinct(spark: SparkSession,
         F.sum("first_seen").over(w_cum).cast("long")
          .alias("types_seen"),
     )
+
+
+#: Truncated-EWMA spec: alpha = 0.5 (weights 2^-j are EXACT dyadic
+#: doubles, so the weighted sums are bit-identical in any IEEE
+#: engine), depth 8 lags.  The normalized form
+#: ewma_t = Σ_j a^j·x_{t-j} / Σ_j a^j (over the lags that EXIST)
+#: cancels the (1-a) factor and unbiases the first rows of each key,
+#: the standard pandas ewm(adjust=True) convention.
+_EWMA_ALPHA = 0.5
+_EWMA_DEPTH = 8
+
+
+@register(
+    "q_window_ewma",
+    # LAG(value, j) over the (ts, event_id) total order is
+    # engine-identical; the numerator/denominator are FIXED-ORDER
+    # left-to-right sums of dyadic-weighted terms, so both engines
+    # compute the same double before the ROUND.  NULL/NaN values are
+    # excluded up front: a NULL inside the lag window would otherwise
+    # need COALESCE legs in every term, and engines order NaN
+    # differently.
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type, ts, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    l AS (
+        SELECT event_id, event_type, ts, value,
+               {lags}
+        FROM ev)
+    SELECT event_id, event_type, ts, value,
+           (ROUND(({num}) / ({den}), 6) + 0.0) AS ewma
+    FROM l
+    """.format(
+        lags=",\n               ".join(
+            f"LAG(value, {j}) OVER (PARTITION BY event_type "
+            f"ORDER BY ts, event_id) AS x{j}"
+            for j in range(1, 8)
+        ),
+        num="value * 1.0 + " + " + ".join(
+            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE x{j} * {0.5 ** j!r} END"
+            for j in range(1, 8)
+        ),
+        den="1.0 + " + " + ".join(
+            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE {0.5 ** j!r} END"
+            for j in range(1, 8)
+        ),
+    ),
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EXPONENTIALLY-WEIGHTED moving average per key — the
+    smoothing primitive behind metric dashboards and anomaly baselines
+    (the recursive y_t = (1-a)x_t + a·y_{t-1} needs a sequential scan;
+    truncating at 8 lags with a = 0.5 leaves a weight tail of 2^-8 =
+    0.4 % and turns it into a bounded row-frame window — the move that
+    makes EWMA distributable).  Normalized over the weights of the
+    lags that exist (the pandas ewm(adjust=True) convention), so the
+    first rows of each key are unbiased rather than damped toward 0.
+
+    Determinism: alpha 0.5 makes every weight an exact dyadic double;
+    numerator and denominator are fixed-order sums written identically
+    on both engines over the LAG(value, j) columns of a total
+    (ts, event_id) order.  Scale shape: ONE hash exchange on the key
+    feeding one window sort — 8 lags ride a single WindowExec, and the
+    arithmetic is codegen'd projection work."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = {j: F.lag("value", j).over(w) for j in range(1, _EWMA_DEPTH)}
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in range(1, _EWMA_DEPTH):
+        wj = F.lit(_EWMA_ALPHA ** j)
+        num = num + F.when(lags[j].isNull(), F.lit(0.0)).otherwise(
+            lags[j] * wj
+        )
+        den = den + F.when(lags[j].isNull(), F.lit(0.0)).otherwise(wj)
+    from level2_to_cassandra_spark.functions import round_signless
+
+    return ev.select(
+        "event_id", "event_type", "ts", "value",
+        round_signless(num / den, 6).alias("ewma"),
+    )

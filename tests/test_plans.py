@@ -945,3 +945,13 @@ def test_ann_eval_queries_serve_from_staged_rankings(spark):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert plan.count("FileScan parquet") == scans, name
+
+
+def test_window_ewma_single_exchange_no_join(spark):
+    """q_window_ewma: the 8 lags ride ONE WindowExec over one key
+    exchange — no join, no extra shuffle, arithmetic fused into
+    projection."""
+    plan = plan_of(all_queries()["q_window_ewma"].fn(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan

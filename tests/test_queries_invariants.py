@@ -350,3 +350,42 @@ def test_ann_ndcg_laws(spark):
         assert abs(r.ndcg - want) < 1e-6
     # the fixture index is good: mean NDCG comfortably above random
     assert sum(r.ndcg for r in rows) / len(rows) >= 0.5
+
+
+def test_window_ewma_normalization_laws(spark):
+    """Truncated-EWMA laws: each key's FIRST row (by the query's
+    (ts, event_id) order) has ewma == round(value, 6) (no lags exist,
+    the normalization cancels); every ewma lies within the min/max of
+    the window it averages (a convex combination); and on a constant
+    series the ewma equals the constant exactly."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_window_ewma"].fn(spark, sf).collect()
+    assert rows
+    per_key = defaultdict(list)
+    for r in rows:
+        per_key[r.event_type].append(r)
+    for key, lst in per_key.items():
+        lst.sort(key=lambda r: (r.ts, r.event_id))
+        assert abs(lst[0].ewma - round(lst[0].value, 6)) < 1e-9, key
+        for i, r in enumerate(lst):
+            window = [x.value for x in lst[max(0, i - 7): i + 1]]
+            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
+
+    # constant series: ewma == the constant at every position
+    const = spark.createDataFrame(
+        [(i, "k", float(i), 7.5) for i in range(20)],
+        "event_id long, event_type string, tsd double, value double",
+    ).select("event_id", "event_type",
+             F.col("tsd").cast("timestamp").alias("ts"), "value")
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        const.write.parquet(os.path.join(d, "events.parquet"))
+        got = all_queries()["q_window_ewma"].fn(spark, d).collect()
+    assert got and all(r.ewma == 7.5 for r in got)
