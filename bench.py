@@ -136,6 +136,7 @@ HEADLINE = [
     "q_tokenizer_fertility", # per-lang tokens/char budgeting
     "q_mix_temperature",     # sqrt-damped source sampling weights
     "q_window_ewma",         # truncated EWMA (8 lags, 1 WindowExec)
+    "q_graph_lpa",           # 3-superstep label-propagation communities
 ]
 
 

@@ -532,3 +532,95 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_2hop"), F.lit(0)).alias("n_2hop"),
         )
     )
+
+
+#: Fixed synchronous-LPA iteration count — part of the query SPEC (not
+#: a convergence knob), so the oracle can unroll it; synchronous LPA
+#: can oscillate on bipartite structures, but a FIXED horizon makes
+#: the output deterministic regardless.
+_LPA_ITERS = 3
+
+
+def _lpa_iter_ctes() -> str:
+    """The unrolled label-propagation CTE chain (the q_pagerank
+    pattern): c{i} counts neighbor labels, l{i} keeps each node's
+    argmax with the smallest-label tie-break — pure integer relational
+    algebra, bit-identical in any engine."""
+    out = []
+    for i in range(1, _LPA_ITERS + 1):
+        out.append(f"""
+    c{i} AS (
+        SELECT a.v, l.lab, COUNT(*) AS c
+        FROM adj a JOIN l{i - 1} l ON l.node = a.nbr
+        GROUP BY a.v, l.lab),
+    l{i} AS (
+        SELECT v AS node, lab FROM (
+            SELECT v, lab,
+                   ROW_NUMBER() OVER (PARTITION BY v
+                                      ORDER BY c DESC, lab ASC) AS rn
+            FROM c{i})
+        WHERE rn = 1)""")
+    return ",".join(out)
+
+
+@register(
+    "q_graph_lpa",
+    oracle=f"""
+    WITH {_TRI_EDGE_CTES},
+    adj AS (SELECT a AS v, b AS nbr FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    l0 AS (SELECT DISTINCT v AS node, v AS lab FROM adj),{_lpa_iter_ctes()},
+    sizes AS (SELECT lab, COUNT(*) AS cs FROM l{_LPA_ITERS} GROUP BY lab)
+    SELECT CAST(l.node AS BIGINT) AS node,
+           CAST(l.lab AS BIGINT) AS community_id,
+           CAST(s.cs AS BIGINT) AS community_size
+    FROM l{_LPA_ITERS} l JOIN sizes s ON s.lab = l.lab
+    """,
+)
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007) — the fourth member of the graph family on the shared
+    materialized supplier edge relation (fixed-point ranks: pagerank;
+    global reachability: components; local structure: triangles/khop;
+    mesoscale structure: THIS).  Every node starts as its own label;
+    each of the 3 fixed iterations relabels every node with its
+    neighbors' most frequent label (ties to the smallest label — the
+    determinism LPA's random tie-break forfeits).  Communities are
+    denser than components: a bridge edge keeps two clusters in one
+    component but LPA labels them separately.
+
+    Scale shape: each iteration is ONE equi-join of the 2-column label
+    relation against the adjacency (both hash-partitioned by node id)
+    + one count aggregate + one per-node argmax window — the classic
+    Pregel superstep lowered to relational ops; the edge relation is
+    the once-materialized parquet staging table, and iterations are
+    FIXED so the unrolled plan is 3 supersteps deep, no driver loop.
+    Everything is integer arithmetic — no rounding discipline needed
+    anywhere."""
+    edges = _sparsified_supplier_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    labels = adj.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            adj.join(labels, labels["node"] == adj["nbr"])
+            .groupBy(adj["v"].alias("v"), labels["lab"].alias("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "lab")
+        )
+    size_w = Window.partitionBy("lab")
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lab").cast("long").alias("community_id"),
+        F.count(F.lit(1)).over(size_w).cast("long").alias("community_size"),
+    )

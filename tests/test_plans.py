@@ -955,3 +955,21 @@ def test_window_ewma_single_exchange_no_join(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan
+
+
+def test_graph_lpa_serves_from_staged_edges_no_cartesian(spark):
+    """q_graph_lpa: three unrolled supersteps over the materialized
+    edge staging table — every join is an equi-join (no Cartesian, no
+    broadcast-nested-loop), no Python node, and the adjacency is
+    parquet scans of the staged relation, never a rebuild (no
+    posexplode Generate in the served plan)."""
+    from level2_to_cassandra_spark.queries.graph import (
+        _sparsified_supplier_edges,
+    )
+
+    _sparsified_supplier_edges(spark, SF)  # session build
+    plan = plan_of(all_queries()["q_graph_lpa"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
