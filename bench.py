@@ -137,6 +137,7 @@ HEADLINE = [
     "q_mix_temperature",     # sqrt-damped source sampling weights
     "q_window_ewma",         # truncated EWMA (8 lags, 1 WindowExec)
     "q_graph_lpa",           # 3-superstep label-propagation communities
+    "q_drift_ks",            # exact KS drift on the distinct-value grid
 ]
 
 

@@ -1749,3 +1749,111 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(psi.alias("psi"), (psi > 0.2).alias("drift_flag"))
     )
+
+
+@register(
+    "q_drift_ks",
+    # Every quantity is derived from integer cumulative counts over
+    # the SAME distinct-value grid on both engines: the empirical-CDF
+    # ratios divide identical values (explicit CAST AS DOUBLE on the
+    # numerator, the denominator auto-widens identically), the abs
+    # diff and MAX are order-free, and the flag compares the ROUNDED
+    # statistic.  NULL/NaN values are excluded up front (a CDF over
+    # them is undefined and engines total-order NaN differently).
+    oracle="""
+    WITH labeled AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'ref' ELSE 'cur' END AS period
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    dist AS (
+        SELECT event_type, value,
+               SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref_v,
+               SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur_v
+        FROM labeled GROUP BY event_type, value),
+    cdf AS (
+        SELECT event_type, n_ref_v, n_cur_v,
+               CAST(SUM(n_ref_v) OVER (
+                        PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / SUM(n_ref_v) OVER (PARTITION BY event_type) AS f_ref,
+               CAST(SUM(n_cur_v) OVER (
+                        PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / SUM(n_cur_v) OVER (PARTITION BY event_type) AS f_cur
+        FROM dist)
+    SELECT event_type,
+           CAST(SUM(n_ref_v) AS BIGINT) AS n_ref,
+           CAST(SUM(n_cur_v) AS BIGINT) AS n_cur,
+           (ROUND(MAX(ABS(f_ref - f_cur)), 6) + 0.0) AS ks,
+           (ROUND(MAX(ABS(f_ref - f_cur)), 6) + 0.0) > 0.1 AS drift_flag
+    FROM cdf
+    GROUP BY event_type
+    HAVING SUM(n_ref_v) > 0 AND SUM(n_cur_v) > 0
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kolmogorov-Smirnov drift per key — the nonparametric
+    member of the drift family: q_drift_psi bins (10 cells, fast but
+    blind to within-bin movement), q_drift_embedding scores quantizer
+    occupancy, and THIS computes the exact sup-distance between the
+    reference and current empirical CDFs — the statistic that catches
+    a shift PSI's coarse bins smear away.  Same windows as q_drift_psi
+    (reference = first half of the month); conventional 0.1 alarm on
+    the rounded statistic.
+
+    Scale shape: the CDF does NOT need a global per-row sort — the
+    (key, value) aggregate collapses the corpus to its DISTINCT value
+    grid first (bounded by value cardinality, the tf-postings scale
+    class), and the cumulative window + max run over that grid: one
+    corpus-scale exchange for the aggregate, then grid-sized work.
+    Keys missing either window are omitted (no distribution to compare
+    — the q_drift_psi reference-keys discipline)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_type", "value",
+            F.when(
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref"
+            ).otherwise("cur").alias("period"),
+        )
+    )
+    dist = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .alias("n_ref_v"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .alias("n_cur_v"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    f_ref = (
+        F.sum("n_ref_v").over(w_cum).cast("double")
+        / F.sum("n_ref_v").over(w_tot)
+    )
+    f_cur = (
+        F.sum("n_cur_v").over(w_cum).cast("double")
+        / F.sum("n_cur_v").over(w_tot)
+    )
+    ks = round_signless(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6)
+    return (
+        dist.select(
+            "event_type", "n_ref_v", "n_cur_v",
+            f_ref.alias("f_ref"), f_cur.alias("f_cur"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref_v").cast("long").alias("n_ref"),
+            F.sum("n_cur_v").cast("long").alias("n_cur"),
+            ks.alias("ks"),
+            (ks > F.lit(0.1)).alias("drift_flag"),
+        )
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+    )

@@ -61,10 +61,10 @@ DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
     # r13 ROTATION (VERDICT r12 task #1): CORRECTNESS_r12 confirmed the
     # whole r12 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the EIGHT r13 first-row names (hybrid RRF retrieval, ANN recall
+    # the NINE r13 first-row names (hybrid RRF retrieval, ANN recall
     # + NDCG evaluation, temperature mixture weights, tokenizer
     # fertility, exact equi-height bins, truncated EWMA, LPA
-    # communities), (b) the six
+    # communities, exact KS drift), (b) the six
     # r12 first-row names (1
     # lifetime green each; they hold until >=2), (c) the six queries
     # whose IMPLEMENTATION changed this round — the lexical dedup
@@ -74,9 +74,9 @@ DRIVER_ORDER = (
     # which must re-hash against the driver, (d) ALL 16 r09-stale
     # names (VERDICT r12 task #1
     # verbatim: the staleness frontier, last green three rounds old),
-    # and (e) 14 r10-stale names, thinnest lifetime confirmations
+    # and (e) 13 r10-stale names, thinnest lifetime confirmations
     # first (the eight 2-row names, then 3-row names alphabetically).
-    # The 28 r10 names left past-cap are the thickest r10
+    # The 29 r10 names left past-cap are the thickest r10
     # confirmations — all remain locally oracle-checked on every run
     # and are next round's rotation head; q_contamination (r12-fresh
     # but impl-changed this round: it now serves from the shingle
@@ -90,6 +90,7 @@ DRIVER_ORDER = (
     "q_hist_equiheight",
     "q_window_ewma",
     "q_graph_lpa",
+    "q_drift_ks",
     # -- r12 first rows (1 lifetime row each; hold until >=2) ------
     "q_embed_covariance",
     "q_embed_outlier",
@@ -138,10 +139,10 @@ DRIVER_ORDER = (
     "q_corpus_pipeline",
     "q_dedup_incremental",
     "q_dedup_keep",
-    "q_event_transitions",
     # ======================= past the cap ==============================
     # -- last driver-green r10 (the thicker 3-4-row confirmations;
     # next round's rotation head) -----------------------------------
+    "q_event_transitions",
     "q_funnel",
     "q_length_buckets",
     "q_llm_dedup_simhash",

@@ -973,3 +973,12 @@ def test_graph_lpa_serves_from_staged_edges_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drift_ks_two_exchanges_on_value_grid(spark):
+    """q_drift_ks: ONE corpus-scale exchange (the (key, value) grid
+    aggregate) + one grid-sized re-exchange on the key for the CDF
+    window — never a per-row global sort, never a join."""
+    plan = plan_of(all_queries()["q_drift_ks"].fn(spark, SF), "simple")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan

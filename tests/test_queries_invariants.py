@@ -431,3 +431,59 @@ def test_graph_lpa_matches_brute_force_supersteps(spark):
     # non-degenerate: communities exist and at least one is non-trivial
     assert len(set(l for l, _ in got.values())) > 1
     assert max(s for _, s in got.values()) > 1
+
+
+def test_drift_ks_matches_brute_force_cdf_sup(spark):
+    """q_drift_ks must equal the textbook statistic computed
+    driver-side: for each key, D = max over observed values of
+    |F_ref(v) - F_cur(v)| with F the empirical CDF over that side's
+    (non-NULL, non-NaN) values — validating the distinct-value-grid
+    lowering, not just engine-vs-engine agreement.  Plus the KS laws:
+    0 <= ks <= 1 and flag == (ks > 0.1)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value", "ts")
+        .collect()
+    )
+    cut = dt.datetime(2024, 1, 16)
+    per = defaultdict(lambda: ([], []))
+    for r in rows:
+        per[r.event_type][0 if r.ts < cut else 1].append(r.value)
+    want = {}
+    for key, (ref, cur) in per.items():
+        if not ref or not cur:
+            continue
+        grid = sorted(set(ref) | set(cur))
+        sr, sc = sorted(ref), sorted(cur)
+        import bisect
+        d = max(
+            abs(bisect.bisect_right(sr, v) / len(sr)
+                - bisect.bisect_right(sc, v) / len(sc))
+            for v in grid
+        )
+        want[key] = (len(ref), len(cur), round(d, 6))
+
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.ks)
+        for r in all_queries()["q_drift_ks"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for key, (nr, nc, d) in want.items():
+        gnr, gnc, gks = got[key]
+        assert (gnr, gnc) == (nr, nc), key
+        assert abs(gks - d) < 1e-9, key
+        assert 0.0 <= gks <= 1.0
+    flags = {r.event_type: r.drift_flag
+             for r in all_queries()["q_drift_ks"].fn(spark, sf).collect()}
+    for key, (_, _, d) in want.items():
+        assert flags[key] == (got[key][2] > 0.1)
