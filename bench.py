@@ -138,6 +138,13 @@ HEADLINE = [
     "q_window_ewma",         # truncated EWMA (8 lags, 1 WindowExec)
     "q_graph_lpa",           # 3-superstep label-propagation communities
     "q_drift_ks",            # exact KS drift on the distinct-value grid
+    # r14 additions
+    "q_graph_modularity",    # Newman Q of the registered LPA partition
+    "q_quality_gopher",      # Gopher rule gates (pure scan→project)
+    "q_data_profile",        # per-column profiling, 1 pass + stack
+    "q_outlier_iqr",         # Tukey-fence outlier rows (bcast fences)
+    "q_robust_scale",        # median/MAD per-row robust z
+    "q_agg_decayed",         # dyadic time-decayed totals, 1 exchange
 ]
 
 

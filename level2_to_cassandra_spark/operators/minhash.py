@@ -82,6 +82,24 @@ def _cap_postings(postings: DataFrame, max_shingle_df: int,
     return capped
 
 
+def _adopt_postings(postings: DataFrame) -> DataFrame:
+    """Contract guard for a caller-supplied pre-built postings relation
+    (ADVICE r13 #1): it must be exactly the ``(id, shingle)`` shape
+    :func:`shingle_postings` produces, and when it is given the pair
+    operators' ``id_col``/``text_col``/``k`` parameters are IGNORED —
+    the caller owns shingling consistency (all in-repo callers build
+    through queries/llm.py::_shingle_relation at k=3/defaults).  The
+    shape check cannot prove the k used, but it catches the silent
+    column-mismatch class (wrong relation passed, renamed columns)
+    before it becomes wrong similarity values."""
+    if sorted(postings.columns) != ["id", "shingle"]:
+        raise ValueError(
+            "pre-built postings must have exactly (id, shingle) columns "
+            f"(shingle_postings semantics); got {postings.columns}"
+        )
+    return postings
+
+
 def _verify_jaccard(postings: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b, na, nb) pairs from full
     postings: co-occurrence count join.  Set sizes arrive ON the
@@ -189,6 +207,8 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
         # staging table; memory-and-disk keeps local behavior safe
         # under pressure.
         postings = shingle_postings(docs, id_col, text_col, k).persist()
+    else:
+        postings = _adopt_postings(postings)
     by_id = Window.partitionBy("id")
     if threshold <= 0:
         index = postings.withColumn("n", F.count(F.lit(1)).over(by_id))
@@ -356,6 +376,8 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     if postings is None:
         # shared by signatures + verification — see exact_jaccard_pairs
         postings = shingle_postings(docs, id_col, text_col, k).persist()
+    else:
+        postings = _adopt_postings(postings)
     sig_postings = (
         postings if max_shingle_df is None
         else _cap_postings(postings, max_shingle_df, keep_all_hot_docs=True)
@@ -474,6 +496,8 @@ def containment_pairs(docs: DataFrame, threshold: float,
         raise ValueError("containment_pairs requires threshold > 0")
     if postings is None:
         postings = shingle_postings(docs, id_col, text_col, k).persist()
+    else:
+        postings = _adopt_postings(postings)
     by_id = Window.partitionBy("id")
     w_sh = Window.partitionBy("shingle")
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))

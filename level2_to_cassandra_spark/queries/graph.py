@@ -595,32 +595,170 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel superstep lowered to relational ops; the edge relation is
     the once-materialized parquet staging table, and iterations are
     FIXED so the unrolled plan is 3 supersteps deep, no driver loop.
+    Since r14 the LABEL relation is itself a materialized staging
+    table (:func:`_lpa_labels`, the _component_labels pattern): the
+    3-superstep build runs ONCE per (session, fixture) and both
+    consumers (this query and q_graph_modularity, which reads the
+    labels through three plan branches) serve from the parquet scan.
     Everything is integer arithmetic — no rounding discipline needed
     anywhere."""
-    edges = _sparsified_supplier_edges(spark, sf_dir)
-    adj = edges.select(
-        F.col("a").alias("v"), F.col("b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
-    )
-    labels = adj.select(F.col("v").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    )
-    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
-    for _ in range(_LPA_ITERS):
-        counts = (
-            adj.join(labels, labels["node"] == adj["nbr"])
-            .groupBy(adj["v"].alias("v"), labels["lab"].alias("lab"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("v").alias("node"), "lab")
-        )
+    labels = _lpa_labels(spark, sf_dir)
     size_w = Window.partitionBy("lab")
     return labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("lab").cast("long").alias("community_id"),
         F.count(F.lit(1)).over(size_w).cast("long").alias("community_size"),
+    )
+
+
+#: (applicationId, sf_dir) → parquet path of the MATERIALIZED LPA
+#: label relation (same discipline as _CC_TABLE / the edge relation).
+_LPA_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged-at-horizon LPA label relation (node, lab), built
+    once per (session, sf_dir) over the materialized supplier edge
+    relation and served as a parquet staging table — label tables are
+    what production graph pipelines materialize, and q_graph_modularity
+    reads this relation through THREE plan branches (both edge
+    endpoints + the degree sum), so a parquet scan per branch beats
+    re-running the 3-superstep build per branch."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build(path: str) -> None:
+        edges = _sparsified_supplier_edges(spark, sf_dir)
+        adj = edges.select(
+            F.col("a").alias("v"), F.col("b").alias("nbr")
+        ).unionByName(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+        )
+        labels = adj.select(F.col("v").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        for _ in range(_LPA_ITERS):
+            counts = (
+                adj.join(labels, labels["node"] == adj["nbr"])
+                .groupBy(adj["v"].alias("v"), labels["lab"].alias("lab"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("v").alias("node"), "lab")
+            )
+        labels.write.mode("overwrite").parquet(path)
+
+    return materialize_once(
+        _LPA_TABLE, spark, sf_dir, "l2c_graph_lpa_", _build
+    )
+
+
+@register(
+    "q_graph_modularity",
+    # Replays sparsification + LPA (integer-exact), then the Newman
+    # decomposition.  q_contrib is two divisions + one multiply + one
+    # subtract over exactly-represented integers — IEEE ops written
+    # with the IDENTICAL expression tree on both engines, then
+    # round_half_up (FLOOR form, bit-identical cross-engine).
+    oracle=f"""
+    WITH {_TRI_EDGE_CTES},
+    adj AS (SELECT a AS v, b AS nbr FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    l0 AS (SELECT DISTINCT v AS node, v AS lab FROM adj),{_lpa_iter_ctes()},
+    lab AS (SELECT node, lab FROM l{_LPA_ITERS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    comm AS (
+        SELECT l.lab,
+               CAST(COUNT(*) AS BIGINT) AS community_size,
+               CAST(SUM(d.d) AS BIGINT) AS degree_sum
+        FROM lab l JOIN deg d ON d.v = l.node
+        GROUP BY l.lab),
+    intra AS (
+        SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS ie
+        FROM edges e
+        JOIN lab la ON la.node = e.a
+        JOIN lab lb ON lb.node = e.b
+        WHERE la.lab = lb.lab
+        GROUP BY la.lab)
+    SELECT CAST(c.lab AS BIGINT) AS community_id,
+           c.community_size,
+           COALESCE(i.ie, 0) AS intra_edges,
+           c.degree_sum,
+           {round_half_up_sql(
+               "COALESCE(i.ie, 0)::DOUBLE / m::DOUBLE"
+               " - (c.degree_sum::DOUBLE / (2.0 * m::DOUBLE))"
+               " * (c.degree_sum::DOUBLE / (2.0 * m::DOUBLE))", 6)}
+               AS q_contrib
+    FROM comm c LEFT JOIN intra i ON i.lab = c.lab CROSS JOIN m
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY decomposition of the REGISTERED q_graph_lpa
+    partition (VERDICT r13 #6) — the standard "is this community
+    structure real" statistic (Newman & Girvan 2004): per community c,
+    q_contrib = m_c/m − (d_c/2m)², where m_c = intra-community edges,
+    d_c = degree sum, m = total edges; Q = Σ q_contrib, positive when
+    communities are denser than the degree-preserving random graph.
+    Evaluates the engine's OWN materialized label table — the
+    q_ann_recall pattern of scoring a registered plan's output, not a
+    reimplementation.
+
+    Scale shape: three joins of the |V|-sized label staging table
+    (broadcast at any realistic community count) against the
+    once-materialized edge relation + two community-keyed aggregates;
+    the edge relation is scanned twice (degree leg rides the adjacency
+    union, intra leg the edge list) and nothing shuffles on more than
+    the node key.  m stays in-plan as a broadcast 1-row aggregate.
+
+    Determinism: m_c, d_c, m are integers; q_contrib is two exact-
+    integer→double divisions, one multiply, one subtract — identical
+    expression tree both engines — rounded with the FLOOR-form
+    round_half_up (sign-safe: the subtraction can go negative, and
+    FLOOR output is -0.0-free for non-(-0.0) inputs)."""
+    edges = _sparsified_supplier_edges(spark, sf_dir)
+    lab = _lpa_labels(spark, sf_dir)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    comm = (
+        lab.join(deg, deg["v"] == lab["node"])
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("community_size"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("lab").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("cb"))
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ie"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ie = F.coalesce(F.col("ie"), F.lit(0).cast("long"))
+    half_deg = F.col("degree_sum").cast("double") / (
+        F.lit(2.0) * F.col("m").cast("double")
+    )
+    return (
+        comm.join(intra, "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lab").cast("long").alias("community_id"),
+            "community_size",
+            ie.alias("intra_edges"),
+            "degree_sum",
+            round_half_up(
+                ie.cast("double") / F.col("m").cast("double")
+                - half_deg * half_deg,
+                6,
+            ).alias("q_contrib"),
+        )
     )

@@ -1923,3 +1923,92 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def _profile_oracle() -> str:
+    """One UNION ALL branch per profiled column — each branch is the
+    same aggregate battery, generated from the SAME column list as the
+    Spark side so the two surfaces cannot drift."""
+    branches = []
+    for c in _PROFILE_COLS:
+        branches.append(f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({c}) AS min_value,
+           MAX({c}) AS max_value,
+           FLOOR(CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS total_value
+    FROM lineitem""")
+    return (
+        "WITH p AS (" + "\n    UNION ALL".join(branches) + ")\n"
+        "    SELECT column_name, n_rows, n_nulls, n_distinct,\n"
+        "           min_value, max_value, total_value,\n"
+        "           FLOOR(total_value / (n_rows - n_nulls) * 1000000 + 0.5)\n"
+        "               / 1000000 AS mean_value\n"
+        "    FROM p"
+    )
+
+
+#: The profiled numeric lineitem columns — shared by the Spark plan
+#: and the generated oracle so the two lists cannot diverge.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register("q_data_profile", oracle=_profile_oracle())
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN DATA PROFILING (SURVEY.md §2 B12 — the completeness/
+    cardinality/range summary every ingestion pipeline materializes
+    before training): row count, null count, exact distinct count,
+    min/max, exact decimal total and derived mean for each profiled
+    numeric column, one output row per column.
+
+    Scale shape: ONE scan computes every per-column statistic as a
+    single aggregate row (count/null-count/min/max/sum are map-side-
+    combined partials; the exact distinct counts expand the aggregate
+    k-ways, Spark's standard multi-distinct lowering — swap in
+    approx_count_distinct when k × cardinality outgrows memory), and
+    the 1×(7k) row is then reshaped to k rows with stack() IN-PLAN —
+    never an unpivot of the corpus (which would shuffle N×k rows onto
+    a k-key skew).  Exactness: totals are DECIMAL(38,6) sums (float-
+    associativity-free, the q_rollup_cascade discipline); the mean
+    derives from the ROUNDED total so both engines divide identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            (
+                F.floor(
+                    F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
+                    * F.lit(10000.0) + F.lit(0.5)
+                ) / F.lit(10000.0)
+            ).alias(f"{c}__tot"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ",\n            ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__nd, {c}__min, {c}__max, {c}__tot"
+        for c in _PROFILE_COLS
+    )
+    stacked = one.selectExpr(
+        f"""stack({len(_PROFILE_COLS)},
+            {stack_args}
+        ) AS (column_name, n_rows, n_nulls, n_distinct,
+              min_value, max_value, total_value)"""
+    )
+    return stacked.withColumn(
+        "mean_value",
+        F.floor(
+            F.col("total_value")
+            / (F.col("n_rows") - F.col("n_nulls"))
+            * F.lit(1000000.0) + F.lit(0.5)
+        ) / F.lit(1000000.0),
+    )

@@ -1138,3 +1138,228 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_starts").cast("long").alias("n_starts"),
         F.col("n_ends").cast("long").alias("n_ends"),
     )
+
+
+@register(
+    "q_outlier_iqr",
+    # Interpolation stance as q_anomaly_zscore/q_winsorize: both
+    # engines linearly interpolate exact quantiles over doubles; the
+    # outlier decision compares the ROUNDED value against the ROUNDED
+    # fence so a last-ulp quantile difference cannot flip a row in or
+    # out.  NULL/NaN values are excluded up front (DuckDB orders NaN
+    # above every number, Spark comparisons return false — the only
+    # rows the engines would ever disagree on).
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    b AS (SELECT event_type,
+                 quantile_cont(value, 0.25) AS q1,
+                 quantile_cont(value, 0.75) AS q3
+          FROM ev GROUP BY event_type),
+    f AS (SELECT event_type,
+                 ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+                 ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+          FROM b)
+    SELECT e.event_id, e.event_type, e.value, f.lo_fence, f.hi_fence,
+           CASE WHEN ROUND(e.value, 6) < f.lo_fence THEN 'low'
+                ELSE 'high' END AS side
+    FROM ev e JOIN f USING (event_type)
+    WHERE ROUND(e.value, 6) < f.lo_fence
+       OR ROUND(e.value, 6) > f.hi_fence
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-FENCE OUTLIER ROWS per event type (Tukey fences, the
+    boxplot rule): rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] with the
+    breached side — the row-returning complement of q_anomaly_zscore's
+    per-group outlier COUNTS (a curation pipeline quarantines the rows
+    themselves, not just their tally; quartile fences also survive
+    asymmetric distributions the symmetric MAD band distorts).
+
+    Scale shape: one exact grouped quantile aggregation over the
+    small event-type key space (exact-quantile state is the per-group
+    sorted multiset — swap in approx_percentile at unbounded group
+    count), then ONE broadcast join of the #groups-row fence relation
+    back over the scan and a map-side filter.  No window, no self-
+    join; output is bounded by the outlier rate."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = b.select(
+        "event_type",
+        F.round(F.col("q1") - F.lit(1.5) * iqr, 6).alias("lo_fence"),
+        F.round(F.col("q3") + F.lit(1.5) * iqr, 6).alias("hi_fence"),
+    )
+    rv = F.round(F.col("value"), 6)
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .where((rv < F.col("lo_fence")) | (rv > F.col("hi_fence")))
+        .select(
+            "event_id", "event_type", "value", "lo_fence", "hi_fence",
+            F.when(rv < F.col("lo_fence"), "low")
+            .otherwise("high").alias("side"),
+        )
+    )
+
+
+@register(
+    "q_robust_scale",
+    # median/MAD interpolate identically on both engines (the
+    # q_anomaly_zscore stance); the scaled value is ONE subtraction
+    # and ONE division of identical doubles, rounded sign-normalized
+    # (robust_z is signed, and a tiny negative that rounds to zero
+    # emits -0.0 in DuckDB but +0.0 in Spark — the q_embed_covariance
+    # hash class).  A zero MAD (constant group) yields NULL via
+    # NULLIF on both engines rather than an engine-specific inf/NaN.
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    med AS (SELECT event_type, median(value) AS med
+            FROM ev GROUP BY event_type),
+    mad AS (SELECT e.event_type, median(ABS(e.value - m.med)) AS mad
+            FROM ev e JOIN med m USING (event_type)
+            GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (ROUND((e.value - m.med)
+                  / NULLIF(1.4826 * d.mad, 0.0), 4) + 0.0) AS robust_z
+    FROM ev e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST SCALING (median/MAD z-score) per event row — the
+    outlier-immune feature normalization (sklearn RobustScaler shape)
+    a training pipeline applies where mean/σ scaling would let the
+    outliers it is defending against set the scale.  1.4826 rescales
+    MAD to σ under normality; a constant group (MAD 0) scales to NULL
+    rather than ±inf.  q_anomaly_zscore DETECTS with this statistic;
+    this query EMITS the scaled column itself, per row.
+
+    Scale shape: two grouped exact-median aggregations over the small
+    event-type key space, then the #groups-row stats relation
+    broadcasts back over the scan and the scaling is map-side
+    projection work — no window, no self-join, output 1:1 with the
+    filtered scan."""
+    from level2_to_cassandra_spark.functions import round_signless
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    scale = F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            round_signless(
+                (F.col("value") - F.col("med")) / scale, 4
+            ).alias("robust_z"),
+        )
+    )
+
+
+#: Decay spec for q_agg_decayed: half-life 1 day, horizon 60 days.
+#: Weights 2^-d are EXACT dyadic doubles built by integer shift (no
+#: POWER — libm pow is not correctly-rounded-guaranteed), and a row
+#: older than the horizon weighs exactly 0 by spec, which also keeps
+#: the shift argument in-range on both engines.
+_DECAY_HORIZON_DAYS = 60
+
+
+@register(
+    "q_agg_decayed",
+    # datediff semantics pinned by q_scalar_datetime: DuckDB
+    # DATEDIFF('day', start, end) == Spark datediff(end, start).  The
+    # per-row weight 1/(1<<d) is an exact power of two, so value*w is
+    # an EXACT product (scaling by 2^-d shifts the exponent only);
+    # only the final sums carry associativity jitter, absorbed by
+    # ROUND(.,6).
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, value, CAST(ts AS DATE) AS d FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    anchor AS (SELECT MAX(d) AS mx FROM ev),
+    w AS (SELECT event_type, value,
+                 CASE WHEN DATEDIFF('day', d, mx) > {_DECAY_HORIZON_DAYS}
+                      THEN 0.0
+                      ELSE 1.0 / CAST(1::BIGINT << LEAST(
+                               DATEDIFF('day', d, mx),
+                               {_DECAY_HORIZON_DAYS}) AS DOUBLE)
+                 END AS w
+          FROM ev CROSS JOIN anchor)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (ROUND(SUM(value * w), 6) + 0.0) AS decayed_sum,
+           (ROUND(SUM(w), 6) + 0.0) AS decayed_weight
+    FROM w GROUP BY event_type
+    """,
+)
+def q_agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED aggregation per key (half-life 1 day, horizon
+    60 days — _DECAY_HORIZON_DAYS): recency-weighted totals — the
+    freshness-weighted popularity/engagement score feature stores and
+    ranking pipelines maintain, where yesterday counts half of today
+    and last quarter counts nothing.  The decayed weight sum is the
+    effective sample size, so decayed_sum/decayed_weight is the
+    recency-weighted mean without a second pass.
+
+    Determinism: weights are 2^-d dyadics built by INTEGER SHIFT
+    (1 << d), never libm pow — each value·w product is exact (exponent
+    shift), so only summation-order jitter remains, absorbed at
+    ROUND 6.  Scale shape: the 1-row anchor (max date) broadcasts via
+    crossJoin, the weight is map-side projection work, and the whole
+    query is ONE map-side-combined aggregate shuffling #keys rows —
+    scan → project → agg, the cheapest grouped shape there is."""
+    from level2_to_cassandra_spark.functions import round_signless
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.to_date("ts").alias("d"))
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    anchor = ev.agg(F.max("d").alias("mx"))
+    dd = F.datediff(F.col("mx"), F.col("d"))
+    # SQL-function form: the Python F.shiftleft binding takes only a
+    # literal int for numBits, but the underlying SQL function accepts
+    # a column — identical exact power-of-two result.
+    shift = F.expr(
+        f"shiftleft(1L, least(datediff(mx, d), {_DECAY_HORIZON_DAYS}))"
+    )
+    w = F.when(dd > _DECAY_HORIZON_DAYS, F.lit(0.0)).otherwise(
+        F.lit(1.0) / shift.cast("double")
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("event_type", "value", w.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            round_signless(F.sum(F.col("value") * F.col("w")), 6)
+            .alias("decayed_sum"),
+            round_signless(F.sum("w"), 6).alias("decayed_weight"),
+        )
+    )

@@ -293,18 +293,22 @@ _EWMA_DEPTH = 8
            (ROUND(({num}) / ({den}), 6) + 0.0) AS ewma
     FROM l
     """.format(
+        # Generated from the SAME _EWMA_DEPTH/_EWMA_ALPHA constants as
+        # the Spark loop below (ADVICE r13 #2) — editing the constants
+        # changes both engines together instead of silently drifting.
         lags=",\n               ".join(
             f"LAG(value, {j}) OVER (PARTITION BY event_type "
             f"ORDER BY ts, event_id) AS x{j}"
-            for j in range(1, 8)
+            for j in range(1, _EWMA_DEPTH)
         ),
         num="value * 1.0 + " + " + ".join(
-            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE x{j} * {0.5 ** j!r} END"
-            for j in range(1, 8)
+            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE x{j} * "
+            f"{_EWMA_ALPHA ** j!r} END"
+            for j in range(1, _EWMA_DEPTH)
         ),
         den="1.0 + " + " + ".join(
-            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE {0.5 ** j!r} END"
-            for j in range(1, 8)
+            f"CASE WHEN x{j} IS NULL THEN 0.0 ELSE {_EWMA_ALPHA ** j!r} END"
+            for j in range(1, _EWMA_DEPTH)
         ),
     ),
 )

@@ -59,29 +59,26 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r13 ROTATION (VERDICT r12 task #1): CORRECTNESS_r12 confirmed the
-    # whole r12 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the NINE r13 first-row names (hybrid RRF retrieval, ANN recall
-    # + NDCG evaluation, temperature mixture weights, tokenizer
-    # fertility, exact equi-height bins, truncated EWMA, LPA
-    # communities, exact KS drift), (b) the six
-    # r12 first-row names (1
-    # lifetime green each; they hold until >=2), (c) the six queries
-    # whose IMPLEMENTATION changed this round — the lexical dedup
-    # family plus q_contamination now serve from the materialized
-    # shingle-postings staging table and q_text_more_like_this's
-    # ranking was refactored into the shared _mlt_ranking helper —
-    # which must re-hash against the driver, (d) ALL 16 r09-stale
-    # names (VERDICT r12 task #1
-    # verbatim: the staleness frontier, last green three rounds old),
-    # and (e) 13 r10-stale names, thinnest lifetime confirmations
-    # first (the eight 2-row names, then 3-row names alphabetically).
-    # The 29 r10 names left past-cap are the thickest r10
-    # confirmations — all remain locally oracle-checked on every run
-    # and are next round's rotation head; q_contamination (r12-fresh
-    # but impl-changed this round: it now serves from the shingle
-    # staging table) takes the freed slot per rule (c).
-    # -- NEW in r13 (first driver rows) ------------------------------
+    # r14 ROTATION (VERDICT r13 task #1): CORRECTNESS_r13 confirmed the
+    # whole r13 cap (50/50), so the cap rebuilds from the policy: (a)
+    # the NEW r14 first-row names (inserted at the head as they land
+    # this round), (b) the nine r13 first-row names (1 lifetime green
+    # each; they hold until >=2), (c) queries whose IMPLEMENTATION
+    # changed in r14 and must re-hash against the driver, (d) ALL 29
+    # r10-stale names (VERDICT r13 task #1 verbatim: the staleness
+    # frontier, last green three rounds old), and (e) the thinnest
+    # r11 names (2 lifetime greens, alphabetical) filling the
+    # remaining slots — each new r14 query inserted above pushes one
+    # of these back past the cap, where they stay next round's
+    # rotation head together with the rest of the r11 cohort.
+    # -- NEW in r14 (first driver rows) ------------------------------
+    "q_graph_modularity",
+    "q_quality_gopher",
+    "q_data_profile",
+    "q_outlier_iqr",
+    "q_robust_scale",
+    "q_agg_decayed",
+    # -- r13 first rows (1 lifetime row each; hold until >=2) ------
     "q_rank_fusion",
     "q_ann_recall",
     "q_ann_ndcg",
@@ -91,57 +88,11 @@ DRIVER_ORDER = (
     "q_window_ewma",
     "q_graph_lpa",
     "q_drift_ks",
-    # -- r12 first rows (1 lifetime row each; hold until >=2) ------
-    "q_embed_covariance",
-    "q_embed_outlier",
-    "q_embed_pca",
-    "q_embed_separation",
-    "q_text_boilerplate",
-    "q_text_zipf",
-    # -- impl CHANGED in r13 (re-hash against the driver; the changed
-    # q_text_boilerplate is already in-cap via the first-row rule) ---
+    # -- impl CHANGED in r14 (re-hash against the driver) ------------
     "q_text_containment",
-    "q_llm_dedup_fuzzy",
-    "q_llm_dedup_minhash",
-    "q_dedup_incremental_fuzzy",
     "q_text_more_like_this",
-    "q_contamination",
-    # -- last driver-green r09 (VERDICT r12 task #1 verbatim: the
-    # staleness frontier, all 16 rotate in) -------------------------
-    "q_agg_conditional",
-    "q_agg_distinct",
-    "q_agg_percentile",
-    "q_agg_rollup",
-    "q_agg_salted",
-    "q_dedup_lww",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_range",
-    "q_join_semi",
-    "q_scalar_json",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_set_ops",
-    "q_window_lag",
-    "q_window_rank",
-    # -- last driver-green r10, thinnest lifetime confirmations first
-    # (the 2-row names, then 3-row alphabetical up to the cap) ------
-    "q_agg_string",
-    "q_agg_vector_mean",
-    "q_graph_khop",
-    "q_graph_triangles",
-    "q_join_asof_nearest",
-    "q_join_salted",
-    "q_merge_upsert",
-    "q_window_sliding",
-    "q_chunk_docs",
-    "q_classifier_score",
-    "q_corpus_pipeline",
-    "q_dedup_incremental",
-    "q_dedup_keep",
-    # ======================= past the cap ==============================
-    # -- last driver-green r10 (the thicker 3-4-row confirmations;
-    # next round's rotation head) -----------------------------------
+    # -- last driver-green r10 (VERDICT r13 task #1 verbatim: the
+    # staleness frontier, all 29 rotate in) -------------------------
     "q_event_transitions",
     "q_funnel",
     "q_length_buckets",
@@ -171,23 +122,27 @@ DRIVER_ORDER = (
     "q_window_distribution",
     "q_window_moving_avg",
     "q_window_range_frame",
-    # -- last driver-green r11 ----------------------------------------
+    # -- last driver-green r11, thinnest confirmations (2 rows each,
+    # alphabetical) filling the remaining slots ---------------------
+    "q_cluster_kmeans",
+    "q_drift_embedding",
+    "q_graph_components",
+    "q_importance_resample",
+    # ======================= past the cap ==============================
+    # -- the rest of the r11 cohort (next round's rotation head) ------
+    "q_join_interval",
+    "q_sample_cluster",
     "q_agg_argmax",
     "q_agg_mode",
     "q_anomaly_zscore",
     "q_bm25",
-    "q_cluster_kmeans",
     "q_cooccurrence_pmi",
-    "q_drift_embedding",
     "q_drift_psi",
     "q_embed_quantize",
     "q_gap_islands",
-    "q_graph_components",
     "q_hist_equiwidth",
-    "q_importance_resample",
     "q_join_asof_forward",
     "q_join_asof_tolerance",
-    "q_join_interval",
     "q_mixture_plan",
     "q_ngram_counts",
     "q_orc_scan",
@@ -195,7 +150,6 @@ DRIVER_ORDER = (
     "q_quality_checks",
     "q_resample_interp",
     "q_rollup_cascade",
-    "q_sample_cluster",
     "q_sample_split",
     "q_sample_stratified",
     "q_sample_weighted",
@@ -217,7 +171,7 @@ DRIVER_ORDER = (
     "q_winsorize",
     "q_xml_scan",
     "q_zorder",
-    # -- last driver-green r12 (freshest confirmations, rotate last) --
+    # -- last driver-green r12 ----------------------------------------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
@@ -258,6 +212,46 @@ DRIVER_ORDER = (
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
     "q_window_cumulative",
+    # -- last driver-green r13 (freshest confirmations, rotate last) --
+    "q_agg_conditional",
+    "q_agg_distinct",
+    "q_agg_percentile",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_agg_string",
+    "q_agg_vector_mean",
+    "q_chunk_docs",
+    "q_classifier_score",
+    "q_contamination",
+    "q_corpus_pipeline",
+    "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
+    "q_dedup_keep",
+    "q_dedup_lww",
+    "q_embed_covariance",
+    "q_embed_outlier",
+    "q_embed_pca",
+    "q_embed_separation",
+    "q_graph_khop",
+    "q_graph_triangles",
+    "q_join_asof_nearest",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_salted",
+    "q_join_semi",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_minhash",
+    "q_merge_upsert",
+    "q_scalar_json",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_set_ops",
+    "q_text_boilerplate",
+    "q_text_zipf",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_sliding",
 )
 
 
