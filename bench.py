@@ -212,63 +212,46 @@ def main() -> None:
                 print(f"plan warmup {name} failed: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    # Pre-build session artifacts keyed to the TIMED sf_dir: the
-    # IVF-PQ serve path reads a per-(session, sf_dir) parquet index,
-    # and the tiny-SF plan warmup above built only the warm_dir entry —
-    # without this the FIRST timed rep of q_sim_ann_ivfpq pays the
-    # full index build, so 3-rep medians mask rather than exclude the
-    # build cost (ADVICE r06).  Build is session overhead by design
-    # (the build/serve split); every timed rep measures serve only.
-    try:
-        from level2_to_cassandra_spark.queries.llm import (
-            _ivfpq_session_index,
-        )
-        _ivfpq_session_index(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"ivfpq index prewarm failed: {e}", file=sys.stderr)
-    # Same split for the graph queries: the sparsified supplier edge
-    # relation is a per-(session, sf_dir) parquet staging table
-    # (VERDICT r09 task #2) — without the prewarm the first timed rep
-    # of q_graph_triangles pays the 600k-row co-occurrence build that
-    # is session overhead by design.
-    try:
-        from level2_to_cassandra_spark.queries.graph import (
-            _sparsified_supplier_edges,
-        )
-        _sparsified_supplier_edges(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"graph edge prewarm failed: {e}", file=sys.stderr)
-    try:
-        from level2_to_cassandra_spark.queries.graph import (
-            _component_labels,
-        )
-        _component_labels(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"graph component prewarm failed: {e}", file=sys.stderr)
-    # And the kmeans label table shared by q_cluster_kmeans /
-    # q_sample_cluster — the deterministic Lloyd build is session
-    # overhead by the same build/serve argument.
-    try:
-        from level2_to_cassandra_spark.queries.llm import (
-            _kmeans_assignment,
-        )
-        _kmeans_assignment(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"kmeans assignment prewarm failed: {e}", file=sys.stderr)
-    # And the term-frequency postings staging table shared by
-    # q_text_tfidf / q_text_more_like_this (r11 build/serve split).
-    try:
-        from level2_to_cassandra_spark.queries.llm import _tf_relation
-        _tf_relation(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"tf postings prewarm failed: {e}", file=sys.stderr)
-    # And the cross-modal gate decision table (r11 build/serve split —
-    # one LSH pass + one component closure per session, not per rep).
-    try:
-        from level2_to_cassandra_spark.queries.llm import _multimodal_gate
-        _multimodal_gate(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 — warmup never kills the run
-        print(f"multimodal gate prewarm failed: {e}", file=sys.stderr)
+    # Pre-build EVERY session staging artifact keyed to the TIMED
+    # sf_dir: the serve paths read per-(session, sf_dir) parquet
+    # staging tables, and the tiny-SF plan warmup above built only the
+    # warm_dir entries — without this the FIRST timed rep of whichever
+    # consumer runs first pays the full build, so 3-rep minima exclude
+    # it but anything mid-run (cache pressure, interleaving) can smear
+    # it into medians (ADVICE r06; VERDICT r13 #2 flagged exactly that
+    # attribution ambiguity for the r13-added shingle table).  Build is
+    # session overhead by design (the build/serve split); every timed
+    # rep measures serve only.  Each build is timed INDIVIDUALLY and
+    # emitted as its own stderr line item so staging cost is a visible
+    # number, never a mystery charged to a consumer query.
+    def _staging_builders():
+        from level2_to_cassandra_spark.queries import graph, llm
+        return {
+            "ivfpq_index": llm._ivfpq_session_index,       # q_sim_ann_ivfpq
+            "graph_edges": graph._sparsified_supplier_edges,
+            "graph_components": graph._component_labels,
+            "graph_lpa_labels": graph._lpa_labels,          # r14
+            "kmeans_assignment": llm._kmeans_assignment,
+            "tf_postings": llm._tf_relation,
+            "shingle_postings": llm._shingle_relation,      # r13
+            "shingle_index": llm._shingle_index_relation,   # r14
+            "mlt_ranking": llm._mlt_ranking,                # r14
+            "ann_eval_tables": llm._ann_eval_tables,        # r13
+            "multimodal_gate": llm._multimodal_gate,
+        }
+
+    staging_sec: dict[str, float] = {}
+    for label, builder in _staging_builders().items():
+        t0 = time.perf_counter()
+        try:
+            builder(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — warmup never kills the run
+            print(f"{label} prewarm failed: {e}", file=sys.stderr)
+            continue
+        staging_sec[label] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    print(json.dumps({"staging_prewarm_sec": staging_sec}),
+          file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}

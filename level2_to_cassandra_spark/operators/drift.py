@@ -239,3 +239,105 @@ def psi_against_reference(batch: DataFrame, ref: DataFrame,
             (F.col("psi") > F.lit(PSI_ALARM)).alias("drift_flag"),
         )
     )
+
+
+#: Conventional KS alarm threshold — compared against the ROUNDED
+#: statistic exactly like q_drift_ks (queries/traindata.py), which is
+#: the hash-verified BATCH spec this split replays.
+KS_ALARM = 0.1
+
+
+def ks_reference_dist(ref: DataFrame, key_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Freeze the reference window into its exact VALUE DISTRIBUTION:
+    ``(key, value, n_ref_v, n_ref)`` — one row per distinct
+    (key, value) with its reference count and the per-key total.  The
+    KS analog of :func:`reference_cells`: where PSI freezes 10 bins,
+    exact KS must keep every distinct value (the grid is
+    value-cardinality-bounded — the tf-postings scale class, same
+    honesty note as q_drift_ks's docstring).  NULL/NaN values are
+    excluded exactly as in the batch spec."""
+    named = ref.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    ).where(F.col("value").isNotNull() & ~F.isnan("value"))
+    dist = named.groupBy("key", "value").agg(
+        F.count(F.lit(1)).alias("n_ref_v")
+    )
+    return dist.withColumn(
+        "n_ref", F.sum("n_ref_v").over(Window.partitionBy("key"))
+    )
+
+
+def ks_against_reference(batch: DataFrame, ref: DataFrame,
+                         key_col: str = "event_type",
+                         value_col: str = "value") -> DataFrame:
+    """Exact Kolmogorov-Smirnov of one batch against a
+    :func:`ks_reference_dist` grid: ``(key, n_ref, n_batch, ks,
+    drift_flag)`` per key present in BOTH windows (the q_drift_ks
+    omission rule — no distribution, no comparison).
+
+    Algebra character-identical to the batch spec: the batch collapses
+    to ITS distinct-value counts (one batch-scale aggregate), full-
+    outer-merges with the frozen grid on (key, value) — zero-filled,
+    so each side's CDF steps only at its own values but is EVALUATED
+    at the union grid, which is exactly where the sup lives — then one
+    cumulative window + max per key.  The key leg of the merge is
+    NULL-SAFE (the batch spec's groupBy keeps a NULL key as one
+    group); values are non-NULL by the shared filter, so plain
+    equality is exact there.  Per batch the added work is one
+    (key, value) aggregate + union-grid-sized window arithmetic —
+    nothing grows with batch size except the map-side pass."""
+    bdist = (
+        batch.select(
+            F.col(key_col).alias("key"), F.col(value_col).alias("value")
+        )
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("n_cur_v"))
+    )
+    rdist = ref.select("key", "value", "n_ref_v")
+    grid = (
+        rdist.join(
+            bdist,
+            rdist["key"].eqNullSafe(bdist["key"])
+            & (rdist["value"] == bdist["value"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(rdist["key"], bdist["key"]).alias("key"),
+            F.coalesce(rdist["value"], bdist["value"]).alias("value"),
+            F.coalesce(rdist["n_ref_v"], F.lit(0)).alias("n_ref_v"),
+            F.coalesce(bdist["n_cur_v"], F.lit(0)).alias("n_cur_v"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("key")
+    f_ref = (
+        F.sum("n_ref_v").over(w_cum).cast("double")
+        / F.sum("n_ref_v").over(w_tot)
+    )
+    f_cur = (
+        F.sum("n_cur_v").over(w_cum).cast("double")
+        / F.sum("n_cur_v").over(w_tot)
+    )
+    from level2_to_cassandra_spark.functions import round_signless
+
+    ks = round_signless(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6)
+    return (
+        grid.select(
+            "key", "n_ref_v", "n_cur_v",
+            f_ref.alias("f_ref"), f_cur.alias("f_cur"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("n_ref_v").cast("long").alias("n_ref"),
+            F.sum("n_cur_v").cast("long").alias("n_batch"),
+            ks.alias("ks"),
+            (ks > F.lit(KS_ALARM)).alias("drift_flag"),
+        )
+        .where((F.col("n_ref") > 0) & (F.col("n_batch") > 0))
+    )

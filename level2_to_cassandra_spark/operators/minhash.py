@@ -82,6 +82,46 @@ def _cap_postings(postings: DataFrame, max_shingle_df: int,
     return capped
 
 
+#: Column contract of a pre-built RANKED prefix index (the PPJoin
+#: index staging table): rarest-first position, set size, per-shingle
+#: df and the doc's minimum df (the cap-rescue column).
+RANKED_INDEX_COLUMNS = ("id", "shingle", "pos", "n", "df", "min_df")
+
+
+def ranked_postings(postings: DataFrame) -> DataFrame:
+    """The rarest-first RANKED prefix index over a postings relation —
+    (id, shingle, pos, n, df, min_df) with pos = row_number under the
+    global (df ASC, shingle ASC) order within each doc.  This is the
+    window stack exact_jaccard_pairs/containment_pairs otherwise
+    compute per call (two key exchanges + one window sort, ~2 s at
+    sf0.1); materializing it once per corpus is exactly the prefix
+    index the PPJoin literature maintains as a standing structure
+    (queries/llm.py::_shingle_index_relation does so)."""
+    by_id = Window.partitionBy("id")
+    w_sh = Window.partitionBy("shingle")
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    return (
+        postings.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(by_id))
+        .withColumn("min_df", F.first("df").over(w))
+    )
+
+
+def _adopt_ranked(ranked: DataFrame) -> DataFrame:
+    """Contract guard for a caller-supplied pre-built ranked index —
+    the :data:`RANKED_INDEX_COLUMNS` shape, :func:`ranked_postings`
+    semantics; as with ``postings``, the caller owns shingling
+    consistency and the operators' k/id_col/text_col are ignored."""
+    if sorted(ranked.columns) != sorted(RANKED_INDEX_COLUMNS):
+        raise ValueError(
+            "pre-built ranked index must have exactly "
+            f"{RANKED_INDEX_COLUMNS} columns (ranked_postings "
+            f"semantics); got {ranked.columns}"
+        )
+    return ranked
+
+
 def _adopt_postings(postings: DataFrame) -> DataFrame:
     """Contract guard for a caller-supplied pre-built postings relation
     (ADVICE r13 #1): it must be exactly the ``(id, shingle)`` shape
@@ -133,7 +173,8 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         max_shingle_frac: float | None = None,
                         min_cap_df: int = 50,
                         candidates_only: bool = False,
-                        postings: DataFrame | None = None) -> DataFrame:
+                        postings: DataFrame | None = None,
+                        ranked: DataFrame | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -146,6 +187,16 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
     _shingle_relation).  The relation is read by 3+ plan branches —
     a parquet-backed staging table replays per branch for the cost of
     the scan, which is why no persist is layered on top of it.
+
+    ``ranked`` (threshold > 0 path only) additionally supplies the
+    pre-built rarest-first RANKED index (:func:`ranked_postings`
+    semantics over the SAME postings) — the df/pos/n/min_df window
+    stack is the dominant candidate-generation cost (~2 s of two key
+    exchanges + a window sort at sf0.1, measured r14) and is a pure
+    function of the corpus, so staging it once
+    (queries/llm.py::_shingle_index_relation) removes it from every
+    consumer's critical path; with it supplied nothing here needs a
+    persist at all.
 
     ``candidates_only=True`` returns the CANDIDATE relation
     (id_a, id_b, na, nb) before exact verification instead — the
@@ -239,19 +290,10 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
         # float error from over-shrinking the prefix (ceil can only
         # round DOWN toward the exact value, i.e. the prefix can only
         # widen — lossless either way).
-        w_sh = Window.partitionBy("shingle")
-        w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-        capped = max_shingle_df is not None or max_shingle_frac is not None
-        # n rides the same id-exchange the pos window already does
-        index = postings.withColumn(
-            "df", F.count(F.lit(1)).over(w_sh)
-        ).withColumn("pos", F.row_number().over(w)).withColumn(
-            "n", F.count(F.lit(1)).over(by_id)
-        )
-        if capped:
-            # min(df) per doc = first df under the rarest-first order:
-            # same WindowExec as pos, no extra exchange or sort
-            index = index.withColumn("min_df", F.first("df").over(w))
+        if ranked is not None:
+            index = _adopt_ranked(ranked)
+        else:
+            index = ranked_postings(postings)
         index = index.where(
             F.col("pos")
             <= F.col("n")
@@ -289,8 +331,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
         # the whole df/pos/n window stack over the postings executes
         # twice (measured 1.44 s vs 0.30 s at sf0.1).  One narrow row
         # per surviving prefix posting; at cluster scale this is the
-        # prefix-index staging table PPJoin materializes anyway.
-        index = index.persist()
+        # prefix-index staging table PPJoin materializes anyway — and
+        # when the caller passed that staging table (``ranked``), each
+        # branch is a parquet scan and no persist is needed.
+        if ranked is None:
+            index = index.persist()
         # Length filter (J ≥ t ⇒ t ≤ na/nb ≤ 1/t) and PPJoin POSITIONAL
         # filter evaluated inline on the candidate join, before the
         # distinct.  Positional filter: J ≥ t ⟺ |∩| ≥ α with
@@ -457,7 +502,8 @@ def containment_pairs(docs: DataFrame, threshold: float,
                       max_shingle_frac: float | None = None,
                       min_cap_df: int = 50,
                       candidates_only: bool = False,
-                      postings: DataFrame | None = None) -> DataFrame:
+                      postings: DataFrame | None = None,
+                      ranked: DataFrame | None = None) -> DataFrame:
     """All DIRECTIONAL pairs with shingle-set containment
     |Sa ∩ Sb| / |Sa| ≥ threshold (exact).  Output:
     (inner_id, outer_id, containment) — ``inner`` is the contained
@@ -490,29 +536,24 @@ def containment_pairs(docs: DataFrame, threshold: float,
 
     ``postings`` optionally supplies the pre-built ``(id, shingle)``
     relation — the exact_jaccard_pairs contract (same tokenizer, same
-    k, distinct per doc); no persist is layered on a caller-provided
-    staging table."""
+    k, distinct per doc); ``ranked`` the pre-built rarest-first index
+    (:func:`ranked_postings` over the same postings — the dominant
+    candidate-generation cost, staged once per corpus by
+    queries/llm.py::_shingle_index_relation).  No persist is layered
+    on a caller-provided staging table."""
     if threshold <= 0:
         raise ValueError("containment_pairs requires threshold > 0")
     if postings is None:
         postings = shingle_postings(docs, id_col, text_col, k).persist()
     else:
         postings = _adopt_postings(postings)
-    by_id = Window.partitionBy("id")
-    w_sh = Window.partitionBy("shingle")
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    capped = max_shingle_df is not None or max_shingle_frac is not None
-    index = postings.withColumn(
-        "df", F.count(F.lit(1)).over(w_sh)
-    ).withColumn("pos", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(by_id)
-    )
-    if capped:
-        index = index.withColumn("min_df", F.first("df").over(w))
-    # Candidate join reads the windowed relation on both branches —
-    # persist or the df/pos/n stack executes twice (the
-    # exact_jaccard_pairs measurement).
-    index = index.persist()
+    if ranked is not None:
+        index = _adopt_ranked(ranked)
+    else:
+        # Candidate join reads the windowed relation on both branches —
+        # persist or the df/pos/n stack executes twice (the
+        # exact_jaccard_pairs measurement).
+        index = ranked_postings(postings).persist()
     prefix = index.where(
         F.col("pos")
         <= F.col("n")

@@ -101,6 +101,7 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash.exact_jaccard_pairs(
         docs, threshold=0.79, k=3, max_shingle_frac=0.01,
         postings=_shingle_relation(spark, sf_dir),
+        ranked=_shingle_index_relation(spark, sf_dir),
     )
     j = F.round(F.col("jaccard"), 6)
     return pairs.select(
@@ -227,6 +228,7 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash.exact_jaccard_pairs(
         docs, threshold=0.79, k=3, max_shingle_frac=0.01,
         postings=_shingle_relation(spark, sf_dir),
+        ranked=_shingle_index_relation(spark, sf_dir),
     )
     j = F.round(F.col("jaccard"), 6)
     cross = pairs.where(j >= 0.8).where(
@@ -2127,6 +2129,32 @@ def _shingle_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _build)
 
 
+#: Staging memo for the RANKED prefix index (r14): the rarest-first
+#: df/pos/n/min_df window stack over the shingle postings is a pure
+#: corpus function and the dominant candidate-generation cost of the
+#: prefix-filtered pair operators (~2 s of two key exchanges + a
+#: window sort at sf0.1, measured against a 0.23 s parquet re-scan) —
+#: exactly the standing prefix index the PPJoin literature maintains.
+_SHINGLE_INDEX_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _shingle_index_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus ranked prefix index (id, shingle, pos, n, df,
+    min_df), built once per (session, sf_dir) from the shingle
+    postings staging table — consumers pass it to the pair operators
+    as their ``ranked`` input, removing the window stack AND the
+    per-call persist from every serve plan (both candidate-join
+    branches replay a parquet scan instead)."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build(path: str) -> None:
+        posts = _shingle_relation(spark, sf_dir)
+        minhash.ranked_postings(posts).write.mode("overwrite").parquet(path)
+
+    return materialize_once(_SHINGLE_INDEX_TABLE, spark, sf_dir,
+                            "l2c_sh3idx_", _build)
+
+
 def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus term-frequency staging table, built once per
     (session, sf_dir).  Consumers read it through MULTIPLE plan
@@ -2811,6 +2839,7 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash.containment_pairs(
         docs, threshold=0.79, k=3, max_shingle_frac=0.01,
         postings=_shingle_relation(spark, sf_dir),
+        ranked=_shingle_index_relation(spark, sf_dir),
     )
     c = F.round(F.col("containment"), 6)
     return pairs.select(

@@ -91,6 +91,8 @@ DRIVER_ORDER = (
     # -- impl CHANGED in r14 (re-hash against the driver) ------------
     "q_text_containment",
     "q_text_more_like_this",
+    "q_llm_dedup_fuzzy",
+    "q_dedup_incremental_fuzzy",
     # -- last driver-green r10 (VERDICT r13 task #1 verbatim: the
     # staleness frontier, all 29 rotate in) -------------------------
     "q_event_transitions",
@@ -126,10 +128,10 @@ DRIVER_ORDER = (
     # alphabetical) filling the remaining slots ---------------------
     "q_cluster_kmeans",
     "q_drift_embedding",
-    "q_graph_components",
-    "q_importance_resample",
     # ======================= past the cap ==============================
     # -- the rest of the r11 cohort (next round's rotation head) ------
+    "q_graph_components",
+    "q_importance_resample",
     "q_join_interval",
     "q_sample_cluster",
     "q_agg_argmax",
@@ -225,7 +227,6 @@ DRIVER_ORDER = (
     "q_contamination",
     "q_corpus_pipeline",
     "q_dedup_incremental",
-    "q_dedup_incremental_fuzzy",
     "q_dedup_keep",
     "q_dedup_lww",
     "q_embed_covariance",
@@ -240,7 +241,6 @@ DRIVER_ORDER = (
     "q_join_range",
     "q_join_salted",
     "q_join_semi",
-    "q_llm_dedup_fuzzy",
     "q_llm_dedup_minhash",
     "q_merge_upsert",
     "q_scalar_json",

@@ -216,6 +216,88 @@ def read_drift(spark, base_path: str, stream: str = "events") -> DataFrame:
     )
 
 
+#: KS-audit schema — the DRIFT_SCHEMA shape with the exact statistic
+#: in place of the binned one (``key`` cast to STRING by the wrapper,
+#: same rationale).
+KS_SCHEMA = (
+    "batch_id long, stream string, key string, n_ref long, "
+    "n_batch long, ks double, drift_flag boolean"
+)
+
+
+def ks_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed, one subdirectory per
+    stream — the drift_path/metrics_path discipline."""
+    return f"{base}/_ks_metrics"
+
+
+def foreach_batch_with_ks(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    ref_dist: DataFrame,
+    stream: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with per-batch EXACT
+    KOLMOGOROV-SMIRNOV drift scoring — the streaming twin of
+    q_drift_ks (VERDICT r13 #4), completing the drift family's
+    build/score splits (PSI: foreach_batch_with_drift; embedding:
+    foreach_batch_with_embedding_drift; nonparametric sup-distance:
+    THIS).  The reference CDF grid is frozen ONCE
+    (:func:`operators.drift.ks_reference_dist`, built offline) and
+    every micro-batch is scored with one (key, value) aggregate + one
+    union-grid-sized window pass; one ``(batch_id, key, ks,
+    drift_flag)`` audit row per scored key is appended beside the
+    sink.
+
+    Cost/delivery semantics are :func:`foreach_batch_with_drift`'s:
+    batch persisted once (sink + scoring share the read), audit append
+    after the wrapped write inside the same at-least-once attempt —
+    replayed batches duplicate audit rows, readers dedup on
+    ``(batch_id, key)``.  Unlike the PSI reference (#keys × ≤10 rows,
+    snapshotted with a bounded collect), the KS grid is
+    VALUE-CARDINALITY-bounded — potentially far too large to collect —
+    so it is PERSISTED for the stream's lifetime instead: the scoring
+    join reads it once per batch, and an unpersisted caller relation
+    would re-run the reference build every micro-batch.  At production
+    scale the grid is a parquet staging table and this persist is a
+    cache over its scan."""
+    from level2_to_cassandra_spark.operators.drift import (
+        ks_against_reference,
+    )
+
+    ref_dist = ref_dist.persist()
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            out = ks_against_reference(
+                batch_df, ref_dist, key_col=key_col, value_col=value_col
+            ).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(stream).alias("stream"),
+                F.col("key").cast("string").alias("key"),
+                "n_ref", "n_batch", "ks", "drift_flag",
+            )
+            out.coalesce(1).write.mode("append").parquet(
+                f"{ks_path(base_path)}/{stream}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_ks(spark, base_path: str, stream: str = "events") -> DataFrame:
+    """Read one stream's KS audit table (empty before the first
+    delivered batch)."""
+    return _read_journal(
+        spark, f"{ks_path(base_path)}/{stream}", KS_SCHEMA
+    )
+
+
 #: embedding-drift audit schema — one row per (batch, occupied cell),
 #: mirroring q_drift_embedding's per-cell output so the audit table
 #: carries every cell's contribution, not just the scalar psi.
@@ -713,33 +795,128 @@ def foreach_batch_with_shingle_df(
     return _write
 
 
+def _shingle_df_watermark(spark, base_path: str) -> int:
+    """The journal's compaction watermark: the highest ``through_batch``
+    among committed compact segments, or -1 when never compacted."""
+    seg = _read_journal(
+        spark, f"{shingle_df_path(base_path)}/compact_dfs",
+        "g3 string, df long, through_batch long",
+    )
+    row = seg.agg(F.max("through_batch").alias("w")).first()
+    return int(row["w"]) if row["w"] is not None else -1
+
+
+def _shingle_df_state(spark, base_path: str):
+    """``(dfreq, n_docs)`` — the journal reduced to its current state
+    under the compaction watermark: the LATEST compact segment is the
+    base, raw deltas STRICTLY ABOVE the watermark fold on top (dedup
+    on (batch_id, g3) first — the replay discipline), and raw rows at
+    or below the watermark are IGNORED because the segment already
+    contains them.  That filter is what keeps BOTH failure modes
+    safe: a replayed batch whose id was already folded re-appends
+    rows the reader never counts, and a compaction that crashed after
+    writing its segment but before reclaiming the raw files leaves a
+    journal that still reads exactly once."""
+    w = _shingle_df_watermark(spark, base_path)
+    base = _read_journal(
+        spark, f"{shingle_df_path(base_path)}/compact_dfs",
+        "g3 string, df long, through_batch long",
+    ).where(F.col("through_batch") == w).select("g3", "df")
+    deltas = (
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/dfs",
+            "g3 string, df_delta long, batch_id long",
+        )
+        .where(F.col("batch_id") > w)
+        .dropDuplicates(["batch_id", "g3"])
+        .groupBy("g3")
+        .agg(F.sum("df_delta").alias("df"))
+    )
+    dfreq = (
+        base.unionByName(deltas)
+        .groupBy("g3")
+        .agg(F.sum("df").alias("df"))
+    )
+    docs_base = _read_journal(
+        spark, f"{shingle_df_path(base_path)}/compact_docs",
+        "n_docs long, through_batch long",
+    ).where(F.col("through_batch") == w).select("n_docs")
+    docs_delta = (
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/docs",
+            "n_docs long, batch_id long",
+        )
+        .where(F.col("batch_id") > w)
+        .dropDuplicates(["batch_id"])
+        .select("n_docs")
+    )
+    n_docs = docs_base.unionByName(docs_delta).agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    return dfreq, n_docs
+
+
 def read_hot_shingles(spark, base_path: str) -> DataFrame:
     """Reduce the shingle-df journal to the CURRENT corpus-hot set
     ``(g3)`` — identical to q_text_boilerplate's hot relation over the
     union of all delivered batches (parity-pinned).  Replayed batches
     collapse via dropDuplicates before the sums; the reduction runs
-    over the vocabulary-sized journal, never the corpus."""
+    over the latest compact segment plus the post-watermark deltas
+    (vocabulary-sized), never the corpus and — after a
+    :func:`compact_shingle_df` — never the full delta history."""
     from level2_to_cassandra_spark.operators import text as text_ops
 
-    dfreq = (
-        _read_journal(
-            spark, f"{shingle_df_path(base_path)}/dfs",
-            "g3 string, df_delta long, batch_id long",
-        )
-        .dropDuplicates(["batch_id", "g3"])
-        .groupBy("g3")
-        .agg(F.sum("df_delta").alias("df"))
-    )
-    # before the first delivered batch both journals are empty: dfreq
-    # has no groups and the hot set is trivially empty, matching the
-    # batch query over an empty corpus (the n_docs aggregate yields a
-    # NULL sum nothing joins against).
-    n_docs = (
-        _read_journal(
-            spark, f"{shingle_df_path(base_path)}/docs",
-            "n_docs long, batch_id long",
-        )
-        .dropDuplicates(["batch_id"])
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
+    dfreq, n_docs = _shingle_df_state(spark, base_path)
     return text_ops.hot_shingles(dfreq, n_docs)
+
+
+def compact_shingle_df(spark, base_path: str) -> int | None:
+    """Fold the shingle-df journal into ONE reduced delta (VERDICT r13
+    #5): without compaction the journal appends one vocabulary-sized
+    delta per batch and every hot-set refresh re-reduces the WHOLE
+    history — N batches → N× vocabulary rows read.  This rewrites the
+    state as a single compact segment keyed by a ``through_batch``
+    watermark (the highest raw batch_id folded) and reclaims the raw
+    delta files, so the next read reduces one segment plus only the
+    deltas that arrived after the fold.
+
+    Correctness order: the segment is WRITTEN FIRST, reclamation
+    second — the reader ignores raw rows at or below the watermark, so
+    a crash between the two steps double-counts nothing, and a batch
+    replayed AFTER its id was folded is ignored the same way (replay
+    idempotence survives compaction).  Run it while the stream is
+    quiescent (between triggers or on the maintenance schedule — the
+    standard VACUUM contract): a batch that commits concurrently with
+    the fold keeps its rows only if its id exceeds the new watermark,
+    which trigger-serialized foreachBatch delivery guarantees.
+
+    Returns the new watermark, or None when no raw delta is newer than
+    the current one (no-op)."""
+    import shutil
+
+    w_old = _shingle_df_watermark(spark, base_path)
+    raw = _read_journal(
+        spark, f"{shingle_df_path(base_path)}/dfs",
+        "g3 string, df_delta long, batch_id long",
+    ).where(F.col("batch_id") > w_old)
+    row = raw.agg(F.max("batch_id").alias("b")).first()
+    if row["b"] is None:
+        return None
+    through = int(row["b"])
+    mark = F.lit(through).cast("long").alias("through_batch")
+    dfreq, n_docs = _shingle_df_state(spark, base_path)
+    dfreq.select("g3", "df", mark).write.mode("append").parquet(
+        f"{shingle_df_path(base_path)}/compact_dfs"
+    )
+    n_docs.where(F.col("n_docs").isNotNull()).select(
+        "n_docs", mark
+    ).write.mode("append").parquet(
+        f"{shingle_df_path(base_path)}/compact_docs"
+    )
+    # Space reclamation — everything below is redundant with the
+    # committed segment (the reader's watermark filter already ignores
+    # it), so plain directory removal is safe even if it half-fails.
+    for sub in ("dfs", "docs"):
+        shutil.rmtree(f"{shingle_df_path(base_path)}/{sub}",
+                      ignore_errors=True)
+    return through

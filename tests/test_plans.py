@@ -786,13 +786,40 @@ def test_containment_no_cartesian_no_union(spark):
     """q_text_containment: every join is a shingle/id EQUI-join (never
     cartesian, never a union re-running the candidate subtree per
     direction — the asymmetric prefix join emits directional rows
-    natively); the windowed prefix index is persisted so the candidate
-    join's two branches read one materialization."""
+    natively); since r14 the prefix index is the materialized ranked
+    staging table, so the serve plan carries NO window stack and NO
+    persist — each candidate-join branch is a parquet scan."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_index_relation,
+    )
+
+    _shingle_index_relation(spark, SF)  # session build, outside serve
     plan = plan_of(all_queries()["q_text_containment"].fn(spark, SF),
                    "simple")
     assert "CartesianProduct" not in plan
     assert "Union" not in plan
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "Window" not in plan  # ranked index served, never rebuilt
+    assert "InMemoryTableScan" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_fuzzy_family_serves_from_staged_ranked_index(spark):
+    """q_llm_dedup_fuzzy / q_dedup_incremental_fuzzy (r14): candidate
+    generation reads the materialized ranked prefix index — no df/pos/n
+    window stack and no persist in the serve plans."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _SHINGLE_INDEX_TABLE,
+        _shingle_index_relation,
+    )
+
+    _shingle_index_relation(spark, SF)
+    app = spark.sparkContext.applicationId
+    assert (app, SF) in _SHINGLE_INDEX_TABLE
+    for name in ("q_llm_dedup_fuzzy", "q_dedup_incremental_fuzzy"):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert "Window" not in plan, name
+        assert "InMemoryTableScan" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_multimodal_gate_no_cartesian_id_only_assembly(spark):

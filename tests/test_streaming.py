@@ -1713,6 +1713,7 @@ def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
         read_drift,
         read_embed_drift,
         read_hot_shingles,
+        read_ks,
         read_metrics,
         read_outlier_quarantine,
         read_vocab_growth,
@@ -1722,6 +1723,7 @@ def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
     readers = {
         "metrics": lambda: read_metrics(spark, base, "events_tick"),
         "drift": lambda: read_drift(spark, base),
+        "ks": lambda: read_ks(spark, base),
         "embed_drift": lambda: read_embed_drift(spark, base),
         "covariance": lambda: read_covariance(spark, base),
         "outliers": lambda: read_outlier_quarantine(spark, base),
@@ -1739,3 +1741,176 @@ def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
     assert [f.name for f in readers["vocab"]().schema] == [
         "batch_id", "n_new", "vocab_size"
     ]
+
+
+def test_ks_operator_parity_with_registered_query(spark):
+    """operators/drift.py KS split must reproduce q_drift_ks exactly
+    when fed the query's own window split: ks_reference_dist on the
+    first half, ks_against_reference on the second — same statistic,
+    flags and totals per key (the fold-form-vs-kernel discipline that
+    binds every build/score split to its hash-verified batch spec)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators.drift import (
+        ks_against_reference,
+        ks_reference_dist,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    ev = load_table(spark, sf_smoke, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ks_reference_dist(ev.where(F.col("ts") < cut))
+    # NULL ts rows belong to 'cur' in the query's when/otherwise split
+    cur = ev.where(F.col("ts").isNull() | (F.col("ts") >= cut))
+    got = {
+        r.key: (r.n_ref, r.n_batch, r.ks, r.drift_flag)
+        for r in ks_against_reference(cur, ref).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.ks, r.drift_flag)
+        for r in all_queries()["q_drift_ks"].fn(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert got  # the fixture must actually produce scored keys
+
+
+def test_streaming_ks_audit_flags_shifted_batch(spark, tmp_path):
+    """foreach_batch_with_ks: one audit row per scored key per batch;
+    a same-distribution batch passes while a location-shifted batch
+    (which PSI's 10 coarse bins could partially smear) raises the KS
+    flag; replayed batches duplicate audit rows that readers dedup on
+    (batch_id, key) — the journal discipline."""
+    from level2_to_cassandra_spark.operators.drift import (
+        ks_reference_dist,
+    )
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_ks,
+        read_ks,
+    )
+
+    ref_rows = [("a", float(v % 100)) for v in range(200)]
+    ref = ks_reference_dist(
+        spark.createDataFrame(ref_rows, "event_type string, value double")
+    )
+
+    src = str(tmp_path / "src")
+    ok = [("a", float((v * 37) % 100)) for v in range(50)]
+    shifted = [("a", 55.0 + float(v % 45)) for v in range(40)]
+    spark.createDataFrame(
+        ok, "event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        shifted, "event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_ks(lambda df, bid: None, base, ref)
+    q = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+
+    rows = read_ks(spark, base).collect()
+    assert len(rows) == 2 and len({r.batch_id for r in rows}) == 2
+    by_size = {r.n_batch: r for r in rows}
+    assert set(by_size) == {50, 40}
+    assert not by_size[50].drift_flag      # same distribution
+    assert by_size[40].drift_flag          # location-shifted batch
+    assert all(r.key == "a" and r.n_ref == 200 for r in rows)
+
+    # at-least-once replay: re-delivering batch 0's callback appends a
+    # duplicate audit row; the reader-side dedup key collapses it
+    batch0 = spark.createDataFrame(ok, "event_type string, value double")
+    cb(batch0, 0)
+    replayed = read_ks(spark, base)
+    assert replayed.count() == 3
+    assert replayed.dropDuplicates(["batch_id", "key"]).count() == 2
+
+
+def test_shingle_df_compaction_reader_equivalence_and_replay(
+    spark, tmp_path
+):
+    """compact_shingle_df (VERDICT r13 #5): folding the journal into
+    one watermarked segment must leave every reader observation
+    IDENTICAL — the hot set before == after, new post-compaction
+    batches keep accumulating on top of the segment, and a batch
+    REPLAYED after its id was folded is ignored (the watermark filter
+    preserves replay idempotence across the fold).  The raw delta
+    files are reclaimed, so the next reduction reads one segment, not
+    the whole history."""
+    import glob as globmod
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.streaming.monitor import (
+        _shingle_df_state,
+        compact_shingle_df,
+        foreach_batch_with_shingle_df,
+        read_hot_shingles,
+        shingle_df_path,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    cb(b0, 0)
+    cb(b1, 1)
+
+    before_hot = {r.g3 for r in read_hot_shingles(spark, base).collect()}
+    dfreq, n_docs = _shingle_df_state(spark, base)
+    before_df = {(r.g3, r.df) for r in dfreq.collect()}
+    before_nd = n_docs.first()["n_docs"]
+
+    assert compact_shingle_df(spark, base) == 1
+    # raw deltas reclaimed — the journal is now one segment
+    assert not globmod.glob(f"{shingle_df_path(base)}/dfs/*.parquet")
+
+    dfreq2, n_docs2 = _shingle_df_state(spark, base)
+    assert {(r.g3, r.df) for r in dfreq2.collect()} == before_df
+    assert n_docs2.first()["n_docs"] == before_nd
+    assert {
+        r.g3 for r in read_hot_shingles(spark, base).collect()
+    } == before_hot
+
+    # replay of a FOLDED batch: rows land under batch_id <= watermark
+    # and the reader never counts them
+    cb(b1, 1)
+    dfreq3, n_docs3 = _shingle_df_state(spark, base)
+    assert {(r.g3, r.df) for r in dfreq3.collect()} == before_df
+    assert n_docs3.first()["n_docs"] == before_nd
+
+    # a genuinely new batch accumulates on top of the segment, and the
+    # combined state equals the never-compacted journal over all three
+    cb(b2, 2)
+    base_ref = str(tmp_path / "sink_ref")
+    cb_ref = foreach_batch_with_shingle_df(lambda df, bid: None, base_ref)
+    cb_ref(b0, 0)
+    cb_ref(b1, 1)
+    cb_ref(b2, 2)
+    dfreq_a, nd_a = _shingle_df_state(spark, base)
+    dfreq_b, nd_b = _shingle_df_state(spark, base_ref)
+    assert (
+        {(r.g3, r.df) for r in dfreq_a.collect()}
+        == {(r.g3, r.df) for r in dfreq_b.collect()}
+    )
+    assert nd_a.first()["n_docs"] == nd_b.first()["n_docs"]
+
+    # second fold over segment + new delta; no-op when nothing is new
+    assert compact_shingle_df(spark, base) == 2
+    assert compact_shingle_df(spark, base) is None
+    dfreq_c, nd_c = _shingle_df_state(spark, base)
+    assert (
+        {(r.g3, r.df) for r in dfreq_c.collect()}
+        == {(r.g3, r.df) for r in dfreq_b.collect()}
+    )
+    assert nd_c.first()["n_docs"] == nd_b.first()["n_docs"]
