@@ -145,6 +145,8 @@ HEADLINE = [
     "q_outlier_iqr",         # Tukey-fence outlier rows (bcast fences)
     "q_robust_scale",        # median/MAD per-row robust z
     "q_agg_decayed",         # dyadic time-decayed totals, 1 exchange
+    "q_text_novelty",        # first-occurrence n-gram novelty per doc
+    "q_sample_reservoir",    # exact-K per stratum via WindowGroupLimit
 ]
 
 

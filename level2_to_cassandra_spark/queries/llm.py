@@ -3983,3 +3983,55 @@ def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("between_sq") / F.col("within_var"), 6
         )).alias("separation"),
     )
+
+
+@register(
+    "q_text_novelty",
+    # Pure integer relational algebra (MIN per shingle, counts per
+    # doc) divided once — first-occurrence attribution is exact and
+    # order-free on both engines.
+    oracle="""
+    WITH postings AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+               FROM postings GROUP BY shingle)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                 ::DOUBLE / COUNT(*), 6) AS novelty
+    FROM postings p JOIN firsts f USING (shingle)
+    GROUP BY p.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document under arrival (doc_id) order: the
+    fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    occurrence is this doc — the marginal-new-content curve behind
+    dedup-aware curriculum ordering and crawl-value estimation (a
+    snapshot re-crawl scores ~0; fresh content scores ~1; the corpus-
+    wide novelty decay over doc_id is the classic diminishing-returns
+    diagnostic).  The asymmetric cousin of q_text_boilerplate: that
+    flags corpus-DOMINANT shingles, this credits corpus-FIRST ones.
+
+    Scale shape: serves from the materialized shingle-postings staging
+    table; first-occurrence attribution is ONE window min over the
+    shingle key (the same exchange key every postings aggregate uses)
+    + one doc-keyed count aggregate — two key exchanges over the
+    postings relation, no joins, integer arithmetic end to end."""
+    posts = _shingle_relation(spark, sf_dir)
+    w = Window.partitionBy("shingle")
+    flagged = posts.withColumn("first_doc", F.min("id").over(w))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+    )
+    n = F.count(F.lit(1))
+    return flagged.groupBy(F.col("id").alias("doc_id")).agg(
+        n.cast("long").alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel.cast("double") / n, 6).alias("novelty"),
+    )

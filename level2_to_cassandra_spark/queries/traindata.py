@@ -1857,3 +1857,48 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
     )
+
+
+#: Reservoir size per stratum — part of the query spec (the oracle
+#: unrolls it), not a tuning knob.
+_RESERVOIR_K = 20
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, rk
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE reservoir sample per stratum (exactly K=20 docs per
+    language) — the third sampling mode next to q_sample_stratified's
+    per-stratum RATES and q_sample_weighted's weighted draw: eval-set
+    construction and per-language probes need exactly-K, not
+    approximately-rate.  The classic distributed formulation: rank
+    each stratum by a deterministic hash of the stable id (md5, the
+    q_sample_split/q_sample_stratified discipline — reproducible
+    across runs, engines and partitionings, no RNG state) and keep the
+    first K; a hash-ordered top-K IS a uniform reservoir draw.
+
+    Scale shape: the rank filter lowers to WindowGroupLimit
+    (plan-pinned) — each map task keeps only its local top-K per
+    stratum BEFORE the exchange, so the shuffle carries
+    O(partitions × K) rows per stratum, never the corpus; this is
+    exactly the distributed-reservoir merge (union of per-partition
+    reservoirs re-ranked), expressed declaratively."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+    )

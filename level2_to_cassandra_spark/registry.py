@@ -72,6 +72,8 @@ DRIVER_ORDER = (
     # of these back past the cap, where they stay next round's
     # rotation head together with the rest of the r11 cohort.
     # -- NEW in r14 (first driver rows) ------------------------------
+    "q_text_novelty",
+    "q_sample_reservoir",
     "q_graph_modularity",
     "q_quality_gopher",
     "q_data_profile",
@@ -126,10 +128,10 @@ DRIVER_ORDER = (
     "q_window_range_frame",
     # -- last driver-green r11, thinnest confirmations (2 rows each,
     # alphabetical) filling the remaining slots ---------------------
-    "q_cluster_kmeans",
-    "q_drift_embedding",
     # ======================= past the cap ==============================
     # -- the rest of the r11 cohort (next round's rotation head) ------
+    "q_cluster_kmeans",
+    "q_drift_embedding",
     "q_graph_components",
     "q_importance_resample",
     "q_join_interval",

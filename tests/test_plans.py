@@ -1028,18 +1028,26 @@ def test_quality_gopher_map_side_only(spark):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
-def test_data_profile_single_pass_then_stack(spark):
-    """q_data_profile: ONE corpus scan computes every per-column
-    statistic (the multi-distinct lowering shows as Expand); the
-    k-row reshape happens on the 1-row aggregate, never as a corpus
-    unpivot (which would multiply the scan k× before the shuffle)."""
+def test_data_profile_narrow_scan_per_column(spark):
+    """q_data_profile: one single-column scan per profiled column,
+    union'd — never the multi-distinct Expand form (which multiplies
+    the corpus k× through the dedup pre-aggregation; measured ~4x
+    slower at sf0.1) and never a corpus unpivot.  Each scan's
+    ReadSchema must carry exactly its own column."""
+    from level2_to_cassandra_spark.queries.relational import (
+        _PROFILE_COLS,
+    )
+
     plan = plan_of(all_queries()["q_data_profile"].fn(spark, SF),
                    "simple")
-    assert plan.count("Scan parquet") == 1
-    # the stack() reshape (Generate) sits ABOVE the aggregate — the
-    # plan prints top-down, so a corpus-side unpivot would put the
-    # Generate BELOW the exchange instead
-    assert plan.index("Generate") < plan.index("Exchange")
+    assert plan.count("Scan parquet") == len(_PROFILE_COLS)
+    assert "Expand" not in plan
+    assert "Generate" not in plan
+    schemas = [seg.splitlines()[0] for seg in
+               plan.split("ReadSchema:")[1:]]
+    for c, seg in zip(sorted(_PROFILE_COLS), sorted(schemas)):
+        assert c in seg
+        assert seg.count(":") == 1  # exactly one column leaves the scan
 
 
 def test_outlier_iqr_and_robust_scale_broadcast_stats(spark):
@@ -1089,3 +1097,29 @@ def test_graph_modularity_serves_from_staged_labels(spark):
     assert "Join" not in lpa_plan
     assert lpa_plan.count("Window") == 1
     assert "Scan parquet" in lpa_plan
+
+
+def test_sample_reservoir_window_group_limit(spark):
+    """q_sample_reservoir: the rank<=K filter must lower to
+    WindowGroupLimit so each map task keeps only its local top-K per
+    stratum BEFORE the exchange — the distributed-reservoir merge; the
+    shuffle then carries O(partitions x K) rows, never the corpus."""
+    plan = plan_of(all_queries()["q_sample_reservoir"].fn(spark, SF),
+                   "simple")
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_text_novelty_two_exchanges_off_staging(spark):
+    """q_text_novelty: serves from the materialized shingle postings —
+    one shingle-key window exchange + one doc-key aggregate exchange,
+    no joins, no shingling rebuild (no Generate in the serve plan)."""
+    from level2_to_cassandra_spark.queries.llm import _shingle_relation
+
+    _shingle_relation(spark, SF)  # session build, outside the serve plan
+    plan = plan_of(all_queries()["q_text_novelty"].fn(spark, SF),
+                   "simple")
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no re-shingling at serve time
+    assert "Scan parquet" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan

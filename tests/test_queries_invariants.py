@@ -487,3 +487,245 @@ def test_drift_ks_matches_brute_force_cdf_sup(spark):
              for r in all_queries()["q_drift_ks"].fn(spark, sf).collect()}
     for key, (_, _, d) in want.items():
         assert flags[key] == (got[key][2] > 0.1)
+
+
+def test_graph_modularity_laws_and_brute_force(spark):
+    """q_graph_modularity: per-community integers must satisfy the
+    graph identities (Σ intra_edges <= m, Σ degree_sum == 2m, sizes
+    sum to |V|), Q = Σ q_contrib must live in [-0.5, 1), and every
+    column must equal an independent driver-side recomputation from
+    the staged edge relation + the registered LPA labels."""
+    from collections import defaultdict
+
+    from level2_to_cassandra_spark.queries.graph import (
+        _lpa_labels,
+        _sparsified_supplier_edges,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.a, r.b) for r in
+             _sparsified_supplier_edges(spark, sf).collect()]
+    lab = {r.node: r.lab for r in _lpa_labels(spark, sf).collect()}
+    m = len(edges)
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    want = defaultdict(lambda: [0, 0, 0])  # size, intra, degsum
+    for node, c in lab.items():
+        want[c][0] += 1
+        want[c][2] += deg[node]
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            want[lab[a]][1] += 1
+
+    rows = all_queries()["q_graph_modularity"].fn(spark, sf).collect()
+    assert rows
+    got = {r.community_id: r for r in rows}
+    assert set(got) == set(want)
+    q_total = 0.0
+    for c, (size, intra, dsum) in want.items():
+        r = got[c]
+        assert (r.community_size, r.intra_edges, r.degree_sum) == (
+            size, intra, dsum
+        ), c
+        expect = intra / m - (dsum / (2.0 * m)) ** 2
+        assert abs(r.q_contrib - expect) < 1e-6, c
+        q_total += r.q_contrib
+    assert sum(v[1] for v in want.values()) <= m
+    assert sum(v[2] for v in want.values()) == 2 * m
+    assert sum(v[0] for v in want.values()) == len(lab)
+    assert -0.5 <= q_total < 1.0
+
+
+def test_quality_gopher_gate_consistency(spark):
+    """q_quality_gopher: the composite gate must equal the conjunction
+    of its own emitted (rounded) metrics, ratios must sit in their
+    ranges, and on the clean fixture text a non-trivial share of docs
+    must pass (the rules are gates, not a constant)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_quality_gopher"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_pass = 0
+    for r in rows:
+        assert 0.0 <= r.alpha_frac <= 1.0
+        assert r.symbol_ratio >= 0.0
+        assert r.n_words >= 1
+        want = int(
+            50 <= r.n_words <= 100000
+            and 3 <= r.mean_word_len <= 10
+            and r.alpha_frac >= 0.8
+            and r.symbol_ratio <= 0.1
+        )
+        assert r.pass_gopher == want
+        n_pass += want
+    assert 0 < n_pass  # fixture text is words — some docs must pass
+
+
+def test_data_profile_matches_duckdb_battery(spark):
+    """q_data_profile: every statistic must equal an independent
+    DuckDB recomputation per column (not just the generated oracle —
+    independent SQL), and the internal identities must hold
+    (n_nulls <= n_rows, n_distinct <= n_rows - n_nulls, min <= max,
+    mean within [min, max])."""
+    import duckdb
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_data_profile"].fn(spark, sf).collect()
+    assert len(rows) == 4
+    con = duckdb.connect()
+    for r in rows:
+        c = r.column_name
+        n, nulls, nd, mn, mx = con.execute(
+            f"SELECT COUNT(*), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 "
+            f"END), COUNT(DISTINCT {c}), MIN({c}), MAX({c}) "
+            f"FROM '{sf}/lineitem.parquet'"
+        ).fetchone()
+        assert r.n_rows == n and r.n_nulls == (nulls or 0)
+        assert r.n_distinct == nd
+        assert r.min_value == mn and r.max_value == mx
+        assert r.n_distinct <= r.n_rows - r.n_nulls
+        assert r.min_value <= r.mean_value <= r.max_value
+
+
+def test_outlier_iqr_rows_are_exactly_the_fence_breaches(spark):
+    """q_outlier_iqr: the emitted rows must be exactly the rows whose
+    rounded value breaches the rounded fence computed driver-side from
+    exact interpolated quartiles, with the right side labels."""
+    from collections import defaultdict
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in ev:
+        per[r.event_type].append(r)
+
+    def quantile(sorted_vals, q):
+        # linear interpolation (quantile_cont / Spark percentile)
+        pos = (len(sorted_vals) - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, len(sorted_vals) - 1)
+        frac = pos - int(pos)
+        return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+    want = {}
+    for key, rs in per.items():
+        vals = sorted(r.value for r in rs)
+        q1, q3 = quantile(vals, 0.25), quantile(vals, 0.75)
+        lo = round(q1 - 1.5 * (q3 - q1), 6)
+        hi = round(q3 + 1.5 * (q3 - q1), 6)
+        for r in rs:
+            rv = round(r.value, 6)
+            if rv < lo or rv > hi:
+                want[r.event_id] = (key, "low" if rv < lo else "high")
+
+    got = {
+        r.event_id: (r.event_type, r.side)
+        for r in all_queries()["q_outlier_iqr"].fn(spark, sf).collect()
+    }
+    assert got == want and got
+
+
+def test_robust_scale_laws(spark):
+    """q_robust_scale: scaling is 1:1 with the filtered scan, the
+    median row of each key scales to ~0, and the transform preserves
+    order within a key (monotone affine map when MAD > 0)."""
+    from collections import defaultdict
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_robust_scale"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(r)
+    for key, rs in per.items():
+        zs = [r.robust_z for r in rs]
+        if any(z is None for z in zs):
+            # MAD 0 — the whole key degenerates to NULL, never a mix
+            assert all(z is None for z in zs), key
+            continue
+        by_value = sorted(rs, key=lambda r: r.value)
+        z_sorted = [r.robust_z for r in by_value]
+        assert z_sorted == sorted(z_sorted), key  # monotone
+        n_neg = sum(1 for z in zs if z < 0)
+        n_pos = sum(1 for z in zs if z > 0)
+        # median-centering: each side holds at most half the rows
+        assert n_neg <= len(zs) / 2 + 1 and n_pos <= len(zs) / 2 + 1
+
+
+def test_agg_decayed_laws(spark):
+    """q_agg_decayed: the decayed weight sum is bounded by the row
+    count (each weight <= 1) and positive (the anchor-day rows weigh
+    exactly 1); an all-same-day key would make decayed_weight == n."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = all_queries()["q_agg_decayed"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.decayed_weight <= r.n
+
+
+def test_text_novelty_laws(spark):
+    """q_text_novelty: the first (lowest-id) shingled doc scores
+    exactly 1.0, Σ n_novel == |distinct corpus shingles|, every
+    novelty sits in [0, 1], and n_novel <= n_shingles per doc."""
+    from level2_to_cassandra_spark.queries.llm import _shingle_relation
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_text_novelty"].fn(spark, sf).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0 and first.n_novel == first.n_shingles
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+    n_distinct_shingles = (
+        _shingle_relation(spark, sf).select("shingle").distinct().count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct_shingles
+
+
+def test_sample_reservoir_exact_k_per_stratum(spark):
+    """q_sample_reservoir: exactly min(K, |stratum|) rows per lang,
+    ranks are 1..k dense, and the draw is REPRODUCIBLE (two runs pick
+    the identical doc set — the hash-rank discipline's whole point)."""
+    from collections import Counter
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.queries.traindata import _RESERVOIR_K
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_sample_reservoir"].fn(spark, sf).collect()
+    strata = Counter(
+        r.lang for r in load_table(spark, sf, "documents")
+        .select("lang").collect()
+    )
+    got = Counter(r.lang for r in rows)
+    assert got == {
+        lang: min(_RESERVOIR_K, n) for lang, n in strata.items()
+    }
+    for lang in got:
+        rks = sorted(r.rk for r in rows if r.lang == lang)
+        assert rks == list(range(1, got[lang] + 1))
+    again = all_queries()["q_sample_reservoir"].fn(spark, sf).collect()
+    assert {(r.lang, r.doc_id) for r in again} == {
+        (r.lang, r.doc_id) for r in rows
+    }
