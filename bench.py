@@ -247,11 +247,14 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             builder(spark, sf_dir)
+            staging_sec[label] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — warmup never kills the run
             print(f"{label} prewarm failed: {e}", file=sys.stderr)
-            continue
-        staging_sec[label] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        finally:
+            # clear even after a failed build: a builder that died
+            # mid-build leaves persisted intermediates that would smear
+            # the NEXT builder's timed line item (self-review r14)
+            spark.catalog.clearCache()
     print(json.dumps({"staging_prewarm_sec": staging_sec}),
           file=sys.stderr)
 

@@ -250,21 +250,21 @@ KS_ALARM = 0.1
 def ks_reference_dist(ref: DataFrame, key_col: str = "event_type",
                       value_col: str = "value") -> DataFrame:
     """Freeze the reference window into its exact VALUE DISTRIBUTION:
-    ``(key, value, n_ref_v, n_ref)`` — one row per distinct
-    (key, value) with its reference count and the per-key total.  The
-    KS analog of :func:`reference_cells`: where PSI freezes 10 bins,
-    exact KS must keep every distinct value (the grid is
-    value-cardinality-bounded — the tf-postings scale class, same
-    honesty note as q_drift_ks's docstring).  NULL/NaN values are
-    excluded exactly as in the batch spec."""
+    ``(key, value, n_ref_v)`` — one row per distinct (key, value) with
+    its reference count.  The KS analog of :func:`reference_cells`:
+    where PSI freezes 10 bins, exact KS must keep every distinct value
+    (the grid is value-cardinality-bounded — the tf-postings scale
+    class, same honesty note as q_drift_ks's docstring).  NULL/NaN
+    values are excluded exactly as in the batch spec.  Per-key totals
+    are NOT materialized here — :func:`ks_against_reference` derives
+    them in its final aggregate anyway, and a totals window would cost
+    an extra key exchange over the grid at build time for a column the
+    scorer discards (self-review r14)."""
     named = ref.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("value")
     ).where(F.col("value").isNotNull() & ~F.isnan("value"))
-    dist = named.groupBy("key", "value").agg(
+    return named.groupBy("key", "value").agg(
         F.count(F.lit(1)).alias("n_ref_v")
-    )
-    return dist.withColumn(
-        "n_ref", F.sum("n_ref_v").over(Window.partitionBy("key"))
     )
 
 

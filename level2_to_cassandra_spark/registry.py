@@ -66,11 +66,11 @@ DRIVER_ORDER = (
     # each; they hold until >=2), (c) queries whose IMPLEMENTATION
     # changed in r14 and must re-hash against the driver, (d) ALL 29
     # r10-stale names (VERDICT r13 task #1 verbatim: the staleness
-    # frontier, last green three rounds old), and (e) the thinnest
-    # r11 names (2 lifetime greens, alphabetical) filling the
-    # remaining slots — each new r14 query inserted above pushes one
-    # of these back past the cap, where they stay next round's
-    # rotation head together with the rest of the r11 cohort.
+    # frontier, last green three rounds old).  Those four groups fill
+    # the cap EXACTLY (8 + 9 + 4 + 29 = 50); the thinnest r11 names
+    # that briefly held fill slots mid-round were each displaced by a
+    # new r14 query and sit at the head of the past-cap tail — next
+    # round's rotation head with the rest of the r11 cohort.
     # -- NEW in r14 (first driver rows) ------------------------------
     "q_text_novelty",
     "q_sample_reservoir",
@@ -126,8 +126,6 @@ DRIVER_ORDER = (
     "q_window_distribution",
     "q_window_moving_avg",
     "q_window_range_frame",
-    # -- last driver-green r11, thinnest confirmations (2 rows each,
-    # alphabetical) filling the remaining slots ---------------------
     # ======================= past the cap ==============================
     # -- the rest of the r11 cohort (next round's rotation head) ------
     "q_cluster_kmeans",

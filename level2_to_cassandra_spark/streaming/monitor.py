@@ -797,7 +797,12 @@ def foreach_batch_with_shingle_df(
 
 def _shingle_df_watermark(spark, base_path: str) -> int:
     """The journal's compaction watermark: the highest ``through_batch``
-    among committed compact segments, or -1 when never compacted."""
+    among committed compact-dfs segments, or -1 when never compacted.
+    Segments are PARTITIONED by through_batch, so this reads only the
+    partition listing, not segment data — and the dfs directory (not
+    docs) is deliberately the single source of truth: it is written
+    LAST in :func:`compact_shingle_df`, so the watermark advances only
+    once a generation is complete."""
     seg = _read_journal(
         spark, f"{shingle_df_path(base_path)}/compact_dfs",
         "g3 string, df long, through_batch long",
@@ -808,20 +813,28 @@ def _shingle_df_watermark(spark, base_path: str) -> int:
 
 def _shingle_df_state(spark, base_path: str):
     """``(dfreq, n_docs)`` — the journal reduced to its current state
-    under the compaction watermark: the LATEST compact segment is the
-    base, raw deltas STRICTLY ABOVE the watermark fold on top (dedup
-    on (batch_id, g3) first — the replay discipline), and raw rows at
-    or below the watermark are IGNORED because the segment already
-    contains them.  That filter is what keeps BOTH failure modes
-    safe: a replayed batch whose id was already folded re-appends
-    rows the reader never counts, and a compaction that crashed after
-    writing its segment but before reclaiming the raw files leaves a
-    journal that still reads exactly once."""
+    under the compaction watermark: the LATEST compact generation is
+    the base (partition-pruned read; rows dedup'd within the
+    generation, so a re-appended identical segment from a crashed-and-
+    retried fold collapses), raw deltas STRICTLY ABOVE the watermark
+    fold on top (dedup on (batch_id, g3) first — the replay
+    discipline), and raw rows at or below the watermark are IGNORED
+    because the generation already contains them.  That filter is what
+    keeps BOTH failure modes safe: a replayed batch whose id was
+    already folded re-appends rows the reader never counts, and a
+    compaction that crashed after writing its generation but before
+    reclaiming the raw files leaves a journal that still reads exactly
+    once."""
     w = _shingle_df_watermark(spark, base_path)
-    base = _read_journal(
-        spark, f"{shingle_df_path(base_path)}/compact_dfs",
-        "g3 string, df long, through_batch long",
-    ).where(F.col("through_batch") == w).select("g3", "df")
+    base = (
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/compact_dfs",
+            "g3 string, df long, through_batch long",
+        )
+        .where(F.col("through_batch") == w)
+        .dropDuplicates(["g3"])
+        .select("g3", "df")
+    )
     deltas = (
         _read_journal(
             spark, f"{shingle_df_path(base_path)}/dfs",
@@ -837,10 +850,15 @@ def _shingle_df_state(spark, base_path: str):
         .groupBy("g3")
         .agg(F.sum("df").alias("df"))
     )
-    docs_base = _read_journal(
-        spark, f"{shingle_df_path(base_path)}/compact_docs",
-        "n_docs long, through_batch long",
-    ).where(F.col("through_batch") == w).select("n_docs")
+    docs_base = (
+        _read_journal(
+            spark, f"{shingle_df_path(base_path)}/compact_docs",
+            "n_docs long, through_batch long",
+        )
+        .where(F.col("through_batch") == w)
+        .dropDuplicates()
+        .select("n_docs")
+    )
     docs_delta = (
         _read_journal(
             spark, f"{shingle_df_path(base_path)}/docs",
@@ -880,42 +898,87 @@ def compact_shingle_df(spark, base_path: str) -> int | None:
     delta files, so the next read reduces one segment plus only the
     deltas that arrived after the fold.
 
-    Correctness order: the segment is WRITTEN FIRST, reclamation
-    second — the reader ignores raw rows at or below the watermark, so
-    a crash between the two steps double-counts nothing, and a batch
-    replayed AFTER its id was folded is ignored the same way (replay
-    idempotence survives compaction).  Run it while the stream is
-    quiescent (between triggers or on the maintenance schedule — the
-    standard VACUUM contract): a batch that commits concurrently with
-    the fold keeps its rows only if its id exceeds the new watermark,
-    which trigger-serialized foreachBatch delivery guarantees.
+    Correctness order (each step safe to crash after; self-review r14
+    hardened all four):
+
+    1. the new generation's DOCS segment is written first, the DFS
+       segment — the watermark carrier — LAST, so a crash between the
+       two leaves the watermark unmoved and the orphaned docs rows
+       invisible (a retry re-appends identical deterministic rows into
+       the same generation partition, collapsed by the reader's
+       within-generation dedup);
+    2. the fold watermark is the max raw batch_id across BOTH
+       journals — the docs journal gets a row from every batch, the
+       dfs journal only from batches that produced shingles, so a
+       dfs-only maximum would fold a trailing shingle-free batch's doc
+       count and then double-count it on replay;
+    3. superseded generation partitions are pruned AFTER the new one
+       commits (partition subdirectory removal touches only redundant
+       data, and partitioning is also what keeps reads pruned to ONE
+       generation regardless of how many folds have run);
+    4. raw reclamation runs LAST — until it completes, the reader's
+       watermark filter already ignores every folded row, so a crash
+       anywhere double-counts nothing.
+
+    QUIESCENCE IS LOAD-BEARING for the raw reclamation step: a batch
+    that commits concurrently between the watermark read and the
+    directory removal would be deleted WITH rows above the watermark.
+    Run this between triggers or with the stream stopped (the standard
+    VACUUM contract).  Path handling uses local-filesystem removal —
+    the contract of this repo's parquet journals; a Hadoop-compatible
+    object store would swap in the FileSystem.delete API, the
+    semantics above are path-scheme-agnostic.
 
     Returns the new watermark, or None when no raw delta is newer than
-    the current one (no-op)."""
+    the current one (no-op; also the degenerate never-any-shingles
+    journal, where there is no vocabulary growth to fold)."""
+    import os
     import shutil
 
     w_old = _shingle_df_watermark(spark, base_path)
-    raw = _read_journal(
+    raw_dfs = _read_journal(
         spark, f"{shingle_df_path(base_path)}/dfs",
         "g3 string, df_delta long, batch_id long",
     ).where(F.col("batch_id") > w_old)
-    row = raw.agg(F.max("batch_id").alias("b")).first()
-    if row["b"] is None:
+    raw_docs = _read_journal(
+        spark, f"{shingle_df_path(base_path)}/docs",
+        "n_docs long, batch_id long",
+    ).where(F.col("batch_id") > w_old)
+    b_dfs = raw_dfs.agg(F.max("batch_id").alias("b")).first()["b"]
+    b_docs = raw_docs.agg(F.max("batch_id").alias("b")).first()["b"]
+    candidates = [b for b in (b_dfs, b_docs) if b is not None]
+    if not candidates:
         return None
-    through = int(row["b"])
-    mark = F.lit(through).cast("long").alias("through_batch")
+    through = int(max(candidates))
     dfreq, n_docs = _shingle_df_state(spark, base_path)
-    dfreq.select("g3", "df", mark).write.mode("append").parquet(
-        f"{shingle_df_path(base_path)}/compact_dfs"
-    )
+    if dfreq.first() is None:
+        # no shingle state anywhere (every batch shingle-free): there
+        # is no vocabulary journal to bound, and advancing a watermark
+        # carried by the dfs directory would write no partition — so
+        # fold nothing rather than orphan the docs generation.
+        return None
+    mark = F.lit(through).cast("long").alias("through_batch")
     n_docs.where(F.col("n_docs").isNotNull()).select(
         "n_docs", mark
-    ).write.mode("append").parquet(
+    ).write.mode("append").partitionBy("through_batch").parquet(
         f"{shingle_df_path(base_path)}/compact_docs"
     )
-    # Space reclamation — everything below is redundant with the
-    # committed segment (the reader's watermark filter already ignores
-    # it), so plain directory removal is safe even if it half-fails.
+    dfreq.select("g3", "df", mark).write.mode(
+        "append"
+    ).partitionBy("through_batch").parquet(
+        f"{shingle_df_path(base_path)}/compact_dfs"
+    )
+    # prune superseded generations (only redundant partitions touched)
+    for sub in ("compact_dfs", "compact_docs"):
+        root = f"{shingle_df_path(base_path)}/{sub}"
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if (entry.startswith("through_batch=")
+                    and entry != f"through_batch={through}"):
+                shutil.rmtree(os.path.join(root, entry),
+                              ignore_errors=True)
+    # raw reclamation LAST (see ordering note above)
     for sub in ("dfs", "docs"):
         shutil.rmtree(f"{shingle_df_path(base_path)}/{sub}",
                       ignore_errors=True)

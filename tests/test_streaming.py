@@ -1914,3 +1914,72 @@ def test_shingle_df_compaction_reader_equivalence_and_replay(
         == {(r.g3, r.df) for r in dfreq_b.collect()}
     )
     assert nd_c.first()["n_docs"] == nd_b.first()["n_docs"]
+
+
+def test_shingle_df_compaction_docs_only_trailing_batch(spark, tmp_path):
+    """Self-review r14: the docs journal gets a row from EVERY batch
+    but the dfs journal only from batches that produced shingles — the
+    fold watermark must therefore cover the max batch_id across BOTH
+    journals, or a trailing shingle-free batch's doc count is folded
+    under a lower watermark and double-counted when that batch
+    replays.  This pins the fix: fold, replay the shingle-free batch,
+    and require the doc total unchanged."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        _shingle_df_state,
+        compact_shingle_df,
+        foreach_batch_with_shingle_df,
+    )
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    shingled = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma zeta")],
+        "doc_id long, text string",
+    )
+    # every doc under 3 tokens — writes a docs row but NO dfs rows
+    shingle_free = spark.createDataFrame(
+        [(3, "tiny doc"), (4, "also small")],
+        "doc_id long, text string",
+    )
+    cb(shingled, 0)
+    cb(shingle_free, 1)
+
+    _, n_docs = _shingle_df_state(spark, base)
+    assert n_docs.first()["n_docs"] == 4
+
+    # the watermark must cover batch 1 (docs-journal max), not just
+    # the dfs journal's max of 0
+    assert compact_shingle_df(spark, base) == 1
+
+    _, n_docs2 = _shingle_df_state(spark, base)
+    assert n_docs2.first()["n_docs"] == 4
+
+    # replay the folded shingle-free batch: rows land at batch_id 1
+    # <= watermark 1 and must NOT re-count
+    cb(shingle_free, 1)
+    dfreq3, n_docs3 = _shingle_df_state(spark, base)
+    assert n_docs3.first()["n_docs"] == 4
+    assert {(r.g3, r.df) for r in dfreq3.collect()} == {
+        ("alpha beta gamma", 2), ("beta gamma delta", 1),
+        ("beta gamma zeta", 1),
+    }
+
+
+def test_shingle_df_compaction_noop_without_any_shingles(spark, tmp_path):
+    """A journal whose every batch is shingle-free has no vocabulary
+    growth to bound: compaction is a no-op (never an orphaned docs
+    generation under an unmovable dfs watermark) and the raw journal
+    keeps serving the doc counts."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        _shingle_df_state,
+        compact_shingle_df,
+        foreach_batch_with_shingle_df,
+    )
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    cb(spark.createDataFrame([(1, "too small")],
+                             "doc_id long, text string"), 0)
+    assert compact_shingle_df(spark, base) is None
+    _, n_docs = _shingle_df_state(spark, base)
+    assert n_docs.first()["n_docs"] == 1
