@@ -316,13 +316,17 @@ def ks_against_reference(batch: DataFrame, ref: DataFrame,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("key")
+    # NULLIF mirrors the batch spec's one-sided-key guard: a key in
+    # only one window is omitted by the final filter, but ANSI mode
+    # would throw DIVIDE_BY_ZERO on the ratio first (r14 null-key
+    # parity test); NULL ratios fold away inside MAX.
     f_ref = (
         F.sum("n_ref_v").over(w_cum).cast("double")
-        / F.sum("n_ref_v").over(w_tot)
+        / F.nullif(F.sum("n_ref_v").over(w_tot), F.lit(0))
     )
     f_cur = (
         F.sum("n_cur_v").over(w_cum).cast("double")
-        / F.sum("n_cur_v").over(w_tot)
+        / F.nullif(F.sum("n_cur_v").over(w_tot), F.lit(0))
     )
     from level2_to_cassandra_spark.functions import round_signless
 

@@ -1778,12 +1778,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         PARTITION BY event_type ORDER BY value
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS DOUBLE)
-                   / SUM(n_ref_v) OVER (PARTITION BY event_type) AS f_ref,
+                   / NULLIF(SUM(n_ref_v) OVER (PARTITION BY event_type),
+                            0) AS f_ref,
                CAST(SUM(n_cur_v) OVER (
                         PARTITION BY event_type ORDER BY value
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS DOUBLE)
-                   / SUM(n_cur_v) OVER (PARTITION BY event_type) AS f_cur
+                   / NULLIF(SUM(n_cur_v) OVER (PARTITION BY event_type),
+                            0) AS f_cur
         FROM dist)
     SELECT event_type,
            CAST(SUM(n_ref_v) AS BIGINT) AS n_ref,
@@ -1834,13 +1836,19 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("event_type")
+    # NULLIF guards the one-sided-key class (a key present in only one
+    # window): its CDF is undefined and the final n_ref/n_cur > 0
+    # filter omits the key, but under ANSI mode the division itself
+    # would throw DIVIDE_BY_ZERO before the filter runs (found by the
+    # r14 KS-twin null-key parity test).  NULL ratios fold away inside
+    # MAX, so scored keys are bit-identical to the unguarded form.
     f_ref = (
         F.sum("n_ref_v").over(w_cum).cast("double")
-        / F.sum("n_ref_v").over(w_tot)
+        / F.nullif(F.sum("n_ref_v").over(w_tot), F.lit(0))
     )
     f_cur = (
         F.sum("n_cur_v").over(w_cum).cast("double")
-        / F.sum("n_cur_v").over(w_tot)
+        / F.nullif(F.sum("n_cur_v").over(w_tot), F.lit(0))
     )
     ks = round_signless(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6)
     return (

@@ -1983,3 +1983,54 @@ def test_shingle_df_compaction_noop_without_any_shingles(spark, tmp_path):
     assert compact_shingle_df(spark, base) is None
     _, n_docs = _shingle_df_state(spark, base)
     assert n_docs.first()["n_docs"] == 1
+
+
+def test_ks_operator_parity_with_null_keys(spark, tmp_path):
+    """KS parity must hold when the KEY column itself is NULL — and
+    here the batch spec's behavior DIFFERS from q_drift_psi's:
+    q_drift_ks groups on event_type directly (no inner bounds join),
+    so a NULL key IS scored as one group when both windows contain it.
+    The operator twin's full-outer merge is NULL-SAFE on the key leg
+    for exactly this reason; parity on a NULL-key corpus must
+    reproduce the NULL-key row's numbers, not drop it."""
+    from level2_to_cassandra_spark.operators.drift import (
+        ks_against_reference,
+        ks_reference_dist,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    rows = []
+    for i in range(200):
+        side = "2024-01-10" if i % 2 == 0 else "2024-01-20"
+        # i%5==0 hits both even and odd i → NULL keys land in BOTH
+        # windows (the null-values test's construction)
+        key = None if i % 5 == 0 else ("click" if i % 3 else "view")
+        rows.append((key, float((i * 13) % 97), side))
+    # one-sided keys: present in exactly one window each — both the
+    # query and the operator must OMIT them (and, since r14's NULLIF
+    # guard, must not throw DIVIDE_BY_ZERO computing their CDF ratio
+    # under ANSI mode before the omission filter runs)
+    rows += [("refonly", float(v), "2024-01-10") for v in range(5)]
+    rows += [("curonly", float(v), "2024-01-20") for v in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, day string"
+    ).select(
+        "event_type", "value", F.col("day").cast("timestamp").alias("ts")
+    )
+    sf_dir = str(tmp_path / "sf_nullkey_ks")
+    ev.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ks_reference_dist(ev.where(F.col("ts") < cut))
+    cur = ev.where(F.col("ts").isNull() | (F.col("ts") >= cut))
+    got = {
+        r.key: (r.n_ref, r.n_batch, r.ks, r.drift_flag)
+        for r in ks_against_reference(cur, ref).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.ks, r.drift_flag)
+        for r in all_queries()["q_drift_ks"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert None in want  # the batch spec scores the NULL-key group
+    assert set(got) == {None, "click", "view"}  # one-sided keys omitted
