@@ -197,6 +197,21 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
             else:
                 print(f"compact {suffix}: {n} rows")
+        # the monitor journals share the maintenance window: the
+        # shingle-df fold requires stream quiescence (its docstring's
+        # VACUUM contract), which is exactly when --compact runs
+        from level2_to_cassandra_spark.streaming.monitor import (
+            compact_shingle_df,
+        )
+
+        try:
+            w = compact_shingle_df(spark, cfg.out_path)
+        except Exception as e:  # noqa: BLE001 — journal may not exist
+            print(f"compact shingle-df journal: skipped "
+                  f"({type(e).__name__})", file=sys.stderr)
+        else:
+            print("compact shingle-df journal: "
+                  + ("no-op" if w is None else f"folded through batch {w}"))
         return 1 if contended else 0
     src = args.source
     if src == "auto":

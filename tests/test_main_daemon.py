@@ -393,3 +393,49 @@ def test_reconcile_diff_classification_arithmetic(spark):
         assert counts.get("extra", 0) == len(actual_keys - expected_keys)
         assert counts.get("mismatch", 0) == len(mismatched)
         assert counts.get("matched", 0) == len(both) - len(mismatched)
+
+
+def test_daemon_compact_folds_shingle_df_journal(
+        spark, tmp_path, monkeypatch):
+    """`--compact` also folds the shingle-df monitor journal (r14):
+    the maintenance window is exactly the quiescence the fold's VACUUM
+    contract requires.  Hot-set observations must be identical before
+    and after, and a second --compact is a journal no-op."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_shingle_df,
+        read_hot_shingles,
+    )
+    from level2_to_cassandra_spark.streaming.sink import (
+        write_upsert_parquet,
+    )
+
+    out = tmp_path / "keyspace"
+    monkeypatch.setenv("APP_MODE", "full")
+    monkeypatch.setenv("KEYSPACE", str(out))
+    # one sink table so the sink-compaction leg has something to fold
+    df = spark.createDataFrame(
+        [("btcusd", "AAA", "2024-01-01 00:00:00", 1.0, 10, 0)],
+        "topic string, symbol string, time string, price double, "
+        "volume int, seq long",
+    ).withColumn("time", F.to_timestamp("time"))
+    write_upsert_parquet(df, str(out), "tick", batch_id=0)
+    # a shingle-df journal beside it, two delivered batches
+    cb = foreach_batch_with_shingle_df(lambda d, b: None, str(out))
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    cb(docs.where(F.col("doc_id") < 3), 0)
+    cb(docs.where(F.col("doc_id") >= 3), 1)
+    before = {r.g3 for r in read_hot_shingles(spark, str(out)).collect()}
+    assert before  # 6 docs share every 3-gram → corpus-hot
+
+    assert main(["--compact"]) == 0
+    after = {r.g3 for r in read_hot_shingles(spark, str(out)).collect()}
+    assert after == before
+    # the raw journal is reclaimed; a second maintenance run no-ops
+    import glob as globmod
+    assert not globmod.glob(f"{out}/_shingle_df/dfs/*.parquet")
+    assert main(["--compact"]) == 0
