@@ -199,13 +199,19 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"compact {suffix}: {n} rows")
         # the monitor journals share the maintenance window: the
         # shingle-df fold requires stream quiescence (its docstring's
-        # VACUUM contract), which is exactly when --compact runs
+        # VACUUM contract), which is exactly when --compact runs; it
+        # takes its OWN journal flock, so a sink-lock contention above
+        # does not make this leg unsafe — but its own contention is
+        # surfaced the same way (rc 1 so a scheduler notices)
         from level2_to_cassandra_spark.streaming.monitor import (
             compact_shingle_df,
         )
 
         try:
             w = compact_shingle_df(spark, cfg.out_path)
+        except CompactionLockHeld as e:
+            print(f"compact shingle-df journal: {e}", file=sys.stderr)
+            contended = True
         except Exception as e:  # noqa: BLE001 — journal may not exist
             print(f"compact shingle-df journal: skipped "
                   f"({type(e).__name__})", file=sys.stderr)

@@ -898,88 +898,180 @@ def compact_shingle_df(spark, base_path: str) -> int | None:
     delta files, so the next read reduces one segment plus only the
     deltas that arrived after the fold.
 
-    Correctness order (each step safe to crash after; self-review r14
-    hardened all four):
+    Correctness order (each step safe to crash after or DURING; two
+    self-review passes hardened all of it):
 
-    1. the new generation's DOCS segment is written first, the DFS
-       segment — the watermark carrier — LAST, so a crash between the
-       two leaves the watermark unmoved and the orphaned docs rows
-       invisible (a retry re-appends identical deterministic rows into
-       the same generation partition, collapsed by the reader's
-       within-generation dedup);
-    2. the fold watermark is the max raw batch_id across BOTH
+    1. the fold watermark is the max raw batch_id across BOTH
        journals — the docs journal gets a row from every batch, the
        dfs journal only from batches that produced shingles, so a
        dfs-only maximum would fold a trailing shingle-free batch's doc
        count and then double-count it on replay;
-    3. superseded generation partitions are pruned AFTER the new one
-       commits (partition subdirectory removal touches only redundant
-       data, and partitioning is also what keeps reads pruned to ONE
-       generation regardless of how many folds have run);
-    4. raw reclamation runs LAST — until it completes, the reader's
+    2. each generation directory is STAGED in a temp dir and committed
+       with ONE atomic rename to ``<journal>/through_batch=<N>`` — a
+       crash mid-write leaves no partial generation for the watermark
+       to advance onto (Spark's job commit alone can expose partial
+       part-file sets); the partition value comes from the directory
+       name, so the files themselves stay narrow;
+    3. the DOCS generation commits first, the DFS generation — the
+       watermark carrier — LAST, so a crash between the two leaves the
+       watermark unmoved and the orphaned docs generation invisible (a
+       retry finds its rename target already present and reuses it —
+       the content is deterministic);
+    4. superseded generation directories are pruned AFTER the new one
+       commits (only redundant data touched; one-generation reads are
+       also what keeps read cost flat regardless of fold count);
+    5. raw reclamation runs LAST — until it completes, the reader's
        watermark filter already ignores every folded row, so a crash
-       anywhere double-counts nothing.
+       anywhere double-counts nothing; a fold that crashed between
+       commit and reclamation is finished by the NEXT maintenance run,
+       whose no-op path still prunes and reclaims everything at or
+       below the committed watermark.
 
-    QUIESCENCE IS LOAD-BEARING for the raw reclamation step: a batch
-    that commits concurrently between the watermark read and the
-    directory removal would be deleted WITH rows above the watermark.
-    Run this between triggers or with the stream stopped (the standard
-    VACUUM contract).  Path handling uses local-filesystem removal —
-    the contract of this repo's parquet journals; a Hadoop-compatible
-    object store would swap in the FileSystem.delete API, the
-    semantics above are path-scheme-agnostic.
+    Concurrent FOLDS are excluded by a kernel flock on the journal
+    (the sink-compaction lock discipline — raises
+    :class:`~level2_to_cassandra_spark.streaming.sink.CompactionLockHeld`
+    on contention, never blocks).  QUIESCENCE OF THE STREAM is still
+    load-bearing for the raw-reclamation step: a batch that commits
+    between the watermark read and the directory removal would be
+    deleted WITH rows above the watermark — run this between triggers
+    or with the stream stopped (the standard VACUUM contract).  Path
+    handling uses local-filesystem rename/removal — the contract of
+    this repo's parquet journals; a Hadoop-compatible object store
+    would swap in the FileSystem rename/delete API, the semantics
+    above are path-scheme-agnostic.
 
     Returns the new watermark, or None when no raw delta is newer than
-    the current one (no-op; also the degenerate never-any-shingles
-    journal, where there is no vocabulary growth to fold)."""
+    the current one (no-op — which STILL prunes/reclaims leftovers of
+    a fold that crashed after its commit; also the degenerate
+    never-any-shingles journal, where there is no vocabulary growth to
+    bound)."""
     import os
     import shutil
+    import tempfile
 
-    w_old = _shingle_df_watermark(spark, base_path)
-    raw_dfs = _read_journal(
-        spark, f"{shingle_df_path(base_path)}/dfs",
-        "g3 string, df_delta long, batch_id long",
-    ).where(F.col("batch_id") > w_old)
-    raw_docs = _read_journal(
-        spark, f"{shingle_df_path(base_path)}/docs",
-        "n_docs long, batch_id long",
-    ).where(F.col("batch_id") > w_old)
-    b_dfs = raw_dfs.agg(F.max("batch_id").alias("b")).first()["b"]
-    b_docs = raw_docs.agg(F.max("batch_id").alias("b")).first()["b"]
-    candidates = [b for b in (b_dfs, b_docs) if b is not None]
-    if not candidates:
-        return None
-    through = int(max(candidates))
-    dfreq, n_docs = _shingle_df_state(spark, base_path)
-    if dfreq.first() is None:
-        # no shingle state anywhere (every batch shingle-free): there
-        # is no vocabulary journal to bound, and advancing a watermark
-        # carried by the dfs directory would write no partition — so
-        # fold nothing rather than orphan the docs generation.
-        return None
-    mark = F.lit(through).cast("long").alias("through_batch")
-    n_docs.where(F.col("n_docs").isNotNull()).select(
-        "n_docs", mark
-    ).write.mode("append").partitionBy("through_batch").parquet(
-        f"{shingle_df_path(base_path)}/compact_docs"
+    from level2_to_cassandra_spark.streaming.sink import (
+        _acquire_compact_lock,
     )
-    dfreq.select("g3", "df", mark).write.mode(
-        "append"
-    ).partitionBy("through_batch").parquet(
-        f"{shingle_df_path(base_path)}/compact_dfs"
-    )
-    # prune superseded generations (only redundant partitions touched)
-    for sub in ("compact_dfs", "compact_docs"):
-        root = f"{shingle_df_path(base_path)}/{sub}"
-        if not os.path.isdir(root):
+
+    root = shingle_df_path(base_path)
+    os.makedirs(root, exist_ok=True)
+    lock_fd = _acquire_compact_lock(f"{root}/_compact.lock")
+    try:
+        _migrate_flat_segments(spark, base_path)
+
+        def _prune_and_reclaim(keep: int) -> None:
+            # 4 + 5: superseded generations, then the raw journals —
+            # everything at or below the committed watermark is
+            # redundant with the kept generation
+            for sub in ("compact_dfs", "compact_docs"):
+                seg_root = f"{root}/{sub}"
+                if not os.path.isdir(seg_root):
+                    continue
+                for entry in os.listdir(seg_root):
+                    if (entry.startswith("through_batch=")
+                            and entry != f"through_batch={keep}"):
+                        shutil.rmtree(os.path.join(seg_root, entry),
+                                      ignore_errors=True)
+            for sub in ("dfs", "docs"):
+                shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+            # stale staging dirs from crashed folds are inert (never
+            # read — generations are only the renamed targets) but
+            # worth sweeping while we hold the lock
+            for entry in os.listdir(root):
+                if entry.startswith(("_stage_", "_mig_")):
+                    shutil.rmtree(os.path.join(root, entry),
+                                  ignore_errors=True)
+
+        w_old = _shingle_df_watermark(spark, base_path)
+        raw_dfs = _read_journal(
+            spark, f"{root}/dfs",
+            "g3 string, df_delta long, batch_id long",
+        ).where(F.col("batch_id") > w_old)
+        raw_docs = _read_journal(
+            spark, f"{root}/docs",
+            "n_docs long, batch_id long",
+        ).where(F.col("batch_id") > w_old)
+        b_dfs = raw_dfs.agg(F.max("batch_id").alias("b")).first()["b"]
+        b_docs = raw_docs.agg(F.max("batch_id").alias("b")).first()["b"]
+        candidates = [b for b in (b_dfs, b_docs) if b is not None]
+        if not candidates:
+            if w_old >= 0:
+                # finish a fold that crashed after committing its
+                # generation but before reclaiming (finding r14-2:
+                # otherwise the leftovers persist forever and the read
+                # bound silently degrades back to the full history)
+                _prune_and_reclaim(w_old)
+            return None
+        through = int(max(candidates))
+        if b_dfs is None and w_old == -1:
+            # no shingle state anywhere (every batch shingle-free):
+            # there is no vocabulary journal to bound, and a watermark
+            # carried by the dfs directory would have no generation to
+            # commit — fold nothing rather than orphan the docs side.
+            # (Equivalent to "the folded dfreq relation is empty", but
+            # derivable without re-executing the whole reduction.)
+            return None
+        dfreq, n_docs = _shingle_df_state(spark, base_path)
+
+        def _commit_generation(df, sub: str) -> None:
+            # 2: stage + one atomic rename; the partition value is the
+            # DIRECTORY NAME, so the staged files stay narrow and a
+            # half-written stage can never be taken for a generation
+            target = f"{root}/{sub}/through_batch={through}"
+            if os.path.isdir(target):
+                return  # a crashed retry already committed it (3)
+            os.makedirs(f"{root}/{sub}", exist_ok=True)
+            stage = tempfile.mkdtemp(dir=root, prefix=f"_stage_{sub}_")
+            df.write.mode("overwrite").parquet(stage)
+            os.rename(stage, target)
+
+        _commit_generation(
+            n_docs.where(F.col("n_docs").isNotNull()).select("n_docs"),
+            "compact_docs",
+        )
+        _commit_generation(dfreq.select("g3", "df"), "compact_dfs")
+        _prune_and_reclaim(through)
+        return through
+    finally:
+        os.close(lock_fd)
+
+
+def _migrate_flat_segments(spark, base_path: str) -> None:
+    """One-shot layout migration: the first (intra-r14) compaction
+    format wrote segments as FLAT parquet files with through_batch as
+    a data column; the generation-directory layout would sit beside
+    them and make partition discovery refuse the mixed directory.  Any
+    flat files found are rewritten into their generation directories
+    and removed — runs under the compaction lock, before anything
+    reads the segment dirs."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    root = shingle_df_path(base_path)
+    for sub, cols in (("compact_dfs", ("g3", "df")),
+                      ("compact_docs", ("n_docs",))):
+        seg_root = f"{root}/{sub}"
+        flat = sorted(globmod.glob(f"{seg_root}/*.parquet"))
+        if not flat:
             continue
-        for entry in os.listdir(root):
-            if (entry.startswith("through_batch=")
-                    and entry != f"through_batch={through}"):
-                shutil.rmtree(os.path.join(root, entry),
-                              ignore_errors=True)
-    # raw reclamation LAST (see ordering note above)
-    for sub in ("dfs", "docs"):
-        shutil.rmtree(f"{shingle_df_path(base_path)}/{sub}",
-                      ignore_errors=True)
-    return through
+        rows = spark.read.parquet(*flat)
+        gens = [int(r.through_batch) for r in
+                rows.select("through_batch").distinct().collect()]
+        for gen in gens:
+            target = f"{seg_root}/through_batch={gen}"
+            if os.path.isdir(target):
+                continue
+            stage = tempfile.mkdtemp(dir=root, prefix=f"_mig_{sub}_")
+            rows.where(F.col("through_batch") == gen).select(
+                *cols
+            ).write.mode("overwrite").parquet(stage)
+            os.rename(stage, target)
+        for f in flat:
+            os.remove(f)
+        for extra in globmod.glob(f"{seg_root}/_SUCCESS*") + globmod.glob(
+            f"{seg_root}/.*.crc"
+        ):
+            if os.path.isfile(extra):
+                os.remove(extra)

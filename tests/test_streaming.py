@@ -2034,3 +2034,110 @@ def test_ks_operator_parity_with_null_keys(spark, tmp_path):
     assert got == want
     assert None in want  # the batch spec scores the NULL-key group
     assert set(got) == {None, "click", "view"}  # one-sided keys omitted
+
+
+def test_shingle_df_compaction_lock_and_leftover_reclaim(
+    spark, tmp_path
+):
+    """Crash/concurrency hardening (r14 follow-up review): (a) two
+    concurrent folds are excluded by the journal flock — the loser
+    raises CompactionLockHeld, touches nothing; (b) a fold that
+    crashed after committing its generation but before reclaiming is
+    FINISHED by the next maintenance run's no-op path (replayed raw
+    rows at or below the watermark are swept, state unchanged)."""
+    import fcntl
+    import glob as globmod
+    import os
+
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        _shingle_df_state,
+        compact_shingle_df,
+        foreach_batch_with_shingle_df,
+        shingle_df_path,
+    )
+    from level2_to_cassandra_spark.streaming.sink import CompactionLockHeld
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    cb(docs, 0)
+
+    # (a) contention: hold the journal flock and expect the fold to
+    # refuse rather than run concurrently
+    root = shingle_df_path(base)
+    os.makedirs(root, exist_ok=True)
+    fd = os.open(f"{root}/_compact.lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(CompactionLockHeld):
+            compact_shingle_df(spark, base)
+    finally:
+        os.close(fd)
+
+    assert compact_shingle_df(spark, base) == 0
+    dfreq_before, nd_before = _shingle_df_state(spark, base)
+    want = {(r.g3, r.df) for r in dfreq_before.collect()}
+    want_nd = nd_before.first()["n_docs"]
+
+    # (b) simulate the crashed-fold aftermath: replayed raw rows land
+    # at batch_id <= watermark (invisible to the reader) — the next
+    # run must return None AND sweep them
+    cb(docs, 0)
+    assert globmod.glob(f"{root}/dfs/*.parquet")
+    assert compact_shingle_df(spark, base) is None
+    assert not globmod.glob(f"{root}/dfs/*.parquet")
+    dfreq_after, nd_after = _shingle_df_state(spark, base)
+    assert {(r.g3, r.df) for r in dfreq_after.collect()} == want
+    assert nd_after.first()["n_docs"] == want_nd
+
+
+def test_shingle_df_flat_segment_layout_migrates(spark, tmp_path):
+    """A journal compacted by the transient intra-r14 FLAT segment
+    layout (through_batch as a data column in root-level files) must
+    migrate to generation directories on the next fold — mixed
+    flat/partitioned directories would otherwise fail partition
+    discovery permanently."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        _shingle_df_state,
+        compact_shingle_df,
+        foreach_batch_with_shingle_df,
+        read_hot_shingles,
+        shingle_df_path,
+    )
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_shingle_df(lambda df, bid: None, base)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    cb(docs.where(F.col("doc_id") < 3), 0)
+
+    # hand-write an OLD-LAYOUT segment covering batch 0 (exactly what
+    # the first r14 code produced), leaving the raw rows in place as a
+    # crashed-before-reclamation fold would
+    root = shingle_df_path(base)
+    spark.createDataFrame(
+        [("alpha beta gamma", 3, 0), ("beta gamma delta", 3, 0)],
+        "g3 string, df long, through_batch long",
+    ).coalesce(1).write.mode("append").parquet(f"{root}/compact_dfs")
+    spark.createDataFrame(
+        [(3, 0)], "n_docs long, through_batch long"
+    ).coalesce(1).write.mode("append").parquet(f"{root}/compact_docs")
+
+    cb(docs.where(F.col("doc_id") >= 3), 1)
+    assert compact_shingle_df(spark, base) == 1
+
+    dfreq, nd = _shingle_df_state(spark, base)
+    assert {(r.g3, r.df) for r in dfreq.collect()} == {
+        ("alpha beta gamma", 6), ("beta gamma delta", 6),
+    }
+    assert nd.first()["n_docs"] == 6
+    assert {r.g3 for r in read_hot_shingles(spark, base).collect()} == {
+        "alpha beta gamma", "beta gamma delta",
+    }
