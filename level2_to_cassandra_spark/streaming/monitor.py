@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: audit-table schema (kept flat + scalar so any engine can read it)
@@ -1075,3 +1075,126 @@ def _migrate_flat_segments(spark, base_path: str) -> None:
         ):
             if os.path.isfile(extra):
                 os.remove(extra)
+
+
+#: per-doc novelty audit schema (flat + scalar; the novelty double is
+#: rounded 6 exactly like the batch spec's output)
+NOVELTY_SCHEMA = (
+    "batch_id long, doc_id long, n_shingles long, n_novel long, "
+    "novelty double"
+)
+
+
+def novelty_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/scores`` holds the per-doc audit rows, ``/seen``
+    the append-only first-occurrence shingle store."""
+    return f"{base}/_novelty"
+
+
+def foreach_batch_with_novelty(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with FIRST-OCCURRENCE N-GRAM
+    NOVELTY scoring — the streaming twin of q_text_novelty: every
+    document is scored AT INGEST for the fraction of its distinct
+    3-gram shingles never seen in any earlier batch (crawl-value /
+    marginal-new-content, priced per batch instead of per corpus
+    rebuild).  One ``(batch_id, doc_id, n_shingles, n_novel,
+    novelty)`` audit row per shingled doc lands beside the sink.
+
+    REPLAY DETERMINISM is the design constraint the naive form fails:
+    a replayed batch would find its own shingles already in the seen
+    store and re-score everything 0.  Both sides of the computation
+    are therefore keyed by batch_id — the score anti-joins the store
+    FILTERED TO STRICTLY EARLIER BATCHES (``batch_id < bid``: a
+    crashed attempt's own rows are excluded, and later batches cannot
+    have run — foreachBatch replays only the last uncommitted batch),
+    and within-batch first occurrence is credited to the minimum
+    doc_id, exactly the batch spec's rule.  The store append runs LAST
+    (the admit-sink discipline) and duplicates from replay collapse
+    under the reader's earliest-batch reduction.  When batches
+    partition the corpus in doc_id order, the audit rows equal
+    q_text_novelty's output row-for-row (parity-pinned).
+
+    Cost per batch: one batch-bounded shingle explode + distinct, one
+    anti-join against the seen store bucketed by shingle (probe ∝
+    batch shingles × store occupancy — the incremental-dedup shape,
+    never corpus²), two appends."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            bid = int(batch_id)
+            occ = (
+                text_ops.shingle_occurrences(
+                    batch_df, id_col=id_col, text_col=text_col
+                )
+                .distinct()
+            )
+            seen = (
+                _read_journal(
+                    spark := batch_df.sparkSession,
+                    f"{novelty_path(base_path)}/seen",
+                    "g3 string, batch_id long",
+                )
+                .where(F.col("batch_id") < bid)
+                .select("g3")
+                .distinct()
+            )
+            w_min = Window.partitionBy("g3")
+            flagged = (
+                occ.join(seen, "g3", "left_anti")
+                .withColumn("first_doc", F.min("doc_id").over(w_min))
+                .where(F.col("first_doc") == F.col("doc_id"))
+                .select("doc_id")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_novel"))
+            )
+            totals = occ.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_shingles")
+            )
+            scores = (
+                totals.join(flagged, "doc_id", "left")
+                .select(
+                    F.lit(bid).cast("long").alias("batch_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.coalesce(F.col("n_novel"), F.lit(0))
+                    .cast("long").alias("n_novel"),
+                    F.round(
+                        F.coalesce(F.col("n_novel"), F.lit(0))
+                        .cast("double") / F.col("n_shingles"),
+                        6,
+                    ).alias("novelty"),
+                )
+            )
+            scores.coalesce(1).write.mode("append").parquet(
+                f"{novelty_path(base_path)}/scores"
+            )
+            # store append LAST: a crash before this line re-scores the
+            # replay identically (its own rows are batch_id-filtered
+            # out of the probe either way)
+            occ.select(
+                "g3", F.lit(bid).cast("long").alias("batch_id")
+            ).write.mode("append").parquet(
+                f"{novelty_path(base_path)}/seen"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_novelty(spark, base_path: str) -> DataFrame:
+    """Read the per-doc novelty audit table (empty before the first
+    delivered batch); replayed batches collapse on (batch_id, doc_id)
+    — the rows are deterministic re-derivations."""
+    return _read_journal(
+        spark, f"{novelty_path(base_path)}/scores", NOVELTY_SCHEMA
+    ).dropDuplicates(["batch_id", "doc_id"])

@@ -1715,6 +1715,7 @@ def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
         read_hot_shingles,
         read_ks,
         read_metrics,
+        read_novelty,
         read_outlier_quarantine,
         read_vocab_growth,
     )
@@ -1724,6 +1725,7 @@ def test_monitor_readers_empty_before_first_batch(spark, tmp_path):
         "metrics": lambda: read_metrics(spark, base, "events_tick"),
         "drift": lambda: read_drift(spark, base),
         "ks": lambda: read_ks(spark, base),
+        "novelty": lambda: read_novelty(spark, base),
         "embed_drift": lambda: read_embed_drift(spark, base),
         "covariance": lambda: read_covariance(spark, base),
         "outliers": lambda: read_outlier_quarantine(spark, base),
@@ -2141,3 +2143,51 @@ def test_shingle_df_flat_segment_layout_migrates(spark, tmp_path):
     assert {r.g3 for r in read_hot_shingles(spark, base).collect()} == {
         "alpha beta gamma", "beta gamma delta",
     }
+
+
+def test_streaming_novelty_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_novelty must reproduce q_text_novelty
+    row-for-row when batches partition the fixture in doc_id order
+    (first-occurrence credit is global min doc_id — the batch spec's
+    rule), and a replayed batch must re-derive IDENTICAL rows (its
+    own store contributions are batch_id-filtered out of the probe)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_novelty,
+        read_novelty,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    b0 = docs.where(F.col("doc_id") <= cut)
+    b1 = docs.where(F.col("doc_id") > cut)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_novelty(lambda df, bid: None, base)
+    cb(b0, 0)
+    cb(b1, 1)
+
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in read_novelty(spark, base).collect()
+    }
+    want = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in all_queries()["q_text_novelty"].fn(
+            spark, sf_smoke).collect()
+    }
+    assert got == want and got
+
+    # replay batch 1 AFTER its store rows landed: the probe filters
+    # them out (batch_id < 1), so the re-derived rows are identical
+    # and the reader's (batch_id, doc_id) dedup collapses them
+    cb(b1, 1)
+    again = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in read_novelty(spark, base).collect()
+    }
+    assert again == want
