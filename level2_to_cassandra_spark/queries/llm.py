@@ -4035,3 +4035,103 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("long").alias("n_novel"),
         F.round(novel.cast("double") / n, 6).alias("novelty"),
     )
+
+
+# ------------------------------------------------- line-level dedup
+
+_LINE_W = 8  # tokens per synthesized "line" (the fixture has no \n)
+#: Packed (doc_id, line_no) total-order key span — supports documents
+#: up to one million lines before doc_id*SPAN could collide; at the
+#: fixture's ~120-token docs the max line_no is ~15.  (A production
+#: corpus with real newlines swaps the token grouping for
+#: split(text, '\n') and nothing else changes.)
+_LINE_KEY_SPAN = 1_000_000
+
+
+@register(
+    "q_dedup_lines",
+    # Pure integer/selection algebra: first occurrence is the MIN of
+    # an exact packed BIGINT key per line_text, kept_text is ordered
+    # string reassembly — nothing floats, both engines hash-identical.
+    oracle=f"""
+    WITH lines AS (
+        SELECT doc_id, (i - 1) // {_LINE_W} AS line_no,
+               array_to_string(list_slice(w, i, i + {_LINE_W} - 1), ' ')
+                   AS line_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) + 1, {_LINE_W})) AS i)),
+    flagged AS (
+        SELECT doc_id, line_no, line_text,
+               MIN(doc_id * {_LINE_KEY_SPAN} + line_no)
+                   OVER (PARTITION BY line_text)
+                 = doc_id * {_LINE_KEY_SPAN} + line_no AS kept
+        FROM lines)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN line_text END, ' '
+                               ORDER BY line_no), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL (sub-document) dedup — the C4 preprocessing step the
+    document-granularity family cannot express: every duplicated LINE
+    keeps only its first corpus occurrence (global (doc_id, line_no)
+    order) and each document is reassembled from its surviving lines,
+    order preserved.  Output per doc: line count, kept count, and the
+    line-deduped text (empty string when every line was seen before —
+    the downstream curation gate drops those).  The fixture corpus has
+    no newlines, so a "line" is each consecutive 8-token group
+    (``_LINE_W``; the q_chunk_docs segmentation with stride = width).
+
+    Scale shape: explode to lines, then ONE window min over the
+    line_text key (first-occurrence attribution, the q_text_novelty
+    exchange) and ONE doc-keyed aggregate that re-assembles kept lines
+    via sorted collect_list (the per-doc list is bounded by document
+    length, never corpus-scale) — two row-scale key exchanges, no
+    joins, exact integer keys end to end.  The packed BIGINT
+    first-occurrence key keeps the window state 8 bytes/row."""
+    docs = load_table(spark, sf_dir, "documents")
+    from level2_to_cassandra_spark.catalog import spread_scan
+
+    w = text.tokens("text")
+    lines = (
+        spread_scan(docs)
+        .select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size(w), F.lit(_LINE_W))
+            ).alias("line_no", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            F.array_join(
+                F.slice(text.tokens("text"), F.col("start"), _LINE_W), " "
+            ).alias("line_text"),
+        )
+    )
+    key = F.col("doc_id") * _LINE_KEY_SPAN + F.col("line_no")
+    flagged = lines.withColumn(
+        "kept",
+        F.min(key).over(Window.partitionBy("line_text")) == key,
+    )
+    kept_line = F.when(F.col("kept"), F.struct("line_no", "line_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    # collect_list drops the NULLs of non-kept lines;
+                    # struct sort = line_no order (unique per doc)
+                    F.array_sort(F.collect_list(kept_line)),
+                    lambda s: s["line_text"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )

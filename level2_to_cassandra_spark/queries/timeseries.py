@@ -1363,3 +1363,172 @@ def q_agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_signless(F.sum("w"), 6).alias("decayed_weight"),
         )
     )
+
+
+# --------------------------------------- mergeable quantile rollup
+
+_QGRID_BINS = 64    # fixed-grid histogram resolution
+_QGRID_W = 16.0     # bin width: grid spans [0, 1024), edges clamped
+
+
+@register(
+    "q_rollup_quantile",
+    # The oracle REPLAYS the two-level grid construction (exact
+    # integer/selection algebra — counts, mins, maxes, rank walks:
+    # nothing floats until the final exact-quantile verification
+    # columns) and computes the exact hour quantiles from RAW rows, so
+    # the hash proves BOTH that the partial state merges exactly and
+    # that the partial-derived bounds contain the true quantile.
+    # quantile_cont ≡ Spark percentile (linear interpolation at rank
+    # p·(n−1), the q_agg_approx_percentile precedent); the containment
+    # flags compare each engine's own UNROUNDED exact value, which the
+    # bin's [min, max] bracket with ulp-proof slack (interpolation
+    # between two in-bin-range elements can never round outside them).
+    oracle="""
+    WITH raw AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour,
+               DATE_TRUNC('minute', ts) AS minute, event_type, value,
+               LEAST(GREATEST(CAST(FLOOR(value / 16.0) AS BIGINT), 0), 63)
+                   AS bin
+        FROM events),
+    partials AS (
+        SELECT minute, hour, event_type, bin, COUNT(*) AS pn,
+               MIN(value) AS vmin, MAX(value) AS vmax
+        FROM raw GROUP BY 1, 2, 3, 4),
+    hist AS (
+        SELECT hour, event_type, bin, SUM(pn) AS nb,
+               MIN(vmin) AS bmin, MAX(vmax) AS bmax
+        FROM partials GROUP BY 1, 2, 3),
+    cum AS (
+        SELECT *,
+               SUM(nb) OVER (PARTITION BY hour, event_type) AS n,
+               COALESCE(SUM(nb) OVER (PARTITION BY hour, event_type
+                                      ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cb
+        FROM hist),
+    bounds AS (
+        SELECT hour, event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN FLOOR(0.5 * (n - 1)) >= cb
+                         AND FLOOR(0.5 * (n - 1)) < cb + nb
+                        THEN bmin END) AS p50_lo,
+               MAX(CASE WHEN CEIL(0.5 * (n - 1)) >= cb
+                         AND CEIL(0.5 * (n - 1)) < cb + nb
+                        THEN bmax END) AS p50_hi,
+               MIN(CASE WHEN FLOOR(0.95 * (n - 1)) >= cb
+                         AND FLOOR(0.95 * (n - 1)) < cb + nb
+                        THEN bmin END) AS p95_lo,
+               MAX(CASE WHEN CEIL(0.95 * (n - 1)) >= cb
+                         AND CEIL(0.95 * (n - 1)) < cb + nb
+                        THEN bmax END) AS p95_hi
+        FROM cum GROUP BY 1, 2),
+    exact AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               quantile_cont(value, 0.5) AS e50,
+               quantile_cont(value, 0.95) AS e95
+        FROM events GROUP BY 1, 2)
+    SELECT b.hour, b.event_type, b.n,
+           p50_lo, p50_hi, p95_lo, p95_hi,
+           FLOOR(e50 * 10000 + 0.5) / 10000 AS exact_p50,
+           FLOOR(e95 * 10000 + 0.5) / 10000 AS exact_p95,
+           (p50_lo <= e50 AND e50 <= p50_hi) AS p50_within,
+           (p95_lo <= e95 AND e95 <= p95_hi) AS p95_within
+    FROM bounds b JOIN exact USING (hour, event_type)
+    """,
+)
+def q_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE layer for the rollup cascade (VERDICT r14
+    gap #5): q_rollup_cascade's sums/counts/mins/maxes re-aggregate
+    exactly but approx_percentile sketches do NOT — so the stored
+    minutely partial here is a FIXED-GRID histogram (64 bins of width
+    16 over [0, 1024), edge bins clamped) carrying per-bin (count,
+    min, max).  Bin counts merge by sum, bin mins/maxes by min/max, so
+    any coarser grain (hour/day/month) re-derives from partials only —
+    and the hour-level p50/p95 are served as PROVEN BOUNDS: the
+    quantile's rank is walked down the merged cumulative histogram and
+    bracketed by the owning bin's exact [min, max].  The per-bin
+    min/max (not the grid edges) make the bounds data-tight: an hour
+    whose rank bin holds one distinct value pins lo == hi == the exact
+    quantile.
+
+    Verification columns (the q_agg_approx verifiable-projection
+    pattern): exact_p50/exact_p95 recomputed from raw rows and the
+    containment flags lo <= exact <= hi — a partial-merge regression
+    flips a boolean or shifts a bound and the driver hash catches it.
+
+    Scale shape: the ONLY row-scale exchange is the level-1 minutely
+    grid aggregation (map-side combined, exactly q_rollup_cascade's
+    discipline); everything downstream — the hour merge, the
+    cumulative-rank window, the bounds fold — runs on the GRID-sized
+    relation (#hours x #types x 64 rows, bounded by construction no
+    matter the corpus size).  The raw-row exact-quantile leg exists
+    for verification only; production serves bounds from partials and
+    never re-reads raw."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / _QGRID_W), F.lit(0)),
+        F.lit(_QGRID_BINS - 1),
+    ).cast("long")
+    # level 1 — the stored minutely grid partials (row-scale, combined)
+    partials = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+        bin_.alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    # level 2 — hour grid FROM the partials (grid-sized from here on)
+    hist = partials.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type", "bin"
+    ).agg(
+        F.sum("pn").alias("nb"),
+        F.min("vmin").alias("bmin"),
+        F.max("vmax").alias("bmax"),
+    )
+    w_he = Window.partitionBy("hour", "event_type")
+    w_cum = w_he.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("n", F.sum("nb").over(w_he)).withColumn(
+        "cb", F.coalesce(F.sum("nb").over(w_cum), F.lit(0))
+    )
+
+    def _bounds(p: float, tag: str) -> list:
+        rank = F.lit(p) * (F.col("n") - 1).cast("double")
+        in_lo = (F.floor(rank) >= F.col("cb")) & (
+            F.floor(rank) < F.col("cb") + F.col("nb")
+        )
+        in_hi = (F.ceil(rank) >= F.col("cb")) & (
+            F.ceil(rank) < F.col("cb") + F.col("nb")
+        )
+        return [
+            F.min(F.when(in_lo, F.col("bmin"))).alias(f"{tag}_lo"),
+            F.max(F.when(in_hi, F.col("bmax"))).alias(f"{tag}_hi"),
+        ]
+
+    bounds = cum.groupBy("hour", "event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        *_bounds(0.5, "p50"),
+        *_bounds(0.95, "p95"),
+    )
+    # verification leg: exact quantiles from raw (a #hours x #types
+    # relation — broadcast into the bounds join by size)
+    exact = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.95)).alias("e95"),
+    )
+    j = bounds.join(exact, ["hour", "event_type"])
+    return j.select(
+        "hour", "event_type", "n",
+        "p50_lo", "p50_hi", "p95_lo", "p95_hi",
+        round_half_up(F.col("e50"), 4).alias("exact_p50"),
+        round_half_up(F.col("e95"), 4).alias("exact_p95"),
+        ((F.col("p50_lo") <= F.col("e50"))
+         & (F.col("e50") <= F.col("p50_hi"))).alias("p50_within"),
+        ((F.col("p95_lo") <= F.col("e95"))
+         & (F.col("e95") <= F.col("p95_hi"))).alias("p95_within"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table, spread_scan
-from level2_to_cassandra_spark.functions import round_signless
+from level2_to_cassandra_spark.functions import round_half_up, round_signless
 from level2_to_cassandra_spark.operators import dedup, export, minhash, text
 from level2_to_cassandra_spark.registry import register
 
@@ -1909,4 +1909,141 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= _RESERVOIR_K)
+    )
+
+
+# -------------------------------------------- classifier calibration
+
+_CALIB_BINS = 10  # equal-width score bins over [-1, 1]
+
+
+@register(
+    "q_classifier_calibration",
+    # Float discipline: the per-doc score s/n is an EXACT rational
+    # (integer +-1 fold / integer count — correctly-rounded division,
+    # bit-identical both engines), so binning on the raw score is
+    # deterministic; per-bin averages are order-jittered doubles
+    # rounded half-up at 4 (the engine-wide avg discipline); the gap
+    # is computed FROM the rounded columns (identical inputs ->
+    # identical doubles); and the ECE fold is EXACT integer algebra —
+    # gap lifted to integer 1e4 units, SUM(n*gap_e4) an order-free
+    # integer, one final correctly-rounded division.
+    oracle=f"""
+    WITH w AS (SELECT {_classifier_weights()!r}::DOUBLE[] AS l),
+    scored AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(string_split(text, ' '), t ->
+                 w.l[((('0x' || substr(md5(t), 1, 16))::UBIGINT & 63)
+                      + 1)::INT]),
+               (a, x) -> a + x)
+               / len(string_split(text, ' ')) AS score
+      FROM documents CROSS JOIN w),
+    lab AS (
+      SELECT score, 1.0 / (1.0 + exp(-score)) AS p,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT & 1 AS BIGINT) AS label,
+             LEAST(GREATEST(CAST(FLOOR((score + 1) * 5) AS BIGINT), 0), 9)
+                 AS bin
+      FROM scored),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             FLOOR(AVG(score) * 10000 + 0.5) / 10000 AS mean_score,
+             FLOOR(AVG(p) * 10000 + 0.5) / 10000 AS mean_p,
+             FLOOR(SUM(label)::DOUBLE / COUNT(*) * 1000000 + 0.5)
+                 / 1000000 AS frac_pos
+      FROM lab GROUP BY bin),
+    gaps AS (
+      SELECT *, FLOOR(ABS(frac_pos - mean_p) * 10000 + 0.5) / 10000
+                    AS abs_gap
+      FROM bins),
+    g4 AS (
+      SELECT *, CAST(FLOOR(abs_gap * 10000 + 0.5) AS BIGINT) AS ge4
+      FROM gaps)
+    SELECT bin, n, mean_score, mean_p, frac_pos, abs_gap,
+           FLOOR(CAST(SUM(n * ge4) OVER () AS DOUBLE)
+                 / CAST(SUM(n) OVER () * 10000 AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS ece
+    FROM g4
+    """,
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY CURVE + ECE for the quality classifier (VERDICT r14
+    gap #6): before thresholding q_classifier_score's p_keep over
+    100 TB, measure whether 0.9 means 90 % — bin the scores, compare
+    each bin's mean predicted probability against its observed positive
+    fraction, and fold the per-bin |gap|s into the Expected Calibration
+    Error (weighted by bin occupancy).  Emits one row per non-empty
+    bin: n, mean raw score, mean p, fraction positive, |gap|, and the
+    corpus ECE (constant across rows — the driver-hashable scalar-fold
+    shape).  The label here is the deterministic portable-hash low bit
+    of doc_id — a fixture stand-in for human/weak labels with the
+    property that matters: both engines reproduce it exactly, so the
+    surface under test is the CALIBRATION computation (binning, per-bin
+    folds, ECE), not label acquisition.
+
+    The scoring expression is q_classifier_score's transform inlined
+    UNROUNDED (that query's emitted score is rounded for display; bins
+    cut on the raw exact-rational s/n, which is deterministic where a
+    rounded value could straddle a bin edge).  The ECE fold arithmetic
+    and bin/occupancy laws are pinned by
+    tests/test_queries_invariants.py::test_classifier_calibration_fold_arithmetic.
+
+    Scale shape: scoring + labeling + binning are map-only inside the
+    scan (the q_classifier_score shape — zero exchanges, codegen'd
+    higher-order fold, no token explode); ONE 10-group aggregate is
+    the only row-scale exchange; the ECE window runs over the 10-row
+    bin relation (bounded by _CALIB_BINS no matter the corpus size, so
+    the unpartitioned window is free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(x) for x in _classifier_weights()])
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (text.portable_hash64(t).bitwiseAND(F.lit(63)) + 1).cast("int"),
+    )
+    toks = text.tokens("text")
+    s = F.aggregate(
+        F.transform(toks, bucket_w), F.lit(0.0), lambda a, x: a + x
+    )
+    score = s / F.size(toks)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    label = (
+        text.portable_hash64(F.col("doc_id").cast("string"))
+        .bitwiseAND(F.lit(1))
+        .cast("long")
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((score + 1) * (_CALIB_BINS / 2)), F.lit(0)
+        ),
+        F.lit(_CALIB_BINS - 1),
+    ).cast("long")
+    lab = docs.select(
+        bin_.alias("bin"), score.alias("score"), p.alias("p"),
+        label.alias("label"),
+    )
+    bins = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round_half_up(F.avg("score"), 4).alias("mean_score"),
+        round_half_up(F.avg("p"), 4).alias("mean_p"),
+        round_half_up(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_pos"),
+    )
+    gaps = bins.withColumn(
+        "abs_gap",
+        round_half_up(F.abs(F.col("frac_pos") - F.col("mean_p")), 4),
+    )
+    g4 = gaps.withColumn(
+        "ge4", F.floor(F.col("abs_gap") * 10000 + F.lit(0.5)).cast("long")
+    )
+    w_all = Window.partitionBy()
+    ece = round_half_up(
+        F.sum(F.col("n") * F.col("ge4")).over(w_all).cast("double")
+        / (F.sum("n").over(w_all) * 10000).cast("double"),
+        6,
+    )
+    return g4.select(
+        "bin", "n", "mean_score", "mean_p", "frac_pos", "abs_gap",
+        ece.alias("ece"),
     )

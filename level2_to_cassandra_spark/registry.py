@@ -59,92 +59,45 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r14 ROTATION (VERDICT r13 task #1): CORRECTNESS_r13 confirmed the
-    # whole r13 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the NEW r14 first-row names (inserted at the head as they land
-    # this round), (b) the nine r13 first-row names (1 lifetime green
-    # each; they hold until >=2), (c) queries whose IMPLEMENTATION
-    # changed in r14 and must re-hash against the driver, (d) ALL 29
-    # r10-stale names (VERDICT r13 task #1 verbatim: the staleness
-    # frontier, last green three rounds old).  Those four groups fill
-    # the cap EXACTLY (8 + 9 + 4 + 29 = 50); the thinnest r11 names
-    # that briefly held fill slots mid-round were each displaced by a
-    # new r14 query and sit at the head of the past-cap tail — next
-    # round's rotation head with the rest of the r11 cohort.
-    # -- NEW in r14 (first driver rows) ------------------------------
-    "q_text_novelty",
-    "q_sample_reservoir",
-    "q_graph_modularity",
-    "q_quality_gopher",
-    "q_data_profile",
-    "q_outlier_iqr",
-    "q_robust_scale",
+    # r15 ROTATION (VERDICT r14 task #1): CORRECTNESS_r14 confirmed the
+    # whole r14 cap (50/50), so the cap rebuilds from the policy: (a)
+    # the NEW r15 first-row names, (b) the eight r14 first-row names
+    # (1 lifetime green each; they hold until >=2), (c) queries whose
+    # IMPLEMENTATION changed in r15 (none — the r15 diff adds queries
+    # and touches only streaming/bench plumbing), (d) 39 of the 45
+    # r11-stale names (VERDICT r14 task #1: the staleness frontier).
+    # 3 + 8 + 39 = 50; the six r11 names that did not fit head the
+    # past-cap tail as r16's rotation head.
+    # -- NEW in r15 (first driver rows) ------------------------------
+    "q_dedup_lines",
+    "q_rollup_quantile",
+    "q_classifier_calibration",
+    # -- r14 first rows (1 lifetime row each; hold until >=2) --------
     "q_agg_decayed",
-    # -- r13 first rows (1 lifetime row each; hold until >=2) ------
-    "q_rank_fusion",
-    "q_ann_recall",
-    "q_ann_ndcg",
-    "q_mix_temperature",
-    "q_tokenizer_fertility",
-    "q_hist_equiheight",
-    "q_window_ewma",
-    "q_graph_lpa",
-    "q_drift_ks",
-    # -- impl CHANGED in r14 (re-hash against the driver) ------------
-    "q_text_containment",
-    "q_text_more_like_this",
-    "q_llm_dedup_fuzzy",
-    "q_dedup_incremental_fuzzy",
-    # -- last driver-green r10 (VERDICT r13 task #1 verbatim: the
-    # staleness frontier, all 29 rotate in) -------------------------
-    "q_event_transitions",
-    "q_funnel",
-    "q_length_buckets",
-    "q_llm_dedup_simhash",
-    "q_multimodal_features",
-    "q_ohlc_bars",
-    "q_resample_locf",
-    "q_retention",
-    "q_scalar_datetime",
-    "q_scan_project_filter",
-    "q_semdedup",
-    "q_shuffle_epoch",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    "q_sim_ann_pq",
-    "q_sort_limit",
-    "q_sql_grouping_sets",
-    "q_sql_star_revenue",
-    "q_text_bigram_lm",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_stats",
-    "q_tokenize_ids",
-    "q_topk_per_group",
-    "q_vocab_coverage",
-    "q_window_distribution",
-    "q_window_moving_avg",
-    "q_window_range_frame",
-    # ======================= past the cap ==============================
-    # -- the rest of the r11 cohort (next round's rotation head) ------
-    "q_cluster_kmeans",
-    "q_drift_embedding",
-    "q_graph_components",
-    "q_importance_resample",
-    "q_join_interval",
-    "q_sample_cluster",
+    "q_data_profile",
+    "q_graph_modularity",
+    "q_outlier_iqr",
+    "q_quality_gopher",
+    "q_robust_scale",
+    "q_sample_reservoir",
+    "q_text_novelty",
+    # -- last driver-green r11 (39 of the 45-name staleness frontier) -
     "q_agg_argmax",
     "q_agg_mode",
     "q_anomaly_zscore",
     "q_bm25",
+    "q_cluster_kmeans",
     "q_cooccurrence_pmi",
+    "q_drift_embedding",
     "q_drift_psi",
     "q_embed_quantize",
     "q_gap_islands",
+    "q_graph_components",
     "q_hist_equiwidth",
+    "q_importance_resample",
     "q_join_asof_forward",
     "q_join_asof_tolerance",
+    "q_join_interval",
     "q_mixture_plan",
     "q_ngram_counts",
     "q_orc_scan",
@@ -152,6 +105,7 @@ DRIVER_ORDER = (
     "q_quality_checks",
     "q_resample_interp",
     "q_rollup_cascade",
+    "q_sample_cluster",
     "q_sample_split",
     "q_sample_stratified",
     "q_sample_weighted",
@@ -167,6 +121,8 @@ DRIVER_ORDER = (
     "q_time_bucket_agg",
     "q_token_histogram",
     "q_twap",
+    # ======================= past the cap ==============================
+    # -- the 6 r11-stale names that did not fit (r16's rotation head) -
     "q_unpivot",
     "q_window_ntile",
     "q_window_running_distinct",
@@ -214,7 +170,7 @@ DRIVER_ORDER = (
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
     "q_window_cumulative",
-    # -- last driver-green r13 (freshest confirmations, rotate last) --
+    # -- last driver-green r13 ----------------------------------------
     "q_agg_conditional",
     "q_agg_distinct",
     "q_agg_percentile",
@@ -252,6 +208,49 @@ DRIVER_ORDER = (
     "q_window_lag",
     "q_window_rank",
     "q_window_sliding",
+    # -- last driver-green r14 (freshest confirmations, rotate last) --
+    "q_ann_ndcg",
+    "q_ann_recall",
+    "q_dedup_incremental_fuzzy",
+    "q_drift_ks",
+    "q_event_transitions",
+    "q_funnel",
+    "q_graph_lpa",
+    "q_hist_equiheight",
+    "q_length_buckets",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_simhash",
+    "q_mix_temperature",
+    "q_multimodal_features",
+    "q_ohlc_bars",
+    "q_rank_fusion",
+    "q_resample_locf",
+    "q_retention",
+    "q_scalar_datetime",
+    "q_scan_project_filter",
+    "q_semdedup",
+    "q_shuffle_epoch",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_ann_pq",
+    "q_sort_limit",
+    "q_sql_grouping_sets",
+    "q_sql_star_revenue",
+    "q_text_bigram_lm",
+    "q_text_containment",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_more_like_this",
+    "q_text_stats",
+    "q_tokenize_ids",
+    "q_tokenizer_fertility",
+    "q_topk_per_group",
+    "q_vocab_coverage",
+    "q_window_distribution",
+    "q_window_ewma",
+    "q_window_moving_avg",
+    "q_window_range_frame",
 )
 
 

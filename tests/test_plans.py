@@ -1123,3 +1123,44 @@ def test_text_novelty_two_exchanges_off_staging(spark):
     assert "Generate" not in plan  # no re-shingling at serve time
     assert "Scan parquet" in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_dedup_lines_two_exchanges_no_join(spark):
+    """q_dedup_lines: explode to lines, ONE window exchange on the
+    line_text key (first-occurrence attribution), ONE doc-key
+    reassembly aggregate — two row-scale hash exchanges total, no
+    joins; the line explode is a single Generate on the scan side."""
+    plan = plan_of(all_queries()["q_dedup_lines"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Generate") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_rollup_quantile_grid_shape(spark):
+    """q_rollup_quantile: the partial path is agg-only (minute grid →
+    hour grid → rank-walk windows → bounds fold); the only join is the
+    BROADCAST of the #hours×#types exact-quantile verification leg —
+    never a sort-merge join, and no window runs over raw rows (both
+    windows key the grid-sized hist relation)."""
+    plan = plan_of(all_queries()["q_rollup_quantile"].fn(spark, SF),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") == 2  # partial leg + verification leg
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+
+
+def test_classifier_calibration_map_only_scoring(spark):
+    """q_classifier_calibration: scoring/labeling/binning stay inside
+    the scan stage (no token explode — the higher-order fold of
+    q_classifier_score), ONE bin-keyed row-scale aggregate, and the
+    ECE window runs over the ≤10-row bin relation (the single
+    SinglePartition exchange carries bins, never documents)."""
+    plan = plan_of(
+        all_queries()["q_classifier_calibration"].fn(spark, SF), "simple"
+    )
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode: fold-in-scan scoring
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

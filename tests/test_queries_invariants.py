@@ -729,3 +729,189 @@ def test_sample_reservoir_exact_k_per_stratum(spark):
     assert {(r.lang, r.doc_id) for r in again} == {
         (r.lang, r.doc_id) for r in rows
     }
+
+
+def test_dedup_lines_crafted_corpus_exact(spark, tmp_path):
+    """q_dedup_lines on a hand-computed corpus: cross-doc duplicate
+    lines keep only the first occurrence, WITHIN-doc repeats keep only
+    the first, surviving lines reassemble in original order, and a doc
+    made entirely of seen lines emits the empty string."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    la = "a b c d e f g h"          # 8 tokens = one line
+    lb = "i j k l m n o p"
+    lc = "q r s t u v w x"
+    docs = [
+        (0, f"{la} {lb}"),           # both novel
+        (1, f"{lb} {lc} {lb}"),      # lb seen; lc novel; lb repeat
+        (2, f"{la} {lb}"),           # all seen -> empty
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["q_dedup_lines"].fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows[0].n_lines == 2 and rows[0].n_kept == 2
+    assert rows[0].kept_text == f"{la} {lb}"
+    assert rows[1].n_lines == 3 and rows[1].n_kept == 1
+    assert rows[1].kept_text == lc          # order-preserving survivor
+    assert rows[2].n_lines == 2 and rows[2].n_kept == 0
+    assert rows[2].kept_text == ""
+
+
+def test_dedup_lines_fixture_conservation(spark):
+    """On the fixture corpus: every doc keeps <= its line count, the
+    kept total equals the number of DISTINCT corpus lines (each
+    distinct line survives exactly once), and the lowest-id doc keeps
+    exactly its internally-distinct lines."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.llm import _LINE_W
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_lines"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+    w = text.tokens("text")
+    lines = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id", "text",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size(w), F.lit(_LINE_W))
+            ).alias("line_no", "start"),
+        )
+        .select(
+            F.array_join(
+                F.slice(text.tokens("text"), F.col("start"), _LINE_W), " "
+            ).alias("line_text"),
+        )
+    )
+    assert sum(r.n_kept for r in rows) == lines.distinct().count()
+
+
+def test_rollup_quantile_bounds_and_merge_laws(spark):
+    """q_rollup_quantile: every containment flag holds on the fixture
+    (the partial-derived bounds bracket the exact quantile), bounds
+    are ordered (lo <= hi, p50_hi <= p95_hi), n conserves the raw row
+    count, and the bounds are genuine DATA values (inside the hour's
+    raw [min, max])."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_rollup_quantile"].fn(spark, sf).collect()
+    assert rows
+    ev = load_table(spark, sf, "events")
+    raw = {
+        (r.hour, r.event_type): r
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        ).collect()
+    }
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert r.p50_within and r.p95_within
+        assert r.p50_lo <= r.p50_hi <= r.p95_hi
+        assert r.p95_lo <= r.p95_hi
+        g = raw[(r.hour, r.event_type)]
+        assert r.n == g.n
+        for b in (r.p50_lo, r.p50_hi, r.p95_lo, r.p95_hi):
+            assert g.lo <= b <= g.hi
+
+
+def test_rollup_quantile_partials_merge_under_any_grouping(spark):
+    """The mergeability claim itself: the hour-level grid histogram
+    re-aggregated from MINUTELY partials is identical to the grid
+    computed straight from raw rows — counts, per-bin mins and maxes
+    (exact equality; min/max/sum of longs never float)."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.queries.timeseries import (
+        _QGRID_BINS, _QGRID_W,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / _QGRID_W), F.lit(0)),
+        F.lit(_QGRID_BINS - 1),
+    ).cast("long")
+    direct = {
+        (r.hour, r.event_type, r.bin): (r.nb, r.bmin, r.bmax)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type", bin_.alias("bin"),
+        ).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.min("value").alias("bmin"),
+            F.max("value").alias("bmax"),
+        ).collect()
+    }
+    partials = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type", bin_.alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    merged = {
+        (r.hour, r.event_type, r.bin): (r.nb, r.bmin, r.bmax)
+        for r in partials.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"),
+            "event_type", "bin",
+        ).agg(
+            F.sum("pn").alias("nb"),
+            F.min("vmin").alias("bmin"),
+            F.max("vmax").alias("bmax"),
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_classifier_calibration_fold_arithmetic(spark):
+    """q_classifier_calibration: bin ids are in 0..9, Σn conserves the
+    corpus, frac_pos/mean_p are probabilities, every |gap| re-derives
+    from the row's own rounded columns, and the ECE column is constant
+    and equals the integer-exact fold of the per-bin rows."""
+    import math
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_classifier_calibration"].fn(spark, sf).collect()
+    assert rows
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    assert len({r.ece for r in rows}) == 1
+    num = den = 0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 < r.mean_p < 1.0
+        assert -1.0 <= r.mean_score <= 1.0
+        gap = math.floor(abs(r.frac_pos - r.mean_p) * 10000 + 0.5) / 10000
+        assert r.abs_gap == gap
+        num += r.n * int(math.floor(gap * 10000 + 0.5))
+        den += r.n
+    ece = math.floor(num / (den * 10000) * 1000000 + 0.5) / 1000000
+    assert rows[0].ece == ece
