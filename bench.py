@@ -141,12 +141,16 @@ HEADLINE = [
     # r14 additions
     "q_graph_modularity",    # Newman Q of the registered LPA partition
     "q_quality_gopher",      # Gopher rule gates (pure scan→project)
-    "q_data_profile",        # per-column profiling, 1 pass + stack
+    "q_data_profile",        # k narrow single-column scans, union'd
     "q_outlier_iqr",         # Tukey-fence outlier rows (bcast fences)
     "q_robust_scale",        # median/MAD per-row robust z
     "q_agg_decayed",         # dyadic time-decayed totals, 1 exchange
     "q_text_novelty",        # first-occurrence n-gram novelty per doc
     "q_sample_reservoir",    # exact-K per stratum via WindowGroupLimit
+    # r15 additions
+    "q_dedup_lines",         # C4 line-level dedup (window + reassemble)
+    "q_rollup_quantile",     # mergeable grid-histogram quantile bounds
+    "q_classifier_calibration",  # reliability bins + integer-exact ECE
 ]
 
 
@@ -226,24 +230,52 @@ def main() -> None:
     # rep measures serve only.  Each build is timed INDIVIDUALLY and
     # emitted as its own stderr line item so staging cost is a visible
     # number, never a mystery charged to a consumer query.
+    # Each builder is paired with its CONSUMER query set and built
+    # only when a consumer is actually in the bench list (VERDICT r14
+    # task #7: ann_eval_tables at 18.6 s and multimodal_gate at 13.9 s
+    # dominated prewarm unconditionally).  The first-rep cost of a
+    # consumer that IS present still lands here, visibly, never smeared
+    # into a timed rep.
     def _staging_builders():
         from level2_to_cassandra_spark.queries import graph, llm
         return {
-            "ivfpq_index": llm._ivfpq_session_index,       # q_sim_ann_ivfpq
-            "graph_edges": graph._sparsified_supplier_edges,
-            "graph_components": graph._component_labels,
-            "graph_lpa_labels": graph._lpa_labels,          # r14
-            "kmeans_assignment": llm._kmeans_assignment,
-            "tf_postings": llm._tf_relation,
-            "shingle_postings": llm._shingle_relation,      # r13
-            "shingle_index": llm._shingle_index_relation,   # r14
-            "mlt_ranking": llm._mlt_ranking,                # r14
-            "ann_eval_tables": llm._ann_eval_tables,        # r13
-            "multimodal_gate": llm._multimodal_gate,
+            "ivfpq_index": (llm._ivfpq_session_index,
+                            {"q_sim_ann_ivfpq"}),
+            "graph_edges": (graph._sparsified_supplier_edges,
+                            {"q_graph_khop", "q_graph_triangles",
+                             "q_graph_components", "q_graph_lpa",
+                             "q_graph_modularity"}),
+            "graph_components": (graph._component_labels,
+                                 {"q_graph_components"}),
+            "graph_lpa_labels": (graph._lpa_labels,          # r14
+                                 {"q_graph_lpa", "q_graph_modularity"}),
+            "kmeans_assignment": (llm._kmeans_assignment,
+                                  {"q_cluster_kmeans", "q_drift_embedding",
+                                   "q_sample_cluster"}),
+            "tf_postings": (llm._tf_relation,
+                            {"q_text_tfidf", "q_text_zipf",
+                             "q_text_more_like_this", "q_rank_fusion"}),
+            "shingle_postings": (llm._shingle_relation,      # r13
+                                 {"q_contamination", "q_llm_dedup_fuzzy",
+                                  "q_llm_dedup_minhash", "q_text_boilerplate",
+                                  "q_text_containment", "q_text_novelty",
+                                  "q_dedup_incremental_fuzzy"}),
+            "shingle_index": (llm._shingle_index_relation,   # r14
+                              {"q_llm_dedup_fuzzy", "q_text_containment",
+                               "q_dedup_incremental_fuzzy"}),
+            "mlt_ranking": (llm._mlt_ranking,                # r14
+                            {"q_rank_fusion", "q_text_more_like_this"}),
+            "ann_eval_tables": (llm._ann_eval_tables,        # r13
+                                {"q_ann_recall", "q_ann_ndcg"}),
+            "multimodal_gate": (llm._multimodal_gate,
+                                {"q_dedup_multimodal"}),
         }
 
+    bench_set = set(names)
     staging_sec: dict[str, float] = {}
-    for label, builder in _staging_builders().items():
+    for label, (builder, consumers) in _staging_builders().items():
+        if not (consumers & bench_set):
+            continue  # no consumer benched -> skip the build entirely
         t0 = time.perf_counter()
         try:
             builder(spark, sf_dir)

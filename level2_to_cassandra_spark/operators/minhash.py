@@ -112,7 +112,16 @@ def _adopt_ranked(ranked: DataFrame) -> DataFrame:
     """Contract guard for a caller-supplied pre-built ranked index —
     the :data:`RANKED_INDEX_COLUMNS` shape, :func:`ranked_postings`
     semantics; as with ``postings``, the caller owns shingling
-    consistency and the operators' k/id_col/text_col are ignored."""
+    consistency and the operators' k/id_col/text_col are ignored.
+    The shape check cannot prove the index derives from the SAME
+    postings the caller co-supplies (ADVICE r14); that semantic
+    equivalence is carried by the test path instead —
+    tests/test_llm_ops.py::
+    test_staged_ranked_index_consistent_with_staged_postings asserts
+    the staged pair project to identical (id, shingle) sets with
+    consistent n/pos — because a runtime sample-compare would cost a
+    join over the very relations the staging exists to keep off the
+    critical path."""
     if sorted(ranked.columns) != sorted(RANKED_INDEX_COLUMNS):
         raise ValueError(
             "pre-built ranked index must have exactly "

@@ -262,7 +262,11 @@ def foreach_batch_with_ks(
     join reads it once per batch, and an unpersisted caller relation
     would re-run the reference build every micro-batch.  At production
     scale the grid is a parquet staging table and this persist is a
-    cache over its scan."""
+    cache over its scan.  The persist outlives the STREAM, not just a
+    batch — call the returned callback's ``teardown()`` handle after
+    ``query.awaitTermination()`` / ``stop()`` to release the executor
+    storage (ADVICE r14: without it the cache pins memory for the
+    process lifetime once the stream ends)."""
     from level2_to_cassandra_spark.operators.drift import (
         ks_against_reference,
     )
@@ -287,6 +291,10 @@ def foreach_batch_with_ks(
         finally:
             batch_df.unpersist()
 
+    # teardown handle: unpersist the stream-lifetime reference cache
+    # once the query terminates (idempotent — unpersist on an already
+    # unpersisted relation is a no-op)
+    _write.teardown = lambda: ref_dist.unpersist()
     return _write
 
 
@@ -972,8 +980,30 @@ def compact_shingle_df(spark, base_path: str) -> int | None:
                             and entry != f"through_batch={keep}"):
                         shutil.rmtree(os.path.join(seg_root, entry),
                                       ignore_errors=True)
-            for sub in ("dfs", "docs"):
-                shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+            # Programmatic backstop for the quiescence contract (ADVICE
+            # r14): a batch that committed between the watermark read
+            # and this point has rows ABOVE `keep` — removing the raw
+            # directories would delete them with nothing folded.
+            # Re-probe the raw high-water mark and, if it moved past
+            # the committed watermark, SKIP raw reclamation entirely:
+            # the reader already ignores every row <= keep, so leaving
+            # the journals costs only the space the NEXT fold reclaims.
+            # (The re-check itself can still race a commit in flight —
+            # quiescence remains the documented VACUUM contract; this
+            # narrows the window from the whole fold to one probe.)
+            live = -1
+            for sub, schema in (
+                ("dfs", "g3 string, df_delta long, batch_id long"),
+                ("docs", "n_docs long, batch_id long"),
+            ):
+                b = _read_journal(spark, f"{root}/{sub}", schema).agg(
+                    F.max("batch_id").alias("b")
+                ).first()["b"]
+                if b is not None:
+                    live = max(live, int(b))
+            if live <= keep:
+                for sub in ("dfs", "docs"):
+                    shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
             # stale staging dirs from crashed folds are inert (never
             # read — generations are only the renamed targets) but
             # worth sweeping while we hold the lock
@@ -1128,14 +1158,19 @@ def foreach_batch_with_novelty(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
+        occ = None
         try:
             inner(batch_df, batch_id)
             bid = int(batch_id)
+            # persisted: feeds three plan branches across two write
+            # actions (flagged, totals, seen append) — without it the
+            # shingle explode recomputes per branch (ADVICE r14)
             occ = (
                 text_ops.shingle_occurrences(
                     batch_df, id_col=id_col, text_col=text_col
                 )
                 .distinct()
+                .persist()
             )
             seen = (
                 _read_journal(
@@ -1186,6 +1221,8 @@ def foreach_batch_with_novelty(
                 f"{novelty_path(base_path)}/seen"
             )
         finally:
+            if occ is not None:
+                occ.unpersist()
             batch_df.unpersist()
 
     return _write

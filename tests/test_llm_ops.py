@@ -1961,3 +1961,33 @@ def test_moment_queries_exclude_nonfinite_symmetrically(spark):
         ids = {r.vec_id for r in
                all_queries()["q_embed_outlier"].fn(spark, d).collect()}
         assert ids == set(range(6))  # 6 (Inf) and 7 (NaN) excluded
+
+
+def test_staged_ranked_index_consistent_with_staged_postings(spark):
+    """ADVICE r14: _adopt_ranked's shape guard cannot detect a ranked
+    index built from DIFFERENT postings (or a different k) than the
+    co-supplied postings relation — which would silently corrupt every
+    jaccard/containment value served from the staging pair.  This test
+    carries the semantic check the runtime guard cannot afford: the
+    staged ranked index must project to EXACTLY the staged postings'
+    (id, shingle) set, its per-doc n must equal the true per-doc
+    shingle count, and pos must be a 1..n permutation per doc."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_index_relation,
+        _shingle_relation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    posts = {(r.id, r.shingle)
+             for r in _shingle_relation(spark, sf).collect()}
+    ranked = _shingle_index_relation(spark, sf).collect()
+    assert {(r.id, r.shingle) for r in ranked} == posts
+    by_doc: dict[int, list] = {}
+    for r in ranked:
+        by_doc.setdefault(r.id, []).append(r)
+    true_n = {}
+    for i, s in posts:
+        true_n[i] = true_n.get(i, 0) + 1
+    for doc, rows in by_doc.items():
+        assert all(r.n == true_n[doc] for r in rows)
+        assert sorted(r.pos for r in rows) == list(range(1, true_n[doc] + 1))
