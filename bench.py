@@ -151,6 +151,7 @@ HEADLINE = [
     "q_dedup_lines",         # C4 line-level dedup (window + reassemble)
     "q_rollup_quantile",     # mergeable grid-histogram quantile bounds
     "q_classifier_calibration",  # reliability bins + integer-exact ECE
+    "q_classifier_threshold",    # suffix-sum precision/recall/F1 sweep
 ]
 
 

@@ -285,3 +285,35 @@ def hot_shingles(dfreq, n_docs_rel):
         .where(F.col("df") >= F.col("k"))
         .select("g3")
     )
+
+
+#: Tokens per synthesized "line" for sub-document (line-level) dedup —
+#: the fixture corpus has no newlines, so a line is each consecutive
+#: LINE_TOKENS-token group (the chunking segmentation at stride =
+#: width).  A corpus with real newlines swaps the token grouping for
+#: split(text, '\n') and nothing downstream changes.
+LINE_TOKENS = 8
+
+
+def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """``(doc_id, line_no, line_text)`` — the LINE stream for
+    sub-document dedup, 0-based line_no in document order.  ONE shared
+    implementation for the batch query (queries/llm.py::q_dedup_lines)
+    and the streaming admit monitor
+    (streaming/monitor.py::foreach_batch_with_line_dedup) so the
+    segmentation cannot drift between them.  Pure JVM: sequence +
+    posexplode + slice, no shuffle."""
+    w = tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.size(w), F.lit(LINE_TOKENS))
+        ).alias("line_no", "start"),
+    ).select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.array_join(
+            F.slice(tokens(F.col("__t")), F.col("start"), LINE_TOKENS), " "
+        ).alias("line_text"),
+    )

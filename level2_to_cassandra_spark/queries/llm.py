@@ -4039,7 +4039,7 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- line-level dedup
 
-_LINE_W = 8  # tokens per synthesized "line" (the fixture has no \n)
+_LINE_W = text.LINE_TOKENS  # tokens per synthesized "line" (no \n in fixture)
 #: Packed (doc_id, line_no) total-order key span — supports documents
 #: up to one million lines before doc_id*SPAN could collide; at the
 #: fixture's ~120-token docs the max line_no is ~15.  (A production
@@ -4095,24 +4095,9 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from level2_to_cassandra_spark.catalog import spread_scan
 
-    w = text.tokens("text")
-    lines = (
-        spread_scan(docs)
-        .select(
-            "doc_id",
-            "text",
-            F.posexplode(
-                F.sequence(F.lit(1), F.size(w), F.lit(_LINE_W))
-            ).alias("line_no", "start"),
-        )
-        .select(
-            "doc_id",
-            F.col("line_no").cast("long").alias("line_no"),
-            F.array_join(
-                F.slice(text.tokens("text"), F.col("start"), _LINE_W), " "
-            ).alias("line_text"),
-        )
-    )
+    # segmentation shared verbatim with the streaming admit monitor
+    # (operators/text.py::line_segments — parity cannot drift)
+    lines = text.line_segments(spread_scan(docs))
     key = F.col("doc_id") * _LINE_KEY_SPAN + F.col("line_no")
     flagged = lines.withColumn(
         "kept",

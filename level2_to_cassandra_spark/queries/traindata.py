@@ -1917,19 +1917,14 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CALIB_BINS = 10  # equal-width score bins over [-1, 1]
 
 
-@register(
-    "q_classifier_calibration",
-    # Float discipline: the per-doc score s/n is an EXACT rational
-    # (integer +-1 fold / integer count — correctly-rounded division,
-    # bit-identical both engines), so binning on the raw score is
-    # deterministic; per-bin averages are order-jittered doubles
-    # rounded half-up at 4 (the engine-wide avg discipline); the gap
-    # is computed FROM the rounded columns (identical inputs ->
-    # identical doubles); and the ECE fold is EXACT integer algebra —
-    # gap lifted to integer 1e4 units, SUM(n*gap_e4) an order-free
-    # integer, one final correctly-rounded division.
-    oracle=f"""
-    WITH w AS (SELECT {_classifier_weights()!r}::DOUBLE[] AS l),
+def _calib_lab_ctes() -> str:
+    """The scored+labeled+binned relation as DuckDB CTEs (``w`` →
+    ``scored`` → ``lab``) — THE single place the oracle-side scoring
+    semantics live for the calibration/thresholding pair (the
+    _tokenize_ctes discipline: q_classifier_calibration and
+    q_classifier_threshold must bin identical scores by construction,
+    not by parallel maintenance)."""
+    return f"""w AS (SELECT {_classifier_weights()!r}::DOUBLE[] AS l),
     scored AS (
       SELECT doc_id,
              list_reduce(
@@ -1945,7 +1940,61 @@ _CALIB_BINS = 10  # equal-width score bins over [-1, 1]
                   ::UBIGINT & 1 AS BIGINT) AS label,
              LEAST(GREATEST(CAST(FLOOR((score + 1) * 5) AS BIGINT), 0), 9)
                  AS bin
-      FROM scored),
+      FROM scored)"""
+
+
+def _calib_lab(docs: DataFrame) -> DataFrame:
+    """(bin, score, p, label) per document — the Spark twin of the
+    ``lab`` CTE.  The scoring expression is q_classifier_score's
+    transform inlined UNROUNDED (that query's emitted score is rounded
+    for display; bins cut on the raw exact-rational s/n, which is
+    deterministic where a rounded value could straddle a bin edge);
+    the label is the deterministic portable-hash low bit of doc_id —
+    a fixture stand-in for human/weak labels with the property that
+    matters: both engines reproduce it exactly, so the surface under
+    test is the downstream computation, not label acquisition.
+    Map-only inside the scan: no token explode, zero exchanges."""
+    warr = F.array(*[F.lit(x) for x in _classifier_weights()])
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (text.portable_hash64(t).bitwiseAND(F.lit(63)) + 1).cast("int"),
+    )
+    toks = text.tokens("text")
+    s = F.aggregate(
+        F.transform(toks, bucket_w), F.lit(0.0), lambda a, x: a + x
+    )
+    score = s / F.size(toks)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    label = (
+        text.portable_hash64(F.col("doc_id").cast("string"))
+        .bitwiseAND(F.lit(1))
+        .cast("long")
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((score + 1) * (_CALIB_BINS / 2)), F.lit(0)
+        ),
+        F.lit(_CALIB_BINS - 1),
+    ).cast("long")
+    return docs.select(
+        bin_.alias("bin"), score.alias("score"), p.alias("p"),
+        label.alias("label"),
+    )
+
+
+@register(
+    "q_classifier_calibration",
+    # Float discipline: the per-doc score s/n is an EXACT rational
+    # (integer +-1 fold / integer count — correctly-rounded division,
+    # bit-identical both engines), so binning on the raw score is
+    # deterministic; per-bin averages are order-jittered doubles
+    # rounded half-up at 4 (the engine-wide avg discipline); the gap
+    # is computed FROM the rounded columns (identical inputs ->
+    # identical doubles); and the ECE fold is EXACT integer algebra —
+    # gap lifted to integer 1e4 units, SUM(n*gap_e4) an order-free
+    # integer, one final correctly-rounded division.
+    oracle=f"""
+    WITH {_calib_lab_ctes()},
     bins AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
              FLOOR(AVG(score) * 10000 + 0.5) / 10000 AS mean_score,
@@ -1976,17 +2025,9 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Error (weighted by bin occupancy).  Emits one row per non-empty
     bin: n, mean raw score, mean p, fraction positive, |gap|, and the
     corpus ECE (constant across rows — the driver-hashable scalar-fold
-    shape).  The label here is the deterministic portable-hash low bit
-    of doc_id — a fixture stand-in for human/weak labels with the
-    property that matters: both engines reproduce it exactly, so the
-    surface under test is the CALIBRATION computation (binning, per-bin
-    folds, ECE), not label acquisition.
-
-    The scoring expression is q_classifier_score's transform inlined
-    UNROUNDED (that query's emitted score is rounded for display; bins
-    cut on the raw exact-rational s/n, which is deterministic where a
-    rounded value could straddle a bin edge).  The ECE fold arithmetic
-    and bin/occupancy laws are pinned by
+    shape).  Scoring/labeling/binning semantics live in
+    :func:`_calib_lab` (shared verbatim with q_classifier_threshold).
+    The ECE fold arithmetic and bin/occupancy laws are pinned by
     tests/test_queries_invariants.py::test_classifier_calibration_fold_arithmetic.
 
     Scale shape: scoring + labeling + binning are map-only inside the
@@ -1995,33 +2036,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only row-scale exchange; the ECE window runs over the 10-row
     bin relation (bounded by _CALIB_BINS no matter the corpus size, so
     the unpartitioned window is free)."""
-    docs = load_table(spark, sf_dir, "documents")
-    warr = F.array(*[F.lit(x) for x in _classifier_weights()])
-    bucket_w = lambda t: F.element_at(  # noqa: E731
-        warr,
-        (text.portable_hash64(t).bitwiseAND(F.lit(63)) + 1).cast("int"),
-    )
-    toks = text.tokens("text")
-    s = F.aggregate(
-        F.transform(toks, bucket_w), F.lit(0.0), lambda a, x: a + x
-    )
-    score = s / F.size(toks)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
-    label = (
-        text.portable_hash64(F.col("doc_id").cast("string"))
-        .bitwiseAND(F.lit(1))
-        .cast("long")
-    )
-    bin_ = F.least(
-        F.greatest(
-            F.floor((score + 1) * (_CALIB_BINS / 2)), F.lit(0)
-        ),
-        F.lit(_CALIB_BINS - 1),
-    ).cast("long")
-    lab = docs.select(
-        bin_.alias("bin"), score.alias("score"), p.alias("p"),
-        label.alias("label"),
-    )
+    lab = _calib_lab(load_table(spark, sf_dir, "documents"))
     bins = lab.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         round_half_up(F.avg("score"), 4).alias("mean_score"),
@@ -2046,4 +2061,99 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g4.select(
         "bin", "n", "mean_score", "mean_p", "frac_pos", "abs_gap",
         ece.alias("ece"),
+    )
+
+
+@register(
+    "q_classifier_threshold",
+    # All-integer sweep: pred_pos/tp/total_pos are suffix sums of
+    # per-bin integer counts (the spine >= join makes every threshold
+    # row exist even when its bins are empty), and precision/recall/F1
+    # are single correctly-rounded integer divisions — F1 via the
+    # algebraic identity 2tp/(pred+total), never 2PR/(P+R)'s float
+    # chain.  thr = -1 + t*0.2 is the same two IEEE ops on both
+    # engines.  The only float exposure is the final ROUND.
+    oracle=f"""
+    WITH {_calib_lab_ctes()},
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM lab GROUP BY bin),
+    spine AS (SELECT CAST(unnest(range(0, {_CALIB_BINS})) AS BIGINT) AS t),
+    sweep AS (
+      SELECT s.t,
+             CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS n_pred_pos,
+             CAST(COALESCE(SUM(b.pos), 0) AS BIGINT) AS tp
+      FROM spine s LEFT JOIN bins b ON b.bin >= s.t
+      GROUP BY s.t),
+    tot AS (SELECT MAX(tp) AS total_pos FROM sweep)
+    SELECT t, -1.0 + t * 0.2 AS thr, n_pred_pos, tp,
+           FLOOR(tp::DOUBLE / NULLIF(n_pred_pos, 0) * 1000000 + 0.5)
+               / 1000000 AS precision,
+           FLOOR(tp::DOUBLE / NULLIF(total_pos, 0) * 1000000 + 0.5)
+               / 1000000 AS recall,
+           FLOOR(2 * tp::DOUBLE / NULLIF(n_pred_pos + total_pos, 0)
+                 * 1000000 + 0.5) / 1000000 AS f1
+    FROM sweep CROSS JOIN tot
+    """,
+)
+def q_classifier_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD SWEEP (precision/recall/F1 curve) for the quality
+    classifier — the operational question after q_classifier_calibration
+    says the scores are trustworthy: WHERE to cut p_keep when filtering
+    100 TB.  One row per candidate threshold (the 10 score-bin lower
+    edges): docs predicted positive, true positives, precision, recall
+    and F1 against the same deterministic fixture labels the
+    calibration uses (:func:`_calib_lab` — the two queries bin
+    identical scores by construction).
+
+    Exactness: the curve is SUFFIX SUMS of per-bin integer counts —
+    predict positive at threshold t ⇔ score bin ≥ t — so every count
+    is exact; precision/recall/F1 are single integer divisions (F1 via
+    2·tp/(pred+total), the algebraic identity that avoids the float
+    chain of 2PR/(P+R)); empty-prediction thresholds emit NULL
+    precision (NULLIF), never a division error.
+
+    Scale shape: identical to the calibration — map-only scoring in
+    the scan, ONE 10-group row-scale aggregate; the threshold spine is
+    a 10-row literal range joined (bin >= t) against the 10-row bin
+    relation, so the sweep itself costs nothing and total_pos is a MAX
+    over the 10 sweep rows (suffix sums are non-increasing, so the
+    t=0 row IS the total — no second corpus pass)."""
+    lab = _calib_lab(load_table(spark, sf_dir, "documents"))
+    bins = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    spine = spark.range(0, _CALIB_BINS).select(
+        F.col("id").cast("long").alias("t")
+    )
+    sweep = (
+        spine.join(F.broadcast(bins), F.col("bin") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+            .alias("n_pred_pos"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    w_all = Window.partitionBy()
+    total_pos = F.max("tp").over(w_all)
+    prec = F.col("tp").cast("double") / F.nullif(
+        F.col("n_pred_pos"), F.lit(0)
+    ).cast("double")
+    rec = F.col("tp").cast("double") / F.nullif(
+        total_pos, F.lit(0)
+    ).cast("double")
+    f1 = (F.lit(2) * F.col("tp")).cast("double") / F.nullif(
+        F.col("n_pred_pos") + total_pos, F.lit(0)
+    ).cast("double")
+    return sweep.select(
+        "t",
+        (F.lit(-1.0) + F.col("t") * F.lit(0.2)).alias("thr"),
+        "n_pred_pos",
+        "tp",
+        round_half_up(prec, 6).alias("precision"),
+        round_half_up(rec, 6).alias("recall"),
+        round_half_up(f1, 6).alias("f1"),
     )

@@ -1235,3 +1235,142 @@ def read_novelty(spark, base_path: str) -> DataFrame:
     return _read_journal(
         spark, f"{novelty_path(base_path)}/scores", NOVELTY_SCHEMA
     ).dropDuplicates(["batch_id", "doc_id"])
+
+
+#: per-doc line-dedup audit schema — n_lines/n_kept plus the
+#: reassembled kept_text, exactly q_dedup_lines' per-doc columns with
+#: the batch_id attribution prepended
+LINE_DEDUP_SCHEMA = (
+    "batch_id long, doc_id long, n_lines long, n_kept long, "
+    "kept_text string"
+)
+
+#: packed (doc_id, line_no) first-occurrence key span — MUST equal
+#: queries/llm.py::_LINE_KEY_SPAN (parity is pinned row-for-row by
+#: tests/test_streaming.py); redeclared here so the streaming module
+#: does not import the query registry at module load
+LINE_KEY_SPAN = 1_000_000
+
+
+def line_dedup_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/docs`` holds the per-doc audit rows, ``/seen``
+    the append-only first-occurrence line store."""
+    return f"{base}/_line_dedup"
+
+
+def foreach_batch_with_line_dedup(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with LINE-LEVEL DEDUP at
+    ingest — the streaming twin of q_dedup_lines: every document is
+    line-deduped AT ADMIT against all lines seen in earlier batches
+    (and earlier docs of its own batch), emitting one ``(batch_id,
+    doc_id, n_lines, n_kept, kept_text)`` audit row per doc.  This is
+    the C4 line-dedup step priced per micro-batch instead of per
+    corpus rebuild: the kept_text column IS the line-deduped document
+    a downstream curation sink would ingest.
+
+    REPLAY DETERMINISM follows foreach_batch_with_novelty exactly:
+    the probe anti-joins the seen store FILTERED TO STRICTLY EARLIER
+    BATCHES (``batch_id < bid`` — a crashed attempt's own rows are
+    excluded; later batches cannot have run), within-batch first
+    occurrence is the minimum packed (doc_id, line_no) key (the batch
+    query's rule), and the store append runs LAST so a replay
+    re-derives identical rows.  When batches partition the corpus in
+    doc_id order the audit rows equal q_dedup_lines' output
+    row-for-row (parity-pinned by test).
+
+    Cost per batch: one batch-bounded line explode (persisted across
+    its three consumers), one anti-join against the seen store keyed
+    by line_text (probe ∝ batch lines × store occupancy — the
+    incremental-dedup shape, never corpus²), one window over batch
+    lines, two appends."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        lines = None
+        try:
+            inner(batch_df, batch_id)
+            bid = int(batch_id)
+            # persisted: feeds the totals agg, the kept computation and
+            # the seen append (three branches, two write actions)
+            lines = text_ops.line_segments(
+                batch_df, id_col=id_col, text_col=text_col
+            ).persist()
+            seen = (
+                _read_journal(
+                    batch_df.sparkSession,
+                    f"{line_dedup_path(base_path)}/seen",
+                    "line_text string, batch_id long",
+                )
+                .where(F.col("batch_id") < bid)
+                .select("line_text")
+                .distinct()
+            )
+            key = F.col("doc_id") * LINE_KEY_SPAN + F.col("line_no")
+            fresh = (
+                lines.join(seen, "line_text", "left_anti")
+                .withColumn(
+                    "first_key",
+                    F.min(key).over(Window.partitionBy("line_text")),
+                )
+                .where(F.col("first_key") == key)
+                .select("doc_id", "line_no", "line_text")
+            )
+            kept_agg = fresh.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("line_no", "line_text")
+                            )
+                        ),
+                        lambda s: s["line_text"],
+                    ),
+                    " ",
+                ).alias("kept_text"),
+            )
+            totals = lines.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines")
+            )
+            audit = totals.join(kept_agg, "doc_id", "left").select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "n_lines",
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                .cast("long").alias("n_kept"),
+                F.coalesce(F.col("kept_text"), F.lit(""))
+                .alias("kept_text"),
+            )
+            audit.coalesce(1).write.mode("append").parquet(
+                f"{line_dedup_path(base_path)}/docs"
+            )
+            # store append LAST: a crash before this line re-scores the
+            # replay identically (its own rows are batch_id-filtered
+            # out of the probe either way)
+            lines.select("line_text").distinct().select(
+                "line_text", F.lit(bid).cast("long").alias("batch_id")
+            ).write.mode("append").parquet(
+                f"{line_dedup_path(base_path)}/seen"
+            )
+        finally:
+            if lines is not None:
+                lines.unpersist()
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_line_dedup(spark, base_path: str) -> DataFrame:
+    """Read the per-doc line-dedup audit table (empty before the first
+    delivered batch); replayed batches collapse on (batch_id, doc_id)
+    — the rows are deterministic re-derivations."""
+    return _read_journal(
+        spark, f"{line_dedup_path(base_path)}/docs", LINE_DEDUP_SCHEMA
+    ).dropDuplicates(["batch_id", "doc_id"])

@@ -1164,3 +1164,20 @@ def test_classifier_calibration_map_only_scoring(spark):
     assert "Generate" not in plan  # no explode: fold-in-scan scoring
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_classifier_threshold_sweep_is_spine_sized(spark):
+    """q_classifier_threshold: map-only scoring in the scan, ONE
+    bin-keyed row-scale hash exchange; the sweep itself is a 10-row
+    literal spine >=-joined (BroadcastNestedLoop over 10x10 rows) and
+    one 10-row SinglePartition window — never a sort-merge join, never
+    a token explode, one scan."""
+    plan = plan_of(
+        all_queries()["q_classifier_threshold"].fn(spark, SF), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 10-row spine join
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan
+    assert plan.count("FileScan") == 1

@@ -915,3 +915,50 @@ def test_classifier_calibration_fold_arithmetic(spark):
         den += r.n
     ece = math.floor(num / (den * 10000) * 1000000 + 0.5) / 1000000
     assert rows[0].ece == ece
+
+
+def test_classifier_threshold_curve_laws(spark):
+    """q_classifier_threshold: all 10 threshold rows exist, counts are
+    non-increasing suffix sums consistent with the calibration's bins,
+    recall is monotone non-increasing in t, recall(t=0) == 1, precision
+    re-derives from the row's own integers (NULL exactly when nothing
+    is predicted positive), and F1 equals the 2tp/(pred+total)
+    identity."""
+    import math
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        all_queries()["q_classifier_threshold"].fn(spark, sf).collect(),
+        key=lambda r: r.t,
+    )
+    assert [r.t for r in rows] == list(range(10))
+    calib = all_queries()["q_classifier_calibration"].fn(spark, sf).collect()
+    n_by_bin = {r.bin: r.n for r in calib}
+    total = sum(n_by_bin.values())
+    total_pos = rows[0].tp  # t=0 predicts everything positive
+    assert rows[0].n_pred_pos == total
+    assert rows[0].recall == 1.0
+    prev = None
+    for r in rows:
+        assert r.n_pred_pos == sum(
+            n for b, n in n_by_bin.items() if b >= r.t
+        )
+        assert 0 <= r.tp <= r.n_pred_pos
+        if prev is not None:
+            assert r.n_pred_pos <= prev.n_pred_pos
+            assert r.tp <= prev.tp
+        if r.n_pred_pos == 0:
+            assert r.precision is None
+        else:
+            want_p = math.floor(
+                r.tp / r.n_pred_pos * 1000000 + 0.5) / 1000000
+            assert r.precision == want_p
+        want_rec = math.floor(r.tp / total_pos * 1000000 + 0.5) / 1000000
+        assert r.recall == want_rec
+        denom = r.n_pred_pos + total_pos
+        want_f1 = math.floor(2 * r.tp / denom * 1000000 + 0.5) / 1000000
+        assert r.f1 == want_f1
+        assert abs(r.thr - (-1.0 + r.t * 0.2)) < 1e-12
+        prev = r

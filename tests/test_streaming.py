@@ -2191,3 +2191,53 @@ def test_streaming_novelty_parity_and_replay(spark, tmp_path):
         for r in read_novelty(spark, base).collect()
     }
     assert again == want
+
+
+def test_streaming_line_dedup_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_line_dedup must reproduce q_dedup_lines
+    row-for-row (n_lines, n_kept AND the reassembled kept_text) when
+    batches partition the fixture in doc_id order — first-occurrence
+    credit is the global min packed (doc_id, line_no) key, the batch
+    spec's rule — and a replayed batch must re-derive IDENTICAL rows
+    (its own store contributions are batch_id-filtered out of the
+    probe)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_line_dedup,
+        read_line_dedup,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    b0 = docs.where(F.col("doc_id") <= cut)
+    b1 = docs.where(F.col("doc_id") > cut)
+
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_line_dedup(lambda df, bid: None, base)
+    cb(b0, 0)
+    cb(b1, 1)
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_text)
+        for r in read_line_dedup(spark, base).collect()
+    }
+    want = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_text)
+        for r in all_queries()["q_dedup_lines"].fn(
+            spark, sf_smoke).collect()
+    }
+    assert got == want and got
+
+    # replay batch 1 AFTER its store rows landed: the probe filters
+    # them out (batch_id < 1), so the re-derived rows are identical
+    # and the reader's (batch_id, doc_id) dedup collapses them
+    cb(b1, 1)
+    again = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_text)
+        for r in read_line_dedup(spark, base).collect()
+    }
+    assert again == want
