@@ -152,6 +152,7 @@ HEADLINE = [
     "q_rollup_quantile",     # mergeable grid-histogram quantile bounds
     "q_classifier_calibration",  # reliability bins + integer-exact ECE
     "q_classifier_threshold",    # suffix-sum precision/recall/F1 sweep
+    "q_ann_mrr",                 # first-hit reciprocal rank, staged legs
 ]
 
 

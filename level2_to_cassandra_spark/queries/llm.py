@@ -1580,6 +1580,137 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_mrr",
+    # Same self-policing oracle pattern as q_ann_recall: the ann CTE
+    # chain is q_sim_ann_ivf's oracle verbatim (rank kept this time),
+    # the exact chain is q_sim_topk's; the MRR fold is EXACT integer
+    # algebra — reciprocal ranks lifted to 1e6 units (1e6/rank is a
+    # correctly-rounded division of exact inputs, floor half-up makes
+    # it an integer both engines agree on), SUM an order-free integer,
+    # one final division.
+    oracle=f"""
+    WITH {_IVF_PORTABLE_CTES},
+    comp AS (
+      SELECT cell, pos, ROUND(AVG(ve[pos + 1]), 6) AS x
+      FROM a0 CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+      GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(x ORDER BY pos) AS cv FROM comp GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 6
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.ve), 4) AS cos
+      FROM probes p JOIN a0 a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id, rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM scored)
+      WHERE rank <= 10
+    ),
+    exscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 q.qv), 4) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+            FROM exscored)
+      WHERE rank <= 10
+    ),
+    firsthit AS (
+      SELECT a.query_id, MIN(a.rank) AS fr
+      FROM ann a JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ),
+    rr AS (
+      SELECT b.query_id,
+             CAST(fr AS BIGINT) AS first_hit_rank,
+             COALESCE(CAST(FLOOR(1000000.0 / fr + 0.5) AS BIGINT), 0)
+                 AS rr_e6
+      FROM (SELECT DISTINCT query_id FROM q) b
+      LEFT JOIN firsthit USING (query_id))
+    SELECT query_id, first_hit_rank,
+           CAST(rr_e6 AS DOUBLE) / 1000000.0 AS rr,
+           FLOOR(CAST(SUM(rr_e6) OVER () AS DOUBLE)
+                 / CAST(COUNT(*) OVER () * 1000000 AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS mrr
+    FROM rr
+    """,
+)
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN eval, third metric: MEAN RECIPROCAL RANK@10 — how high the
+    first truly-relevant neighbor (exact-top-10 membership) sits in
+    the served ANN list.  Recall@10 counts overlap, NDCG@10 weighs the
+    whole list, MRR prices the first-hit latency a retrieval UI or
+    RAG prompt-builder actually feels; a query whose ANN list contains
+    no exact-top-10 member scores 0.  Per-query rows carry the first
+    hit rank (NULL when none) and rr; the corpus MRR rides every row
+    (the q_classifier_calibration scalar-fold shape).
+
+    Exactness: reciprocal ranks are lifted to integer 1e6 units
+    (1e6/rank is a correctly-rounded division of exact inputs, so the
+    floor-half-up integer is engine-identical), the MRR numerator is
+    an order-free INTEGER sum, and one final division closes it — the
+    integer-ECE discipline applied to ranking eval.
+
+    Scale shape: identical to q_ann_recall — both rankings staged once
+    per (session, fixture) via :func:`_ann_eval_tables`; the served
+    metric arithmetic (intersection join + min + window) runs over
+    <=(sample x k) rows, free at any corpus size."""
+    ivf, ex_t = _ann_eval_tables(spark, sf_dir)
+    ann = ivf.select("query_id", "neighbor_id", "rank")
+    exact = ex_t.select("query_id", "neighbor_id")
+    firsthit = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("fr"))
+    )
+    base = ex_t.select("query_id").distinct()
+    rr_e6 = F.coalesce(
+        F.floor(F.lit(1000000.0) / F.col("fr") + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    j = base.join(firsthit, "query_id", "left").select(
+        "query_id",
+        F.col("fr").cast("long").alias("first_hit_rank"),
+        rr_e6.alias("rr_e6"),
+    )
+    w_all = Window.partitionBy()
+    mrr = round_half_up(
+        F.sum("rr_e6").over(w_all).cast("double")
+        / (F.count(F.lit(1)).over(w_all) * 1000000).cast("double"),
+        6,
+    )
+    return j.select(
+        "query_id",
+        "first_hit_rank",
+        (F.col("rr_e6").cast("double") / F.lit(1000000.0)).alias("rr"),
+        mrr.alias("mrr"),
+    )
+
+
+@register(
     "q_embed_quantize",
     oracle="""
     SELECT vec_id,

@@ -64,15 +64,16 @@ DRIVER_ORDER = (
     # the NEW r15 first-row names, (b) the eight r14 first-row names
     # (1 lifetime green each; they hold until >=2), (c) queries whose
     # IMPLEMENTATION changed in r15 (none — the r15 diff adds queries
-    # and touches only streaming/bench plumbing), (d) 38 of the 45
+    # and touches only streaming/bench plumbing), (d) 37 of the 45
     # r11-stale names (VERDICT r14 task #1: the staleness frontier).
-    # 4 + 8 + 38 = 50; the seven r11 names that did not fit head the
+    # 5 + 8 + 37 = 50; the eight r11 names that did not fit head the
     # past-cap tail as r16's rotation head.
     # -- NEW in r15 (first driver rows) ------------------------------
     "q_dedup_lines",
     "q_rollup_quantile",
     "q_classifier_calibration",
     "q_classifier_threshold",
+    "q_ann_mrr",
     # -- r14 first rows (1 lifetime row each; hold until >=2) --------
     "q_agg_decayed",
     "q_data_profile",
@@ -120,9 +121,9 @@ DRIVER_ORDER = (
     "q_text_span_dedup",
     "q_text_tfidf",
     "q_time_bucket_agg",
-    "q_token_histogram",
     # ======================= past the cap ==============================
-    # -- the 7 r11-stale names that did not fit (r16's rotation head) -
+    # -- the 8 r11-stale names that did not fit (r16's rotation head) -
+    "q_token_histogram",
     "q_twap",
     "q_unpivot",
     "q_window_ntile",

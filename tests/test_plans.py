@@ -973,7 +973,10 @@ def test_ann_eval_queries_serve_from_staged_rankings(spark):
     # recall reads the exact table through TWO branches (hit counts +
     # per-query totals) — parquet replays per branch, the staging-table
     # discipline; ndcg reads each table once
-    for name, scans in (("q_ann_recall", 3), ("q_ann_ndcg", 2)):
+    # mrr reads the exact table through two branches too (query spine
+    # + intersection) — same staging-table replay discipline
+    for name, scans in (("q_ann_recall", 3), ("q_ann_ndcg", 2),
+                        ("q_ann_mrr", 3)):
         plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name

@@ -962,3 +962,30 @@ def test_classifier_threshold_curve_laws(spark):
         assert r.f1 == want_f1
         assert abs(r.thr - (-1.0 + r.t * 0.2)) < 1e-12
         prev = r
+
+
+def test_ann_mrr_laws(spark):
+    """q_ann_mrr: rr == 1/first_hit_rank (0 when no hit), rr == 1
+    exactly when the top ANN neighbor is exact-relevant, the constant
+    mrr column equals the integer-exact fold of the rows, and MRR
+    never exceeds recall-weighted 1 (rr <= 1)."""
+    import math
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_ann_mrr"].fn(spark, sf).collect()
+    assert rows and len({r.mrr for r in rows}) == 1
+    num = 0
+    for r in rows:
+        if r.first_hit_rank is None:
+            assert r.rr == 0.0
+        else:
+            assert 1 <= r.first_hit_rank <= 10
+            want = math.floor(1000000.0 / r.first_hit_rank + 0.5) / 1000000
+            assert r.rr == want
+        assert 0.0 <= r.rr <= 1.0
+        num += int(r.rr * 1000000)
+    want_mrr = math.floor(
+        num / (len(rows) * 1000000) * 1000000 + 0.5) / 1000000
+    assert rows[0].mrr == want_mrr
