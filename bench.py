@@ -268,7 +268,8 @@ def main() -> None:
             "mlt_ranking": (llm._mlt_ranking,                # r14
                             {"q_rank_fusion", "q_text_more_like_this"}),
             "ann_eval_tables": (llm._ann_eval_tables,        # r13
-                                {"q_ann_recall", "q_ann_ndcg"}),
+                                {"q_ann_recall", "q_ann_ndcg",
+                                 "q_ann_mrr"}),
             "multimodal_gate": (llm._multimodal_gate,
                                 {"q_dedup_multimodal"}),
         }

@@ -294,6 +294,15 @@ def hot_shingles(dfreq, n_docs_rel):
 #: split(text, '\n') and nothing downstream changes.
 LINE_TOKENS = 8
 
+#: Packed (doc_id, line_no) total-order key span for first-occurrence
+#: attribution over line_segments output — supports documents up to
+#: one million lines before doc_id*SPAN could collide.  ONE definition
+#: beside the segmentation it keys (self-review r15: the batch query
+#: and the streaming admit monitor each held their own copy pinned
+#: only by a comment): widening it for longer documents changes
+#: within-batch first-occurrence attribution in BOTH paths together.
+LINE_KEY_SPAN = 1_000_000
+
 
 def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     """``(doc_id, line_no, line_text)`` — the LINE stream for
@@ -304,9 +313,13 @@ def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     segmentation cannot drift between them.  Pure JVM: sequence +
     posexplode + slice, no shuffle."""
     w = tokens(text_col)
+    # project the TOKEN ARRAY through the explode (not the raw text):
+    # the post-explode slice then reads the once-computed array instead
+    # of re-running split() on the whole document per emitted line
+    # (self-review r15: ~15 redundant tokenizations per ~120-token doc)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__t"),
+        w.alias("__w"),
         F.posexplode(
             F.sequence(F.lit(1), F.size(w), F.lit(LINE_TOKENS))
         ).alias("line_no", "start"),
@@ -314,6 +327,6 @@ def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
         "doc_id",
         F.col("line_no").cast("long").alias("line_no"),
         F.array_join(
-            F.slice(tokens(F.col("__t")), F.col("start"), LINE_TOKENS), " "
+            F.slice(F.col("__w"), F.col("start"), LINE_TOKENS), " "
         ).alias("line_text"),
     )

@@ -4171,12 +4171,8 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- line-level dedup
 
 _LINE_W = text.LINE_TOKENS  # tokens per synthesized "line" (no \n in fixture)
-#: Packed (doc_id, line_no) total-order key span — supports documents
-#: up to one million lines before doc_id*SPAN could collide; at the
-#: fixture's ~120-token docs the max line_no is ~15.  (A production
-#: corpus with real newlines swaps the token grouping for
-#: split(text, '\n') and nothing else changes.)
-_LINE_KEY_SPAN = 1_000_000
+#: single definition beside the segmentation it keys (operators/text.py)
+_LINE_KEY_SPAN = text.LINE_KEY_SPAN
 
 
 @register(

@@ -83,7 +83,7 @@ DRIVER_ORDER = (
     "q_robust_scale",
     "q_sample_reservoir",
     "q_text_novelty",
-    # -- last driver-green r11 (39 of the 45-name staleness frontier) -
+    # -- last driver-green r11 (37 of the 45-name staleness frontier) -
     "q_agg_argmax",
     "q_agg_mode",
     "q_anomaly_zscore",

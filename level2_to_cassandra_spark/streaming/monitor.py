@@ -1245,13 +1245,6 @@ LINE_DEDUP_SCHEMA = (
     "kept_text string"
 )
 
-#: packed (doc_id, line_no) first-occurrence key span — MUST equal
-#: queries/llm.py::_LINE_KEY_SPAN (parity is pinned row-for-row by
-#: tests/test_streaming.py); redeclared here so the streaming module
-#: does not import the query registry at module load
-LINE_KEY_SPAN = 1_000_000
-
-
 def line_dedup_path(base: str) -> str:
     """Beside the sink, underscore-prefixed — the monitor-table
     discipline.  ``/docs`` holds the per-doc audit rows, ``/seen``
@@ -1312,7 +1305,10 @@ def foreach_batch_with_line_dedup(
                 .select("line_text")
                 .distinct()
             )
-            key = F.col("doc_id") * LINE_KEY_SPAN + F.col("line_no")
+            key = (
+                F.col("doc_id") * text_ops.LINE_KEY_SPAN
+                + F.col("line_no")
+            )
             fresh = (
                 lines.join(seen, "line_text", "left_anti")
                 .withColumn(
