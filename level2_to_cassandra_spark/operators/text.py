@@ -312,16 +312,21 @@ def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     (streaming/monitor.py::foreach_batch_with_line_dedup) so the
     segmentation cannot drift between them.  Pure JVM: sequence +
     posexplode + slice, no shuffle."""
-    w = tokens(text_col)
-    # project the TOKEN ARRAY through the explode (not the raw text):
-    # the post-explode slice then reads the once-computed array instead
-    # of re-running split() on the whole document per emitted line
-    # (self-review r15: ~15 redundant tokenizations per ~120-token doc)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        w.alias("__w"),
+    # Materialize the TOKEN ARRAY in its OWN select BELOW the explode
+    # (self-review r15, round 2): a single select that both aliases the
+    # array and posexplodes gets its alias folded back into the
+    # post-Generate slice by ExtractGenerator+CollapseProject, leaving
+    # split() running once per emitted line; with the array projected
+    # in a separate child select it lands in a Project BELOW the
+    # Generate, computed once per document and reused by the sequence
+    # bound and every line slice (verified on the optimized plan).
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(text_col).alias("__w"))
+    return toks.select(
+        "doc_id",
+        "__w",
         F.posexplode(
-            F.sequence(F.lit(1), F.size(w), F.lit(LINE_TOKENS))
+            F.sequence(F.lit(1), F.size(F.col("__w")), F.lit(LINE_TOKENS))
         ).alias("line_no", "start"),
     ).select(
         "doc_id",
