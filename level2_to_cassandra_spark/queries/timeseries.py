@@ -1367,8 +1367,13 @@ def q_agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- mergeable quantile rollup
 
-_QGRID_BINS = 64    # fixed-grid histogram resolution
-_QGRID_W = 16.0     # bin width: grid spans [0, 1024), edges clamped
+from level2_to_cassandra_spark.operators import rollup as _rollup  # noqa: E402
+
+#: single grid definition beside the partial format it shapes
+#: (operators/rollup.py — shared verbatim with the streaming
+#: continuous-aggregate wrapper, foreach_batch_with_grid_rollup)
+_QGRID_BINS = _rollup.GRID_BINS
+_QGRID_W = _rollup.GRID_W
 
 
 @register(
@@ -1467,51 +1472,16 @@ def q_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "value"
     )
-    bin_ = F.least(
-        F.greatest(F.floor(F.col("value") / _QGRID_W), F.lit(0)),
-        F.lit(_QGRID_BINS - 1),
-    ).cast("long")
-    # level 1 — the stored minutely grid partials (row-scale, combined)
-    partials = ev.groupBy(
-        F.date_trunc("minute", "ts").alias("minute"),
-        "event_type",
-        bin_.alias("bin"),
-    ).agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
-    # level 2 — hour grid FROM the partials (grid-sized from here on)
-    hist = partials.groupBy(
-        F.date_trunc("hour", "minute").alias("hour"), "event_type", "bin"
-    ).agg(
-        F.sum("pn").alias("nb"),
-        F.min("vmin").alias("bmin"),
-        F.max("vmax").alias("bmax"),
-    )
-    w_he = Window.partitionBy("hour", "event_type")
-    w_cum = w_he.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.withColumn("n", F.sum("nb").over(w_he)).withColumn(
-        "cb", F.coalesce(F.sum("nb").over(w_cum), F.lit(0))
-    )
-
-    def _bounds(p: float, tag: str) -> list:
-        rank = F.lit(p) * (F.col("n") - 1).cast("double")
-        in_lo = (F.floor(rank) >= F.col("cb")) & (
-            F.floor(rank) < F.col("cb") + F.col("nb")
-        )
-        in_hi = (F.ceil(rank) >= F.col("cb")) & (
-            F.ceil(rank) < F.col("cb") + F.col("nb")
-        )
-        return [
-            F.min(F.when(in_lo, F.col("bmin"))).alias(f"{tag}_lo"),
-            F.max(F.when(in_hi, F.col("bmax"))).alias(f"{tag}_hi"),
-        ]
-
-    bounds = cum.groupBy("hour", "event_type").agg(
-        F.max("n").cast("long").alias("n"),
-        *_bounds(0.5, "p50"),
-        *_bounds(0.95, "p95"),
+    # level 1 (stored minutely grid partials — the only row-scale
+    # exchange) and level 2 (hour bounds from partials only) both live
+    # in operators/rollup.py, shared verbatim with the streaming
+    # continuous-aggregate wrapper so the two paths cannot drift
+    bounds = _rollup.grid_quantile_bounds(
+        _rollup.minute_grid_partials(ev), grain="hour"
+    ).select(
+        F.col("bucket").alias("hour"),
+        F.col("key").alias("event_type"),
+        "n", "p50_lo", "p50_hi", "p95_lo", "p95_hi",
     )
     # verification leg: exact quantiles from raw (a #hours x #types
     # relation — broadcast into the bounds join by size)

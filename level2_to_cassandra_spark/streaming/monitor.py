@@ -1370,3 +1370,102 @@ def read_line_dedup(spark, base_path: str) -> DataFrame:
     return _read_journal(
         spark, f"{line_dedup_path(base_path)}/docs", LINE_DEDUP_SCHEMA
     ).dropDuplicates(["batch_id", "doc_id"])
+
+
+#: stored minutely grid-partial schema — operators/rollup.py's partial
+#: format plus the batch_id attribution (replay dedup key component)
+GRID_PARTIALS_SCHEMA = (
+    "minute timestamp, key string, bin long, pn long, "
+    "vmin double, vmax double, batch_id long"
+)
+
+
+def grid_rollup_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/partials`` holds the append-only minutely grid
+    partials journal."""
+    return f"{base}/_grid_rollup"
+
+
+def foreach_batch_with_grid_rollup(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with CONTINUOUS-AGGREGATE
+    MAINTENANCE of the mergeable quantile layer — the streaming twin
+    of q_rollup_quantile's stored level: every micro-batch appends its
+    minutely fixed-grid histogram partials (operators/rollup.py — the
+    SAME grid the batch query stores) to a journal beside the sink,
+    and :func:`grid_rollup_bounds` serves hour/day/any-grain quantile
+    BOUNDS from the journal alone, never re-scanning raw rows.  This
+    is the TimescaleDB continuous-aggregate pattern priced per
+    micro-batch: at 100 TB/day the raw stream is written once and
+    every dashboard grain re-derives from the grid-sized partials.
+
+    MERGEABILITY is what makes the journal correct under ANY batching:
+    counts merge by sum and extremes by min/max, so partial rows from
+    different batches covering the same (minute, key, bin) cell fold
+    to exactly the one-shot batch aggregate — the parity test splits
+    the fixture on a NON-time-aligned key and still matches
+    q_rollup_quantile's bounds bit-for-bit.  REPLAY: partial rows are
+    deterministic per batch and keyed by batch_id, so the reader's
+    dropDuplicates on the full (batch_id, minute, key, bin) key
+    collapses a replayed batch's second append (at-least-once journal
+    over idempotent rows — the covariance-journal discipline).
+
+    Cost per batch: ONE map-side-combined aggregate over the batch
+    (the q_rollup_quantile level-1 exchange, batch-bounded) + one
+    append."""
+    from level2_to_cassandra_spark.operators import rollup as rollup_ops
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            inner(batch_df, batch_id)
+            parts = rollup_ops.minute_grid_partials(
+                batch_df, ts_col=ts_col, key_col=key_col,
+                value_col=value_col,
+            ).select(
+                "minute",
+                F.col("key").cast("string").alias("key"),
+                "bin", "pn", "vmin", "vmax",
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            )
+            parts.coalesce(1).write.mode("append").parquet(
+                f"{grid_rollup_path(base_path)}/partials"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_grid_partials(spark, base_path: str) -> DataFrame:
+    """The folded minutely grid-partial relation (minute, key, bin,
+    pn, vmin, vmax): replayed batches collapse on the full journal key
+    (their rows are deterministic re-derivations), then partial rows
+    from DIFFERENT batches covering the same cell merge by sum/min/max
+    — the mergeability that makes the journal grain-serving."""
+    raw = _read_journal(
+        spark, f"{grid_rollup_path(base_path)}/partials",
+        GRID_PARTIALS_SCHEMA,
+    ).dropDuplicates(["batch_id", "minute", "key", "bin"])
+    return raw.groupBy("minute", "key", "bin").agg(
+        F.sum("pn").alias("pn"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def grid_rollup_bounds(spark, base_path: str, grain: str = "hour") -> DataFrame:
+    """Serve (grain-bucket, key) quantile BOUNDS from the journal
+    alone — operators/rollup.py::grid_quantile_bounds over the folded
+    partials; no raw-row access at any grain."""
+    from level2_to_cassandra_spark.operators import rollup as rollup_ops
+
+    return rollup_ops.grid_quantile_bounds(
+        read_grid_partials(spark, base_path), grain=grain
+    )

@@ -2241,3 +2241,66 @@ def test_streaming_line_dedup_parity_and_replay(spark, tmp_path):
         for r in read_line_dedup(spark, base).collect()
     }
     assert again == want
+
+
+def test_streaming_grid_rollup_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_grid_rollup's journal, folded and walked by
+    grid_rollup_bounds, must reproduce q_rollup_quantile's partial-
+    derived bound columns EXACTLY even when the batches split the
+    fixture on a NON-time-aligned key (event_id % 3) — the
+    mergeability of (count, min, max) grid partials is precisely what
+    makes any batching equivalent to the one-shot aggregate.  A
+    replayed batch must collapse in the reader (deterministic rows,
+    journal keyed by batch_id)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_grid_rollup,
+        grid_rollup_bounds,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    ev = load_table(spark, sf_smoke, "events")
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_grid_rollup(lambda df, bid: None, base)
+    for i in range(3):
+        cb(ev.where(F.col("event_id") % 3 == i), i)
+
+    got = {
+        (r.bucket, r.key): (r.n, r.p50_lo, r.p50_hi, r.p95_lo, r.p95_hi)
+        for r in grid_rollup_bounds(spark, base, grain="hour").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.p50_lo, r.p50_hi,
+                                 r.p95_lo, r.p95_hi)
+        for r in all_queries()["q_rollup_quantile"].fn(
+            spark, sf_smoke).collect()
+    }
+    assert got == want and got
+
+    # day-grain serving off the SAME journal — no raw re-scan, bounds
+    # still contain the exact day quantiles
+    day = grid_rollup_bounds(spark, base, grain="day").collect()
+    exact = {
+        (r.day, r.event_type): (r.e50, r.e95)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.percentile("value", F.lit(0.5)).alias("e50"),
+            F.percentile("value", F.lit(0.95)).alias("e95"),
+        ).collect()
+    }
+    assert day
+    for r in day:
+        e50, e95 = exact[(r.bucket, r.key)]
+        assert r.p50_lo <= e50 <= r.p50_hi
+        assert r.p95_lo <= e95 <= r.p95_hi
+
+    # replay batch 2: its journal rows are deterministic duplicates;
+    # the reader's (batch_id, minute, key, bin) dedup collapses them
+    cb(ev.where(F.col("event_id") % 3 == 2), 2)
+    again = {
+        (r.bucket, r.key): (r.n, r.p50_lo, r.p50_hi, r.p95_lo, r.p95_hi)
+        for r in grid_rollup_bounds(spark, base, grain="hour").collect()
+    }
+    assert again == want
