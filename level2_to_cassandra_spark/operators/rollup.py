@@ -55,6 +55,15 @@ def minute_grid_partials(
     )
 
 
+#: grains date_trunc supports that make sense over minutely partials —
+#: a typo'd grain would otherwise yield NULL from date_trunc and
+#: silently collapse every partial into one all-time bucket per key
+#: (self-review r15: a plausible-looking wrong answer, not an error)
+VALID_GRAINS = frozenset(
+    {"minute", "hour", "day", "week", "month", "quarter", "year"}
+)
+
+
 def grid_quantile_bounds(partials: DataFrame, grain: str = "hour") -> DataFrame:
     """(grain-bucket, key) → n, p50_lo/hi, p95_lo/hi from PARTIALS
     ONLY — no raw-row access.  The quantile's 0-based interpolation
@@ -63,6 +72,12 @@ def grid_quantile_bounds(partials: DataFrame, grain: str = "hour") -> DataFrame:
     bracketed by the owning bin's exact data [min, max].  Everything
     after the partial merge runs on the GRID-sized relation
     (#buckets × #keys × GRID_BINS — corpus-independent)."""
+    if grain.lower() not in VALID_GRAINS:
+        raise ValueError(
+            f"grain must be one of {sorted(VALID_GRAINS)}, got {grain!r} "
+            "(date_trunc would return NULL and silently collapse every "
+            "partial into one all-time bucket)"
+        )
     hist = partials.groupBy(
         F.date_trunc(grain, "minute").alias("bucket"), "key", "bin"
     ).agg(

@@ -1431,7 +1431,14 @@ def foreach_batch_with_grid_rollup(
             ).select(
                 "minute",
                 F.col("key").cast("string").alias("key"),
-                "bin", "pn", "vmin", "vmax",
+                "bin",
+                "pn",
+                # cast to the pinned journal schema like the key above
+                # (self-review r15: an int/float/decimal value_col would
+                # otherwise write a journal the fixed double reader
+                # schema can never read back)
+                F.col("vmin").cast("double").alias("vmin"),
+                F.col("vmax").cast("double").alias("vmax"),
                 F.lit(int(batch_id)).cast("long").alias("batch_id"),
             )
             parts.coalesce(1).write.mode("append").parquet(

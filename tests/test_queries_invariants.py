@@ -993,59 +993,28 @@ def test_ann_mrr_laws(spark):
 
 def test_rollup_quantile_bounds_hold_at_day_grain_too(spark):
     """The 'any coarser grain re-derives from partials' claim beyond
-    the registered hour grain: DAY-level p50/p95 bounds built from the
-    SAME minutely grid partials must contain the exact day quantiles —
-    the whole point of storing mergeable partials is that new grains
-    need no new raw scan."""
-    from pyspark.sql import Window as W
+    the registered hour grain, exercised through the SHIPPED helpers
+    (operators/rollup.py — a copy of the math here would let a
+    day-grain regression in the real code path pass unseen,
+    self-review r15): DAY-level p50/p95 bounds built from the same
+    minutely grid partials must contain the exact day quantiles.
+    Also pins the typo'd-grain guard (date_trunc would otherwise
+    return NULL and silently serve one all-time bucket)."""
+    import pytest
     from pyspark.sql import functions as F
 
     from level2_to_cassandra_spark.catalog import load_table
-    from level2_to_cassandra_spark.queries.timeseries import (
-        _QGRID_BINS, _QGRID_W,
+    from level2_to_cassandra_spark.operators.rollup import (
+        grid_quantile_bounds,
+        minute_grid_partials,
     )
 
     sf = "/root/testdata/sf0.001"
     ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
-    bin_ = F.least(
-        F.greatest(F.floor(F.col("value") / _QGRID_W), F.lit(0)),
-        F.lit(_QGRID_BINS - 1),
-    ).cast("long")
-    partials = ev.groupBy(
-        F.date_trunc("minute", "ts").alias("minute"),
-        "event_type", bin_.alias("bin"),
-    ).agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
-    hist = partials.groupBy(
-        F.date_trunc("day", "minute").alias("day"), "event_type", "bin"
-    ).agg(
-        F.sum("pn").alias("nb"),
-        F.min("vmin").alias("bmin"),
-        F.max("vmax").alias("bmax"),
-    )
-    w_he = W.partitionBy("day", "event_type")
-    w_cum = w_he.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
-    cum = hist.withColumn("n", F.sum("nb").over(w_he)).withColumn(
-        "cb", F.coalesce(F.sum("nb").over(w_cum), F.lit(0))
-    )
-
-    def bounds_cols(p, tag):
-        rank = F.lit(p) * (F.col("n") - 1).cast("double")
-        in_lo = (F.floor(rank) >= F.col("cb")) & (
-            F.floor(rank) < F.col("cb") + F.col("nb"))
-        in_hi = (F.ceil(rank) >= F.col("cb")) & (
-            F.ceil(rank) < F.col("cb") + F.col("nb"))
-        return [F.min(F.when(in_lo, F.col("bmin"))).alias(f"{tag}_lo"),
-                F.max(F.when(in_hi, F.col("bmax"))).alias(f"{tag}_hi")]
-
+    partials = minute_grid_partials(ev)
     day_bounds = {
-        (r.day, r.event_type): r
-        for r in cum.groupBy("day", "event_type").agg(
-            *bounds_cols(0.5, "p50"), *bounds_cols(0.95, "p95")
-        ).collect()
+        (r.bucket, r.key): r
+        for r in grid_quantile_bounds(partials, grain="day").collect()
     }
     exact = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
@@ -1058,3 +1027,5 @@ def test_rollup_quantile_bounds_hold_at_day_grain_too(spark):
         b = day_bounds[(r.day, r.event_type)]
         assert b.p50_lo <= r.e50 <= b.p50_hi, (r.day, r.event_type)
         assert b.p95_lo <= r.e95 <= b.p95_hi, (r.day, r.event_type)
+    with pytest.raises(ValueError, match="grain"):
+        grid_quantile_bounds(partials, grain="fortnight")
