@@ -43,8 +43,18 @@ def minute_grid_partials(
 ) -> DataFrame:
     """The STORED rollup: per (minute, key, bin) → (pn, vmin, vmax).
     One map-side-combined aggregate — the only row-scale exchange in
-    the whole quantile-serving path."""
-    return df.groupBy(
+    the whole quantile-serving path.
+
+    NULL/NaN values are excluded UP FRONT (the q_outlier_iqr
+    convention, self-review r15): Spark's ``greatest`` skips NULLs, so
+    an unguarded grid_bin would count a NULL value into bin 0's pn
+    while min/max ignored it — phantom rows at the low end that shift
+    every rank walk while the exact-percentile verification leg
+    excludes them.  Callers' exact legs must exclude identically."""
+    clean = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    )
+    return clean.groupBy(
         F.date_trunc("minute", ts_col).alias("minute"),
         F.col(key_col).alias("key"),
         grid_bin(value_col).alias("bin"),

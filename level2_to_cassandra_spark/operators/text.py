@@ -320,8 +320,14 @@ def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     # in a separate child select it lands in a Project BELOW the
     # Generate, computed once per document and reused by the sequence
     # bound and every line slice (verified on the optimized plan).
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       tokens(text_col).alias("__w"))
+    # NULL-text guard (self-review r15): size(NULL) is -1, and
+    # sequence(1, -1, 8) is a RUNTIME error — one malformed row would
+    # kill the whole streaming admit query.  Dropping NULL-text docs
+    # matches the oracle (string_split(NULL) unnests to zero rows).
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__w"),
+    )
     return toks.select(
         "doc_id",
         "__w",

@@ -1395,7 +1395,8 @@ _QGRID_W = _rollup.GRID_W
                DATE_TRUNC('minute', ts) AS minute, event_type, value,
                LEAST(GREATEST(CAST(FLOOR(value / 16.0) AS BIGINT), 0), 63)
                    AS bin
-        FROM events),
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
     partials AS (
         SELECT minute, hour, event_type, bin, COUNT(*) AS pn,
                MIN(value) AS vmin, MAX(value) AS vmax
@@ -1431,7 +1432,9 @@ _QGRID_W = _rollup.GRID_W
         SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
                quantile_cont(value, 0.5) AS e50,
                quantile_cont(value, 0.95) AS e95
-        FROM events GROUP BY 1, 2)
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2)
     SELECT b.hour, b.event_type, b.n,
            p50_lo, p50_hi, p95_lo, p95_hi,
            FLOOR(e50 * 10000 + 0.5) / 10000 AS exact_p50,
@@ -1484,8 +1487,12 @@ def q_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "p50_lo", "p50_hi", "p95_lo", "p95_hi",
     )
     # verification leg: exact quantiles from raw (a #hours x #types
-    # relation — broadcast into the bounds join by size)
-    exact = ev.groupBy(
+    # relation — broadcast into the bounds join by size); NULL/NaN
+    # excluded IDENTICALLY to minute_grid_partials so n and the
+    # quantile basis agree
+    exact = ev.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.percentile("value", F.lit(0.5)).alias("e50"),

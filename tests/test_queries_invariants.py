@@ -792,12 +792,23 @@ def test_dedup_lines_fixture_conservation(spark):
             ).alias("line_no", "start"),
         )
         .select(
+            "doc_id",
             F.array_join(
                 F.slice(text.tokens("text"), F.col("start"), _LINE_W), " "
             ).alias("line_text"),
         )
     )
-    assert sum(r.n_kept for r in rows) == lines.distinct().count()
+    assert sum(r.n_kept for r in rows) == (
+        lines.select("line_text").distinct().count()
+    )
+    # the lowest-id doc sees an empty prior corpus, so it keeps exactly
+    # its internally-distinct lines (a within-doc repeat still drops)
+    first = min(rows, key=lambda r: r.doc_id)
+    first_distinct = (
+        lines.where(F.col("doc_id") == first.doc_id)
+        .select("line_text").distinct().count()
+    )
+    assert first.n_kept == first_distinct
 
 
 def test_rollup_quantile_bounds_and_merge_laws(spark):
