@@ -153,6 +153,9 @@ HEADLINE = [
     "q_classifier_calibration",  # reliability bins + integer-exact ECE
     "q_classifier_threshold",    # suffix-sum precision/recall/F1 sweep
     "q_ann_mrr",                 # first-hit reciprocal rank, staged legs
+    "q_quality_ppl_bucket",      # CCNet per-lang perplexity terciles
+    "q_langid_confusion",        # langid eval: |langs|² confusion cells
+    "q_sketch_error",            # MinHash estimate vs exact Jaccard
 ]
 
 
@@ -261,10 +264,12 @@ def main() -> None:
                                  {"q_contamination", "q_llm_dedup_fuzzy",
                                   "q_llm_dedup_minhash", "q_text_boilerplate",
                                   "q_text_containment", "q_text_novelty",
-                                  "q_dedup_incremental_fuzzy"}),
+                                  "q_dedup_incremental_fuzzy",
+                                  "q_sketch_error"}),
             "shingle_index": (llm._shingle_index_relation,   # r14
                               {"q_llm_dedup_fuzzy", "q_text_containment",
-                               "q_dedup_incremental_fuzzy"}),
+                               "q_dedup_incremental_fuzzy",
+                               "q_sketch_error"}),
             "mlt_ranking": (llm._mlt_ranking,                # r14
                             {"q_rank_fusion", "q_text_more_like_this"}),
             "ann_eval_tables": (llm._ann_eval_tables,        # r13

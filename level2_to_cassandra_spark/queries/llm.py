@@ -12,7 +12,7 @@ property tests in tests/test_llm_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table
@@ -1710,6 +1710,182 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_sketch_error knobs: the candidate-pair Jaccard floor, the
+#: background-panel sampling stride (every 29th doc paired with its
+#: id-successor — an equi-join, never a global order), the number of
+#: MinHash permutations, and the sign mask that makes MIN agree
+#: between Spark's signed long and DuckDB's UBIGINT (drop the sign
+#: bit → both engines order the same non-negative 63-bit values).
+_SKETCH_T = 0.5
+_SKETCH_STRIDE = 29
+_SKETCH_PERMS = 16
+_SKETCH_MASK = (1 << 63) - 1
+
+
+@register(
+    "q_sketch_error",
+    # The signature hash is the engine-portable md5 form seeded by
+    # prefixing the permutation index ("0 <shingle>" … "15 <shingle>");
+    # masking to the low 63 bits makes MIN identical whether the 64
+    # bits are held signed (Spark long) or unsigned (DuckDB UBIGINT).
+    # Estimates are exact dyadics (m/16); the exact Jaccard is a ratio
+    # of exact ints — identical doubles on both engines before ROUND.
+    oracle=f"""
+    WITH postings AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM postings a JOIN postings b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT id_a, id_b, 'cand' AS panel,
+               inter::DOUBLE / (sa.n + sb.n - inter) AS j
+        FROM co
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6)
+              >= {_SKETCH_T}),
+    samp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'sample' AS panel,
+               COALESCE(o.inter, 0)::DOUBLE
+                 / (a.n + b.n - COALESCE(o.inter, 0)) AS j
+        FROM sizes a
+        JOIN sizes b ON b.doc_id = a.doc_id + 1
+        LEFT JOIN co o ON o.id_a = a.doc_id AND o.id_b = b.doc_id
+        WHERE a.doc_id % {_SKETCH_STRIDE} = 0),
+    pairs AS (
+        SELECT * FROM cand
+        UNION ALL
+        SELECT * FROM samp WHERE ROUND(j, 6) < {_SKETCH_T}),
+    sig AS (
+        SELECT doc_id, i,
+               MIN((('0x' || substr(md5(i::VARCHAR || ' ' || shingle),
+                                    1, 16))::UBIGINT
+                    & {_SKETCH_MASK}::UBIGINT)::BIGINT) AS h
+        FROM postings
+        CROSS JOIN (SELECT unnest(range(0, {_SKETCH_PERMS})) AS i)
+        GROUP BY 1, 2),
+    est AS (
+        SELECT p.id_a, p.id_b, p.panel, p.j,
+               SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
+                   / {_SKETCH_PERMS} AS e
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+        GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, panel,
+           ROUND(j, 6) AS jaccard,
+           ROUND(e, 6) AS est_jaccard,
+           ROUND(ABS(e - j), 6) AS abs_err
+    FROM est
+    """,
+)
+def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash SKETCH-QUALITY evaluation — the dedup counterpart of
+    the ANN eval family (q_ann_recall/q_ann_ndcg/q_ann_mrr evaluate
+    the served index; this evaluates the served SKETCH): per pair the
+    16-permutation MinHash estimate next to the exact shingle-set
+    Jaccard and their absolute error.  Two panels keep the eval honest
+    across the range a sketch is actually used on: 'cand' = every true
+    near-dup pair (exact PPJoin at Jaccard ≥ 0.5, the regime where an
+    over-estimate merges distinct docs) and 'sample' = a deterministic
+    1-in-29 stride of id-consecutive pairs (the low-similarity
+    background where an under-estimate is invisible to LSH but an
+    over-estimate creates false candidates).  This is the measurement
+    that sizes n_hashes before trusting banded LSH over 100 TB —
+    expected |error| scales as √(j(1−j)/n).
+
+    Signatures use the engine-portable seeded md5 hash
+    (text.portable_hash64 over "<perm> <shingle>", sign-masked so
+    signed/unsigned MIN agree), so the DuckDB oracle replays the
+    SKETCH itself bit-for-bit, not just the exact leg.
+
+    Scale shape: signatures are ONE map-side-combined aggregate over
+    the staged shingle postings (16 mins per doc — the signature
+    staging table an LSH stack maintains anyway); the candidate leg
+    serves from the ranked prefix index (bounded, never all-pairs);
+    the background panel pairs by id-successor EQUI-join (no global
+    sort) and prices linearly in the stride; the estimate join touches
+    only pair-panel-sized relations."""
+    posts = _shingle_relation(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    def _seeded_min(i: int) -> Column:
+        h = text.portable_hash64(
+            F.concat_ws(" ", F.lit(str(i)), F.col("shingle"))
+        )
+        return F.min(h.bitwiseAND(F.lit(_SKETCH_MASK))).alias(f"h{i}")
+
+    sig = posts.groupBy("id").agg(
+        *[_seeded_min(i) for i in range(_SKETCH_PERMS)]
+    )
+    cand = (
+        minhash.exact_jaccard_pairs(
+            docs, threshold=_SKETCH_T - 0.01, k=3, max_shingle_frac=0.01,
+            postings=posts, ranked=_shingle_index_relation(spark, sf_dir),
+        )
+        .where(F.round(F.col("jaccard"), 6) >= _SKETCH_T)
+        .select("id_a", "id_b", F.lit("cand").alias("panel"),
+                F.col("jaccard").alias("j"))
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    samp = (
+        a.join(b, F.col("b.id") == F.col("a.id") + 1)
+        .where(F.col("a.id") % _SKETCH_STRIDE == 0)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+    )
+    pa = posts.select(F.col("id").alias("id_a"), "shingle")
+    pb = posts.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        samp.select("id_a", "id_b")
+        .join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    iv = F.coalesce(F.col("inter"), F.lit(0))
+    samp_j = (
+        samp.join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", F.lit("sample").alias("panel"),
+            (iv.cast("double") / (F.col("na") + F.col("nb") - iv))
+            .alias("j"),
+        )
+        .where(F.round(F.col("j"), 6) < _SKETCH_T)
+    )
+    pairs = cand.unionByName(samp_j)
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"__a{i}")
+                      for i in range(_SKETCH_PERMS)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"__b{i}")
+                      for i in range(_SKETCH_PERMS)])
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(_SKETCH_PERMS)
+    )
+    est = matches.cast("double") / F.lit(float(_SKETCH_PERMS))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "panel",
+            F.round(F.col("j"), 6).alias("jaccard"),
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("j")), 6).alias("abs_err"),
+        )
+    )
+
+
 @register(
     "q_embed_quantize",
     oracle="""
@@ -2123,6 +2299,67 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("actual_lang"),
         text.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    cols, best, case = _langid_sql_parts()
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {cols}
+        FROM documents),
+    pred AS (
+        SELECT lang AS actual_lang,
+               CASE WHEN {best} > 0 THEN {case} ELSE 'und' END
+                   AS predicted_lang
+        FROM scored),
+    cells AS (
+        SELECT actual_lang, predicted_lang, COUNT(*)::BIGINT AS n
+        FROM pred GROUP BY 1, 2)
+    SELECT actual_lang, predicted_lang, n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY predicted_lang), 6)
+               AS "precision",
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY actual_lang), 6)
+               AS recall
+    FROM cells
+    """
+
+
+@register("q_langid_confusion", oracle=_langid_confusion_oracle())
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the evaluation step for the
+    registered q_text_langid plan (the eval-a-registered-plan pattern
+    of q_ann_recall / q_graph_modularity): per (actual, predicted)
+    cell the document count, plus the cell's share of its predicted
+    class (precision when actual = predicted) and of its actual class
+    (recall on the diagonal).  This is the check run before TRUSTING
+    a language classifier to route 100 TB into per-language pipelines
+    — a systematic confusion (e.g. everything unmarked collapsing to
+    'und') shows up as an off-diagonal hot cell.
+
+    Integer counts end to end; the only floats are two ratios of
+    exact integers, identical doubles on both engines before the
+    ROUND.  Scale shape: the corpus collapses to |langs|²-bounded
+    cells in ONE map-side-combined aggregate (predict_lang is scan
+    fused); both windows then run over the tiny cell relation —
+    nothing row-scale ever shuffles."""
+    pred = q_text_langid(spark, sf_dir)
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    by_pred = Window.partitionBy("predicted_lang")
+    by_actual = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(by_pred), 6
+        ).alias("precision"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(by_actual), 6
+        ).alias("recall"),
     )
 
 

@@ -849,15 +849,12 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_text_bigram_lm",
-    # Every count the model trains on is an exact integer on both
-    # engines; the only float steps are the smoothed probability
-    # (a ratio of exact ints — identical doubles), ln (correctly
-    # rounded within 1 ulp on both), and the per-doc mean, whose
-    # summation-order jitter (≲1e-13) the ROUND(.,6) absorbs.
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+#: The bigram-LM scoring pipeline as DuckDB CTEs (``toks`` → ``bg`` →
+#: ``model``/``ctx``/``vocab`` → per-token ``scored``), shared VERBATIM
+#: by the q_text_bigram_lm oracle and the q_quality_ppl_bucket oracle
+#: (the _curation_ctes pattern) so the two can never drift: the bucket
+#: query buckets EXACTLY the scores the scoring query emits.
+_BIGRAM_SCORED_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS w
                   FROM documents),
     bg AS (
       SELECT doc_id, w[i] AS w1, concat_ws(' ', w[i], w[i+1]) AS ngram
@@ -872,7 +869,18 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln((m.c + 1)::DOUBLE / (x.cw + vocab.v)::DOUBLE) AS lnp
       FROM bg b JOIN model m USING (ngram)
       JOIN ctx x ON m.w1 = x.w1
-      CROSS JOIN vocab)
+      CROSS JOIN vocab)"""
+
+
+@register(
+    "q_text_bigram_lm",
+    # Every count the model trains on is an exact integer on both
+    # engines; the only float steps are the smoothed probability
+    # (a ratio of exact ints — identical doubles), ln (correctly
+    # rounded within 1 ulp on both), and the per-doc mean, whose
+    # summation-order jitter (≲1e-13) the ROUND(.,6) absorbs.
+    oracle=f"""
+    WITH {_BIGRAM_SCORED_CTES}
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            ROUND(AVG(lnp), 6) AS avg_lnp
     FROM scored GROUP BY doc_id
@@ -930,6 +938,70 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(lnp), 6).alias("avg_lnp"),
+        )
+    )
+
+
+@register(
+    "q_quality_ppl_bucket",
+    # NTILE over a TOTAL order (rounded score DESC, doc_id) is
+    # standard-SQL-identical in Spark and DuckDB; the score itself is
+    # the already-rounded q_text_bigram_lm output, so the ordering key
+    # is bit-identical on both engines before the window ever runs.
+    oracle=f"""
+    WITH {_BIGRAM_SCORED_CTES},
+    doc_scores AS (
+        SELECT doc_id, ROUND(AVG(lnp), 6) AS avg_lnp
+        FROM scored GROUP BY doc_id),
+    ranked AS (
+        SELECT s.doc_id, d.lang, s.avg_lnp,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_lnp DESC, s.doc_id) AS t
+        FROM doc_scores s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, avg_lnp, CAST(t AS BIGINT) AS tercile,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+    FROM ranked
+    """,
+)
+def q_quality_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity bucketing (the CCNet recipe, Wenzek et
+    al. 2020): score every document with the self-trained LM
+    (q_text_bigram_lm, composed as a registered plan — the
+    q_ann_recall pattern, so the bucketing can never drift from the
+    scoring it claims to bucket), then split EACH LANGUAGE into
+    head / middle / tail terciles by score — head is the cleanest
+    third of that language, tail the most perplexing.  Language-
+    conditioning is the point: a flat corpus-wide cut would sort
+    low-resource languages wholesale into the tail.
+
+    Docs with < 2 tokens have no bigrams, no score, and no bucket —
+    they drop on both engines (the q_text_bigram_lm contract).
+
+    Scale shape: the score join is doc_id-keyed (corpus ⋈ corpus on
+    the primary key — co-partitioned at scale); the tercile is one
+    NTILE window partitioned by language.  With few languages that
+    window is the classic skewed-window at 100 TB — the production
+    swap keeps the same output contract but assigns buckets map-side
+    against per-language score-quantile cutoffs (the broadcast-stats
+    pattern of q_winsorize/q_anomaly_zscore), trading exact
+    equal-count ties for a scan-speed assignment; the registered form
+    keeps the exact NTILE so the oracle can replay ties
+    deterministically."""
+    scores = q_text_bigram_lm(spark, sf_dir).select("doc_id", "avg_lnp")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_lnp"), F.asc("doc_id")
+    )
+    t = F.ntile(3).over(w).cast("long")
+    return (
+        scores.join(docs, "doc_id")
+        .select("doc_id", "lang", "avg_lnp", t.alias("tercile"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail"),
         )
     )
 

@@ -64,9 +64,9 @@ DRIVER_ORDER = (
     # the NEW r15 first-row names, (b) the eight r14 first-row names
     # (1 lifetime green each; they hold until >=2), (c) queries whose
     # IMPLEMENTATION changed in r15 (none — the r15 diff adds queries
-    # and touches only streaming/bench plumbing), (d) 37 of the 45
+    # and touches only streaming/bench plumbing), (d) 34 of the 45
     # r11-stale names (VERDICT r14 task #1: the staleness frontier).
-    # 5 + 8 + 37 = 50; the eight r11 names that did not fit head the
+    # 8 + 8 + 34 = 50; the eleven r11 names that did not fit head the
     # past-cap tail as r16's rotation head.
     # -- NEW in r15 (first driver rows) ------------------------------
     "q_dedup_lines",
@@ -74,6 +74,9 @@ DRIVER_ORDER = (
     "q_classifier_calibration",
     "q_classifier_threshold",
     "q_ann_mrr",
+    "q_quality_ppl_bucket",
+    "q_langid_confusion",
+    "q_sketch_error",
     # -- r14 first rows (1 lifetime row each; hold until >=2) --------
     "q_agg_decayed",
     "q_data_profile",
@@ -118,11 +121,11 @@ DRIVER_ORDER = (
     "q_text_editdist",
     "q_text_repetition",
     "q_text_rolling_hash",
+    # ======================= past the cap ==============================
+    # -- the 11 r11-stale names that did not fit (r16's rotation head) -
     "q_text_span_dedup",
     "q_text_tfidf",
     "q_time_bucket_agg",
-    # ======================= past the cap ==============================
-    # -- the 8 r11-stale names that did not fit (r16's rotation head) -
     "q_token_histogram",
     "q_twap",
     "q_unpivot",

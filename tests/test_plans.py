@@ -1184,3 +1184,49 @@ def test_classifier_threshold_sweep_is_spine_sized(spark):
     assert "SortMergeJoin" not in plan
     assert "Generate" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_ppl_bucket_single_ntile_window(spark):
+    """q_quality_ppl_bucket: exactly ONE window (the per-language
+    NTILE tercile) on top of the composed q_text_bigram_lm plan — the
+    bucketing adds one exchange on the language key, nothing else."""
+    plan = plan_of(
+        all_queries()["q_quality_ppl_bucket"].fn(spark, SF), "simple"
+    )
+    assert plan.count("Window") == 1, plan
+    assert "ntile(3)" in plan
+
+
+def test_langid_confusion_one_pruned_scan_no_join(spark):
+    """q_langid_confusion: prediction is scan-fused (no join, ONE
+    FileScan reading only text+lang), the corpus collapses to
+    |langs|**2 cells in one map-side-combined aggregate, and both
+    precision/recall windows run over the tiny cell relation."""
+    plan = plan_of(
+        all_queries()["q_langid_confusion"].fn(spark, SF), "simple"
+    )
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Window") == 2
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_sketch_error_serves_from_staging(spark):
+    """q_sketch_error: with the shingle staging tables built, the
+    serve plan re-shingles nothing (no Generate), runs no window (the
+    ranked prefix index replaces the window stack), and never sorts
+    globally — signatures are one map-side-combined aggregate over the
+    staged postings and every join is an equi-join."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_index_relation,
+        _shingle_relation,
+    )
+
+    _shingle_relation(spark, SF)
+    _shingle_index_relation(spark, SF)
+    plan = plan_of(all_queries()["q_sketch_error"].fn(spark, SF), "simple")
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

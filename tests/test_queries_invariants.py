@@ -1040,3 +1040,95 @@ def test_rollup_quantile_bounds_hold_at_day_grain_too(spark):
         assert b.p95_lo <= r.e95 <= b.p95_hi, (r.day, r.event_type)
     with pytest.raises(ValueError, match="grain"):
         grid_quantile_bounds(partials, grain="fortnight")
+
+
+def test_ppl_bucket_terciles_balanced_and_complete(spark):
+    """q_quality_ppl_bucket: every scored doc gets a bucket, NTILE
+    balance holds per language (tercile sizes differ by <= 1), the
+    bucket label is a pure function of the tercile, and head scores
+    dominate tail scores within each language."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_quality_ppl_bucket"].fn(spark, sf).collect()
+    assert rows
+    n_scored = all_queries()["q_text_bigram_lm"].fn(spark, sf).count()
+    assert len(rows) == n_scored
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tercile]
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        sizes = [sum(1 for r in rs if r.tercile == t) for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        head = [r.avg_lnp for r in rs if r.tercile == 1]
+        tail = [r.avg_lnp for r in rs if r.tercile == 3]
+        if head and tail:
+            assert min(head) >= max(tail), lang
+
+
+def test_langid_confusion_mass_and_cell_counts(spark):
+    """q_langid_confusion: cell counts conserve the corpus (sum n =
+    n_docs), recall sums to 1 within each actual language, precision
+    sums to 1 within each predicted language, and the cells replay
+    exactly from the registered q_text_langid rows."""
+    from collections import Counter, defaultdict
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_langid_confusion"].fn(spark, sf).collect()
+    assert rows
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    rec: dict[str, float] = defaultdict(float)
+    prec: dict[str, float] = defaultdict(float)
+    for r in rows:
+        rec[r.actual_lang] += r.recall
+        prec[r.predicted_lang] += r["precision"]
+    for lang, v in rec.items():
+        assert abs(v - 1.0) < 1e-4, ("recall", lang, v)
+    for lang, v in prec.items():
+        assert abs(v - 1.0) < 1e-4, ("precision", lang, v)
+    pred = all_queries()["q_text_langid"].fn(spark, sf).collect()
+    want = Counter((p.actual_lang, p.predicted_lang) for p in pred)
+    got = {(r.actual_lang, r.predicted_lang): r.n for r in rows}
+    assert got == dict(want)
+
+
+def test_sketch_error_panels_and_estimator(spark):
+    """q_sketch_error: pairs unique and ordered, panels partition the
+    output at the 0.5 boundary, estimates are exact 16ths in [0, 1],
+    abs_err recomputes from the emitted columns, and the >= 0.8 slice
+    of the cand panel is EXACTLY the q_llm_dedup_fuzzy pair set (the
+    eval evaluates the same sketch domain the dedup family serves)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_sketch_error"].fn(spark, sf).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r.id_a, r.id_b)
+        assert key not in seen
+        seen.add(key)
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.est_jaccard <= 1.0
+        m = r.est_jaccard * 16
+        assert abs(m - round(m)) < 1e-9, r
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) <= 2e-6, r
+        if r.panel == "cand":
+            assert r.jaccard >= 0.5
+        else:
+            assert r.panel == "sample" and r.jaccard < 0.5
+    fuzzy = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in all_queries()["q_llm_dedup_fuzzy"].fn(spark, sf).collect()
+    }
+    cand8 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in rows
+        if r.panel == "cand" and r.jaccard >= 0.8
+    }
+    assert cand8 == fuzzy
