@@ -1957,6 +1957,55 @@ def _profile_oracle() -> str:
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
+def profile_relation(df: DataFrame, cols: tuple[str, ...],
+                     approx_ndv: bool = False,
+                     rsd: float = 0.05) -> DataFrame:
+    """The per-column profile battery behind q_data_profile, with the
+    NDV estimator as a REAL knob (VERDICT r14 watch item): exact
+    ``count_distinct`` keeps the oracle-replayable default, while
+    ``approx_ndv=True`` swaps in ``approx_count_distinct`` (HyperLogLog,
+    relative error ``rsd``) — constant aggregation state per branch
+    instead of distinct-value-sized, the form to flip on BEFORE a
+    high-cardinality column (an id, a timestamp) enters the profiled
+    list at 100 TB.  Every other statistic is identical between the
+    two modes; tests/test_queries_invariants.py pins that."""
+    from functools import reduce
+
+    parts = []
+    for c in cols:
+        v = F.col("v")
+        ndv = (
+            F.approx_count_distinct(v, rsd) if approx_ndv
+            else F.count_distinct(v)
+        )
+        parts.append(
+            df.select(F.col(c).alias("v")).agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(v.isNull(), 1).otherwise(0))
+                .cast("long").alias("n_nulls"),
+                ndv.cast("long").alias("n_distinct"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+                (
+                    F.floor(
+                        F.sum(v.cast("decimal(38,6)"))
+                        .cast("double") * F.lit(10000.0) + F.lit(0.5)
+                    ) / F.lit(10000.0)
+                ).alias("total_value"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.withColumn(
+        "mean_value",
+        F.floor(
+            F.col("total_value")
+            / (F.col("n_rows") - F.col("n_nulls"))
+            * F.lit(1000000.0) + F.lit(0.5)
+        ) / F.lit(1000000.0),
+    )
+
+
 @register("q_data_profile", oracle=_profile_oracle())
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-COLUMN DATA PROFILING (SURVEY.md §2 B12 — the completeness/
@@ -1974,41 +2023,13 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pre-aggregation — measured 5.7-9.2 s vs 1.4-2.2 s for this
     form at sf0.1 (r14); on a columnar store the extra scans are
     nearly free while the Expand's row multiplication never is.
-    Exact NDV state is distinct-value-sized per branch — swap in
-    approx_count_distinct when a column's cardinality outgrows
-    memory.  Exactness: totals are DECIMAL(38,6) sums (float-
-    associativity-free, the q_rollup_cascade discipline); the mean
-    derives from the ROUNDED total so both engines divide identical
-    doubles."""
-    from functools import reduce
-
+    Exact NDV state is distinct-value-sized per branch — the
+    ``approx_ndv`` knob on :func:`profile_relation` swaps in
+    approx_count_distinct (constant HLL state) when a column's
+    cardinality outgrows memory; the registered query keeps the exact
+    mode so the oracle stays a value check.  Exactness: totals are
+    DECIMAL(38,6) sums (float-associativity-free, the
+    q_rollup_cascade discipline); the mean derives from the ROUNDED
+    total so both engines divide identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = []
-    for c in _PROFILE_COLS:
-        parts.append(
-            li.select(F.col(c).alias("v")).agg(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-                .cast("long").alias("n_nulls"),
-                F.count_distinct(F.col("v")).cast("long")
-                .alias("n_distinct"),
-                F.min("v").alias("min_value"),
-                F.max("v").alias("max_value"),
-                (
-                    F.floor(
-                        F.sum(F.col("v").cast("decimal(38,6)"))
-                        .cast("double") * F.lit(10000.0) + F.lit(0.5)
-                    ) / F.lit(10000.0)
-                ).alias("total_value"),
-            )
-        )
-    u = reduce(lambda a, b: a.unionByName(b), parts)
-    return u.withColumn(
-        "mean_value",
-        F.floor(
-            F.col("total_value")
-            / (F.col("n_rows") - F.col("n_nulls"))
-            * F.lit(1000000.0) + F.lit(0.5)
-        ) / F.lit(1000000.0),
-    )
+    return profile_relation(li, _PROFILE_COLS)

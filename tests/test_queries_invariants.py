@@ -1132,3 +1132,36 @@ def test_sketch_error_panels_and_estimator(spark):
         if r.panel == "cand" and r.jaccard >= 0.8
     }
     assert cand8 == fuzzy
+
+
+def test_data_profile_approx_ndv_knob(spark):
+    """profile_relation(approx_ndv=True) must change ONLY the NDV
+    estimator: every other statistic is bit-identical to the exact
+    mode, the approx NDV lands within the configured relative error on
+    the fixture cardinalities, and the approx plan carries no exact
+    count(DISTINCT) state (the whole point of the knob)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.plans import plan_of
+    from level2_to_cassandra_spark.queries.relational import (
+        _PROFILE_COLS,
+        profile_relation,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = {r.column_name: r
+             for r in profile_relation(li, _PROFILE_COLS).collect()}
+    approx_df = profile_relation(li, _PROFILE_COLS, approx_ndv=True)
+    plan = plan_of(approx_df, "simple")
+    assert "approx_count_distinct" in plan
+    assert "count(distinct" not in plan.lower()
+    approx = {r.column_name: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for c, a in approx.items():
+        e = exact[c]
+        for f in ("n_rows", "n_nulls", "min_value", "max_value",
+                  "total_value", "mean_value"):
+            assert a[f] == e[f], (c, f)
+        # HLL at rsd=0.05: generous 3-sigma band on the fixture NDVs
+        assert abs(a.n_distinct - e.n_distinct) <= max(
+            2, 0.15 * e.n_distinct
+        ), (c, a.n_distinct, e.n_distinct)
