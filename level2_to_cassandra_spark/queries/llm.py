@@ -2214,7 +2214,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the scan); the alpha-word filter is one array HOF
     per row, bounded by document length.  At 100 TB this is the
     cheapest query shape there is: scan → project."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_stats(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The pure Gopher-rule transform behind q_quality_gopher: per-doc
+    raw metrics + the composite pass_gopher bit, with ``keep``
+    passthrough columns (the curate_flags discipline — the streaming
+    quality gate keeps the original payload so admitted rows flow to
+    the sink unchanged).  A NULL text yields NULL metrics and
+    pass_gopher = 0 (the gate condition is NULL → ``otherwise(0)``),
+    so pass/reject PARTITION any input: nothing drops, nothing lands
+    twice."""
     toks = text.tokens("text")
     n_words = F.size(toks)
     mean_word_len = F.round(
@@ -2237,6 +2248,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_word_len.alias("mean_word_len"),
         alpha_frac.alias("alpha_frac"),
         symbol_ratio.alias("symbol_ratio"),
+        *keep,
     )
     return s.select(
         "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
@@ -2247,6 +2259,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("symbol_ratio") <= 0.1),
             1,
         ).otherwise(0).alias("pass_gopher"),
+        *keep,
     )
 
 

@@ -1372,6 +1372,86 @@ def read_line_dedup(spark, base_path: str) -> DataFrame:
     ).dropDuplicates(["batch_id", "doc_id"])
 
 
+#: reject-journal schema: the q_quality_gopher metric columns plus the
+#: batch attribution (replay dedup key component)
+QUALITY_GATE_SCHEMA = (
+    "batch_id long, doc_id long, n_words long, mean_word_len double, "
+    "alpha_frac double, symbol_ratio double"
+)
+
+
+def quality_gate_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/rejects`` holds the per-doc reject audit rows."""
+    return f"{base}/_quality_gate"
+
+
+def foreach_batch_with_quality_gate(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with the GOPHER QUALITY GATE
+    — the streaming twin of q_quality_gopher: each micro-batch of
+    documents is scored with the SAME shared transform the batch query
+    serves from (queries/llm.py::gopher_stats — rule set and rounding
+    shared verbatim, so gate and query agree bit-for-bit by
+    construction and by parity test), then split two ways:
+
+    * docs whose composite pass_gopher bit is 1 flow to the wrapped
+      sink UNCHANGED (original columns);
+    * rejects are journaled with their raw metrics — auditable by
+      reason (which rule failed is re-derivable from the stored
+      metrics without re-reading the text), the q_curate_corpus
+      stance applied at ingest.
+
+    A NULL-text doc scores NULL metrics and pass_gopher = 0
+    (gopher_stats' contract), so the two legs PARTITION the batch:
+    nothing drops, nothing lands twice.
+
+    The gate is STATELESS (pure per-row expressions — no store, no
+    history), so replay determinism is free: a replayed batch
+    re-derives identical legs and readers dedup the reject journal on
+    (batch_id, doc_id).  Cost per batch: map-side expression work
+    fused into each leg's scan of the persisted batch — zero shuffles,
+    zero Python, zero state."""
+    from level2_to_cassandra_spark.queries.llm import gopher_stats
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            bid = int(batch_id)
+            cols = list(batch_df.columns)
+            stats = gopher_stats(
+                batch_df,
+                keep=tuple(c for c in cols if c != "doc_id"),
+            )
+            inner(stats.where(F.col("pass_gopher") == 1).select(*cols),
+                  batch_id)
+            rejects = stats.where(F.col("pass_gopher") == 0).select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
+            )
+            rejects.coalesce(1).write.mode("append").parquet(
+                f"{quality_gate_path(base_path)}/rejects"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_quality_rejects(spark, base_path: str) -> DataFrame:
+    """Read the quality-gate reject audit table (empty before the
+    first delivered batch); replayed batches collapse on (batch_id,
+    doc_id) — the gate is stateless, so rows are deterministic
+    re-derivations."""
+    return _read_journal(
+        spark, f"{quality_gate_path(base_path)}/rejects",
+        QUALITY_GATE_SCHEMA,
+    ).dropDuplicates(["batch_id", "doc_id"])
+
+
 #: stored minutely grid-partial schema — operators/rollup.py's partial
 #: format plus the batch_id attribution (replay dedup key component)
 GRID_PARTIALS_SCHEMA = (

@@ -2304,3 +2304,75 @@ def test_streaming_grid_rollup_parity_and_replay(spark, tmp_path):
         for r in grid_rollup_bounds(spark, base, grain="hour").collect()
     }
     assert again == want
+
+
+def test_streaming_quality_gate_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_quality_gate: admitted ∪ rejects must
+    PARTITION every batch (nothing dropped, nothing doubled), the
+    reject journal's metric columns must equal q_quality_gopher's
+    pass_gopher=0 rows bit-for-bit (shared gopher_stats transform),
+    admitted doc_ids must equal the batch query's pass_gopher=1 set,
+    and a replayed batch must collapse in the reader (the gate is
+    stateless — rows are deterministic re-derivations)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_quality_gate,
+        read_quality_rejects,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    batches = [
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ]
+
+    base = str(tmp_path / "sink")
+    admitted: list = []
+    cb = foreach_batch_with_quality_gate(
+        lambda df, bid: admitted.extend(
+            (bid, r.doc_id) for r in df.select("doc_id").collect()
+        ),
+        base,
+    )
+    for i, b in enumerate(batches):
+        cb(b, i)
+
+    gopher = all_queries()["q_quality_gopher"].fn(spark, sf_smoke)
+    want_admit = {r.doc_id for r in gopher.where("pass_gopher = 1")
+                  .collect()}
+    want_reject = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.alpha_frac,
+                   r.symbol_ratio)
+        for r in gopher.where("pass_gopher = 0").collect()
+    }
+    got_admit = {d for _, d in admitted}
+    assert len(admitted) == len(got_admit)       # nothing doubled
+    assert got_admit == want_admit
+    rejects = read_quality_rejects(spark, base).collect()
+    got_reject = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.alpha_frac,
+                   r.symbol_ratio)
+        for r in rejects
+    }
+    assert got_reject == want_reject
+    assert len(rejects) == len(got_reject)       # unique per doc
+    # partition law: every fixture doc landed exactly once somewhere
+    assert got_admit | set(got_reject) == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    assert not (got_admit & set(got_reject))
+
+    # replay batch 1: stateless gate re-derives identical legs; the
+    # reader's (batch_id, doc_id) dedup collapses the journal rows
+    cb(batches[1], 1)
+    again = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.alpha_frac,
+                   r.symbol_ratio)
+        for r in read_quality_rejects(spark, base).collect()
+    }
+    assert again == want_reject
