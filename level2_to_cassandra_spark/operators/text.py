@@ -320,10 +320,16 @@ def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     # in a separate child select it lands in a Project BELOW the
     # Generate, computed once per document and reused by the sequence
     # bound and every line slice (verified on the optimized plan).
-    # NULL-text guard (self-review r15): size(NULL) is -1, and
-    # sequence(1, -1, 8) is a RUNTIME error — one malformed row would
-    # kill the whole streaming admit query.  Dropping NULL-text docs
-    # matches the oracle (string_split(NULL) unnests to zero rows).
+    # NULL-text guard (self-review r15, rationale corrected by the
+    # second review pass): behavior is ANSI-MODE-DEPENDENT — under
+    # Spark 4's default ANSI mode size(split(NULL)) is NULL, the
+    # sequence bound is NULL, and posexplode silently emits zero rows;
+    # under legacy mode (spark.sql.ansi.enabled=false) size gives -1
+    # and sequence(1, -1, 8) is a RUNTIME IllegalArgumentException
+    # that would kill a streaming admit query (both probed live on
+    # 4.1.2).  The explicit filter makes the drop mode-independent
+    # and matches the oracle (string_split(NULL) unnests to zero
+    # rows).
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__w"),

@@ -2217,6 +2217,16 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_stats(load_table(spark, sf_dir, "documents"))
 
 
+#: gopher_stats' computed output columns — a ``keep`` passthrough may
+#: not collide with these (or doc_id): the output schema would carry
+#: duplicate names and every downstream bare reference would raise
+#: AMBIGUOUS_REFERENCE at runtime (review r15).
+_GOPHER_STAT_COLS = (
+    "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
+    "pass_gopher",
+)
+
+
 def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """The pure Gopher-rule transform behind q_quality_gopher: per-doc
     raw metrics + the composite pass_gopher bit, with ``keep``
@@ -2225,7 +2235,19 @@ def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     the sink unchanged).  A NULL text yields NULL metrics and
     pass_gopher = 0 (the gate condition is NULL → ``otherwise(0)``),
     so pass/reject PARTITION any input: nothing drops, nothing lands
-    twice."""
+    twice.
+
+    ``keep`` names colliding with the computed stat columns raise
+    immediately (a scored-corpus payload that already carries e.g. an
+    ``n_words`` column would otherwise produce a duplicate-name schema
+    and an AMBIGUOUS_REFERENCE failure on the FIRST micro-batch of a
+    streaming gate — fail at build time, with a message, instead)."""
+    clash = set(keep) & set(_GOPHER_STAT_COLS)
+    if clash:
+        raise ValueError(
+            "gopher_stats keep columns collide with computed stat "
+            f"columns: {sorted(clash)} — rename them upstream"
+        )
     toks = text.tokens("text")
     n_words = F.size(toks)
     mean_word_len = F.round(

@@ -63,11 +63,16 @@ DRIVER_ORDER = (
     # whole r14 cap (50/50), so the cap rebuilds from the policy: (a)
     # the NEW r15 first-row names, (b) the eight r14 first-row names
     # (1 lifetime green each; they hold until >=2), (c) queries whose
-    # IMPLEMENTATION changed in r15 (none — the r15 diff adds queries
-    # and touches only streaming/bench plumbing), (d) 34 of the 45
-    # r11-stale names (VERDICT r14 task #1: the staleness frontier).
-    # 8 + 8 + 34 = 50; the eleven r11 names that did not fit head the
-    # past-cap tail as r16's rotation head.
+    # IMPLEMENTATION or ORACLE changed in r15 — q_rollup_quantile
+    # (NULL/NaN exclusion, both legs + oracle), q_dedup_lines (shared
+    # line_segments NULL guard), q_quality_gopher (gopher_stats
+    # factoring), q_data_profile (profile_relation factoring) — all
+    # four already hold in-cap slots under (a)/(b), so category (c)
+    # consumes no extra positions; q_text_bigram_lm's oracle factoring
+    # is byte-identical (verified) and does not count as changed;
+    # (d) 34 of the 45 r11-stale names (VERDICT r14 task #1: the
+    # staleness frontier).  8 + 8 + 34 = 50; the eleven r11 names that
+    # did not fit head the past-cap tail as r16's rotation head.
     # -- NEW in r15 (first driver rows) ------------------------------
     "q_dedup_lines",
     "q_rollup_quantile",

@@ -1413,7 +1413,15 @@ def foreach_batch_with_quality_gate(
     re-derives identical legs and readers dedup the reject journal on
     (batch_id, doc_id).  Cost per batch: map-side expression work
     fused into each leg's scan of the persisted batch — zero shuffles,
-    zero Python, zero state."""
+    zero Python, zero state.
+
+    SCHEMA CONTRACT: batch columns other than doc_id pass through to
+    the sink unchanged, so they may not collide with the computed
+    metric names (n_words / mean_word_len / alpha_frac / symbol_ratio
+    / pass_gopher) — gopher_stats raises a named ValueError on the
+    first batch instead of letting Spark die later with an ambiguous-
+    reference error (review r15); rename such payload columns
+    upstream."""
     from level2_to_cassandra_spark.queries.llm import gopher_stats
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

@@ -2376,3 +2376,23 @@ def test_streaming_quality_gate_parity_and_replay(spark, tmp_path):
         for r in read_quality_rejects(spark, base).collect()
     }
     assert again == want_reject
+
+
+def test_streaming_quality_gate_rejects_colliding_payload_schema(spark):
+    """A batch whose payload already carries a metric-named column
+    must fail IMMEDIATELY with gopher_stats' named ValueError — not
+    later with Spark's ambiguous-reference error on a duplicate-name
+    schema (review r15)."""
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_quality_gate,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "some text here", 3)],
+        "doc_id long, text string, n_words long",
+    )
+    cb = foreach_batch_with_quality_gate(lambda df, bid: None, "/tmp/x")
+    with pytest.raises(ValueError, match="n_words"):
+        cb(batch, 0)
