@@ -2217,14 +2217,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_stats(load_table(spark, sf_dir, "documents"))
 
 
-#: gopher_stats' computed output columns — a ``keep`` passthrough may
-#: not collide with these (or doc_id): the output schema would carry
-#: duplicate names and every downstream bare reference would raise
-#: AMBIGUOUS_REFERENCE at runtime (review r15).
-_GOPHER_STAT_COLS = (
-    "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
-    "pass_gopher",
+#: gopher_stats' computed metric columns, in output order — the SINGLE
+#: source of truth: the function's selects are built from these names
+#: (a metric added to the expression dict without extending this tuple
+#: fails with a KeyError at plan-build time, review r15), and a
+#: ``keep`` passthrough may not collide with them (or doc_id /
+#: pass_gopher): the output schema would carry duplicate names and
+#: every downstream bare reference would raise AMBIGUOUS_REFERENCE at
+#: runtime.
+_GOPHER_METRIC_COLS = (
+    "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
 )
+_GOPHER_STAT_COLS = ("doc_id", *_GOPHER_METRIC_COLS, "pass_gopher")
 
 
 def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
@@ -2241,8 +2245,11 @@ def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     immediately (a scored-corpus payload that already carries e.g. an
     ``n_words`` column would otherwise produce a duplicate-name schema
     and an AMBIGUOUS_REFERENCE failure on the FIRST micro-batch of a
-    streaming gate — fail at build time, with a message, instead)."""
-    clash = set(keep) & set(_GOPHER_STAT_COLS)
+    streaming gate — fail at build time, with a message, instead).
+    The comparison is CASEFOLDED: Spark resolves column names
+    case-insensitively by default, so 'N_Words' collides with
+    'n_words' just the same (review r15, second pass)."""
+    clash = {k for k in keep if k.lower() in _GOPHER_STAT_COLS}
     if clash:
         raise ValueError(
             "gopher_stats keep columns collide with computed stat "
@@ -2250,30 +2257,31 @@ def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         )
     toks = text.tokens("text")
     n_words = F.size(toks)
-    mean_word_len = F.round(
-        (F.length("text") - n_words + 1).cast("double") / n_words, 6
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
-        .cast("double") / n_words,
-        6,
-    )
     n_sym = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
     ) + (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("…")))
     )
-    symbol_ratio = F.round(n_sym.cast("double") / n_words, 6)
+    metrics = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
+            (F.length("text") - n_words + 1).cast("double") / n_words, 6
+        ),
+        "alpha_frac": F.round(
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+            .cast("double") / n_words,
+            6,
+        ),
+        "symbol_ratio": F.round(n_sym.cast("double") / n_words, 6),
+    }
     s = docs.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        symbol_ratio.alias("symbol_ratio"),
+        *[metrics[c].alias(c) for c in _GOPHER_METRIC_COLS],
         *keep,
     )
     return s.select(
-        "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
+        "doc_id",
+        *_GOPHER_METRIC_COLS,
         F.when(
             F.col("n_words").between(50, 100000)
             & F.col("mean_word_len").between(3, 10)

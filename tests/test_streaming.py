@@ -2378,21 +2378,27 @@ def test_streaming_quality_gate_parity_and_replay(spark, tmp_path):
     assert again == want_reject
 
 
-def test_streaming_quality_gate_rejects_colliding_payload_schema(spark):
-    """A batch whose payload already carries a metric-named column
-    must fail IMMEDIATELY with gopher_stats' named ValueError — not
-    later with Spark's ambiguous-reference error on a duplicate-name
-    schema (review r15)."""
+def test_streaming_quality_gate_rejects_colliding_payload_schema(
+    spark, tmp_path
+):
+    """A batch whose payload already carries a metric-named column —
+    in ANY case, since Spark resolves names case-insensitively by
+    default — must fail IMMEDIATELY with gopher_stats' named
+    ValueError, not later with Spark's ambiguous-reference error on a
+    duplicate-name schema (review r15, both passes)."""
     import pytest
 
     from level2_to_cassandra_spark.streaming.monitor import (
         foreach_batch_with_quality_gate,
     )
 
-    batch = spark.createDataFrame(
-        [(1, "some text here", 3)],
-        "doc_id long, text string, n_words long",
+    cb = foreach_batch_with_quality_gate(
+        lambda df, bid: None, str(tmp_path / "sink")
     )
-    cb = foreach_batch_with_quality_gate(lambda df, bid: None, "/tmp/x")
-    with pytest.raises(ValueError, match="n_words"):
-        cb(batch, 0)
+    for col in ("n_words", "N_Words"):
+        batch = spark.createDataFrame(
+            [(1, "some text here", 3)],
+            f"doc_id long, text string, {col} long",
+        )
+        with pytest.raises(ValueError, match="ame them upstream"):
+            cb(batch, 0)
