@@ -156,6 +156,7 @@ HEADLINE = [
     "q_quality_ppl_bucket",      # CCNet per-lang perplexity terciles
     "q_langid_confusion",        # langid eval: |langs|² confusion cells
     "q_sketch_error",            # MinHash estimate vs exact Jaccard
+    "q_dedup_url",               # URL canonicalization dedup (1 window)
 ]
 
 

@@ -56,6 +56,140 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_url",
+    # The synthetic URL construction (fixture docs carry no URLs, so
+    # the check would otherwise never exercise the normalizer — the
+    # q_text_redact stance) and every canonicalization step are pure
+    # string/array built-ins with identical semantics on both engines;
+    # regexes use only anchors + character literals (no lookaround) so
+    # Java regex and RE2 agree; out-of-range part extraction is
+    # NULL-safe on both sides (Spark F.get, DuckDB list indexing).
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+              || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+              || '.example.com/doc/' || (doc_id % 40)::VARCHAR
+              || CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&id=' || (doc_id % 7)::VARCHAR
+                      WHEN doc_id % 4 = 1
+                      THEN '?id=' || (doc_id % 7)::VARCHAR
+                      ELSE '' END
+              || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, url,
+             string_split(x, '/')[1] AS host,
+             string_split(string_split(
+                 substr(x, length(string_split(x, '/')[1]) + 1),
+                 '#')[1], '?')[1] AS path,
+             string_split(string_split(
+                 substr(x, length(string_split(x, '/')[1]) + 1),
+                 '#')[1], '?')[2] AS qs
+      FROM (SELECT doc_id, url,
+                   regexp_replace(url, '^https?://', '') AS x
+            FROM synth)),
+    canon AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(host, '^www\\.', '')) || path ||
+             CASE WHEN kept IS NOT NULL AND kept <> ''
+                  THEN '?' || kept ELSE '' END AS canonical_url
+      FROM (SELECT doc_id, url, host, path,
+                   array_to_string(
+                     list_filter(string_split(qs, '&'),
+                                 p -> NOT regexp_matches(p, '^utm_')),
+                     '&') AS kept
+            FROM parsed))
+    SELECT doc_id, url, canonical_url,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)
+                AS BIGINT) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+               AS n_variants
+    FROM canon
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup any crawl pipeline
+    runs, before a byte of content is even fetched or hashed: collapse
+    scheme (http/https), a leading ``www.``, host case, tracking query
+    parameters (``utm_*`` dropped, payload params kept) and fragments
+    into one canonical URL, then keep the first (minimum doc_id)
+    occurrence per canonical.  The fixture carries no URL column, so a
+    deterministic synthetic URL is constructed per doc from
+    (doc_id, source) with all five variance modes live — the
+    q_text_redact construction stance: the surface under test is the
+    NORMALIZER, and both engines build identical inputs.
+
+    Emits every doc with its raw URL, canonical form, the canonical
+    bit, and the canonical-group size, so the reject set and the
+    merge factor are auditable (the q_curate_corpus stance).
+
+    Scale shape: canonicalization is pure map-side string/array work
+    fused into the scan; the only exchange is ONE hash window on the
+    canonical key (at crawl scale the key would be hashed to fixed
+    width first — the q_llm_dedup_exact discipline; kept literal here
+    so the output is human-auditable).  No joins, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/doc/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&id="),
+                        (d % 7).cast("string")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("?id="), (d % 7).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    synth = docs.select("doc_id", url.alias("url"))
+    stripped = synth.select(
+        "doc_id", "url",
+        F.regexp_replace("url", r"^https?://", "").alias("__x"),
+    )
+    hosted = stripped.select(
+        "doc_id", "url", "__x",
+        F.get(F.split("__x", "/"), 0).alias("host"),
+    )
+    parsed = hosted.select(
+        "doc_id", "url", "host",
+        F.col("__x").substr(
+            F.length("host") + F.lit(1), F.length("__x")
+        ).alias("tail"),
+    ).select(
+        "doc_id", "url", "host",
+        F.get(F.split(F.get(F.split("tail", "#"), 0), r"\?"), 0)
+        .alias("path"),
+        F.get(F.split(F.get(F.split("tail", "#"), 0), r"\?"), 1)
+        .alias("qs"),
+    )
+    kept = F.array_join(
+        F.filter(F.split("qs", "&"), lambda p: ~p.rlike("^utm_")), "&"
+    )
+    canon = parsed.select(
+        "doc_id", "url",
+        F.concat(
+            F.lower(F.regexp_replace("host", r"^www\.", "")),
+            F.col("path"),
+            F.when(
+                kept.isNotNull() & (kept != ""), F.concat(F.lit("?"), kept)
+            ).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id", "url", "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("long").alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
+    )
+
+
 _FUZZY_ORACLE = """
     WITH postings AS (
         SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle

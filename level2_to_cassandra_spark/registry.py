@@ -70,8 +70,8 @@ DRIVER_ORDER = (
     # four already hold in-cap slots under (a)/(b), so category (c)
     # consumes no extra positions; q_text_bigram_lm's oracle factoring
     # is byte-identical (verified) and does not count as changed;
-    # (d) 34 of the 45 r11-stale names (VERDICT r14 task #1: the
-    # staleness frontier).  8 + 8 + 34 = 50; the eleven r11 names that
+    # (d) 33 of the 45 r11-stale names (VERDICT r14 task #1: the
+    # staleness frontier).  9 + 8 + 33 = 50; the twelve r11 names that
     # did not fit head the past-cap tail as r16's rotation head.
     # -- NEW in r15 (first driver rows) ------------------------------
     "q_dedup_lines",
@@ -82,6 +82,7 @@ DRIVER_ORDER = (
     "q_quality_ppl_bucket",
     "q_langid_confusion",
     "q_sketch_error",
+    "q_dedup_url",
     # -- r14 first rows (1 lifetime row each; hold until >=2) --------
     "q_agg_decayed",
     "q_data_profile",
@@ -91,7 +92,7 @@ DRIVER_ORDER = (
     "q_robust_scale",
     "q_sample_reservoir",
     "q_text_novelty",
-    # -- last driver-green r11 (37 of the 45-name staleness frontier) -
+    # -- last driver-green r11 (33 of the 45-name staleness frontier) -
     "q_agg_argmax",
     "q_agg_mode",
     "q_anomaly_zscore",
@@ -125,9 +126,9 @@ DRIVER_ORDER = (
     "q_snapshot_diff",
     "q_text_editdist",
     "q_text_repetition",
-    "q_text_rolling_hash",
     # ======================= past the cap ==============================
-    # -- the 11 r11-stale names that did not fit (r16's rotation head) -
+    # -- the 12 r11-stale names that did not fit (r16's rotation head) -
+    "q_text_rolling_hash",
     "q_text_span_dedup",
     "q_text_tfidf",
     "q_time_bucket_agg",

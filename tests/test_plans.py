@@ -1230,3 +1230,17 @@ def test_sketch_error_serves_from_staging(spark):
     assert "Generate" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_url_one_window_one_pruned_scan(spark):
+    """q_dedup_url: canonicalization is scan-fused (ONE FileScan
+    reading only doc_id+source, no joins, no explode); the only
+    exchange is the single hash window on the canonical key."""
+    plan = plan_of(all_queries()["q_dedup_url"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "n_chars" not in read_schema

@@ -1167,3 +1167,42 @@ def test_data_profile_approx_ndv_knob(spark):
         assert abs(a.n_distinct - e.n_distinct) <= max(
             2, 0.15 * e.n_distinct
         ), (c, a.n_distinct, e.n_distinct)
+
+
+def test_dedup_url_canonical_group_laws(spark):
+    """q_dedup_url: every canonical group carries exactly one
+    is_canonical=1 row (its minimum doc_id), n_variants equals the
+    group size on every member, every doc appears exactly once, and
+    the normalizer's variance modes are all LIVE on the fixture (some
+    group actually merges >= 2 raw-URL variants, and no canonical URL
+    retains scheme/www/uppercase/utm_/fragment artifacts)."""
+    from collections import defaultdict
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_url"].fn(spark, sf).collect()
+    assert rows
+    n_docs = load_table(spark, sf, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.canonical_url].append(r)
+        assert "://" not in r.canonical_url
+        assert not r.canonical_url.startswith("www.")
+        host = r.canonical_url.split("/")[0]
+        assert host == host.lower()
+        assert "utm_" not in r.canonical_url
+        assert "#" not in r.canonical_url
+    for cu, members in groups.items():
+        assert sum(m.is_canonical for m in members) == 1, cu
+        lead = min(m.doc_id for m in members)
+        for m in members:
+            assert m.n_variants == len(members), cu
+            assert m.is_canonical == (1 if m.doc_id == lead else 0)
+    assert any(
+        len({m.url for m in members}) >= 2
+        for members in groups.values() if len(members) >= 2
+    )
