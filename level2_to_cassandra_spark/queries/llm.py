@@ -131,7 +131,22 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical key (at crawl scale the key would be hashed to fixed
     width first — the q_llm_dedup_exact discipline; kept literal here
     so the output is human-auditable).  No joins, no explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    canon = canonical_urls(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id", "url", "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("long").alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
+    )
+
+
+def canonical_urls(docs: DataFrame) -> DataFrame:
+    """The synthetic-URL construction + canonicalization behind
+    q_dedup_url, as a pure (doc_id, url, canonical_url) transform —
+    shared VERBATIM by the batch query and the streaming URL-frontier
+    admit wrapper (streaming/monitor.py::foreach_batch_with_url_dedup)
+    so the two can never drift.  Map-side only: no window, no join."""
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
@@ -171,7 +186,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.array_join(
         F.filter(F.split("qs", "&"), lambda p: ~p.rlike("^utm_")), "&"
     )
-    canon = parsed.select(
+    return parsed.select(
         "doc_id", "url",
         F.concat(
             F.lower(F.regexp_replace("host", r"^www\.", "")),
@@ -180,13 +195,6 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kept.isNotNull() & (kept != ""), F.concat(F.lit("?"), kept)
             ).otherwise(F.lit("")),
         ).alias("canonical_url"),
-    )
-    w = Window.partitionBy("canonical_url")
-    return canon.select(
-        "doc_id", "url", "canonical_url",
-        (F.col("doc_id") == F.min("doc_id").over(w))
-        .cast("long").alias("is_canonical"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
     )
 
 

@@ -1460,6 +1460,107 @@ def read_quality_rejects(spark, base_path: str) -> DataFrame:
     ).dropDuplicates(["batch_id", "doc_id"])
 
 
+#: reject-journal schema: the duplicate doc, its canonical URL, and
+#: the batch attribution (replay dedup key component)
+URL_DEDUP_SCHEMA = "batch_id long, doc_id long, canonical_url string"
+
+
+def url_dedup_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/rejects`` holds the per-doc duplicate audit rows,
+    ``/seen`` the append-only first-occurrence canonical-URL store."""
+    return f"{base}/_url_dedup"
+
+
+def foreach_batch_with_url_dedup(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with URL-FRONTIER DEDUP at
+    admit — the streaming twin of q_dedup_url and the shape of a crawl
+    frontier: every document's canonical URL (queries/llm.py::
+    canonical_urls — construction and normalizer shared VERBATIM with
+    the batch query) is checked against all canonicals seen in earlier
+    batches and earlier docs of its own batch; only the first
+    occurrence per canonical flows to the wrapped sink (original
+    columns), duplicates are journaled with their canonical for audit.
+
+    REPLAY DETERMINISM follows foreach_batch_with_line_dedup exactly:
+    the probe anti-joins the seen store FILTERED TO STRICTLY EARLIER
+    BATCHES (``batch_id < bid``), within-batch first occurrence is the
+    minimum doc_id (the batch query's rule), and the store append runs
+    LAST so a replay re-derives identical legs.  When batches
+    partition the corpus in doc_id order the admitted set equals
+    q_dedup_url's is_canonical=1 set exactly (parity-pinned by test).
+
+    Cost per batch: map-side canonicalization fused into the batch
+    scan, one anti-join against the seen store keyed by canonical URL
+    (probe ∝ batch size × store occupancy — the incremental-dedup
+    shape, never corpus²), one window over batch canonicals, two
+    appends."""
+    from level2_to_cassandra_spark.queries.llm import canonical_urls
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        canon = None
+        try:
+            bid = int(batch_id)
+            # persisted: feeds the admit probe, the reject leg and the
+            # seen append (three branches, three actions)
+            canon = canonical_urls(batch_df).select(
+                "doc_id", "canonical_url"
+            ).persist()
+            seen = (
+                _read_journal(
+                    batch_df.sparkSession,
+                    f"{url_dedup_path(base_path)}/seen",
+                    "canonical_url string, batch_id long",
+                )
+                .where(F.col("batch_id") < bid)
+                .select("canonical_url")
+                .distinct()
+            )
+            w = Window.partitionBy("canonical_url")
+            admitted_ids = (
+                canon.join(seen, "canonical_url", "left_anti")
+                .withColumn("__lead", F.min("doc_id").over(w))
+                .where(F.col("__lead") == F.col("doc_id"))
+                .select("doc_id")
+            )
+            inner(batch_df.join(admitted_ids, "doc_id"), batch_id)
+            rejects = canon.join(admitted_ids, "doc_id", "left_anti").select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "canonical_url",
+            )
+            rejects.coalesce(1).write.mode("append").parquet(
+                f"{url_dedup_path(base_path)}/rejects"
+            )
+            # store append LAST: a crash before this line re-derives
+            # the replay identically (its own rows are batch_id-
+            # filtered out of the probe either way)
+            canon.select("canonical_url").distinct().select(
+                "canonical_url", F.lit(bid).cast("long").alias("batch_id")
+            ).write.mode("append").parquet(
+                f"{url_dedup_path(base_path)}/seen"
+            )
+        finally:
+            if canon is not None:
+                canon.unpersist()
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_url_rejects(spark, base_path: str) -> DataFrame:
+    """Read the URL-dedup duplicate audit table (empty before the
+    first delivered batch); replayed batches collapse on (batch_id,
+    doc_id) — the rows are deterministic re-derivations."""
+    return _read_journal(
+        spark, f"{url_dedup_path(base_path)}/rejects", URL_DEDUP_SCHEMA
+    ).dropDuplicates(["batch_id", "doc_id"])
+
+
 #: stored minutely grid-partial schema — operators/rollup.py's partial
 #: format plus the batch_id attribution (replay dedup key component)
 GRID_PARTIALS_SCHEMA = (

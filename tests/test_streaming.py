@@ -2402,3 +2402,62 @@ def test_streaming_quality_gate_rejects_colliding_payload_schema(
         )
         with pytest.raises(ValueError, match="ame them upstream"):
             cb(batch, 0)
+
+
+def test_streaming_url_dedup_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_url_dedup: when batches partition the
+    fixture in doc_id order, the admitted set must equal q_dedup_url's
+    is_canonical=1 set exactly and the reject journal its
+    is_canonical=0 set (with matching canonicals); admitted ∪ rejects
+    must partition every batch; and a replayed batch must re-derive
+    identical legs (its own store rows are batch_id-filtered out of
+    the probe)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_url_dedup,
+        read_url_rejects,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    batches = [
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ]
+
+    base = str(tmp_path / "sink")
+    admitted: list = []
+    cb = foreach_batch_with_url_dedup(
+        lambda df, bid: admitted.extend(
+            r.doc_id for r in df.select("doc_id").collect()
+        ),
+        base,
+    )
+    for i, b in enumerate(batches):
+        cb(b, i)
+
+    batch_q = {
+        r.doc_id: (r.is_canonical, r.canonical_url)
+        for r in all_queries()["q_dedup_url"].fn(spark, sf_smoke).collect()
+    }
+    want_admit = {d for d, (c, _) in batch_q.items() if c == 1}
+    want_reject = {d: cu for d, (c, cu) in batch_q.items() if c == 0}
+    assert set(admitted) == want_admit
+    assert len(admitted) == len(want_admit)      # nothing doubled
+    rejects = read_url_rejects(spark, base).collect()
+    assert {r.doc_id: r.canonical_url for r in rejects} == want_reject
+    assert len(rejects) == len(want_reject)
+    assert want_admit | set(want_reject) == set(batch_q)  # partition
+
+    # replay batch 1: probe excludes its own store rows, legs
+    # re-derive identically, reader collapses the journal duplicates
+    cb(batches[1], 1)
+    again = {
+        r.doc_id: r.canonical_url
+        for r in read_url_rejects(spark, base).collect()
+    }
+    assert again == want_reject
