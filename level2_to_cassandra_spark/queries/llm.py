@@ -2396,13 +2396,15 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: gopher_stats' computed metric columns, in output order — the SINGLE
-#: source of truth: the function's selects are built from these names
-#: (a metric added to the expression dict without extending this tuple
-#: fails with a KeyError at plan-build time, review r15), and a
-#: ``keep`` passthrough may not collide with them (or doc_id /
-#: pass_gopher): the output schema would carry duplicate names and
-#: every downstream bare reference would raise AMBIGUOUS_REFERENCE at
-#: runtime.
+#: source of truth: the function's selects are built from these names,
+#: and a set-equality check inside gopher_stats makes drift fail loud
+#: in BOTH directions at plan-build time (a tuple name missing from
+#: the expression dict would KeyError anyway; a dict metric missing
+#: from this tuple would otherwise be SILENTLY dropped from the
+#: output — review r15, third pass).  A ``keep`` passthrough may not
+#: collide with these (or doc_id / pass_gopher): the output schema
+#: would carry duplicate names and every downstream bare reference
+#: would raise AMBIGUOUS_REFERENCE at runtime.
 _GOPHER_METRIC_COLS = (
     "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
 )
@@ -2452,6 +2454,11 @@ def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         ),
         "symbol_ratio": F.round(n_sym.cast("double") / n_words, 6),
     }
+    if set(metrics) != set(_GOPHER_METRIC_COLS):
+        raise ValueError(
+            "gopher_stats metric dict and _GOPHER_METRIC_COLS diverged: "
+            f"{sorted(set(metrics) ^ set(_GOPHER_METRIC_COLS))}"
+        )
     s = docs.select(
         "doc_id",
         *[metrics[c].alias(c) for c in _GOPHER_METRIC_COLS],

@@ -1286,7 +1286,7 @@ def foreach_batch_with_line_dedup(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        lines = None
+        lines = fresh = None
         try:
             inner(batch_df, batch_id)
             bid = int(batch_id)
@@ -1309,6 +1309,12 @@ def foreach_batch_with_line_dedup(
                 F.col("doc_id") * text_ops.LINE_KEY_SPAN
                 + F.col("line_no")
             )
+            # persisted: feeds the kept aggregation AND the seen-store
+            # append (review r15 — the store gains one row per
+            # NEWLY-SEEN line only; appending every batch's full line
+            # set would grow the store with batch count even at zero
+            # new lines, and recurring lines are exactly what a
+            # boilerplate-heavy stream delivers)
             fresh = (
                 lines.join(seen, "line_text", "left_anti")
                 .withColumn(
@@ -1317,6 +1323,7 @@ def foreach_batch_with_line_dedup(
                 )
                 .where(F.col("first_key") == key)
                 .select("doc_id", "line_no", "line_text")
+                .persist()
             )
             kept_agg = fresh.groupBy("doc_id").agg(
                 F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -1349,13 +1356,20 @@ def foreach_batch_with_line_dedup(
             )
             # store append LAST: a crash before this line re-scores the
             # replay identically (its own rows are batch_id-filtered
-            # out of the probe either way)
-            lines.select("line_text").distinct().select(
+            # out of the probe either way).  Only the FRESH lines are
+            # appended — the store's reader contract is the SET of
+            # lines ever seen, and every fresh line_text has exactly
+            # one surviving first-occurrence row, so fresh ∪ store
+            # equals the old full-batch append with one row per line
+            # instead of one per (line × batch-it-recurs-in)
+            fresh.select(
                 "line_text", F.lit(bid).cast("long").alias("batch_id")
             ).write.mode("append").parquet(
                 f"{line_dedup_path(base_path)}/seen"
             )
         finally:
+            if fresh is not None:
+                fresh.unpersist()
             if lines is not None:
                 lines.unpersist()
             batch_df.unpersist()
@@ -1497,18 +1511,27 @@ def foreach_batch_with_url_dedup(
     scan, one anti-join against the seen store keyed by canonical URL
     (probe ∝ batch size × store occupancy — the incremental-dedup
     shape, never corpus²), one window over batch canonicals, two
-    appends."""
+    appends.  The store gains one row per NEWLY-SEEN canonical only
+    (the admitted leaders' keys — review r15: appending every batch's
+    full canonical set would grow the store with batch count even at
+    zero new URLs, and recurring keys are the dominant case for a
+    crawl frontier); a NULL canonical (NULL payload fields propagate
+    through F.concat) joins and stores under an empty-string sentinel
+    key, because a NULL anti-join key never matches and would be
+    re-admitted every batch — the sentinel cannot collide with a real
+    canonical, which always carries host+path (review r15)."""
     from level2_to_cassandra_spark.queries.llm import canonical_urls
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        canon = None
+        canon = fresh = None
         try:
             bid = int(batch_id)
-            # persisted: feeds the admit probe, the reject leg and the
-            # seen append (three branches, three actions)
+            # persisted: feeds the probe/leader derivation and the
+            # reject anti-join (two derivations, three actions)
             canon = canonical_urls(batch_df).select(
-                "doc_id", "canonical_url"
+                "doc_id", "canonical_url",
+                F.coalesce("canonical_url", F.lit("")).alias("__ck"),
             ).persist()
             seen = (
                 _read_journal(
@@ -1517,18 +1540,25 @@ def foreach_batch_with_url_dedup(
                     "canonical_url string, batch_id long",
                 )
                 .where(F.col("batch_id") < bid)
-                .select("canonical_url")
+                .select(F.col("canonical_url").alias("__ck"))
                 .distinct()
             )
-            w = Window.partitionBy("canonical_url")
-            admitted_ids = (
-                canon.join(seen, "canonical_url", "left_anti")
+            # one row per NEWLY-SEEN canonical: its minimum-doc_id
+            # leader (the batch query's rule) — feeds the admit join,
+            # the reject anti-join and the store append
+            w = Window.partitionBy("__ck")
+            fresh = (
+                canon.join(seen, "__ck", "left_anti")
                 .withColumn("__lead", F.min("doc_id").over(w))
                 .where(F.col("__lead") == F.col("doc_id"))
-                .select("doc_id")
+                .select("doc_id", "__ck")
+                .persist()
             )
-            inner(batch_df.join(admitted_ids, "doc_id"), batch_id)
-            rejects = canon.join(admitted_ids, "doc_id", "left_anti").select(
+            inner(batch_df.join(fresh.select("doc_id"), "doc_id"),
+                  batch_id)
+            rejects = canon.join(
+                fresh.select("doc_id"), "doc_id", "left_anti"
+            ).select(
                 F.lit(bid).cast("long").alias("batch_id"),
                 F.col("doc_id").cast("long").alias("doc_id"),
                 "canonical_url",
@@ -1539,12 +1569,15 @@ def foreach_batch_with_url_dedup(
             # store append LAST: a crash before this line re-derives
             # the replay identically (its own rows are batch_id-
             # filtered out of the probe either way)
-            canon.select("canonical_url").distinct().select(
-                "canonical_url", F.lit(bid).cast("long").alias("batch_id")
+            fresh.select(
+                F.col("__ck").alias("canonical_url"),
+                F.lit(bid).cast("long").alias("batch_id"),
             ).write.mode("append").parquet(
                 f"{url_dedup_path(base_path)}/seen"
             )
         finally:
+            if fresh is not None:
+                fresh.unpersist()
             if canon is not None:
                 canon.unpersist()
             batch_df.unpersist()

@@ -2461,3 +2461,73 @@ def test_streaming_url_dedup_parity_and_replay(spark, tmp_path):
         for r in read_url_rejects(spark, base).collect()
     }
     assert again == want_reject
+
+
+def test_streaming_url_dedup_null_canonical_and_store_growth(
+    spark, tmp_path
+):
+    """Review r15 hardening: (a) a NULL canonical (NULL payload field
+    propagating through the URL construction) must dedup across
+    batches like any other canonical — the sentinel key makes the
+    anti-join match where a NULL key never would; (b) the seen store
+    gains one row per NEWLY-SEEN canonical only, so an all-recurring
+    batch appends nothing."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_url_dedup,
+        read_url_rejects,
+        url_dedup_path,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # doc 280 canonicalizes identically to doc 0 (same %40 path, same
+    # %7 id param, same source after case folding); docs 1 and 281
+    # have NULL source -> NULL url -> NULL canonical
+    b0 = spark.createDataFrame(
+        [(0, "t", "en", "src", 1), (1, "t", "en", None, 1)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(280, "t", "en", "src", 1), (281, "t", "en", None, 1)], schema
+    )
+    base = str(tmp_path / "sink")
+    admitted: list = []
+    cb = foreach_batch_with_url_dedup(
+        lambda df, bid: admitted.extend(
+            r.doc_id for r in df.select("doc_id").collect()
+        ),
+        base,
+    )
+    cb(b0, 0)
+    cb(b1, 1)
+    assert sorted(admitted) == [0, 1]
+    assert {r.doc_id for r in read_url_rejects(spark, base).collect()} \
+        == {280, 281}
+    seen = spark.read.parquet(f"{url_dedup_path(base)}/seen")
+    assert seen.count() == 2          # one row per canonical, ever
+    assert seen.select("canonical_url").distinct().count() == 2
+
+
+def test_streaming_line_dedup_store_gains_only_fresh_lines(
+    spark, tmp_path
+):
+    """Review r15 hardening: the seen-line store holds one row per
+    distinct line ever seen — re-delivering the same documents as a
+    LATER batch (recurring boilerplate, the dominant streaming case)
+    appends zero store rows."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_line_dedup,
+        line_dedup_path,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_line_dedup(lambda df, bid: None, base)
+    cb(docs, 0)
+    store = f"{line_dedup_path(base)}/seen"
+    n0 = spark.read.parquet(store).count()
+    assert n0 == spark.read.parquet(store) \
+        .select("line_text").distinct().count()
+    cb(docs, 1)                       # every line already seen
+    assert spark.read.parquet(store).count() == n0
