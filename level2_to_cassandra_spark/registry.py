@@ -59,21 +59,19 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r15 ROTATION (VERDICT r14 task #1): CORRECTNESS_r14 confirmed the
-    # whole r14 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the NEW r15 first-row names, (b) the eight r14 first-row names
-    # (1 lifetime green each; they hold until >=2), (c) queries whose
-    # IMPLEMENTATION or ORACLE changed in r15 — q_rollup_quantile
-    # (NULL/NaN exclusion, both legs + oracle), q_dedup_lines (shared
-    # line_segments NULL guard), q_quality_gopher (gopher_stats
-    # factoring), q_data_profile (profile_relation factoring) — all
-    # four already hold in-cap slots under (a)/(b), so category (c)
-    # consumes no extra positions; q_text_bigram_lm's oracle factoring
-    # is byte-identical (verified) and does not count as changed;
-    # (d) 33 of the 45 r11-stale names (VERDICT r14 task #1: the
-    # staleness frontier).  9 + 8 + 33 = 50; the twelve r11 names that
-    # did not fit head the past-cap tail as r16's rotation head.
-    # -- NEW in r15 (first driver rows) ------------------------------
+    # r16 ROTATION (VERDICT r15 task #1): CORRECTNESS_r15 confirmed the
+    # whole r15 cap (50/50), so the cap rebuilds from the policy: (a)
+    # the NEW r16 first-row names (added as the round lands them), (b)
+    # the nine r15 first-row names (1 lifetime green each; hold until
+    # >=2), (c) queries whose IMPLEMENTATION or ORACLE changes in r16 —
+    # q_llm_dedup_minhash (now serves from the materialized signature
+    # staging table, VERDICT r15 task #2; q_sketch_error and
+    # q_dedup_lines also change but already hold slots under (b)), (d)
+    # the 12 r11-stale names (r15's documented rotation head), (e) the
+    # alphabetical head of the 40 r12-stale names — 28 fit.
+    # 9 + 1 + 12 + 28 = 50; the twelve r12 names that did not fit head
+    # the past-cap tail as r17's rotation head.
+    # -- r15 first rows (1 lifetime row each; hold until >=2) --------
     "q_dedup_lines",
     "q_rollup_quantile",
     "q_classifier_calibration",
@@ -83,51 +81,9 @@ DRIVER_ORDER = (
     "q_langid_confusion",
     "q_sketch_error",
     "q_dedup_url",
-    # -- r14 first rows (1 lifetime row each; hold until >=2) --------
-    "q_agg_decayed",
-    "q_data_profile",
-    "q_graph_modularity",
-    "q_outlier_iqr",
-    "q_quality_gopher",
-    "q_robust_scale",
-    "q_sample_reservoir",
-    "q_text_novelty",
-    # -- last driver-green r11 (33 of the 45-name staleness frontier) -
-    "q_agg_argmax",
-    "q_agg_mode",
-    "q_anomaly_zscore",
-    "q_bm25",
-    "q_cluster_kmeans",
-    "q_cooccurrence_pmi",
-    "q_drift_embedding",
-    "q_drift_psi",
-    "q_embed_quantize",
-    "q_gap_islands",
-    "q_graph_components",
-    "q_hist_equiwidth",
-    "q_importance_resample",
-    "q_join_asof_forward",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_mixture_plan",
-    "q_ngram_counts",
-    "q_orc_scan",
-    "q_pagerank",
-    "q_quality_checks",
-    "q_resample_interp",
-    "q_rollup_cascade",
-    "q_sample_cluster",
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_scd2",
-    "q_sessionize",
-    "q_skew_profile",
-    "q_snapshot_diff",
-    "q_text_editdist",
-    "q_text_repetition",
-    # ======================= past the cap ==============================
-    # -- the 12 r11-stale names that did not fit (r16's rotation head) -
+    # -- implementation changed in r16 (re-hash against the driver) ---
+    "q_llm_dedup_minhash",
+    # -- last driver-green r11 (the r15 rotation's deferred head) -----
     "q_text_rolling_hash",
     "q_text_span_dedup",
     "q_text_tfidf",
@@ -140,7 +96,7 @@ DRIVER_ORDER = (
     "q_winsorize",
     "q_xml_scan",
     "q_zorder",
-    # -- last driver-green r12 ----------------------------------------
+    # -- last driver-green r12 (28 of 40; alphabetical head) ----------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
@@ -169,6 +125,8 @@ DRIVER_ORDER = (
     "q_max_concurrency",
     "q_pack_sequences",
     "q_scalar_array",
+    # ======================= past the cap ==============================
+    # -- the 12 r12-stale names that did not fit (r17's rotation head) -
     "q_scalar_map",
     "q_set_ops_all",
     "q_sim_ann_ivfpq",
@@ -208,7 +166,6 @@ DRIVER_ORDER = (
     "q_join_range",
     "q_join_salted",
     "q_join_semi",
-    "q_llm_dedup_minhash",
     "q_merge_upsert",
     "q_scalar_json",
     "q_scalar_math",
@@ -219,7 +176,7 @@ DRIVER_ORDER = (
     "q_window_lag",
     "q_window_rank",
     "q_window_sliding",
-    # -- last driver-green r14 (freshest confirmations, rotate last) --
+    # -- last driver-green r14 ----------------------------------------
     "q_ann_ndcg",
     "q_ann_recall",
     "q_dedup_incremental_fuzzy",
@@ -262,6 +219,48 @@ DRIVER_ORDER = (
     "q_window_ewma",
     "q_window_moving_avg",
     "q_window_range_frame",
+    # -- last driver-green r15 (freshest confirmations, rotate last) --
+    "q_agg_argmax",
+    "q_agg_decayed",
+    "q_agg_mode",
+    "q_anomaly_zscore",
+    "q_bm25",
+    "q_cluster_kmeans",
+    "q_cooccurrence_pmi",
+    "q_data_profile",
+    "q_drift_embedding",
+    "q_drift_psi",
+    "q_embed_quantize",
+    "q_gap_islands",
+    "q_graph_components",
+    "q_graph_modularity",
+    "q_hist_equiwidth",
+    "q_importance_resample",
+    "q_join_asof_forward",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_mixture_plan",
+    "q_ngram_counts",
+    "q_orc_scan",
+    "q_outlier_iqr",
+    "q_pagerank",
+    "q_quality_checks",
+    "q_quality_gopher",
+    "q_resample_interp",
+    "q_robust_scale",
+    "q_rollup_cascade",
+    "q_sample_cluster",
+    "q_sample_reservoir",
+    "q_sample_split",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2",
+    "q_sessionize",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_text_editdist",
+    "q_text_novelty",
+    "q_text_repetition",
 )
 
 
