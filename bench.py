@@ -271,6 +271,9 @@ def main() -> None:
                               {"q_llm_dedup_fuzzy", "q_text_containment",
                                "q_dedup_incremental_fuzzy",
                                "q_sketch_error"}),
+            "minhash_signatures": (llm._sig_relation,        # r16
+                                   {"q_llm_dedup_minhash",
+                                    "q_sketch_error"}),
             "mlt_ranking": (llm._mlt_ranking,                # r14
                             {"q_rank_fusion", "q_text_more_like_this"}),
             "ann_eval_tables": (llm._ann_eval_tables,        # r13

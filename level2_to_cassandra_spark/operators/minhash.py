@@ -108,6 +108,59 @@ def ranked_postings(postings: DataFrame) -> DataFrame:
     )
 
 
+#: Sign mask that makes MIN over the 64-bit permutation hashes agree
+#: between a signed-long engine (Spark) and an unsigned one (DuckDB
+#: UBIGINT): dropping the sign bit leaves both engines ordering the
+#: same non-negative 63-bit values.
+SIG_MASK = (1 << 63) - 1
+
+
+def portable_signatures(postings: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """ENGINE-PORTABLE MinHash signature relation over a pre-built
+    ``(id, shingle)`` postings relation: one narrow row per doc —
+    ``(id, h0..h{2*n_seeds-1}, n)`` with ``n`` the doc's shingle-set
+    size (it falls out of the same aggregate for free).
+
+    The permutation hash is SEEDED md5 of ``"<seed> <shingle>"``, so
+    any engine with md5 can replay the sketch bit-for-bit (the
+    q_sketch_error oracle does); each 128-bit digest is split into TWO
+    independent 64-bit permutation hashes (hex chars 1-16 / 17-32 —
+    measured 2× cheaper than 2·n_seeds separate md5 evaluations,
+    r15), each sign-masked to the low 63 bits (:data:`SIG_MASK`).
+
+    Scale shape: ONE map-side-combined aggregate over the postings.
+    At corpus scale this IS the signature staging table an LSH stack
+    maintains next to its postings — queries/llm.py::_sig_relation
+    materializes it once per (session, corpus) and serves BOTH the
+    banded-LSH dedup (q_llm_dedup_minhash) and the sketch-quality
+    eval (q_sketch_error) from it (VERDICT r15 task #2)."""
+
+    def _seed_mins(j: int) -> list[F.Column]:
+        m = F.md5(
+            F.concat_ws(" ", F.lit(str(j)), F.col("shingle")).cast("binary")
+        )
+
+        def half(off: int) -> F.Column:
+            hi = F.conv(F.substring(m, off, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(m, off + 8, 8), 16, 10).cast("long")
+            return (
+                F.shiftleft(hi, 32).bitwiseOR(lo)
+                .bitwiseAND(F.lit(SIG_MASK))
+            )
+
+        return [
+            F.min(half(1)).alias(f"h{2 * j}"),
+            F.min(half(17)).alias(f"h{2 * j + 1}"),
+        ]
+
+    cols: list[F.Column] = []
+    for j in range(n_seeds):
+        cols += _seed_mins(j)
+    return postings.groupBy("id").agg(
+        *cols, F.count(F.lit(1)).alias("n")
+    )
+
+
 def _adopt_ranked(ranked: DataFrame) -> DataFrame:
     """Contract guard for a caller-supplied pre-built ranked index —
     the :data:`RANKED_INDEX_COLUMNS` shape, :func:`ranked_postings`
@@ -397,7 +450,8 @@ def minhash_pairs(docs: DataFrame, threshold: float,
                   k: int = 3, n_hashes: int = 16, bands: int = 8,
                   max_shingle_df: int | None = None,
                   candidates_only: bool = False,
-                  postings: DataFrame | None = None) -> DataFrame:
+                  postings: DataFrame | None = None,
+                  signatures: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH candidates verified with exact Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -405,6 +459,18 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     relation (the exact_jaccard_pairs contract) — signatures and
     verification both derive from it, so the lexical dedup family can
     share one materialized shingling.
+
+    ``signatures`` optionally supplies the pre-built signature
+    relation — ``(id, h0..h{n_hashes-1}, n)``,
+    :func:`portable_signatures` semantics over the SAME postings (the
+    caller owns that consistency, exactly as with ``postings``/
+    ``ranked``) — so the signature aggregate leaves the serve plan
+    entirely (queries/llm.py::_sig_relation stages it once per corpus
+    and q_llm_dedup_minhash + q_sketch_error both serve from it,
+    VERDICT r15 task #2).  A parquet-backed staging table needs no
+    persist: the banded self-join's two branches each replay a scan.
+    Mutually exclusive with ``max_shingle_df`` (a pre-built table is
+    computed over full postings; cap at build time instead).
 
     ``candidates_only=True`` returns the banded-bucket CANDIDATE
     relation (id_a, id_b, na, nb) before verification — the Σ bucket²
@@ -427,11 +493,25 @@ def minhash_pairs(docs: DataFrame, threshold: float,
     disables.
     """
     r = n_hashes // bands
+    if signatures is not None and max_shingle_df is not None:
+        raise ValueError("signatures and max_shingle_df are mutually "
+                         "exclusive — cap at signature-build time")
     if postings is None:
         # shared by signatures + verification — see exact_jaccard_pairs
         postings = shingle_postings(docs, id_col, text_col, k).persist()
     else:
         postings = _adopt_postings(postings)
+    if signatures is not None:
+        expect = sorted(["id", "n"] + [f"h{i}" for i in range(n_hashes)])
+        if sorted(signatures.columns) != expect:
+            raise ValueError(
+                "pre-built signatures must have exactly (id, "
+                f"h0..h{n_hashes - 1}, n) columns (portable_signatures "
+                f"semantics); got {signatures.columns}"
+            )
+        with_sig = signatures
+        return _banded_pairs(with_sig, postings, threshold, n_hashes,
+                             bands, r, candidates_only)
     sig_postings = (
         postings if max_shingle_df is None
         else _cap_postings(postings, max_shingle_df, keep_all_hot_docs=True)
@@ -465,6 +545,18 @@ def minhash_pairs(docs: DataFrame, threshold: float,
             postings.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id"
         )
     with_sig = with_sig.persist()
+    return _banded_pairs(with_sig, postings, threshold, n_hashes,
+                         bands, r, candidates_only)
+
+
+def _banded_pairs(with_sig: DataFrame, postings: DataFrame,
+                  threshold: float, n_hashes: int, bands: int, r: int,
+                  candidates_only: bool) -> DataFrame:
+    """Banded-LSH candidate join + exact verification over a
+    ``(id, h0..h{n_hashes-1}, n)`` signature relation — the tail of
+    :func:`minhash_pairs`, shared between the inline-signature path
+    (persisted) and the staged-signature path (parquet scan replays
+    per branch)."""
     # band hash: one 64-bit hash of the band's signature slice
     band_entries = with_sig.select(
         "id",

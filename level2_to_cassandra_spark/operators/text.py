@@ -304,6 +304,28 @@ LINE_TOKENS = 8
 LINE_KEY_SPAN = 1_000_000
 
 
+def packed_line_key(doc_id_col: str = "doc_id",
+                    line_no_col: str = "line_no"):
+    """The packed ``doc_id * LINE_KEY_SPAN + line_no`` BIGINT
+    first-occurrence key, GUARDED: a line_no at or beyond
+    LINE_KEY_SPAN would alias into the next doc_id's key range and
+    silently mis-attribute first occurrence (ADVICE r15 — the limit
+    was documented but never enforced), so an over-long document
+    RAISES instead of corrupting attribution.  ONE shared expression
+    for the batch query and the streaming admit monitor; the guard is
+    a lazily-evaluated CASE branch — zero cost on conforming rows."""
+    line_no = F.col(line_no_col)
+    return F.when(
+        line_no >= F.lit(LINE_KEY_SPAN),
+        F.raise_error(F.format_string(
+            "line_no %s >= LINE_KEY_SPAN=%s: packed first-occurrence "
+            "key would collide across documents — widen LINE_KEY_SPAN "
+            "in operators/text.py",
+            line_no, F.lit(LINE_KEY_SPAN),
+        )).cast("long"),
+    ).otherwise(F.col(doc_id_col) * F.lit(LINE_KEY_SPAN) + line_no)
+
+
 def line_segments(docs, id_col: str = "doc_id", text_col: str = "text"):
     """``(doc_id, line_no, line_text)`` — the LINE stream for
     sub-document dedup, 0-based line_no in document order.  ONE shared

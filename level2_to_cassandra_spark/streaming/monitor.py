@@ -1305,10 +1305,9 @@ def foreach_batch_with_line_dedup(
                 .select("line_text")
                 .distinct()
             )
-            key = (
-                F.col("doc_id") * text_ops.LINE_KEY_SPAN
-                + F.col("line_no")
-            )
+            # guarded shared expression (ADVICE r15): raises on
+            # line_no >= LINE_KEY_SPAN instead of mis-attributing
+            key = text_ops.packed_line_key()
             # persisted: feeds the kept aggregation AND the seen-store
             # append (review r15 — the store gains one row per
             # NEWLY-SEEN line only; appending every batch's full line
@@ -1519,7 +1518,21 @@ def foreach_batch_with_url_dedup(
     through F.concat) joins and stores under an empty-string sentinel
     key, because a NULL anti-join key never matches and would be
     re-admitted every batch — the sentinel cannot collide with a real
-    canonical, which always carries host+path (review r15)."""
+    canonical, which always carries host+path (review r15).
+
+    CHOSEN SEMANTIC for NULL canonicals (ADVICE r15, stated
+    explicitly): ALL unparseable-URL docs collapse onto the one
+    sentinel key stream-wide — the first ever admitted, every later
+    one rejected (journaled with canonical_url NULL, so they stay
+    auditable and recoverable).  This is deliberately the batch
+    query's NULL-grouping semantic (q_dedup_url groups NULL canonicals
+    together too), which the row-for-row parity pin requires.  A real
+    crawl frontier that must KEEP distinct unparseable documents
+    should key the sentinel by doc identity instead (e.g. coalesce to
+    ``concat('\\0', sha2(url, 256))`` — admits every one, still never
+    NULL, still collision-free with real canonicals); that variant
+    intentionally diverges from the batch query and is not what this
+    parity-pinned twin implements."""
     from level2_to_cassandra_spark.queries.llm import canonical_urls
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

@@ -1213,23 +1213,54 @@ def test_langid_confusion_one_pruned_scan_no_join(spark):
 
 
 def test_sketch_error_serves_from_staging(spark):
-    """q_sketch_error: with the shingle staging tables built, the
-    serve plan re-shingles nothing (no Generate), runs no window (the
-    ranked prefix index replaces the window stack), and never sorts
-    globally — signatures are one map-side-combined aggregate over the
-    staged postings and every join is an equi-join."""
+    """q_sketch_error: with the shingle AND signature staging tables
+    built, the serve plan re-shingles nothing (no Generate), runs no
+    window (the ranked prefix index replaces the window stack), never
+    sorts globally, and computes NO signature hashing (r16: the
+    16-min md5 aggregate moved to the _sig_relation staging build —
+    no md5 anywhere on the serve) — every join is an equi-join."""
     from level2_to_cassandra_spark.queries.llm import (
         _shingle_index_relation,
         _shingle_relation,
+        _sig_relation,
     )
 
     _shingle_relation(spark, SF)
     _shingle_index_relation(spark, SF)
+    _sig_relation(spark, SF)
     plan = plan_of(all_queries()["q_sketch_error"].fn(spark, SF), "simple")
     assert "Window" not in plan
     assert "Generate" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+    assert "md5" not in plan
+
+
+def test_dedup_minhash_serves_from_staged_signatures(spark):
+    """q_llm_dedup_minhash (r16): with the postings and signature
+    staging tables built, the serve plan computes NO shingling (no
+    Generate beyond the band-array explode) and NO signature hashing
+    (no md5; the only aggregates left are the banded-candidate
+    distinct and the verification co-occurrence count) — banding
+    reads the staged signature parquet on both join sides."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_relation,
+        _sig_relation,
+    )
+
+    _shingle_relation(spark, SF)
+    _sig_relation(spark, SF)
+    plan = plan_of(
+        all_queries()["q_llm_dedup_minhash"].fn(spark, SF), "simple"
+    )
+    assert "md5" not in plan
+    # staging tables, not persists (InMemoryFileIndex in a FileScan
+    # location is fine — InMemoryTableScan would be a cache)
+    assert "InMemoryTableScan" not in plan
+    # shingling happens only at staging build: the lone Generate is
+    # the 8-entry band-struct explode over the signature rows
+    assert plan.count("Generate") == 2     # once per self-join branch
+    assert "split" not in plan and "sliding" not in plan
 
 
 def test_dedup_url_one_window_one_pruned_scan(spark):

@@ -765,6 +765,26 @@ def test_dedup_lines_crafted_corpus_exact(spark, tmp_path):
     assert rows[2].kept_text == ""
 
 
+def test_packed_line_key_overflow_raises(spark):
+    """ADVICE r15: a line_no at or beyond LINE_KEY_SPAN would alias
+    the packed first-occurrence key into the next doc_id's range and
+    silently mis-attribute first occurrence — the shared key
+    expression must RAISE instead (and stay exact below the span)."""
+    import pytest
+
+    from level2_to_cassandra_spark.operators import text
+
+    ok = spark.createDataFrame(
+        [(7, text.LINE_KEY_SPAN - 1)], "doc_id long, line_no long"
+    ).select(text.packed_line_key().alias("k")).collect()
+    assert ok[0].k == 7 * text.LINE_KEY_SPAN + text.LINE_KEY_SPAN - 1
+    bad = spark.createDataFrame(
+        [(7, text.LINE_KEY_SPAN)], "doc_id long, line_no long"
+    ).select(text.packed_line_key().alias("k"))
+    with pytest.raises(Exception, match="LINE_KEY_SPAN"):
+        bad.collect()
+
+
 def test_dedup_lines_fixture_conservation(spark):
     """On the fixture corpus: every doc keeps <= its line count, the
     kept total equals the number of DISTINCT corpus lines (each
