@@ -157,6 +157,8 @@ HEADLINE = [
     "q_langid_confusion",        # langid eval: |langs|² confusion cells
     "q_sketch_error",            # MinHash estimate vs exact Jaccard
     "q_dedup_url",               # URL canonicalization dedup (1 window)
+    # r16 additions
+    "q_pack_efficiency",         # padding waste vs bin-packing bound
 ]
 
 

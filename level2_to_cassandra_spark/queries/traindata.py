@@ -149,11 +149,10 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTX_TOKENS = 512
 _PACK_BUCKETS_NIBBLE = 1  # bucket = first md5 nibble → 16 parallel packers
 
-
-@register(
-    "q_pack_sequences",
-    oracle=f"""
-    WITH toks AS (
+#: The greedy-packing placement CTEs shared (byte-identically — the
+#: q_text_bigram_lm factoring precedent) by q_pack_sequences and the
+#: q_pack_efficiency eval composed over its output.
+_PACK_CTES = f"""toks AS (
         SELECT doc_id,
                substring(md5(CAST(doc_id AS VARCHAR)), 1, {_PACK_BUCKETS_NIBBLE})
                    AS bucket,
@@ -165,7 +164,13 @@ _PACK_BUCKETS_NIBBLE = 1  # bucket = first md5 nibble → 16 parallel packers
                    PARTITION BY bucket ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    // {_CTX_TOKENS} AS BIGINT) AS bin_id
-        FROM toks)
+        FROM toks)"""
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH {_PACK_CTES}
     SELECT bucket, bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -211,6 +216,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_pack_efficiency",
+    # Pure integer algebra per bucket: bin counts and token sums are
+    # exact BIGINTs, the lower bound is integer ceil-division, and the
+    # two ratios are SINGLE divisions of exact ints rounded once —
+    # identical doubles on both engines before ROUND (no float
+    # accumulation anywhere).
+    oracle=f"""
+    WITH {_PACK_CTES},
+    bins AS (
+        SELECT bucket, bin_id, SUM(n_tokens) AS bin_tokens
+        FROM placed GROUP BY bucket, bin_id)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(bin_tokens) + {_CTX_TOKENS - 1}) // {_CTX_TOKENS}
+               AS BIGINT) AS lb_bins,
+           CAST(SUM(GREATEST({_CTX_TOKENS} - bin_tokens, 0)) AS BIGINT)
+               AS pad_tokens,
+           ROUND(SUM(bin_tokens)::DOUBLE
+                 / (COUNT(*) * {_CTX_TOKENS}), 6) AS util,
+           ROUND(((SUM(bin_tokens) + {_CTX_TOKENS - 1})
+                  // {_CTX_TOKENS})::DOUBLE / COUNT(*), 6) AS efficiency
+    FROM bins GROUP BY bucket
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY evaluation (VERDICT r15 gap #6) — the number
+    a training-efficiency dashboard tracks next to fertility and
+    mixture: how much context-window capacity the greedy packer
+    actually fills, against the bin-packing LOWER BOUND
+    ⌈Σ n_tokens / ctx⌉ no packer can beat.  Composes the REGISTERED
+    q_pack_sequences plan (the q_ann_recall pattern: evals evaluate
+    the plan that serves, not a reimplementation).  Per md5 bucket:
+    occupied bins, total packed tokens, the lower bound, padding
+    tokens Σ max(ctx − bin_tokens, 0) (overflow bins pad nothing —
+    a >ctx bin is chunking's job, documented on q_pack_sequences),
+    utilization = tokens / (bins · ctx), and efficiency = lower-bound
+    bins / actual bins (1.0 = optimal).
+
+    Scale shape: the pack output is already bin-grain; this adds ONE
+    map-side-combined aggregate collapsing bins to the 16 bucket
+    rows.  Integer token counts end to end; the only doubles are two
+    final single divisions."""
+    bins = q_pack_sequences(spark, sf_dir).select(
+        "bucket", F.col("total_tokens").alias("bin_tokens")
+    )
+    agg = bins.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.greatest(F.lit(_CTX_TOKENS) - F.col("bin_tokens"), F.lit(0))
+        ).cast("long").alias("pad_tokens"),
+    )
+    # integer ceil-division: Spark's integral `div` ≡ DuckDB's `//`
+    lb = F.expr(f"(total_tokens + {_CTX_TOKENS - 1}) div {_CTX_TOKENS}")
+    return agg.select(
+        "bucket",
+        "n_bins",
+        "total_tokens",
+        lb.cast("long").alias("lb_bins"),
+        "pad_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * _CTX_TOKENS), 6
+        ).alias("util"),
+        F.round(lb.cast("double") / F.col("n_bins"), 6).alias("efficiency"),
     )
 
 

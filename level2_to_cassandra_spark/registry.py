@@ -71,6 +71,8 @@ DRIVER_ORDER = (
     # alphabetical head of the 40 r12-stale names — 28 fit.
     # 9 + 1 + 12 + 28 = 50; the twelve r12 names that did not fit head
     # the past-cap tail as r17's rotation head.
+    # -- NEW in r16 (first driver rows) ------------------------------
+    "q_pack_efficiency",
     # -- r15 first rows (1 lifetime row each; hold until >=2) --------
     "q_dedup_lines",
     "q_rollup_quantile",
@@ -124,8 +126,9 @@ DRIVER_ORDER = (
     "q_llm_dedup_exact",
     "q_max_concurrency",
     "q_pack_sequences",
-    "q_scalar_array",
     # ======================= past the cap ==============================
+    # -- r12-stale, displaced by the r16 new-query slots above ---------
+    "q_scalar_array",
     # -- the 12 r12-stale names that did not fit (r17's rotation head) -
     "q_scalar_map",
     "q_set_ops_all",

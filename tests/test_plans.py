@@ -1263,6 +1263,22 @@ def test_dedup_minhash_serves_from_staged_signatures(spark):
     assert "split" not in plan and "sliding" not in plan
 
 
+def test_pack_efficiency_one_scan_one_window_one_exchange(spark):
+    """q_pack_efficiency (r16): composes the registered pack plan —
+    ONE pruned FileScan (doc_id+text only), ONE bucket window, and
+    ONE hash exchange total: both the bin aggregate and the bucket
+    aggregate reuse the window's bucket partitioning (grouping keys
+    (bucket, bin_id) ⊇ bucket and bucket itself are co-located), so
+    the eval adds zero exchanges on top of the pack."""
+    plan = plan_of(all_queries()["q_pack_efficiency"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
 def test_dedup_url_one_window_one_pruned_scan(spark):
     """q_dedup_url: canonicalization is scan-fused (ONE FileScan
     reading only doc_id+source, no joins, no explode); the only

@@ -133,6 +133,38 @@ def test_pack_sequences_conservation(spark):
     assert (agg.docs, agg.toks) == (want.docs, want.toks)
 
 
+def test_pack_efficiency_recomputes_from_pack_output(spark):
+    """q_pack_efficiency must equal an independent Python recompute
+    over q_pack_sequences' (oracle-checked) bin output — exact integer
+    fields and the two single-division ratios — and conserve tokens
+    corpus-wide."""
+    from level2_to_cassandra_spark.queries.traindata import _CTX_TOKENS
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    bins = all_queries()["q_pack_sequences"].fn(spark, sf).collect()
+    eff = {r.bucket: r
+           for r in all_queries()["q_pack_efficiency"].fn(spark, sf)
+           .collect()}
+    by_bucket: dict[str, list[int]] = {}
+    for r in bins:
+        by_bucket.setdefault(r.bucket, []).append(r.total_tokens)
+    assert set(eff) == set(by_bucket)
+    for bucket, toks in by_bucket.items():
+        r = eff[bucket]
+        total = sum(toks)
+        lb = -(-total // _CTX_TOKENS)
+        assert r.n_bins == len(toks)
+        assert r.total_tokens == total
+        assert r.lb_bins == lb
+        assert r.pad_tokens == sum(max(_CTX_TOKENS - t, 0) for t in toks)
+        assert r.util == round(total / (len(toks) * _CTX_TOKENS), 6)
+        assert r.efficiency == round(lb / len(toks), 6)
+        # no lb<=n_bins assert: an overflow doc (>ctx tokens) occupies
+        # ONE bin but raises the split-assuming bound — efficiency > 1
+        # is a legitimate reading on overflow-heavy corpora
+
+
 def test_contamination_exact_duplicate_across_split_is_flagged(spark):
     """A doc whose text also appears verbatim in the other split must
     surface with contam_frac == 1.0 (every shingle shared)."""
