@@ -2090,9 +2090,14 @@ def _calib_lab_ctes() -> str:
       FROM scored)"""
 
 
-def _calib_lab(docs: DataFrame) -> DataFrame:
-    """(bin, score, p, label) per document — the Spark twin of the
-    ``lab`` CTE.  The scoring expression is q_classifier_score's
+#: computed column names of _calib_lab — ONE module-level tuple so the
+#: keep-collision guard and the select cannot drift (review r15 rule)
+_CALIB_LAB_COLS = ("bin", "score", "p", "label")
+
+
+def _calib_lab(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(bin, score, p, label[, keep...]) per document — the Spark twin
+    of the ``lab`` CTE.  The scoring expression is q_classifier_score's
     transform inlined UNROUNDED (that query's emitted score is rounded
     for display; bins cut on the raw exact-rational s/n, which is
     deterministic where a rounded value could straddle a bin edge);
@@ -2100,7 +2105,18 @@ def _calib_lab(docs: DataFrame) -> DataFrame:
     a fixture stand-in for human/weak labels with the property that
     matters: both engines reproduce it exactly, so the surface under
     test is the downstream computation, not label acquisition.
-    Map-only inside the scan: no token explode, zero exchanges."""
+    Map-only inside the scan: no token explode, zero exchanges.
+
+    ``keep`` passthrough columns (r16 — the gopher_stats discipline)
+    let the streaming classifier gate keep doc identity and payload;
+    names colliding with the computed columns raise immediately,
+    CASEFOLDED (Spark resolves names case-insensitively by default)."""
+    clash = {k for k in keep if k.lower() in _CALIB_LAB_COLS}
+    if clash:
+        raise ValueError(
+            "_calib_lab keep columns collide with computed columns: "
+            f"{sorted(clash)} — rename them upstream"
+        )
     warr = F.array(*[F.lit(x) for x in _classifier_weights()])
     bucket_w = lambda t: F.element_at(  # noqa: E731
         warr,
@@ -2123,9 +2139,16 @@ def _calib_lab(docs: DataFrame) -> DataFrame:
         ),
         F.lit(_CALIB_BINS - 1),
     ).cast("long")
+    computed = {
+        "bin": bin_, "score": score, "p": p, "label": label,
+    }
+    if tuple(computed) != _CALIB_LAB_COLS:
+        raise ValueError(
+            "_calib_lab computed dict and _CALIB_LAB_COLS diverged: "
+            f"{sorted(set(computed) ^ set(_CALIB_LAB_COLS))}"
+        )
     return docs.select(
-        bin_.alias("bin"), score.alias("score"), p.alias("p"),
-        label.alias("label"),
+        *[computed[c].alias(c) for c in _CALIB_LAB_COLS], *keep
     )
 
 

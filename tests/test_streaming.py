@@ -2378,6 +2378,100 @@ def test_streaming_quality_gate_parity_and_replay(spark, tmp_path):
     assert again == want_reject
 
 
+def test_streaming_classifier_gate_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_classifier_gate: admitted ∪ rejects must
+    PARTITION every batch, the admitted doc_ids must equal the batch
+    _calib_lab bin ≥ t split (the exact rule q_classifier_threshold's
+    sweep prices — shared transform, bit-for-bit), the reject
+    journal's decision inputs must equal the batch relation's, the
+    admitted count must REPRODUCE the sweep's n_pred_pos row for t,
+    and a replayed batch must collapse in the reader (stateless
+    gate)."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.queries.traindata import _calib_lab
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_classifier_gate,
+        read_classifier_rejects,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    t_bin = 5
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    batches = [
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ]
+
+    base = str(tmp_path / "sink")
+    admitted: list = []
+    cb = foreach_batch_with_classifier_gate(
+        lambda df, bid: admitted.extend(
+            (bid, r.doc_id) for r in df.select("doc_id").collect()
+        ),
+        base,
+        threshold_bin=t_bin,
+    )
+    for i, b in enumerate(batches):
+        cb(b, i)
+
+    lab = _calib_lab(docs, keep=("doc_id",)).collect()
+    want_admit = {r.doc_id for r in lab
+                  if r.bin is not None and r.bin >= t_bin}
+    want_reject = {r.doc_id: (r.bin, r.score, r.p) for r in lab
+                   if r.bin is None or r.bin < t_bin}
+    got_admit = {d for _, d in admitted}
+    assert len(admitted) == len(got_admit)       # nothing doubled
+    assert got_admit == want_admit
+    rejects = read_classifier_rejects(spark, base).collect()
+    got_reject = {r.doc_id: (r.bin, r.score, r.p) for r in rejects}
+    assert got_reject == want_reject
+    assert len(rejects) == len(got_reject)       # unique per doc
+    # partition law: every fixture doc landed exactly once somewhere
+    assert got_admit | set(got_reject) == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    assert not (got_admit & set(got_reject))
+    # the gate reproduces the sweep row it was deployed from
+    sweep = {r.t: r.n_pred_pos
+             for r in all_queries()["q_classifier_threshold"]
+             .fn(spark, sf_smoke).collect()}
+    assert len(got_admit) == sweep[t_bin]
+
+    # replay batch 1: stateless gate re-derives identical legs; the
+    # reader's (batch_id, doc_id) dedup collapses the journal rows
+    cb(batches[1], 1)
+    again = {r.doc_id: (r.bin, r.score, r.p)
+             for r in read_classifier_rejects(spark, base).collect()}
+    assert again == want_reject
+
+
+def test_streaming_classifier_gate_rejects_colliding_payload(
+    spark, tmp_path
+):
+    """A batch whose payload already carries a _calib_lab-computed
+    column name — in ANY case — must fail IMMEDIATELY with the shared
+    transform's named ValueError (the gopher-gate contract)."""
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_classifier_gate,
+    )
+
+    cb = foreach_batch_with_classifier_gate(
+        lambda df, bid: None, str(tmp_path / "sink")
+    )
+    for col in ("score", "Bin", "P", "label"):
+        batch = spark.createDataFrame(
+            [(1, "alpha beta", 0.5)], ["doc_id", "text", col]
+        )
+        with pytest.raises(ValueError, match="collide"):
+            cb(batch, 0)
+
+
 def test_streaming_quality_gate_rejects_colliding_payload_schema(
     spark, tmp_path
 ):
