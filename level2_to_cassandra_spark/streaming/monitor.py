@@ -1248,7 +1248,8 @@ LINE_DEDUP_SCHEMA = (
 def line_dedup_path(base: str) -> str:
     """Beside the sink, underscore-prefixed — the monitor-table
     discipline.  ``/docs`` holds the per-doc audit rows, ``/seen``
-    the append-only first-occurrence line store."""
+    the append-only first-occurrence line store, ``/bloom`` the
+    store's Bloom side-file OR-partials (r16)."""
     return f"{base}/_line_dedup"
 
 
@@ -1278,10 +1279,17 @@ def foreach_batch_with_line_dedup(
     row-for-row (parity-pinned by test).
 
     Cost per batch: one batch-bounded line explode (persisted across
-    its three consumers), one anti-join against the seen store keyed
-    by line_text (probe ∝ batch lines × store occupancy — the
-    incremental-dedup shape, never corpus²), one window over batch
-    lines, two appends."""
+    its three consumers), one BLOOM-BOUNDED anti-join against the seen
+    store keyed by line_text, one window over batch lines, three
+    appends.  The Bloom side-file (operators/bloom.py — design note
+    there) routes only maybe-seen lines into the exact anti-join:
+    lines whose probe misses are definitely fresh and skip it, so the
+    join input is ~|batch ∩ store| + ε·|batch| instead of |batch|;
+    false positives fall through to the exact join (correctness
+    unchanged), false negatives cannot occur because each batch's
+    Bloom partial is written BEFORE its store append (bloom ⊇ store
+    under every crash point)."""
+    from level2_to_cassandra_spark.operators import bloom as bloom_ops
     from level2_to_cassandra_spark.operators import text as text_ops
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -1308,6 +1316,29 @@ def foreach_batch_with_line_dedup(
             # guarded shared expression (ADVICE r15): raises on
             # line_no >= LINE_KEY_SPAN instead of mis-attributing
             key = text_ops.packed_line_key()
+            # Bloom pre-filter (r16): only maybe-seen lines pay the
+            # exact store anti-join; misses are definitely fresh
+            probed = bloom_ops.bloom_maybe_seen(
+                lines,
+                "line_text",
+                bloom_ops.bloom_relation(
+                    batch_df.sparkSession,
+                    _read_journal(
+                        batch_df.sparkSession,
+                        f"{line_dedup_path(base_path)}/bloom",
+                        bloom_ops.BLOOM_SCHEMA,
+                    ),
+                ),
+            )
+            unseen = (
+                probed.where(F.col("__maybe_seen"))
+                .drop("__maybe_seen")
+                .join(seen, "line_text", "left_anti")
+                .unionByName(
+                    probed.where(~F.col("__maybe_seen"))
+                    .drop("__maybe_seen")
+                )
+            )
             # persisted: feeds the kept aggregation AND the seen-store
             # append (review r15 — the store gains one row per
             # NEWLY-SEEN line only; appending every batch's full line
@@ -1315,7 +1346,7 @@ def foreach_batch_with_line_dedup(
             # new lines, and recurring lines are exactly what a
             # boilerplate-heavy stream delivers)
             fresh = (
-                lines.join(seen, "line_text", "left_anti")
+                unseen
                 .withColumn(
                     "first_key",
                     F.min(key).over(Window.partitionBy("line_text")),
@@ -1352,6 +1383,16 @@ def foreach_batch_with_line_dedup(
             )
             audit.coalesce(1).write.mode("append").parquet(
                 f"{line_dedup_path(base_path)}/docs"
+            )
+            # Bloom partial BEFORE the store append: a crash between
+            # the two leaves bloom ⊇ store (the safe direction — a
+            # bloomed-but-unstored key re-probes the exact join, which
+            # re-admits it exactly as the store's absence dictates)
+            bloom_ops.bloom_partial(fresh, "line_text").select(
+                "word_idx", "word",
+                F.lit(bid).cast("long").alias("batch_id"),
+            ).coalesce(1).write.mode("append").parquet(
+                f"{line_dedup_path(base_path)}/bloom"
             )
             # store append LAST: a crash before this line re-scores the
             # replay identically (its own rows are batch_id-filtered
@@ -1579,7 +1620,8 @@ URL_DEDUP_SCHEMA = "batch_id long, doc_id long, canonical_url string"
 def url_dedup_path(base: str) -> str:
     """Beside the sink, underscore-prefixed — the monitor-table
     discipline.  ``/rejects`` holds the per-doc duplicate audit rows,
-    ``/seen`` the append-only first-occurrence canonical-URL store."""
+    ``/seen`` the append-only first-occurrence canonical-URL store,
+    ``/bloom`` the store's Bloom side-file OR-partials (r16)."""
     return f"{base}/_url_dedup"
 
 
@@ -1605,10 +1647,14 @@ def foreach_batch_with_url_dedup(
     q_dedup_url's is_canonical=1 set exactly (parity-pinned by test).
 
     Cost per batch: map-side canonicalization fused into the batch
-    scan, one anti-join against the seen store keyed by canonical URL
-    (probe ∝ batch size × store occupancy — the incremental-dedup
-    shape, never corpus²), one window over batch canonicals, two
-    appends.  The store gains one row per NEWLY-SEEN canonical only
+    scan, one BLOOM-BOUNDED anti-join against the seen store keyed by
+    canonical URL (r16, operators/bloom.py design note: only
+    maybe-seen canonicals probe the exact store — the join input is
+    ~|batch ∩ store| + ε·|batch|; misses are definitely fresh; the
+    batch's Bloom partial writes BEFORE its store append so
+    bloom ⊇ store under every crash point), one window over batch
+    canonicals, three appends.  The store gains one row per
+    NEWLY-SEEN canonical only
     (the admitted leaders' keys — review r15: appending every batch's
     full canonical set would grow the store with batch count even at
     zero new URLs, and recurring keys are the dominant case for a
@@ -1631,6 +1677,7 @@ def foreach_batch_with_url_dedup(
     NULL, still collision-free with real canonicals); that variant
     intentionally diverges from the batch query and is not what this
     parity-pinned twin implements."""
+    from level2_to_cassandra_spark.operators import bloom as bloom_ops
     from level2_to_cassandra_spark.queries.llm import canonical_urls
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -1654,12 +1701,35 @@ def foreach_batch_with_url_dedup(
                 .select(F.col("canonical_url").alias("__ck"))
                 .distinct()
             )
+            # Bloom pre-filter (r16, operators/bloom.py design note):
+            # only maybe-seen canonicals pay the exact store anti-join
+            probed = bloom_ops.bloom_maybe_seen(
+                canon,
+                "__ck",
+                bloom_ops.bloom_relation(
+                    batch_df.sparkSession,
+                    _read_journal(
+                        batch_df.sparkSession,
+                        f"{url_dedup_path(base_path)}/bloom",
+                        bloom_ops.BLOOM_SCHEMA,
+                    ),
+                ),
+            )
+            unseen = (
+                probed.where(F.col("__maybe_seen"))
+                .drop("__maybe_seen")
+                .join(seen, "__ck", "left_anti")
+                .unionByName(
+                    probed.where(~F.col("__maybe_seen"))
+                    .drop("__maybe_seen")
+                )
+            )
             # one row per NEWLY-SEEN canonical: its minimum-doc_id
             # leader (the batch query's rule) — feeds the admit join,
             # the reject anti-join and the store append
             w = Window.partitionBy("__ck")
             fresh = (
-                canon.join(seen, "__ck", "left_anti")
+                unseen
                 .withColumn("__lead", F.min("doc_id").over(w))
                 .where(F.col("__lead") == F.col("doc_id"))
                 .select("doc_id", "__ck")
@@ -1676,6 +1746,14 @@ def foreach_batch_with_url_dedup(
             )
             rejects.coalesce(1).write.mode("append").parquet(
                 f"{url_dedup_path(base_path)}/rejects"
+            )
+            # Bloom partial BEFORE the store append (bloom ⊇ store —
+            # see the line-dedup twin and operators/bloom.py)
+            bloom_ops.bloom_partial(fresh, "__ck").select(
+                "word_idx", "word",
+                F.lit(bid).cast("long").alias("batch_id"),
+            ).coalesce(1).write.mode("append").parquet(
+                f"{url_dedup_path(base_path)}/bloom"
             )
             # store append LAST: a crash before this line re-derives
             # the replay identically (its own rows are batch_id-

@@ -1,0 +1,87 @@
+"""The Bloom seen-store side-filter (operators/bloom.py): the
+no-false-negative guarantee (correctness-load-bearing — a false
+negative would re-admit a stored key), the probe-cost bound (the
+point of the filter: the exact anti-join input shrinks to
+~|batch ∩ store| + ε·|batch|), OR-fold idempotence under replay-
+duplicated partials, and the all-zero batch-0 state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from level2_to_cassandra_spark.operators import bloom
+
+
+def _keys(spark, lo: int, hi: int, tag: str):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("k")
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_false_positives(spark):
+    """Every inserted key must probe maybe-seen (no false negatives,
+    ever); disjoint keys must probe maybe-seen only at a tiny rate
+    (the ε that bounds the exact-join input)."""
+    stored = _keys(spark, 0, 2000, "seen-")
+    journal = bloom.bloom_partial(stored, "k").withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    one = bloom.bloom_relation(spark, journal)
+
+    hits = bloom.bloom_maybe_seen(stored, "k", one)
+    assert hits.where(~F.col("__maybe_seen")).count() == 0
+
+    fresh = _keys(spark, 0, 2000, "new-")
+    fp = bloom.bloom_maybe_seen(fresh, "k", one).where(
+        F.col("__maybe_seen")
+    ).count()
+    # m = 2^20 bits, k = 4, n = 2000 → fpp ≈ (k·n/m)^k ≈ 3e-9; allow
+    # generous slack — the bound that matters is "≪ batch size"
+    assert fp <= 5
+
+
+def test_bloom_probe_cost_bound_mixed_batch(spark):
+    """The wrapper routes ONLY maybe-seen keys into the exact
+    anti-join; on a mixed batch that input must be |batch ∩ store|
+    plus at most a few false positives — the gap #5 probe-cost
+    claim, measured."""
+    stored = _keys(spark, 0, 3000, "k-")
+    journal = bloom.bloom_partial(stored, "k").withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    one = bloom.bloom_relation(spark, journal)
+    # batch: 500 true dups (k-0..k-499) + 4500 fresh keys
+    batch = _keys(spark, 0, 500, "k-").unionAll(
+        _keys(spark, 0, 4500, "fresh-")
+    )
+    maybe = bloom.bloom_maybe_seen(batch, "k", one).where(
+        F.col("__maybe_seen")
+    )
+    n_maybe = maybe.count()
+    assert 500 <= n_maybe <= 505           # dups + ≤5 false positives
+    # and every true dup is in the maybe set (no false negatives)
+    true_dups = maybe.where(F.col("k").startswith("k-")).count()
+    assert true_dups == 500
+
+
+def test_bloom_or_fold_idempotent_and_empty_state(spark):
+    """Replay-duplicated partial rows must fold to the identical
+    array (bitwise OR is idempotent); an empty journal folds to the
+    all-zero array where EVERYTHING is definitely fresh (batch 0)."""
+    keys = _keys(spark, 0, 100, "x-")
+    part = bloom.bloom_partial(keys, "k").withColumn(
+        "batch_id", F.lit(1).cast("long")
+    )
+    once = bloom.bloom_relation(spark, part).first().bloom
+    twice = bloom.bloom_relation(
+        spark, part.unionAll(part)
+    ).first().bloom
+    assert once == twice
+
+    empty = part.where(F.lit(False))
+    zero = bloom.bloom_relation(spark, empty)
+    assert all(w == 0 for w in zero.first().bloom)
+    n_fresh = bloom.bloom_maybe_seen(keys, "k", zero).where(
+        ~F.col("__maybe_seen")
+    ).count()
+    assert n_fresh == 100
