@@ -159,6 +159,9 @@ HEADLINE = [
     "q_dedup_url",               # URL canonicalization dedup (1 window)
     # r16 additions
     "q_pack_efficiency",         # padding waste vs bin-packing bound
+    "q_quality_vote",            # 3-gate ensemble, pure scan→project
+    "q_select_budget",           # quality-first token-budget prefix
+    "q_frontier_interleave",     # politeness interleave, no global sort
 ]
 
 

@@ -56,17 +56,10 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_url",
-    # The synthetic URL construction (fixture docs carry no URLs, so
-    # the check would otherwise never exercise the normalizer — the
-    # q_text_redact stance) and every canonicalization step are pure
-    # string/array built-ins with identical semantics on both engines;
-    # regexes use only anchors + character literals (no lookaround) so
-    # Java regex and RE2 agree; out-of-range part extraction is
-    # NULL-safe on both sides (Spark F.get, DuckDB list indexing).
-    oracle="""
-    WITH synth AS (
+#: The synthetic-URL construction + canonicalization CTEs shared
+#: (byte-identically — the _PACK_CTES factoring precedent) by
+#: q_dedup_url and the q_frontier_interleave crawl-ordering query.
+_CANON_CTES = """synth AS (
       SELECT doc_id,
              (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END
               || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
@@ -101,7 +94,20 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                      list_filter(string_split(qs, '&'),
                                  p -> NOT regexp_matches(p, '^utm_')),
                      '&') AS kept
-            FROM parsed))
+            FROM parsed))"""
+
+
+@register(
+    "q_dedup_url",
+    # The synthetic URL construction (fixture docs carry no URLs, so
+    # the check would otherwise never exercise the normalizer — the
+    # q_text_redact stance) and every canonicalization step are pure
+    # string/array built-ins with identical semantics on both engines;
+    # regexes use only anchors + character literals (no lookaround) so
+    # Java regex and RE2 agree; out-of-range part extraction is
+    # NULL-safe on both sides (Spark F.get, DuckDB list indexing).
+    oracle=f"""
+    WITH {_CANON_CTES}
     SELECT doc_id, url, canonical_url,
            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)
                 AS BIGINT) AS is_canonical,
@@ -195,6 +201,104 @@ def canonical_urls(docs: DataFrame) -> DataFrame:
                 kept.isNotNull() & (kept != ""), F.concat(F.lit("?"), kept)
             ).otherwise(F.lit("")),
         ).alias("canonical_url"),
+    )
+
+
+@register(
+    "q_frontier_interleave",
+    # Pure integer/string algebra: leaders are exact MIN-groups, ranks
+    # are ROW_NUMBERs over total orders (host unique within a rank,
+    # doc_id unique within a host), and the interleave position is a
+    # sum of exact counts — nothing floats anywhere.
+    oracle=f"""
+    WITH {_CANON_CTES},
+    leaders AS (
+        SELECT canonical_url, MIN(doc_id) AS doc_id
+        FROM canon WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url),
+    hosted AS (
+        SELECT doc_id, canonical_url,
+               string_split(canonical_url, '/')[1] AS host
+        FROM leaders),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                      PARTITION BY host ORDER BY doc_id) AS BIGINT)
+                      AS host_rank
+        FROM hosted)
+    SELECT doc_id, canonical_url, host, host_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY host_rank, host, doc_id)
+                AS BIGINT) AS crawl_pos
+    FROM ranked
+    """,
+)
+def q_frontier_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-FRONTIER POLITENESS ORDERING — the scheduling step after
+    q_dedup_url's frontier dedup: emit the deduped canonical URLs in
+    an order that round-robins across HOSTS (every host's first URL
+    before any host's second), so a crawler consuming the frontier
+    in ``crawl_pos`` order never hammers one host while others idle —
+    the standard politeness interleave.  Per URL: its host, its rank
+    within the host (by doc_id — FIFO per host), and the global
+    interleaved crawl position.  Canonicalization and first-per-
+    canonical leader selection are SHARED with q_dedup_url
+    (canonical_urls + the min-doc_id rule), so the frontier this
+    orders is exactly the set that query admits; NULL canonicals
+    (unparseable URLs) are not crawlable and are excluded.
+
+    Scale shape: NO global sort of the frontier — the naive form
+    (ROW_NUMBER over (host_rank, host), which the oracle uses) is the
+    classic total-order trap, so the engine computes the interleave
+    ARITHMETICALLY: per-host ranking partitions naturally by host
+    (bounded groups), the per-rank group sizes collapse to a
+    #ranks-row relation whose running offsets broadcast back, and the
+    position within a rank is a window over groups bounded by #hosts.
+    crawl_pos = offset(rank) + position-in-rank ≡ the oracle's global
+    ROW_NUMBER, exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    leaders = (
+        canonical_urls(docs)
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    hosted = leaders.select(
+        "doc_id",
+        "canonical_url",
+        F.get(F.split("canonical_url", "/"), 0).alias("host"),
+    )
+    # persisted: feeds the offsets aggregate AND the final join side
+    # (the q_join_interval dual-consumer staging precedent) — without
+    # it the canonicalize→dedup→rank chain runs once per branch
+    ranked = hosted.withColumn(
+        "host_rank",
+        F.row_number()
+        .over(Window.partitionBy("host").orderBy("doc_id"))
+        .cast("long"),
+    ).persist()
+    # interleave offsets: Σ sizes of ranks < r, over the tiny
+    # (#distinct ranks)-row aggregate — broadcast back, no global sort
+    sizes = ranked.groupBy("host_rank").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.orderBy("host_rank").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "host_rank",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    pos_in_rank = F.row_number().over(
+        Window.partitionBy("host_rank").orderBy("host", "doc_id")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "host_rank")
+        .select(
+            "doc_id",
+            "canonical_url",
+            "host",
+            "host_rank",
+            (F.col("__off") + pos_in_rank).cast("long").alias("crawl_pos"),
+        )
     )
 
 

@@ -764,6 +764,18 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_ngram_ratio(arr):
+    """Duplicated-occurrence share ``(n − n_distinct) / n`` of an
+    in-order n-gram array (0.0 for empty arrays, NULL for NULL text —
+    both engines propagate identically).  ONE shared expression for
+    q_text_repetition and the q_quality_vote ensemble gate so the
+    repetition semantics cannot drift between them."""
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(arr))).cast("double") / n
+    )
+
+
 @register(
     "q_text_repetition",
     oracle="""
@@ -796,18 +808,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle): each document scores itself inside the scan stage, so the
     operator is embarrassingly parallel at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-
-    def dup_ratio(arr):
-        n = F.size(arr)
-        return F.when(n <= 0, F.lit(0.0)).otherwise(
-            (n - F.size(F.array_distinct(arr))).cast("double") / n
-        )
-
     return docs.select(
         "doc_id",
-        F.round(dup_ratio(text.tokens("text")), 6).alias("dup_1gram"),
-        F.round(dup_ratio(text.word_shingles("text", 2)), 6).alias("dup_2gram"),
-        F.round(dup_ratio(text.word_shingles("text", 3)), 6).alias("dup_3gram"),
+        F.round(dup_ngram_ratio(text.tokens("text")), 6)
+        .alias("dup_1gram"),
+        F.round(dup_ngram_ratio(text.word_shingles("text", 2)), 6)
+        .alias("dup_2gram"),
+        F.round(dup_ngram_ratio(text.word_shingles("text", 3)), 6)
+        .alias("dup_3gram"),
     )
 
 
@@ -2326,4 +2334,214 @@ def q_classifier_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(prec, 6).alias("precision"),
         round_half_up(rec, 6).alias("recall"),
         round_half_up(f1, 6).alias("f1"),
+    )
+
+
+#: q_quality_vote's repetition gate: dup_3gram above this flags the
+#: doc as repetition spam (Gopher's "duplicated n-gram fraction" cut)
+_VOTE_REP_MAX = 0.1
+
+
+@register(
+    "q_quality_vote",
+    # All three member gates compare ROUNDED ratio columns or exact
+    # integers (the q_quality_gopher stance), the classifier vote cuts
+    # the RAW exact-rational score at 0 (sigmoid(0) = 0.5 — no exp in
+    # the decision path at all), and the output is pure 0/1 integer
+    # algebra — nothing floats past the per-gate ROUNDs.  The gopher
+    # and repetition rule SQL mirrors those queries' oracles verbatim
+    # (their Spark sides are the SAME shared transforms, and a
+    # cross-query consistency test pins the mirrors).
+    oracle=f"""
+    WITH {_calib_lab_ctes()},
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' '))
+                         BETWEEN 50 AND 100000
+                     AND ROUND((length(text)
+                                - len(string_split(text, ' ')) + 1)
+                               ::DOUBLE / len(string_split(text, ' ')), 6)
+                         BETWEEN 3 AND 10
+                     AND ROUND(len(list_filter(string_split(text, ' '),
+                                     t -> regexp_matches(t, '[a-z]')))
+                               ::DOUBLE / len(string_split(text, ' ')), 6)
+                         >= 0.8
+                     AND ROUND(((length(text)
+                                 - length(replace(text, '#', '')))
+                                + (length(text)
+                                   - length(replace(text, '…', ''))))
+                               ::DOUBLE / len(string_split(text, ' ')), 6)
+                         <= 0.1
+                    THEN 1 ELSE 0 END AS pass_gopher
+        FROM documents),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN ROUND(COALESCE(
+                        (len(g3) - len(list_distinct(g3)))
+                        / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0), 6)
+                         <= {_VOTE_REP_MAX}
+                    THEN 1 ELSE 0 END AS pass_repetition
+        FROM (SELECT doc_id,
+                     list_transform(range(1, len(w) - 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents))),
+    c AS (
+        SELECT doc_id,
+               CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pass_classifier
+        FROM scored),
+    v AS (
+        SELECT g.doc_id, g.pass_gopher, c.pass_classifier,
+               r.pass_repetition,
+               g.pass_gopher + c.pass_classifier + r.pass_repetition
+                   AS votes
+        FROM g JOIN c USING (doc_id) JOIN r USING (doc_id))
+    SELECT doc_id,
+           CAST(pass_gopher AS BIGINT) AS pass_gopher,
+           CAST(pass_classifier AS BIGINT) AS pass_classifier,
+           CAST(pass_repetition AS BIGINT) AS pass_repetition,
+           CAST(votes AS BIGINT) AS votes,
+           CAST(CASE WHEN votes >= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS admit
+    FROM v
+    """,
+)
+def q_quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-GATE ENSEMBLE — majority vote over the three
+    independent quality families every curation stack combines:
+    structural rules (q_quality_gopher's Gopher gates), model score
+    (q_classifier_score's linear classifier at the p = 0.5 cut,
+    decided on the RAW score's sign so no sigmoid enters the decision
+    path), and repetition (q_text_repetition's duplicated-trigram
+    fraction ≤ 0.1).  A doc is admitted on ≥ 2 of 3 votes — the
+    standard ensemble stance: any single signal misfires on some
+    genre (rules reject code, the classifier rejects rare domains,
+    repetition rejects lyrics), the majority is robust.  Emits the
+    three per-gate bits, the vote count, and the admit bit per doc.
+
+    Drift-safety: all three member signals are THE SHARED transforms
+    their standalone queries serve from (gopher_stats, _calib_lab,
+    dup_ngram_ratio — chained via keep-passthrough, never
+    reimplemented), so the ensemble agrees with its members
+    bit-for-bit by construction; a cross-query consistency test pins
+    it (tests/test_queries_invariants.py).
+
+    Scale shape: the three transforms chain as pure projections of
+    ONE scan — no join, no window, no shuffle anywhere (the
+    q_quality_gopher scan→project shape, ×3 signals).  At 100 TB this
+    is the cheapest possible ensemble: each doc votes inside its scan
+    task.  A NULL-text doc fails all three gates (votes 0) on both
+    engines — NULL metrics propagate to otherwise(0)/ELSE 0."""
+    from level2_to_cassandra_spark.queries.llm import gopher_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_stats(docs, keep=("text",)).select(
+        "doc_id", "pass_gopher", "text"
+    )
+    lab = _calib_lab(g, keep=("doc_id", "pass_gopher", "text"))
+    rep = F.round(
+        dup_ngram_ratio(text.word_shingles("text", 3)), 6
+    )
+    flags = lab.select(
+        "doc_id",
+        F.col("pass_gopher").cast("long").alias("pass_gopher"),
+        F.when(F.col("score") >= 0, 1).otherwise(0)
+        .cast("long").alias("pass_classifier"),
+        F.when(rep <= _VOTE_REP_MAX, 1).otherwise(0)
+        .cast("long").alias("pass_repetition"),
+    )
+    votes = (
+        F.col("pass_gopher") + F.col("pass_classifier")
+        + F.col("pass_repetition")
+    )
+    return flags.select(
+        "doc_id", "pass_gopher", "pass_classifier", "pass_repetition",
+        votes.cast("long").alias("votes"),
+        F.when(votes >= 2, 1).otherwise(0).cast("long").alias("admit"),
+    )
+
+
+#: q_select_budget's budget: the best-scored prefix holding at most
+#: 1/_BUDGET_DENOM of the corpus' tokens (integer division — exact)
+_BUDGET_DENOM = 4
+
+
+@register(
+    "q_select_budget",
+    # Integer token counts end to end; the ordering key is the RAW
+    # exact-rational classifier score (bit-identical doubles both
+    # engines — same argument as the calibration family) with doc_id
+    # tie-break, so the global order and the cumulative sums are
+    # engine-identical; the budget is integer division of the exact
+    # token total.
+    oracle=f"""
+    WITH {_calib_lab_ctes()},
+    t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL),
+    j AS (
+        SELECT t.doc_id, t.n, s.score
+        FROM t JOIN scored s USING (doc_id)),
+    c AS (
+        SELECT doc_id, n, score,
+               SUM(n) OVER (ORDER BY score DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               CAST(SUM(n) OVER () // {_BUDGET_DENOM} AS BIGINT)
+                   AS budget
+        FROM j)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           ROUND(score, 6) AS score
+    FROM c WHERE cum <= budget
+    """,
+)
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET DATA SELECTION — the "best data under a compute
+    budget" operation (phi-style quality-first curation): order the
+    corpus by classifier score (best first, doc_id tie-break) and
+    admit the prefix whose CUMULATIVE token count fits the budget
+    (here ⌊total/4⌋ — scale-invariant, so the query expresses the
+    same selection at every SF).  Emits the selected docs with their
+    token count, running total, and (display-rounded) score.  Scoring
+    is the SHARED _calib_lab transform — the ensemble/calibration
+    family's exact-rational score, never reimplemented.
+
+    Scale shape: scoring and token counting are map-side in the scan;
+    the cumulative cut is ONE global-order running-sum window — the
+    documented skewed-window caveat (the q_quality_ppl_bucket stance):
+    exact total order is the right form for the oracle-checked eval,
+    and the production swap at 100 TB is range-bucketing by score
+    (histogram the scores, take whole buckets greedily, sort only the
+    boundary bucket — turns the global sort into one tiny aggregate
+    plus one bounded sort).  NULL-text docs carry no tokens and are
+    excluded outright (both engines)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    lab = _calib_lab(docs, keep=("doc_id", "text"))
+    j = lab.select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("long").alias("n"),
+        "score",
+    )
+    w_ord = (
+        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = j.select(
+        "doc_id",
+        "n",
+        "score",
+        F.sum("n").over(w_ord).alias("cum"),
+        F.sum("n").over(w_all).alias("__total"),
+    ).withColumn(
+        "budget", F.expr(f"__total div {_BUDGET_DENOM}").cast("long")
+    )
+    return c.where(F.col("cum") <= F.col("budget")).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("cum").cast("long").alias("cum_tokens"),
+        F.round(F.col("score"), 6).alias("score"),
     )

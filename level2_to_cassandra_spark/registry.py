@@ -73,6 +73,9 @@ DRIVER_ORDER = (
     # the past-cap tail as r17's rotation head.
     # -- NEW in r16 (first driver rows) ------------------------------
     "q_pack_efficiency",
+    "q_quality_vote",
+    "q_select_budget",
+    "q_frontier_interleave",
     # -- r15 first rows (1 lifetime row each; hold until >=2) --------
     "q_dedup_lines",
     "q_rollup_quantile",
@@ -123,11 +126,11 @@ DRIVER_ORDER = (
     "q_join_right",
     "q_json_scan",
     "q_llm_dedup_embed",
+    # ======================= past the cap ==============================
+    # -- r12-stale, displaced by the r16 new-query slots above ---------
     "q_llm_dedup_exact",
     "q_max_concurrency",
     "q_pack_sequences",
-    # ======================= past the cap ==============================
-    # -- r12-stale, displaced by the r16 new-query slots above ---------
     "q_scalar_array",
     # -- the 12 r12-stale names that did not fit (r17's rotation head) -
     "q_scalar_map",

@@ -1279,6 +1279,51 @@ def test_pack_efficiency_one_scan_one_window_one_exchange(spark):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_quality_vote_pure_scan_project(spark):
+    """q_quality_vote (r16): the three chained shared transforms fuse
+    into ONE pruned scan→project — no join, no window, no exchange of
+    any kind, no explode.  The cheapest possible ensemble shape."""
+    plan = plan_of(all_queries()["q_quality_vote"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "Window" not in plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_select_budget_one_scan_single_global_window(spark):
+    """q_select_budget (r16): scoring + token counting fuse into ONE
+    pruned scan; the cumulative cut is the documented single global
+    window (one SinglePartition exchange — the skewed-window caveat
+    with the range-bucketing production swap in the docstring); no
+    joins, no hash exchanges."""
+    plan = plan_of(all_queries()["q_select_budget"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate" not in plan
+
+
+def test_frontier_interleave_no_global_sort_of_frontier(spark):
+    """q_frontier_interleave (r16): the interleave position is
+    computed arithmetically — the only windows are per-host / per-rank
+    partitioned and the offsets window runs over the tiny rank-size
+    aggregate; the frontier itself is NEVER globally sorted (no
+    rangepartitioning exchange), the offsets join back by BROADCAST,
+    and the dual-consumer ranked relation is persisted (one scan)."""
+    plan = plan_of(
+        all_queries()["q_frontier_interleave"].fn(spark, SF), "simple"
+    )
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
 def test_dedup_url_one_window_one_pruned_scan(spark):
     """q_dedup_url: canonicalization is scan-fused (ONE FileScan
     reading only doc_id+source, no joins, no explode); the only

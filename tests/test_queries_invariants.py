@@ -765,6 +765,104 @@ def test_dedup_lines_crafted_corpus_exact(spark, tmp_path):
     assert rows[2].kept_text == ""
 
 
+def test_quality_vote_members_consistent(spark):
+    """q_quality_vote's three bits must equal the standalone member
+    derivations (shared transforms — bit-for-bit), and votes/admit
+    must satisfy the integer vote law."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.queries.traindata import (
+        _VOTE_REP_MAX,
+        _calib_lab,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    vote = {r.doc_id: r
+            for r in all_queries()["q_quality_vote"].fn(spark, sf)
+            .collect()}
+    gopher = {r.doc_id: r.pass_gopher
+              for r in all_queries()["q_quality_gopher"].fn(spark, sf)
+              .collect()}
+    rep = {r.doc_id: r.dup_3gram
+           for r in all_queries()["q_text_repetition"].fn(spark, sf)
+           .collect()}
+    lab = {r.doc_id: r.score
+           for r in _calib_lab(
+               load_table(spark, sf, "documents"), keep=("doc_id",)
+           ).collect()}
+    assert set(vote) == set(gopher)
+    for d, r in vote.items():
+        assert r.pass_gopher == gopher[d]
+        want_rep = 1 if (rep[d] is not None
+                         and rep[d] <= _VOTE_REP_MAX) else 0
+        assert r.pass_repetition == want_rep
+        want_cls = 1 if (lab[d] is not None and lab[d] >= 0) else 0
+        assert r.pass_classifier == want_cls
+        assert r.votes == (r.pass_gopher + r.pass_classifier
+                           + r.pass_repetition)
+        assert r.admit == (1 if r.votes >= 2 else 0)
+
+
+def test_select_budget_is_maximal_quality_prefix(spark):
+    """q_select_budget must emit EXACTLY the maximal prefix of the
+    (score DESC, doc_id) order whose cumulative token count fits
+    ⌊total/4⌋ — recomputed independently in Python."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.traindata import (
+        _BUDGET_DENOM,
+        _calib_lab,
+    )
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r
+           for r in all_queries()["q_select_budget"].fn(spark, sf)
+           .collect()}
+    docs = load_table(spark, sf, "documents").where(
+        F.col("text").isNotNull()
+    )
+    rows = _calib_lab(docs, keep=("doc_id",)).join(
+        docs.select(
+            "doc_id", F.size(text.tokens("text")).alias("n")
+        ),
+        "doc_id",
+    ).select("doc_id", "score", "n").collect()
+    order = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    budget = sum(r.n for r in rows) // _BUDGET_DENOM
+    cum, want = 0, {}
+    for r in order:
+        if cum + r.n > budget:
+            break  # prefix ends at the first overflow
+        cum += r.n
+        want[r.doc_id] = cum
+    assert {d: r.cum_tokens for d, r in got.items()} == want
+
+
+def test_frontier_interleave_politeness_laws(spark):
+    """crawl_pos must be the 1..N permutation of the deduped frontier
+    in (host_rank, host, doc_id) order — host_rank non-decreasing
+    along the crawl, every host's rank-r URL before any host's
+    rank-(r+1), FIFO (doc_id order) within each host."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_frontier_interleave"].fn(spark, sf).collect()
+    assert rows
+    assert sorted(r.crawl_pos for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    naive = sorted(rows, key=lambda r: (r.host_rank, r.host, r.doc_id))
+    assert [r.crawl_pos for r in naive] == list(range(1, len(rows) + 1))
+    by_host: dict = {}
+    for r in sorted(rows, key=lambda r: r.host_rank):
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    for docs_in_host in by_host.values():
+        assert docs_in_host == sorted(docs_in_host)  # FIFO per host
+
+
 def test_packed_line_key_overflow_raises(spark):
     """ADVICE r15: a line_no at or beyond LINE_KEY_SPAN would alias
     the packed first-occurrence key into the next doc_id's range and
