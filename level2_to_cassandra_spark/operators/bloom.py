@@ -27,6 +27,21 @@ Correctness is unchanged BY CONSTRUCTION:
   whose ``batch_id < bid`` store filter already encodes the replay
   contract.
 
+MIGRATION / SIDE-FILE LOSS (review r16).  A store that predates the
+side-file (or whose ``/bloom`` directory was deleted whole) holds keys
+with no Bloom bits — skipping their anti-join would re-admit them.
+The wrappers handle the DETECTABLE form: an EMPTY Bloom journal next
+to the store falls back to the exact full-batch probe (the pre-Bloom
+path, correct against any store) AND backfills a partial covering the
+whole store's keys, so ``bloom ⊇ store`` holds from the first
+post-migration batch onward (the backfill runs once ever and is a
+no-op on a true batch 0).  PARTIAL side-file loss — individual batch
+files surgically removed from ``/bloom`` while ``/seen`` keeps the
+matching keys — is NOT detectable from row counts alone and is out of
+contract: the ``/bloom`` directory is an integral part of the store;
+restore or delete it as a unit (deleting it whole is always safe —
+the next batch detects emptiness, exact-probes, and re-backfills).
+
 REPRESENTATION.  The filter is an m-bit array held as ``m/64`` LONG
 words.  The side-file is APPEND-ONLY (the journal discipline every
 monitor store follows): each batch appends its fresh keys' OR-partial
@@ -128,7 +143,23 @@ def bloom_maybe_seen(batch: DataFrame, key_col: str,
     the key's ``n_hashes`` bits is set in the broadcast filter.  False
     means DEFINITELY fresh (Bloom's no-false-negative guarantee, which
     holds here because partials are written before store appends).
-    Pure map-side: k hashes + k array lookups per row, no shuffle."""
+    Pure map-side: k hashes + k array lookups per row, no shuffle.
+
+    Reserved names: ``bloom``, ``__maybe_seen`` and the ``__p{i}``
+    probe columns may not collide with batch payload columns — raises
+    a named ValueError at build time, CASEFOLDED (the gopher_stats /
+    _calib_lab passthrough discipline, review r16: a payload 'bloom'
+    column would otherwise die with AMBIGUOUS_REFERENCE on the first
+    micro-batch)."""
+    reserved = {"bloom", "__maybe_seen"} | {
+        f"__p{i}" for i in range(n_hashes)
+    }
+    clash = {c for c in batch.columns if c.lower() in reserved}
+    if clash:
+        raise ValueError(
+            "bloom_maybe_seen reserved columns collide with batch "
+            f"payload columns: {sorted(clash)} — rename them upstream"
+        )
     out = batch.crossJoin(F.broadcast(bloom_one_row))
     for i in range(n_hashes):
         out = out.withColumn(f"__p{i}", _pos(key_col, i, n_bits))

@@ -766,8 +766,14 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_ngram_ratio(arr):
     """Duplicated-occurrence share ``(n − n_distinct) / n`` of an
-    in-order n-gram array (0.0 for empty arrays, NULL for NULL text —
-    both engines propagate identically).  ONE shared expression for
+    in-order n-gram array: 0.0 for EMPTY arrays (a short doc has no
+    repeats), NULL for a NULL array (NULL text has no metrics — the
+    gopher stance; under Spark 4 ANSI ``size(NULL)`` is NULL and the
+    ``when(n <= 0)`` condition falls through to the NULL-propagating
+    otherwise).  The q_text_repetition oracle mirrors both arms with
+    an explicit ``w IS NULL`` CASE (review r16: its bare COALESCE
+    previously coalesced NULL text to 0.0 — a latent divergence the
+    NULL-free fixtures never exposed).  ONE shared expression for
     q_text_repetition and the q_quality_vote ensemble gate so the
     repetition semantics cannot drift between them."""
     n = F.size(arr)
@@ -778,14 +784,25 @@ def dup_ngram_ratio(arr):
 
 @register(
     "q_text_repetition",
+    # NULL-text docs carry NULL metrics on BOTH engines (the gopher
+    # stance): the 2/3-gram legs' COALESCE exists only for the
+    # empty-n-gram-array case (short docs → 0.0), so it sits behind an
+    # explicit w IS NULL arm — without it DuckDB coalesced a NULL
+    # TEXT's ratio to 0.0 while Spark's size(NULL) propagates NULL
+    # (latent divergence found by review r16, first pass; the fixtures
+    # carry no NULL text, so hashes never saw it).
     oracle="""
     SELECT doc_id,
            ROUND((len(w) - len(list_distinct(w)))
                  / CAST(len(w) AS DOUBLE), 6)                 AS dup_1gram,
+           CASE WHEN w IS NULL THEN NULL ELSE
            ROUND(COALESCE((len(g2) - len(list_distinct(g2)))
-                 / CAST(NULLIF(len(g2), 0) AS DOUBLE), 0), 6) AS dup_2gram,
+                 / CAST(NULLIF(len(g2), 0) AS DOUBLE), 0), 6) END
+                                                              AS dup_2gram,
+           CASE WHEN w IS NULL THEN NULL ELSE
            ROUND(COALESCE((len(g3) - len(list_distinct(g3)))
-                 / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0), 6) AS dup_3gram
+                 / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0), 6) END
+                                                              AS dup_3gram
     FROM (
         SELECT doc_id,
                w,
@@ -2349,9 +2366,13 @@ _VOTE_REP_MAX = 0.1
     # the RAW exact-rational score at 0 (sigmoid(0) = 0.5 — no exp in
     # the decision path at all), and the output is pure 0/1 integer
     # algebra — nothing floats past the per-gate ROUNDs.  The gopher
-    # and repetition rule SQL mirrors those queries' oracles verbatim
-    # (their Spark sides are the SAME shared transforms, and a
-    # cross-query consistency test pins the mirrors).
+    # and repetition rule SQL mirrors those queries' oracles (their
+    # Spark sides are the SAME shared transforms, and a cross-query
+    # consistency test pins the mirrors); the repetition CASE adds an
+    # explicit NULL-text arm (w IS NULL → 0) because the engine's
+    # otherwise(0) REJECTS a NULL metric while a bare COALESCE-to-0
+    # oracle would pass it — verified by the crafted NULL-text
+    # both-engines test (review r16, first pass).
     oracle=f"""
     WITH {_calib_lab_ctes()},
     g AS (
@@ -2376,12 +2397,13 @@ _VOTE_REP_MAX = 0.1
         FROM documents),
     r AS (
         SELECT doc_id,
-               CASE WHEN ROUND(COALESCE(
+               CASE WHEN w IS NULL THEN 0
+                    WHEN ROUND(COALESCE(
                         (len(g3) - len(list_distinct(g3)))
                         / CAST(NULLIF(len(g3), 0) AS DOUBLE), 0), 6)
                          <= {_VOTE_REP_MAX}
                     THEN 1 ELSE 0 END AS pass_repetition
-        FROM (SELECT doc_id,
+        FROM (SELECT doc_id, w,
                      list_transform(range(1, len(w) - 1),
                          i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
               FROM (SELECT doc_id, string_split(text, ' ') AS w

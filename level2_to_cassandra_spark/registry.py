@@ -68,9 +68,13 @@ DRIVER_ORDER = (
     # staging table, VERDICT r15 task #2; q_sketch_error and
     # q_dedup_lines also change but already hold slots under (b)), (d)
     # the 12 r11-stale names (r15's documented rotation head), (e) the
-    # alphabetical head of the 40 r12-stale names — 28 fit.
-    # 9 + 1 + 12 + 28 = 50; the twelve r12 names that did not fit head
-    # the past-cap tail as r17's rotation head.
+    # alphabetical head of the 40 r12-stale names — 23 fit after the
+    # four r16 new-query slots and the second category-(c) name landed.
+    # 4 + 9 + 2 + 12 + 23 = 50; the SEVENTEEN r12 names that did not
+    # fit head the past-cap tail as r17's rotation head (review r16,
+    # first pass: an earlier revision of this comment kept the stale
+    # "28 fit / twelve did not" arithmetic — the displaced names are
+    # part of the r17 frontier, not skippable).
     # -- NEW in r16 (first driver rows) ------------------------------
     "q_pack_efficiency",
     "q_quality_vote",
@@ -86,8 +90,9 @@ DRIVER_ORDER = (
     "q_langid_confusion",
     "q_sketch_error",
     "q_dedup_url",
-    # -- implementation changed in r16 (re-hash against the driver) ---
+    # -- implementation/oracle changed in r16 (re-hash vs the driver) -
     "q_llm_dedup_minhash",
+    "q_text_repetition",
     # -- last driver-green r11 (the r15 rotation's deferred head) -----
     "q_text_rolling_hash",
     "q_text_span_dedup",
@@ -101,7 +106,7 @@ DRIVER_ORDER = (
     "q_winsorize",
     "q_xml_scan",
     "q_zorder",
-    # -- last driver-green r12 (28 of 40; alphabetical head) ----------
+    # -- last driver-green r12 (23 of 40; alphabetical head) ----------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
@@ -125,9 +130,9 @@ DRIVER_ORDER = (
     "q_join_multiway",
     "q_join_right",
     "q_json_scan",
-    "q_llm_dedup_embed",
     # ======================= past the cap ==============================
     # -- r12-stale, displaced by the r16 new-query slots above ---------
+    "q_llm_dedup_embed",
     "q_llm_dedup_exact",
     "q_max_concurrency",
     "q_pack_sequences",
@@ -266,7 +271,6 @@ DRIVER_ORDER = (
     "q_snapshot_diff",
     "q_text_editdist",
     "q_text_novelty",
-    "q_text_repetition",
 )
 
 

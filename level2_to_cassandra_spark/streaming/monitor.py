@@ -1317,28 +1317,36 @@ def foreach_batch_with_line_dedup(
             # line_no >= LINE_KEY_SPAN instead of mis-attributing
             key = text_ops.packed_line_key()
             # Bloom pre-filter (r16): only maybe-seen lines pay the
-            # exact store anti-join; misses are definitely fresh
-            probed = bloom_ops.bloom_maybe_seen(
-                lines,
-                "line_text",
-                bloom_ops.bloom_relation(
-                    batch_df.sparkSession,
-                    _read_journal(
-                        batch_df.sparkSession,
-                        f"{line_dedup_path(base_path)}/bloom",
-                        bloom_ops.BLOOM_SCHEMA,
-                    ),
-                ),
+            # exact store anti-join; misses are definitely fresh.  An
+            # EMPTY Bloom journal falls back to the exact full-batch
+            # probe (review r16: a pre-r16 store — or a wholly lost
+            # /bloom dir — has seen keys with no Bloom bits; skipping
+            # their anti-join would re-admit them.  Empty-journal is
+            # the detectable form of that state, and the fallback IS
+            # the pre-Bloom path, correct against any store.)
+            bj = _read_journal(
+                batch_df.sparkSession,
+                f"{line_dedup_path(base_path)}/bloom",
+                bloom_ops.BLOOM_SCHEMA,
             )
-            unseen = (
-                probed.where(F.col("__maybe_seen"))
-                .drop("__maybe_seen")
-                .join(seen, "line_text", "left_anti")
-                .unionByName(
-                    probed.where(~F.col("__maybe_seen"))
-                    .drop("__maybe_seen")
+            no_bloom = bj.isEmpty()
+            if no_bloom:
+                unseen = lines.join(seen, "line_text", "left_anti")
+            else:
+                probed = bloom_ops.bloom_maybe_seen(
+                    lines,
+                    "line_text",
+                    bloom_ops.bloom_relation(batch_df.sparkSession, bj),
                 )
-            )
+                unseen = (
+                    probed.where(F.col("__maybe_seen"))
+                    .drop("__maybe_seen")
+                    .join(seen, "line_text", "left_anti")
+                    .unionByName(
+                        probed.where(~F.col("__maybe_seen"))
+                        .drop("__maybe_seen")
+                    )
+                )
             # persisted: feeds the kept aggregation AND the seen-store
             # append (review r15 — the store gains one row per
             # NEWLY-SEEN line only; appending every batch's full line
@@ -1387,8 +1395,24 @@ def foreach_batch_with_line_dedup(
             # Bloom partial BEFORE the store append: a crash between
             # the two leaves bloom ⊇ store (the safe direction — a
             # bloomed-but-unstored key re-probes the exact join, which
-            # re-admits it exactly as the store's absence dictates)
-            bloom_ops.bloom_partial(fresh, "line_text").select(
+            # re-admits it exactly as the store's absence dictates).
+            # On the empty-journal batch the partial must cover the
+            # WHOLE store, not just this batch's fresh keys (review
+            # r16: a fresh-only append would leave the pre-existing
+            # store keys bitless and NEXT batch's non-empty-journal
+            # probe would call them definitely-fresh) — the backfill
+            # runs once ever, is a no-op on a true batch 0, and makes
+            # bloom ⊇ store hold from the first r16 batch onward.
+            to_bloom = fresh.select("line_text")
+            if no_bloom:
+                to_bloom = to_bloom.unionByName(
+                    _read_journal(
+                        batch_df.sparkSession,
+                        f"{line_dedup_path(base_path)}/seen",
+                        "line_text string, batch_id long",
+                    ).select("line_text")
+                ).distinct()
+            bloom_ops.bloom_partial(to_bloom, "line_text").select(
                 "word_idx", "word",
                 F.lit(bid).cast("long").alias("batch_id"),
             ).coalesce(1).write.mode("append").parquet(
@@ -1702,28 +1726,33 @@ def foreach_batch_with_url_dedup(
                 .distinct()
             )
             # Bloom pre-filter (r16, operators/bloom.py design note):
-            # only maybe-seen canonicals pay the exact store anti-join
-            probed = bloom_ops.bloom_maybe_seen(
-                canon,
-                "__ck",
-                bloom_ops.bloom_relation(
-                    batch_df.sparkSession,
-                    _read_journal(
-                        batch_df.sparkSession,
-                        f"{url_dedup_path(base_path)}/bloom",
-                        bloom_ops.BLOOM_SCHEMA,
-                    ),
-                ),
+            # only maybe-seen canonicals pay the exact store anti-join.
+            # Empty Bloom journal → exact full-batch probe (the
+            # pre-r16-store / lost-side-file fallback — see the
+            # line-dedup twin, review r16)
+            bj = _read_journal(
+                batch_df.sparkSession,
+                f"{url_dedup_path(base_path)}/bloom",
+                bloom_ops.BLOOM_SCHEMA,
             )
-            unseen = (
-                probed.where(F.col("__maybe_seen"))
-                .drop("__maybe_seen")
-                .join(seen, "__ck", "left_anti")
-                .unionByName(
-                    probed.where(~F.col("__maybe_seen"))
-                    .drop("__maybe_seen")
+            no_bloom = bj.isEmpty()
+            if no_bloom:
+                unseen = canon.join(seen, "__ck", "left_anti")
+            else:
+                probed = bloom_ops.bloom_maybe_seen(
+                    canon,
+                    "__ck",
+                    bloom_ops.bloom_relation(batch_df.sparkSession, bj),
                 )
-            )
+                unseen = (
+                    probed.where(F.col("__maybe_seen"))
+                    .drop("__maybe_seen")
+                    .join(seen, "__ck", "left_anti")
+                    .unionByName(
+                        probed.where(~F.col("__maybe_seen"))
+                        .drop("__maybe_seen")
+                    )
+                )
             # one row per NEWLY-SEEN canonical: its minimum-doc_id
             # leader (the batch query's rule) — feeds the admit join,
             # the reject anti-join and the store append
@@ -1748,8 +1777,19 @@ def foreach_batch_with_url_dedup(
                 f"{url_dedup_path(base_path)}/rejects"
             )
             # Bloom partial BEFORE the store append (bloom ⊇ store —
-            # see the line-dedup twin and operators/bloom.py)
-            bloom_ops.bloom_partial(fresh, "__ck").select(
+            # see the line-dedup twin and operators/bloom.py); the
+            # empty-journal batch BACKFILLS the whole store's keys
+            # (once ever; no-op on a true batch 0 — review r16)
+            to_bloom = fresh.select("__ck")
+            if no_bloom:
+                to_bloom = to_bloom.unionByName(
+                    _read_journal(
+                        batch_df.sparkSession,
+                        f"{url_dedup_path(base_path)}/seen",
+                        "canonical_url string, batch_id long",
+                    ).select(F.col("canonical_url").alias("__ck"))
+                ).distinct()
+            bloom_ops.bloom_partial(to_bloom, "__ck").select(
                 "word_idx", "word",
                 F.lit(bid).cast("long").alias("batch_id"),
             ).coalesce(1).write.mode("append").parquet(

@@ -64,6 +64,72 @@ def test_bloom_probe_cost_bound_mixed_batch(spark):
     assert true_dups == 500
 
 
+def test_bloom_reserved_column_collision_raises(spark):
+    """A batch payload carrying a reserved probe column name — in ANY
+    case — must fail at build time with the named ValueError, not at
+    runtime with AMBIGUOUS_REFERENCE (the gopher_stats discipline)."""
+    import pytest
+
+    one = bloom.bloom_relation(
+        spark,
+        spark.createDataFrame([], bloom.BLOOM_SCHEMA),
+    )
+    for col in ("Bloom", "__maybe_seen", "__P0"):
+        batch = spark.createDataFrame(
+            [("k1", 1)], ["k", col]
+        )
+        with pytest.raises(ValueError, match="collide"):
+            bloom.bloom_maybe_seen(batch, "k", one)
+
+
+def test_pre_bloom_store_migration_no_readmission(spark, tmp_path):
+    """Review r16: a seen store that PREDATES the Bloom side-file (or
+    whose /bloom dir was deleted whole) holds keys with no Bloom bits.
+    The wrapper must (a) fall back to the exact full-batch probe on
+    the empty-journal batch — no stored key re-admitted — and (b)
+    BACKFILL the whole store's keys into the Bloom, so batch N+1's
+    non-empty-journal probe still flags the old keys maybe-seen."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_url_dedup,
+        url_dedup_path,
+    )
+
+    base = str(tmp_path / "sink")
+    # simulate an r15-era store: seen canonicals, NO /bloom dir
+    spark.createDataFrame(
+        [("src.example.com/doc/6", 0)], "canonical_url string, batch_id long"
+    ).write.mode("append").parquet(f"{url_dedup_path(base)}/seen")
+
+    admitted: list = []
+    cb = foreach_batch_with_url_dedup(
+        lambda df, bid: admitted.extend(
+            r.doc_id for r in df.select("doc_id").collect()
+        ),
+        base,
+    )
+    # doc_id 46 canonicalizes to src.example.com/doc/6 (46 % 40 == 6,
+    # 46 % 4 == 2 → no query string at all) — a stored dup
+    batch1 = spark.createDataFrame(
+        [(46, "text a", "en", "src", 6)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    cb(batch1, 1)
+    assert admitted == []          # (a) fallback: stored dup rejected
+    # batch 2 probes with a NON-empty journal — the backfill must have
+    # covered the old store key (doc 86 → the same canonical)
+    batch2 = spark.createDataFrame(
+        [(86, "text b", "en", "src", 6)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    cb(batch2, 2)
+    assert admitted == []          # (b) backfilled: still rejected
+    # sanity: the journal really is non-empty by batch 2
+    n_bloom = spark.read.parquet(f"{url_dedup_path(base)}/bloom").count()
+    assert n_bloom > 0
+
+
 def test_bloom_or_fold_idempotent_and_empty_state(spark):
     """Replay-duplicated partial rows must fold to the identical
     array (bitwise OR is idempotent); an empty journal folds to the

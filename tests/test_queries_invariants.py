@@ -765,6 +765,47 @@ def test_dedup_lines_crafted_corpus_exact(spark, tmp_path):
     assert rows[2].kept_text == ""
 
 
+def test_null_text_both_engines_repetition_and_vote(spark, tmp_path):
+    """Review r16: the fixtures carry no NULL-text docs, so the
+    NULL-text arms of q_text_repetition and q_quality_vote were never
+    hash-exercised — and the repetition oracle's bare COALESCE
+    silently diverged from Spark's NULL propagation.  This crafts a
+    corpus WITH a NULL-text doc and runs the driver-strict compare on
+    both queries: NULL text must yield NULL repetition metrics and a
+    zero-vote reject, identically on both engines."""
+    import duckdb
+
+    from level2_to_cassandra_spark.registry import all_queries
+    from tests.oracle_harness import compare
+
+    body = " ".join(f"w{i % 7}" for i in range(60))  # passes gates
+    rows = [(1, body, "en", "src", len(body)),
+            (2, None, "en", "src", 0),
+            (3, "tiny text", "en", "src", 9)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for name in ("q_text_repetition", "q_quality_vote"):
+        q = all_queries()[name]
+        compare(q.fn(spark, str(tmp_path)), con, q.oracle)
+    vote = {r.doc_id: r
+            for r in all_queries()["q_quality_vote"]
+            .fn(spark, str(tmp_path)).collect()}
+    assert vote[2].votes == 0 and vote[2].admit == 0
+    rep = {r.doc_id: r
+           for r in all_queries()["q_text_repetition"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert rep[2].dup_1gram is None and rep[2].dup_3gram is None
+
+
 def test_quality_vote_members_consistent(spark):
     """q_quality_vote's three bits must equal the standalone member
     derivations (shared transforms — bit-for-bit), and votes/admit
