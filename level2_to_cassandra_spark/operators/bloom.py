@@ -75,6 +75,121 @@ N_HASHES = 4
 BLOOM_SCHEMA = "word_idx long, word long, batch_id long"
 
 
+def journal_subdir(n_bits: int | None = None,
+                   n_hashes: int | None = None) -> str:
+    """GEOMETRY-VERSIONED journal subdirectory name (review r16, 2nd
+    pass): partial words are meaningless under a different (n_bits,
+    n_hashes), and the flat schema cannot detect a mismatch — so the
+    geometry IS the path.  A resized filter lands in a FRESH empty
+    subdir, the empty-journal fallback exact-probes that batch and
+    the whole-store backfill rebuilds the filter under the new
+    geometry automatically; the old subdir is simply never read again
+    (orphaned bytes, reclaimable at leisure — never wrong bits).
+    Geometry resolves at CALL time from the module constants (not
+    def-time defaults) so an operator override before stream start —
+    and the resize test — take effect everywhere consistently."""
+    return (f"g{N_BITS if n_bits is None else n_bits}"
+            f"x{N_HASHES if n_hashes is None else n_hashes}")
+
+
+class BloomCache:
+    """PER-STREAM in-memory fold of one Bloom journal (review r16,
+    2nd pass: re-folding the append-only journal from parquet every
+    micro-batch pays O(rows-so-far) per batch — the cache folds ONCE
+    per stream lifetime, then ORs each batch's own partial in as it
+    is written, which is exact because this wrapper instance is the
+    journal's ONLY writer — the same single-writer contract the seen
+    store itself carries).  A restart simply re-folds; a crashed
+    attempt's extra journal rows OR in idempotently."""
+
+    def __init__(self, n_bits: int | None = None,
+                 n_hashes: int | None = None) -> None:
+        # call-time resolution — see journal_subdir
+        self.n_bits = N_BITS if n_bits is None else n_bits
+        self.n_hashes = N_HASHES if n_hashes is None else n_hashes
+        self.words: list[int] | None = None
+
+    def ensure(self, journal: DataFrame) -> None:
+        """Fold the on-disk journal once (first batch / restart
+        recovery); no-op afterwards."""
+        if self.words is None:
+            row = bloom_relation(
+                journal.sparkSession, journal, self.n_bits
+            ).first()
+            self.words = list(row.bloom)
+
+    @property
+    def empty(self) -> bool:
+        """True while NO bit is set — batch 0, a pre-side-file store,
+        a wholly lost /bloom dir, or a geometry change (fresh subdir):
+        all fall back to the exact full-batch probe + backfill."""
+        return not any(self.words)
+
+    def one_row(self, spark: SparkSession) -> DataFrame:
+        """The 1-row dense-array relation the probe broadcasts."""
+        return spark.createDataFrame(
+            [(self.words,)], "bloom array<long>"
+        )
+
+    def apply(self, partial_rows) -> None:
+        """OR a written partial's rows into the cached array."""
+        for r in partial_rows:
+            self.words[r.word_idx] |= r.word
+
+
+def probe_unseen(cache: BloomCache, batch: DataFrame, key_col: str,
+                 seen: DataFrame) -> DataFrame:
+    """The Bloom-bounded unseen-key derivation shared by the admit
+    wrappers: keys whose probe misses are definitely fresh and skip
+    the exact anti-join against ``seen`` (a relation keyed by
+    ``key_col``); only the maybe-seen remainder pays it.  An EMPTY
+    filter (see :meth:`BloomCache.empty`) degrades to the exact
+    full-batch probe — the pre-Bloom path, correct against any
+    store."""
+    if cache.empty:
+        return batch.join(seen, key_col, "left_anti")
+    probed = bloom_maybe_seen(
+        batch, key_col, cache.one_row(batch.sparkSession),
+        cache.n_bits, cache.n_hashes,
+    )
+    return (
+        probed.where(F.col("__maybe_seen"))
+        .drop("__maybe_seen")
+        .join(seen, key_col, "left_anti")
+        .unionByName(
+            probed.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+        )
+    )
+
+
+def append_partial(cache: BloomCache, journal_path: str,
+                   fresh_keys: DataFrame, key_col: str,
+                   store_keys: DataFrame, batch_id: int) -> None:
+    """The per-batch Bloom maintenance step shared by the admit
+    wrappers (review r16, 2nd pass: formerly two copy-pasted stanzas
+    with a redundant ``.distinct()`` — the OR fold is duplicate-
+    idempotent, so no dedup shuffle is needed): compute the
+    OR-partial over the batch's fresh keys — plus the WHOLE store's
+    keys while the filter is empty (the one-time migration backfill;
+    a no-op union on a true batch 0) — write it to the journal, and
+    OR it into the stream's cache.  MUST run BEFORE the caller's
+    store append (``bloom ⊇ store`` under every crash point)."""
+    to_bloom = fresh_keys
+    if cache.empty:
+        to_bloom = to_bloom.unionByName(
+            store_keys.select(F.col(store_keys.columns[0]).alias(key_col))
+        )
+    rows = bloom_partial(
+        to_bloom, key_col, cache.n_bits, cache.n_hashes
+    ).collect()
+    if rows:
+        fresh_keys.sparkSession.createDataFrame(
+            [(r.word_idx, r.word, int(batch_id)) for r in rows],
+            BLOOM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(journal_path)
+        cache.apply(rows)
+
+
 def _pos(key_col: str, i: int, n_bits: int):
     """Bit position of hash i for ``key_col`` — xxhash64 seeded by the
     hash index, masked to the table size (a power of two, so the mask

@@ -1249,7 +1249,8 @@ def line_dedup_path(base: str) -> str:
     """Beside the sink, underscore-prefixed — the monitor-table
     discipline.  ``/docs`` holds the per-doc audit rows, ``/seen``
     the append-only first-occurrence line store, ``/bloom`` the
-    store's Bloom side-file OR-partials (r16)."""
+    store's Bloom side-file OR-partials (geometry-versioned subdirs,
+    r16), ``/overspan`` the over-span doc rejects (r16)."""
     return f"{base}/_line_dedup"
 
 
@@ -1288,9 +1289,26 @@ def foreach_batch_with_line_dedup(
     false positives fall through to the exact join (correctness
     unchanged), false negatives cannot occur because each batch's
     Bloom partial is written BEFORE its store append (bloom ⊇ store
-    under every crash point)."""
+    under every crash point).  The filter folds ONCE per stream into
+    an in-memory cache (operators/bloom.py::BloomCache) and lives in
+    a GEOMETRY-VERSIONED subdir, so a resized filter rebuilds itself
+    instead of silently mis-probing (review r16, 2nd pass).
+
+    OVER-SPAN DOCUMENTS (review r16, 2nd pass): a doc with
+    >= LINE_KEY_SPAN lines cannot take a sound packed first-occurrence
+    key — the batch query RAISES (packed_line_key's guard), but a
+    raising expression inside foreachBatch would wedge the stream on
+    permanent replay of the same poison batch.  The gate instead
+    REJECTS such docs wholesale at admit: their lines never enter the
+    dedup (no audit row, no store rows) and the doc_id is journaled to
+    ``/overspan`` for requeue/inspection; the wrapped sink still
+    receives the full batch (this wrapper is an audit monitor, not a
+    filter).  The guarded key expression stays in the plan as defense
+    in depth — it cannot fire on the filtered lines."""
     from level2_to_cassandra_spark.operators import bloom as bloom_ops
     from level2_to_cassandra_spark.operators import text as text_ops
+
+    cache = bloom_ops.BloomCache()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -1316,37 +1334,37 @@ def foreach_batch_with_line_dedup(
             # guarded shared expression (ADVICE r15): raises on
             # line_no >= LINE_KEY_SPAN instead of mis-attributing
             key = text_ops.packed_line_key()
-            # Bloom pre-filter (r16): only maybe-seen lines pay the
-            # exact store anti-join; misses are definitely fresh.  An
-            # EMPTY Bloom journal falls back to the exact full-batch
-            # probe (review r16: a pre-r16 store — or a wholly lost
-            # /bloom dir — has seen keys with no Bloom bits; skipping
-            # their anti-join would re-admit them.  Empty-journal is
-            # the detectable form of that state, and the fallback IS
-            # the pre-Bloom path, correct against any store.)
-            bj = _read_journal(
-                batch_df.sparkSession,
-                f"{line_dedup_path(base_path)}/bloom",
-                bloom_ops.BLOOM_SCHEMA,
+            # over-span docs (see docstring): journal + exclude their
+            # lines wholesale so the key guard cannot poison the
+            # stream; `over` is ~always empty and rides a broadcast
+            over = (
+                lines.where(
+                    F.col("line_no") >= text_ops.LINE_KEY_SPAN
+                )
+                .select("doc_id")
+                .distinct()
             )
-            no_bloom = bj.isEmpty()
-            if no_bloom:
-                unseen = lines.join(seen, "line_text", "left_anti")
-            else:
-                probed = bloom_ops.bloom_maybe_seen(
-                    lines,
-                    "line_text",
-                    bloom_ops.bloom_relation(batch_df.sparkSession, bj),
-                )
-                unseen = (
-                    probed.where(F.col("__maybe_seen"))
-                    .drop("__maybe_seen")
-                    .join(seen, "line_text", "left_anti")
-                    .unionByName(
-                        probed.where(~F.col("__maybe_seen"))
-                        .drop("__maybe_seen")
-                    )
-                )
+            lines_ok = lines.join(F.broadcast(over), "doc_id", "left_anti")
+            over.select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            ).coalesce(1).write.mode("append").parquet(
+                f"{line_dedup_path(base_path)}/overspan"
+            )
+            # Bloom pre-filter (r16): only maybe-seen lines pay the
+            # exact store anti-join; misses are definitely fresh.
+            # Empty filter (batch 0 / pre-side-file store / lost or
+            # resized journal) -> exact full-batch probe (operators/
+            # bloom.py::probe_unseen)
+            cache.ensure(_read_journal(
+                batch_df.sparkSession,
+                f"{line_dedup_path(base_path)}/bloom/"
+                f"{bloom_ops.journal_subdir()}",
+                bloom_ops.BLOOM_SCHEMA,
+            ))
+            unseen = bloom_ops.probe_unseen(
+                cache, lines_ok, "line_text", seen
+            )
             # persisted: feeds the kept aggregation AND the seen-store
             # append (review r15 — the store gains one row per
             # NEWLY-SEEN line only; appending every batch's full line
@@ -1377,7 +1395,7 @@ def foreach_batch_with_line_dedup(
                     " ",
                 ).alias("kept_text"),
             )
-            totals = lines.groupBy("doc_id").agg(
+            totals = lines_ok.groupBy("doc_id").agg(
                 F.count(F.lit(1)).cast("long").alias("n_lines")
             )
             audit = totals.join(kept_agg, "doc_id", "left").select(
@@ -1392,31 +1410,21 @@ def foreach_batch_with_line_dedup(
             audit.coalesce(1).write.mode("append").parquet(
                 f"{line_dedup_path(base_path)}/docs"
             )
-            # Bloom partial BEFORE the store append: a crash between
-            # the two leaves bloom ⊇ store (the safe direction — a
-            # bloomed-but-unstored key re-probes the exact join, which
-            # re-admits it exactly as the store's absence dictates).
-            # On the empty-journal batch the partial must cover the
-            # WHOLE store, not just this batch's fresh keys (review
-            # r16: a fresh-only append would leave the pre-existing
-            # store keys bitless and NEXT batch's non-empty-journal
-            # probe would call them definitely-fresh) — the backfill
-            # runs once ever, is a no-op on a true batch 0, and makes
-            # bloom ⊇ store hold from the first r16 batch onward.
-            to_bloom = fresh.select("line_text")
-            if no_bloom:
-                to_bloom = to_bloom.unionByName(
-                    _read_journal(
-                        batch_df.sparkSession,
-                        f"{line_dedup_path(base_path)}/seen",
-                        "line_text string, batch_id long",
-                    ).select("line_text")
-                ).distinct()
-            bloom_ops.bloom_partial(to_bloom, "line_text").select(
-                "word_idx", "word",
-                F.lit(bid).cast("long").alias("batch_id"),
-            ).coalesce(1).write.mode("append").parquet(
-                f"{line_dedup_path(base_path)}/bloom"
+            # Bloom partial BEFORE the store append (bloom ⊇ store
+            # under every crash point) + the one-time whole-store
+            # migration backfill — operators/bloom.py::append_partial
+            bloom_ops.append_partial(
+                cache,
+                f"{line_dedup_path(base_path)}/bloom/"
+                f"{bloom_ops.journal_subdir()}",
+                fresh.select("line_text"),
+                "line_text",
+                _read_journal(
+                    batch_df.sparkSession,
+                    f"{line_dedup_path(base_path)}/seen",
+                    "line_text string, batch_id long",
+                ).select("line_text"),
+                bid,
             )
             # store append LAST: a crash before this line re-scores the
             # replay identically (its own rows are batch_id-filtered
@@ -1439,6 +1447,21 @@ def foreach_batch_with_line_dedup(
             batch_df.unpersist()
 
     return _write
+
+
+#: over-span reject journal: docs whose line count exceeds the packed
+#: first-occurrence key span (rejected wholesale at admit — docstring)
+LINE_OVERSPAN_SCHEMA = "batch_id long, doc_id long"
+
+
+def read_line_overspan(spark, base_path: str) -> DataFrame:
+    """Read the over-span doc reject journal (review r16, 2nd pass —
+    the streaming stand-in for packed_line_key's batch-side raise);
+    replayed batches collapse on (batch_id, doc_id)."""
+    return _read_journal(
+        spark, f"{line_dedup_path(base_path)}/overspan",
+        LINE_OVERSPAN_SCHEMA,
+    ).dropDuplicates(["batch_id", "doc_id"])
 
 
 def read_line_dedup(spark, base_path: str) -> DataFrame:
@@ -1604,6 +1627,17 @@ def foreach_batch_with_classifier_gate(
         try:
             bid = int(batch_id)
             cols = list(batch_df.columns)
+            # the gate's own split column is reserved too (review r16,
+            # 2nd pass: _calib_lab's guard covers only ITS computed
+            # names — a payload '__admit' would be silently overwritten
+            # and delivered corrupted)
+            clash = {c for c in cols if c.lower() == "__admit"}
+            if clash:
+                raise ValueError(
+                    "classifier gate reserved column collides with "
+                    f"batch payload columns: {sorted(clash)} — rename "
+                    "them upstream"
+                )
             scored = _calib_lab(batch_df, keep=tuple(cols))
             admit = F.when(
                 F.col("bin") >= F.lit(int(threshold_bin)), 1
@@ -1704,6 +1738,8 @@ def foreach_batch_with_url_dedup(
     from level2_to_cassandra_spark.operators import bloom as bloom_ops
     from level2_to_cassandra_spark.queries.llm import canonical_urls
 
+    cache = bloom_ops.BloomCache()
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         canon = fresh = None
@@ -1726,33 +1762,17 @@ def foreach_batch_with_url_dedup(
                 .distinct()
             )
             # Bloom pre-filter (r16, operators/bloom.py design note):
-            # only maybe-seen canonicals pay the exact store anti-join.
-            # Empty Bloom journal → exact full-batch probe (the
-            # pre-r16-store / lost-side-file fallback — see the
-            # line-dedup twin, review r16)
-            bj = _read_journal(
+            # only maybe-seen canonicals pay the exact store anti-join;
+            # empty filter (batch 0 / pre-side-file store / lost or
+            # resized journal) -> exact full-batch probe.  Folds once
+            # per stream (BloomCache); geometry-versioned subdir.
+            cache.ensure(_read_journal(
                 batch_df.sparkSession,
-                f"{url_dedup_path(base_path)}/bloom",
+                f"{url_dedup_path(base_path)}/bloom/"
+                f"{bloom_ops.journal_subdir()}",
                 bloom_ops.BLOOM_SCHEMA,
-            )
-            no_bloom = bj.isEmpty()
-            if no_bloom:
-                unseen = canon.join(seen, "__ck", "left_anti")
-            else:
-                probed = bloom_ops.bloom_maybe_seen(
-                    canon,
-                    "__ck",
-                    bloom_ops.bloom_relation(batch_df.sparkSession, bj),
-                )
-                unseen = (
-                    probed.where(F.col("__maybe_seen"))
-                    .drop("__maybe_seen")
-                    .join(seen, "__ck", "left_anti")
-                    .unionByName(
-                        probed.where(~F.col("__maybe_seen"))
-                        .drop("__maybe_seen")
-                    )
-                )
+            ))
+            unseen = bloom_ops.probe_unseen(cache, canon, "__ck", seen)
             # one row per NEWLY-SEEN canonical: its minimum-doc_id
             # leader (the batch query's rule) — feeds the admit join,
             # the reject anti-join and the store append
@@ -1776,24 +1796,21 @@ def foreach_batch_with_url_dedup(
             rejects.coalesce(1).write.mode("append").parquet(
                 f"{url_dedup_path(base_path)}/rejects"
             )
-            # Bloom partial BEFORE the store append (bloom ⊇ store —
-            # see the line-dedup twin and operators/bloom.py); the
-            # empty-journal batch BACKFILLS the whole store's keys
-            # (once ever; no-op on a true batch 0 — review r16)
-            to_bloom = fresh.select("__ck")
-            if no_bloom:
-                to_bloom = to_bloom.unionByName(
-                    _read_journal(
-                        batch_df.sparkSession,
-                        f"{url_dedup_path(base_path)}/seen",
-                        "canonical_url string, batch_id long",
-                    ).select(F.col("canonical_url").alias("__ck"))
-                ).distinct()
-            bloom_ops.bloom_partial(to_bloom, "__ck").select(
-                "word_idx", "word",
-                F.lit(bid).cast("long").alias("batch_id"),
-            ).coalesce(1).write.mode("append").parquet(
-                f"{url_dedup_path(base_path)}/bloom"
+            # Bloom partial BEFORE the store append (bloom ⊇ store
+            # under every crash point) + the one-time whole-store
+            # migration backfill — operators/bloom.py::append_partial
+            bloom_ops.append_partial(
+                cache,
+                f"{url_dedup_path(base_path)}/bloom/"
+                f"{bloom_ops.journal_subdir()}",
+                fresh.select("__ck"),
+                "__ck",
+                _read_journal(
+                    batch_df.sparkSession,
+                    f"{url_dedup_path(base_path)}/seen",
+                    "canonical_url string, batch_id long",
+                ).select("canonical_url"),
+                bid,
             )
             # store append LAST: a crash before this line re-derives
             # the replay identically (its own rows are batch_id-

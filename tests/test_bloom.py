@@ -125,9 +125,100 @@ def test_pre_bloom_store_migration_no_readmission(spark, tmp_path):
     )
     cb(batch2, 2)
     assert admitted == []          # (b) backfilled: still rejected
-    # sanity: the journal really is non-empty by batch 2
-    n_bloom = spark.read.parquet(f"{url_dedup_path(base)}/bloom").count()
+    # sanity: the (geometry-versioned) journal is non-empty by batch 2
+    n_bloom = spark.read.parquet(
+        f"{url_dedup_path(base)}/bloom/{bloom.journal_subdir()}"
+    ).count()
     assert n_bloom > 0
+
+
+def test_bloom_geometry_resize_no_readmission(spark, tmp_path,
+                                              monkeypatch):
+    """Review r16, 2nd pass: a resized filter must NOT mis-probe old
+    journal words.  The geometry-versioned subdir makes a resize land
+    in a FRESH empty journal, so the next stream's first batch
+    exact-probes and re-backfills under the new geometry — a stored
+    dup stays rejected across the resize."""
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_url_dedup,
+        url_dedup_path,
+    )
+
+    base = str(tmp_path / "sink")
+    admitted: list = []
+
+    def sink(df, bid):
+        admitted.extend(r.doc_id for r in df.select("doc_id").collect())
+
+    doc = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, "t", "en", "src", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    # stream 1, default geometry: doc 6 admitted and stored
+    foreach_batch_with_url_dedup(sink, base)(doc(6), 0)
+    assert admitted == [6]
+    # operator resizes the filter; stream 2 = new wrapper instance
+    monkeypatch.setattr(bloom, "N_BITS", 1 << 17)
+    cb2 = foreach_batch_with_url_dedup(sink, base)
+    cb2(doc(46), 1)                 # same canonical as doc 6
+    assert admitted == [6]          # dup rejected across the resize
+    cb2(doc(86), 2)                 # and after the re-backfill too
+    assert admitted == [6]
+
+
+def test_line_dedup_overspan_doc_journaled_not_poisonous(
+    spark, tmp_path, monkeypatch
+):
+    """Review r16, 2nd pass: a doc with >= LINE_KEY_SPAN lines must
+    NOT wedge the stream on packed_line_key's raise — it is rejected
+    wholesale (no audit row, no store rows), journaled to /overspan,
+    and the rest of the batch dedups normally."""
+    from level2_to_cassandra_spark.operators import text as text_ops
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_line_dedup,
+        read_line_dedup,
+        read_line_overspan,
+    )
+
+    monkeypatch.setattr(text_ops, "LINE_KEY_SPAN", 2)
+    base = str(tmp_path / "sink")
+    cb = foreach_batch_with_line_dedup(lambda df, bid: None, base)
+    la = "a b c d e f g h"
+    lb = "i j k l m n o p"
+    lc = "q r s t u v w x"
+    batch = spark.createDataFrame(
+        [(1, f"{la} {lb} {lc}", "en", "s", 1),   # 3 lines >= span 2
+         (2, la, "en", "s", 1)],                 # 1 line — fine
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    cb(batch, 0)                                 # must not raise
+    over = read_line_overspan(spark, base).collect()
+    assert [(r.batch_id, r.doc_id) for r in over] == [(0, 1)]
+    audit = {r.doc_id: r for r in read_line_dedup(spark, base).collect()}
+    assert set(audit) == {2}                     # no audit row for doc 1
+    assert audit[2].n_kept == 1 and audit[2].kept_text == la
+
+
+def test_classifier_gate_rejects_admit_payload_column(spark, tmp_path):
+    """Review r16, 2nd pass: a payload column named __admit (any case)
+    would be silently overwritten by the gate's split column —
+    must raise the named ValueError instead."""
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_classifier_gate,
+    )
+
+    cb = foreach_batch_with_classifier_gate(
+        lambda df, bid: None, str(tmp_path / "sink")
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha beta", 1)], ["doc_id", "text", "__Admit"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        cb(batch, 0)
 
 
 def test_bloom_or_fold_idempotent_and_empty_state(spark):

@@ -150,6 +150,12 @@ def test_pack_efficiency_recomputes_from_pack_output(spark):
     for r in bins:
         by_bucket.setdefault(r.bucket, []).append(r.total_tokens)
     assert set(eff) == set(by_bucket)
+    def half_up6(x: float) -> float:
+        # Spark F.round is HALF_UP; builtin round() is banker's —
+        # they disagree on exact decimal ties (review r16, 2nd pass)
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     for bucket, toks in by_bucket.items():
         r = eff[bucket]
         total = sum(toks)
@@ -158,8 +164,8 @@ def test_pack_efficiency_recomputes_from_pack_output(spark):
         assert r.total_tokens == total
         assert r.lb_bins == lb
         assert r.pad_tokens == sum(max(_CTX_TOKENS - t, 0) for t in toks)
-        assert r.util == round(total / (len(toks) * _CTX_TOKENS), 6)
-        assert r.efficiency == round(lb / len(toks), 6)
+        assert r.util == half_up6(total / (len(toks) * _CTX_TOKENS))
+        assert r.efficiency == half_up6(lb / len(toks))
         # no lb<=n_bins assert: an overflow doc (>ctx tokens) occupies
         # ONE bin but raises the split-assuming bound — efficiency > 1
         # is a legitimate reading on overflow-heavy corpora
