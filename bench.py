@@ -162,6 +162,7 @@ HEADLINE = [
     "q_quality_vote",            # 3-gate ensemble, pure scan→project
     "q_select_budget",           # quality-first token-budget prefix
     "q_frontier_interleave",     # politeness interleave, no global sort
+    "q_mix_interleave",          # stride-scheduled mixture read order
 ]
 
 

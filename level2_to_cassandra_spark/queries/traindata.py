@@ -1706,6 +1706,89 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mix_interleave",
+    # The stride key src_rank / SQRT(n_s) is engine-exact: src_rank
+    # is an exact int, SQRT is IEEE-correctly-rounded everywhere
+    # (q_mix_temperature's argument), and one correctly-rounded
+    # division of exacts yields bit-identical doubles — so the
+    # (key, source, doc_id) total order is engine-identical and every
+    # output column is an exact integer or string.
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS n FROM documents
+               GROUP BY source),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS src_rank
+          FROM documents),
+    k AS (SELECT r.doc_id, r.source, r.src_rank,
+                 CAST(r.src_rank AS DOUBLE) / SQRT(CAST(n.n AS DOUBLE))
+                     AS key
+          FROM r JOIN n USING (source))
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY key, source, doc_id)
+                AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-WEIGHTED INTERLEAVE ORDER — the dataloader-side
+    EXECUTION of the mixture the planning queries decide: emit every
+    document's position in a global read order where each source s
+    appears in proportion to its temperature-damped weight
+    w_s ∝ √n_s (q_mix_temperature's τ = 0.5 damping) IN EVERY PREFIX,
+    not just in aggregate.  This is stride scheduling (Waldspurger &
+    Weihl 1995): doc k of source s gets key k / w_s and the global
+    order sorts by key — source s's k-th appearance lands near global
+    position k·Σw/w_s, so a training run that consumes the corpus in
+    ``pos`` order sees the planned mixture from step one (no
+    burn-in), completing the plan → weights → order chain
+    (q_mixture_plan → q_mix_temperature → here).
+
+    Output per doc: source, FIFO rank within source, and the global
+    interleaved position — exact integers and strings only.
+
+    Scale shape: the per-source count rides the SAME
+    partitionBy(source) exchange the FIFO rank window already needs
+    (an unbounded-frame COUNT window — no second scan, no aggregate
+    shuffle, no join; the broadcast-join form was measurably worse:
+    two FileScans plus an agg exchange for the same answer), the rank
+    window carries the skewed-window caveat (few sources at 100× —
+    the production swap is rank-from-id arithmetic when ids are
+    per-source dense, or the score-range bucketing swap documented on
+    q_select_budget), and ONE global-order window for pos (the
+    oracle-exact form; at 100 TB the same bucketing swap applies —
+    stride keys are uniform in [0, √n], so range-bucketing them is
+    near-perfectly balanced)."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_src = Window.partitionBy("source")
+    k = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(by_src.orderBy("doc_id"))
+        .alias("src_rank"),
+        F.count(F.lit(1)).over(by_src).alias("n"),
+    ).select(
+        "doc_id",
+        "source",
+        "src_rank",
+        (
+            F.col("src_rank").cast("double")
+            / F.sqrt(F.col("n").cast("double"))
+        ).alias("key"),
+    )
+    return k.select(
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        F.row_number()
+        .over(Window.orderBy("key", "source", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+
+
+@register(
     "q_cooccurrence_pmi",
     # Bigram machinery identical to q_text_bigram_lm's oracle; the PMI
     # ratio is written in the SAME left-associative double order as
@@ -2454,13 +2537,45 @@ def q_quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the cheapest possible ensemble: each doc votes inside its scan
     task.  A NULL-text doc fails all three gates (votes 0) on both
     engines — NULL metrics propagate to otherwise(0)/ELSE 0."""
+    return quality_votes(load_table(spark, sf_dir, "documents"))
+
+
+#: quality_votes' computed column names — ONE module-level tuple so
+#: the keep-collision guard and the select cannot drift
+_VOTE_COLS = (
+    "pass_gopher", "pass_classifier", "pass_repetition", "votes",
+    "admit",
+)
+
+
+def quality_votes(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The pure ensemble transform behind q_quality_vote — the three
+    SHARED member transforms (gopher_stats, _calib_lab,
+    dup_ngram_ratio) chained via keep-passthrough into one
+    scan→project, with ``keep`` payload columns riding through (the
+    gopher_stats discipline) so the streaming ensemble gate can admit
+    original rows.  ``keep`` names colliding with the computed vote
+    columns raise immediately, CASEFOLDED; the member transforms
+    guard their own computed names the same way."""
     from level2_to_cassandra_spark.queries.llm import gopher_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    g = gopher_stats(docs, keep=("text",)).select(
-        "doc_id", "pass_gopher", "text"
+    clash = {k for k in keep if k.lower() in _VOTE_COLS}
+    if clash:
+        raise ValueError(
+            "quality_votes keep columns collide with computed vote "
+            f"columns: {sorted(clash)} — rename them upstream"
+        )
+    # the chain consumes `text` internally; a caller asking for it
+    # back (the streaming gate re-emitting original rows) gets it via
+    # the tail select rather than a duplicate passthrough slot
+    passthrough = tuple(c for c in keep if c.lower() != "text")
+    tail = tuple(c for c in keep if c.lower() == "text")
+    g = gopher_stats(docs, keep=("text", *passthrough)).select(
+        "doc_id", "pass_gopher", "text", *passthrough
     )
-    lab = _calib_lab(g, keep=("doc_id", "pass_gopher", "text"))
+    lab = _calib_lab(
+        g, keep=("doc_id", "pass_gopher", "text", *passthrough)
+    )
     rep = F.round(
         dup_ngram_ratio(text.word_shingles("text", 3)), 6
     )
@@ -2471,6 +2586,8 @@ def q_quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("pass_classifier"),
         F.when(rep <= _VOTE_REP_MAX, 1).otherwise(0)
         .cast("long").alias("pass_repetition"),
+        "text",
+        *passthrough,
     )
     votes = (
         F.col("pass_gopher") + F.col("pass_classifier")
@@ -2480,6 +2597,8 @@ def q_quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pass_gopher", "pass_classifier", "pass_repetition",
         votes.cast("long").alias("votes"),
         F.when(votes >= 2, 1).otherwise(0).cast("long").alias("admit"),
+        *tail,
+        *passthrough,
     )
 
 

@@ -1561,6 +1561,98 @@ def read_quality_rejects(spark, base_path: str) -> DataFrame:
     ).dropDuplicates(["batch_id", "doc_id"])
 
 
+#: reject-journal schema: the three per-gate bits + the vote count
+#: (which gate(s) failed re-derives from the stored row) plus the
+#: batch attribution (replay dedup key component)
+VOTE_GATE_SCHEMA = (
+    "batch_id long, doc_id long, pass_gopher long, "
+    "pass_classifier long, pass_repetition long, votes long"
+)
+
+
+def vote_gate_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline.  ``/rejects`` holds the per-doc reject audit rows."""
+    return f"{base}/_vote_gate"
+
+
+def foreach_batch_with_quality_vote(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+    min_votes: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with the QUALITY-VOTE
+    ENSEMBLE GATE — the streaming twin of q_quality_vote and the
+    robust form of the single-signal gates: each micro-batch of
+    documents is scored by all THREE quality families via the SAME
+    shared chained transform the batch query serves from
+    (queries/traindata.py::quality_votes — gopher rules, classifier
+    raw-score sign, duplicated-trigram fraction, chained
+    scan→project), then split at ``min_votes`` (default 2 of 3 — the
+    batch query's majority rule, so gate and query agree bit-for-bit
+    by construction and by parity test):
+
+    * docs with votes ≥ min_votes flow to the wrapped sink UNCHANGED
+      (original columns);
+    * rejects are journaled with their three per-gate bits and vote
+      count — WHICH gate(s) failed re-derives from the stored row,
+      and the journal re-thresholds at any min_votes without
+      re-scoring.
+
+    A NULL-text doc fails all three gates (votes 0 — the shared
+    transform's contract), so the two legs PARTITION the batch.  The
+    gate is STATELESS — replay determinism is free, readers dedup on
+    (batch_id, doc_id).  Cost per batch: three chained map-side
+    transforms fused into each leg's scan of the persisted batch —
+    zero shuffles, zero Python, zero state (the q_quality_vote plan
+    shape, priced per micro-batch).
+
+    SCHEMA CONTRACT: batch columns other than doc_id/text pass
+    through unchanged and may not collide with the vote columns or
+    the member transforms' computed names — the shared transforms
+    raise named ValueErrors at build time (rename upstream)."""
+    from level2_to_cassandra_spark.queries.traindata import quality_votes
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            bid = int(batch_id)
+            cols = list(batch_df.columns)
+            flags = quality_votes(
+                batch_df, keep=tuple(c for c in cols if c != "doc_id")
+            )
+            inner(
+                flags.where(F.col("votes") >= int(min_votes))
+                .select(*cols),
+                batch_id,
+            )
+            rejects = flags.where(
+                F.col("votes") < int(min_votes)
+            ).select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "pass_gopher", "pass_classifier", "pass_repetition",
+                "votes",
+            )
+            rejects.coalesce(1).write.mode("append").parquet(
+                f"{vote_gate_path(base_path)}/rejects"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_vote_rejects(spark, base_path: str) -> DataFrame:
+    """Read the vote-gate reject audit table (empty before the first
+    delivered batch); replayed batches collapse on (batch_id, doc_id)
+    — the gate is stateless, so rows are deterministic
+    re-derivations."""
+    return _read_journal(
+        spark, f"{vote_gate_path(base_path)}/rejects", VOTE_GATE_SCHEMA
+    ).dropDuplicates(["batch_id", "doc_id"])
+
+
 #: reject-journal schema: the swept-threshold decision inputs (raw
 #: unrounded score/p and the score bin the sweep thresholds on) plus
 #: the batch attribution (replay dedup key component)

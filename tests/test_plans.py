@@ -1324,6 +1324,23 @@ def test_frontier_interleave_no_global_sort_of_frontier(spark):
     assert "text" not in read_schema and "lang" not in read_schema
 
 
+def test_mix_interleave_one_scan_no_join(spark):
+    """q_mix_interleave (r16): ONE pruned scan (doc_id+source only),
+    the per-source count rides the rank window's partitionBy(source)
+    exchange as an unbounded-frame COUNT window (NO join of any kind,
+    no aggregate exchange), and exactly TWO exchanges total: the
+    source hash partitioning and the documented single-partition
+    global-order pos window."""
+    plan = plan_of(all_queries()["q_mix_interleave"].fn(spark, SF),
+                   "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    assert plan.count("hashpartitioning") == 1
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
 def test_dedup_url_one_window_one_pruned_scan(spark):
     """q_dedup_url: canonicalization is scan-fused (ONE FileScan
     reading only doc_id+source, no joins, no explode); the only

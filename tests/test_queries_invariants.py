@@ -904,6 +904,48 @@ def test_frontier_interleave_politeness_laws(spark):
         assert docs_in_host == sorted(docs_in_host)  # FIFO per host
 
 
+def test_mix_interleave_stride_laws(spark):
+    """pos must be the 1..N permutation of the stride-key order
+    (Python recompute), FIFO within each source, and every prefix
+    must hold each source's √n_s-proportional share to within the
+    stride-scheduling lag bound (±1 appearance per source)."""
+    import math
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_mix_interleave"].fn(spark, sf).collect()
+    assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+    # independent recompute of the total order
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n = {s: len(v) for s, v in by_src.items()}
+    want = sorted(
+        rows,
+        key=lambda r: (r.src_rank / math.sqrt(n[r.source]),
+                       r.source, r.doc_id),
+    )
+    assert [r.pos for r in want] == list(range(1, len(rows) + 1))
+    for s, v in by_src.items():          # FIFO within source
+        v = sorted(v, key=lambda r: r.src_rank)
+        assert [x.doc_id for x in v] == sorted(x.doc_id for x in v)
+        assert [x.src_rank for x in v] == list(range(1, len(v) + 1))
+    # prefix proportionality: source s's k-th appearance sits at key
+    # k/√n_s; in the prefix up to global key K it appears
+    # floor(K·√n_s) (±1 for ties) times — check at each quartile
+    wsum = sum(math.sqrt(x) for x in n.values())
+    N = len(rows)
+    order = sorted(rows, key=lambda r: r.pos)
+    for frac in (0.25, 0.5, 0.75):
+        P = int(N * frac)
+        prefix = order[:P]
+        for s in n:
+            got = sum(1 for r in prefix if r.source == s)
+            expected = P * math.sqrt(n[s]) / wsum
+            assert abs(got - expected) <= 2, (s, got, expected)
+
+
 def test_packed_line_key_overflow_raises(spark):
     """ADVICE r15: a line_no at or beyond LINE_KEY_SPAN would alias
     the packed first-occurrence key into the next doc_id's range and

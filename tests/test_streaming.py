@@ -2449,6 +2449,96 @@ def test_streaming_classifier_gate_parity_and_replay(spark, tmp_path):
     assert again == want_reject
 
 
+def test_streaming_vote_gate_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_quality_vote: admitted ∪ rejects must
+    PARTITION every batch, admitted doc_ids must equal q_quality_vote's
+    admit=1 set (shared quality_votes transform, bit-for-bit), the
+    reject journal's gate bits must equal the batch query's reject
+    rows, and a replayed batch must collapse in the reader."""
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_quality_vote,
+        read_vote_rejects,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    batches = [
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ]
+
+    base = str(tmp_path / "sink")
+    admitted: list = []
+    cb = foreach_batch_with_quality_vote(
+        lambda df, bid: admitted.extend(
+            (bid, r.doc_id) for r in df.select("doc_id").collect()
+        ),
+        base,
+    )
+    for i, b in enumerate(batches):
+        cb(b, i)
+
+    vote = {r.doc_id: r
+            for r in all_queries()["q_quality_vote"].fn(spark, sf_smoke)
+            .collect()}
+    want_admit = {d for d, r in vote.items() if r.admit == 1}
+    want_reject = {
+        d: (r.pass_gopher, r.pass_classifier, r.pass_repetition, r.votes)
+        for d, r in vote.items() if r.admit == 0
+    }
+    got_admit = {d for _, d in admitted}
+    assert len(admitted) == len(got_admit)
+    assert got_admit == want_admit
+    rejects = read_vote_rejects(spark, base).collect()
+    got_reject = {
+        r.doc_id: (r.pass_gopher, r.pass_classifier, r.pass_repetition,
+                   r.votes)
+        for r in rejects
+    }
+    assert got_reject == want_reject
+    assert len(rejects) == len(got_reject)
+    assert got_admit | set(got_reject) == set(vote)
+    assert not (got_admit & set(got_reject))
+
+    # replay batch 1: stateless re-derivation collapses in the reader
+    cb(batches[1], 1)
+    again = {
+        r.doc_id: (r.pass_gopher, r.pass_classifier, r.pass_repetition,
+                   r.votes)
+        for r in read_vote_rejects(spark, base).collect()
+    }
+    assert again == want_reject
+
+
+def test_streaming_vote_gate_rejects_colliding_payload(
+    spark, tmp_path
+):
+    """A batch whose payload already carries a vote-computed column
+    name — in ANY case — must fail IMMEDIATELY with quality_votes'
+    named ValueError, and the member transforms' own computed names
+    (gopher/classifier columns) must raise through the chain too."""
+    import pytest
+
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_quality_vote,
+    )
+
+    cb = foreach_batch_with_quality_vote(
+        lambda df, bid: None, str(tmp_path / "sink")
+    )
+    for col in ("votes", "Admit", "pass_gopher", "score", "n_words"):
+        batch = spark.createDataFrame(
+            [(1, "alpha beta", 0.5)], ["doc_id", "text", col]
+        )
+        with pytest.raises(ValueError, match="collide"):
+            cb(batch, 0)
+
+
 def test_streaming_classifier_gate_rejects_colliding_payload(
     spark, tmp_path
 ):
