@@ -163,6 +163,10 @@ HEADLINE = [
     "q_select_budget",           # quality-first token-budget prefix
     "q_frontier_interleave",     # politeness interleave, no global sort
     "q_mix_interleave",          # stride-scheduled mixture read order
+    "q_label_agreement",         # gate-pair kappa, one 12-cell agg row
+    "q_eval_auc",                # per-lang AUC over the score grid
+    "q_dedup_cross_source",      # source-pair dup matrix, staged pairs
+    "q_shard_balance",           # block-deal audit of the interleave
 ]
 
 
@@ -272,11 +276,13 @@ def main() -> None:
                                   "q_llm_dedup_minhash", "q_text_boilerplate",
                                   "q_text_containment", "q_text_novelty",
                                   "q_dedup_incremental_fuzzy",
-                                  "q_sketch_error"}),
+                                  "q_sketch_error",
+                                  "q_dedup_cross_source"}),
             "shingle_index": (llm._shingle_index_relation,   # r14
                               {"q_llm_dedup_fuzzy", "q_text_containment",
                                "q_dedup_incremental_fuzzy",
-                               "q_sketch_error"}),
+                               "q_sketch_error",
+                               "q_dedup_cross_source"}),
             "minhash_signatures": (llm._sig_relation,        # r16
                                    {"q_llm_dedup_minhash",
                                     "q_sketch_error"}),

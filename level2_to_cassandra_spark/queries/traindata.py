@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import load_table, spread_scan
-from level2_to_cassandra_spark.functions import round_half_up, round_signless
+from level2_to_cassandra_spark.functions import (
+    round_half_up,
+    round_signless,
+    round_signless_sql,
+)
 from level2_to_cassandra_spark.operators import dedup, export, minhash, text
 from level2_to_cassandra_spark.registry import register
 
@@ -92,6 +96,108 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("label"))
         .alias("cluster_size"),
+    )
+
+
+@register(
+    "q_dedup_cross_source",
+    # Pair machinery verbatim from _PAIR_CTES (the q_dedup_cluster
+    # chain, = q_llm_dedup_fuzzy's oracle); the per-pair jaccard is
+    # rounded-at-6 then lifted to EXACT integer millionths, so the
+    # per-cell mean is an order-free integer SUM with ONE final
+    # correctly-rounded division (the ECE/MRR integer-fold pattern);
+    # LEAST/GREATEST on source strings is byte-order-identical.
+    oracle=f"""
+    WITH {_PAIR_CTES.strip().rstrip()},
+    pj AS (
+        SELECT id_a, id_b,
+               CAST(ROUND(ROUND(inter::DOUBLE / (sa.n + sb.n - inter),
+                                6) * 1000000, 0) AS BIGINT) AS ju
+        FROM co
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.8),
+    cells AS (
+        SELECT LEAST(da.source, db.source) AS src_lo,
+               GREATEST(da.source, db.source) AS src_hi, ju
+        FROM pj
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b)
+    SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {round_signless_sql(
+               "CAST(SUM(ju) AS DOUBLE)"
+               " / CAST(1000000 * COUNT(*) AS DOUBLE)", 6)}
+               AS avg_jaccard
+    FROM cells GROUP BY src_lo, src_hi
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX — which sources duplicate
+    which: the near-dup pairs (3-shingle Jaccard ≥ 0.8, exactly
+    q_llm_dedup_fuzzy's relation) folded into an unordered
+    source-pair contingency of pair count + mean similarity.  This is
+    the decision input for source-level curation that per-pair output
+    cannot answer: a source whose row is dominated by overlap with a
+    higher-quality source is a candidate to DROP WHOLESALE (the
+    "CommonCrawl already contains most of it" call), and the diagonal
+    (src_lo = src_hi) is each source's internal near-dup rate.
+
+    Cross-engine: the pair relation is the shared exact-PPJoin
+    machinery; each pair's rounded-at-6 jaccard lifts to EXACT
+    integer millionths so the per-cell mean is an order-free integer
+    SUM with ONE final correctly-rounded division; LEAST/GREATEST on
+    source strings makes the cell key order-insensitive identically
+    on both engines.
+
+    Scale shape: pairs serve from the STAGED shingle postings +
+    ranked prefix index (candidate volume bounded by the prefix
+    filter, the q_llm_dedup_fuzzy argument); the two source lookups
+    BROADCAST the pair relation against pruned 2-column scans (the
+    pair side is dedup-output-sized — orders of magnitude under the
+    corpus; if a corpus ever near-dups quadratically the broadcast
+    hint is the single line to drop, AQE then picks the shuffle
+    join); the cell aggregate is ≤ #sources² rows.  No row-scale
+    shuffle outside the staged pair machinery itself."""
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_index_relation,
+        _shingle_relation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.round(F.col("jaccard"), 6)
+    pj = (
+        minhash.exact_jaccard_pairs(
+            docs, threshold=0.79, k=3, max_shingle_frac=0.01,
+            postings=_shingle_relation(spark, sf_dir),
+            ranked=_shingle_index_relation(spark, sf_dir),
+        )
+        .where(j >= 0.8)
+        .select(
+            "id_a", "id_b",
+            F.round(j * 1000000, 0).cast("long").alias("ju"),
+        )
+    )
+    srcs = docs.select("doc_id", "source")
+    half = (
+        srcs.withColumnRenamed("source", "src_a")
+        .join(F.broadcast(pj), F.col("doc_id") == F.col("id_a"))
+        .select("id_b", "src_a", "ju")
+    )
+    cells = (
+        srcs.withColumnRenamed("source", "src_b")
+        .join(F.broadcast(half), F.col("doc_id") == F.col("id_b"))
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "ju",
+        )
+    )
+    avg = F.sum("ju").cast("double") / (
+        F.lit(1000000) * F.count(F.lit(1))
+    ).cast("double")
+    return cells.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        round_signless(avg, 6).alias("avg_jaccard"),
     )
 
 
@@ -1694,15 +1800,46 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    return mix_weights(s)
+
+
+def mix_weights(counts: DataFrame) -> DataFrame:
+    """The pure weights tail behind q_mix_temperature — (source,
+    n_docs) → (source, n_docs, weight, epoch_docs) with the τ = 0.5
+    damping — factored out (r16) so the streaming mixture monitor
+    computes its target weights through the SAME transform the batch
+    query serves from (bit-for-bit agreement by construction: same
+    sqrt, same window fold, same rounding)."""
     wt = F.sqrt(F.col("n_docs").cast("double"))
     tot = Window.partitionBy()
     share = wt / F.sum(wt).over(tot)
-    return s.select(
+    return counts.select(
         "source",
         "n_docs",
         round_signless(share, 6).alias("weight"),
         round_signless(share * F.lit(100000), 2).alias("epoch_docs"),
     )
+
+
+#: The stride-scheduled interleave order as DuckDB CTEs — shared
+#: verbatim by q_mix_interleave and q_shard_balance (the _PACK_CTES
+#: factoring precedent): the shard query MUST fold exactly the order
+#: the interleave query emits, by construction.
+_MIX_CTES = """n AS (SELECT source, COUNT(*) AS n FROM documents
+               GROUP BY source),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS src_rank
+          FROM documents),
+    k AS (SELECT r.doc_id, r.source, r.src_rank,
+                 CAST(r.src_rank AS DOUBLE) / SQRT(CAST(n.n AS DOUBLE))
+                     AS key
+          FROM r JOIN n USING (source)),
+    ordered AS (
+        SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY key, source, doc_id)
+                    AS BIGINT) AS pos
+        FROM k)"""
 
 
 @register(
@@ -1713,21 +1850,9 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division of exacts yields bit-identical doubles — so the
     # (key, source, doc_id) total order is engine-identical and every
     # output column is an exact integer or string.
-    oracle="""
-    WITH n AS (SELECT source, COUNT(*) AS n FROM documents
-               GROUP BY source),
-    r AS (SELECT doc_id, source,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY doc_id) AS src_rank
-          FROM documents),
-    k AS (SELECT r.doc_id, r.source, r.src_rank,
-                 CAST(r.src_rank AS DOUBLE) / SQRT(CAST(n.n AS DOUBLE))
-                     AS key
-          FROM r JOIN n USING (source))
-    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
-           CAST(ROW_NUMBER() OVER (ORDER BY key, source, doc_id)
-                AS BIGINT) AS pos
-    FROM k
+    oracle=f"""
+    WITH {_MIX_CTES}
+    SELECT doc_id, source, src_rank, pos FROM ordered
     """,
 )
 def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1785,6 +1910,81 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("key", "source", "doc_id"))
         .cast("long")
         .alias("pos"),
+    )
+
+
+#: q_shard_balance's data-parallel world size (ranks)
+_SHARD_WORLD = 8
+
+
+@register(
+    "q_shard_balance",
+    # Pure integer algebra over the shared interleave order
+    # (_MIX_CTES, verbatim q_mix_interleave's chain): shard is a
+    # floor-division block cut of the exact pos against the exact
+    # total (identical on both engines for non-negative ints), the
+    # cells and spans are integer counts/extremes — nothing floats.
+    oracle=f"""
+    WITH {_MIX_CTES},
+    t AS (SELECT COUNT(*) AS total FROM ordered)
+    SELECT CAST(((pos - 1) * {_SHARD_WORLD}) // total AS BIGINT)
+               AS shard,
+           source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM ordered, t GROUP BY shard, source
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-PARALLEL SHARD AUDIT — the check a distributed training
+    launch runs before trusting its dataloader split: deal the
+    stride-scheduled global order (q_mix_interleave's plan, composed
+    verbatim) onto 8 ranks (_SHARD_WORLD) as CONTIGUOUS BLOCKS
+    (shard = ⌊(pos−1)·world/N⌋) and report each (shard, source)
+    cell's document count and global-position span.  Contiguous
+    blocks — NOT round-robin modulus — are the correct deal for a
+    stride-scheduled order: stride orders are NEAR-PERIODIC (source
+    s recurs every ≈ Σw/w_s positions), so a modulus deal RESONATES
+    with any source whose stride shares a factor with the world size
+    (on an equal-weight corpus every source has stride = #sources;
+    at world 8 and 20 sources each source lands on exactly gcd-many
+    ranks — observed: 2 of 8, a total per-rank distribution skew the
+    balance audit exists to catch).  A block deal instead inherits
+    stride scheduling's PREFIX guarantee: each block is a difference
+    of two prefixes, so every rank sees each source's √n-damped
+    share to within the two prefixes' lag bounds — the invariant
+    suite asserts the resulting across-rank spread bound; a cell
+    drifting further means the order upstream was corrupted
+    (re-sorted, filtered asymmetrically) and ranks would train on
+    different distributions.
+
+    Cross-engine: the composed order is engine-identical
+    (q_mix_interleave's argument) and everything downstream is
+    integer floor division/count/min/max — no rounding discipline.
+
+    Scale shape: q_mix_interleave's plan (one pruned scan, two
+    exchanges) plus an unbounded-frame COUNT window riding the pos
+    window's single partition (no added exchange) and ONE
+    map-side-combined (shard × source)-cell aggregate (≤
+    world·#sources rows) — the audit adds no row-scale shuffle
+    beyond the order it audits."""
+    order = q_mix_interleave(spark, sf_dir)
+    total = F.count(F.lit(1)).over(Window.partitionBy())
+    return (
+        order.withColumn("total", total)
+        .select(
+            "source",
+            "pos",
+            F.expr(
+                f"((pos - 1) * {_SHARD_WORLD}) div total"
+            ).alias("shard"),
+        )
+        .groupBy("shard", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
     )
 
 
@@ -2172,13 +2372,16 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CALIB_BINS = 10  # equal-width score bins over [-1, 1]
 
 
-def _calib_lab_ctes() -> str:
+def _calib_lab_ctes(keep: tuple[str, ...] = ()) -> str:
     """The scored+labeled+binned relation as DuckDB CTEs (``w`` →
     ``scored`` → ``lab``) — THE single place the oracle-side scoring
     semantics live for the calibration/thresholding pair (the
     _tokenize_ctes discipline: q_classifier_calibration and
     q_classifier_threshold must bin identical scores by construction,
-    not by parallel maintenance)."""
+    not by parallel maintenance).  ``keep`` threads extra document
+    columns through both CTEs (the Spark twin's keep-passthrough,
+    r16 — q_eval_auc needs ``lang`` beside the score/label)."""
+    kp = "".join(f", {c}" for c in keep)
     return f"""w AS (SELECT {_classifier_weights()!r}::DOUBLE[] AS l),
     scored AS (
       SELECT doc_id,
@@ -2187,14 +2390,14 @@ def _calib_lab_ctes() -> str:
                  w.l[((('0x' || substr(md5(t), 1, 16))::UBIGINT & 63)
                       + 1)::INT]),
                (a, x) -> a + x)
-               / len(string_split(text, ' ')) AS score
+               / len(string_split(text, ' ')) AS score{kp}
       FROM documents CROSS JOIN w),
     lab AS (
       SELECT score, 1.0 / (1.0 + exp(-score)) AS p,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
                   ::UBIGINT & 1 AS BIGINT) AS label,
              LEAST(GREATEST(CAST(FLOOR((score + 1) * 5) AS BIGINT), 0), 9)
-                 AS bin
+                 AS bin{kp}
       FROM scored)"""
 
 
@@ -2442,22 +2645,20 @@ def q_classifier_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOTE_REP_MAX = 0.1
 
 
-@register(
-    "q_quality_vote",
-    # All three member gates compare ROUNDED ratio columns or exact
-    # integers (the q_quality_gopher stance), the classifier vote cuts
-    # the RAW exact-rational score at 0 (sigmoid(0) = 0.5 — no exp in
-    # the decision path at all), and the output is pure 0/1 integer
-    # algebra — nothing floats past the per-gate ROUNDs.  The gopher
-    # and repetition rule SQL mirrors those queries' oracles (their
-    # Spark sides are the SAME shared transforms, and a cross-query
-    # consistency test pins the mirrors); the repetition CASE adds an
-    # explicit NULL-text arm (w IS NULL → 0) because the engine's
-    # otherwise(0) REJECTS a NULL metric while a bare COALESCE-to-0
-    # oracle would pass it — verified by the crafted NULL-text
-    # both-engines test (review r16, first pass).
-    oracle=f"""
-    WITH {_calib_lab_ctes()},
+def _vote_ctes() -> str:
+    """The three-gate vote relation as DuckDB CTEs (calib chain +
+    ``g``/``r``/``c`` member gates + ``v`` votes) — THE single place
+    the ensemble's oracle semantics live (the _calib_lab_ctes
+    discipline, r16): q_quality_vote emits ``v`` per doc and
+    q_label_agreement folds ``v`` into pairwise agreement, so both
+    oracles replay the identical gate bits by construction.  The
+    gopher and repetition rule SQL mirrors those queries' oracles
+    (their Spark sides are the SAME shared transforms, and a
+    cross-query consistency test pins the mirrors); the repetition
+    CASE adds an explicit NULL-text arm (w IS NULL → 0) because the
+    engine's otherwise(0) REJECTS a NULL metric while a bare
+    COALESCE-to-0 oracle would pass it."""
+    return f"""{_calib_lab_ctes()},
     g AS (
         SELECT doc_id,
                CASE WHEN len(string_split(text, ' '))
@@ -2500,7 +2701,21 @@ _VOTE_REP_MAX = 0.1
                r.pass_repetition,
                g.pass_gopher + c.pass_classifier + r.pass_repetition
                    AS votes
-        FROM g JOIN c USING (doc_id) JOIN r USING (doc_id))
+        FROM g JOIN c USING (doc_id) JOIN r USING (doc_id))"""
+
+
+@register(
+    "q_quality_vote",
+    # All three member gates compare ROUNDED ratio columns or exact
+    # integers (the q_quality_gopher stance), the classifier vote cuts
+    # the RAW exact-rational score at 0 (sigmoid(0) = 0.5 — no exp in
+    # the decision path at all), and the output is pure 0/1 integer
+    # algebra — nothing floats past the per-gate ROUNDs.  The gate
+    # CTE chain is the FACTORED _vote_ctes (r16 — shared verbatim
+    # with q_label_agreement; NULL-text arm verified by the crafted
+    # NULL-text both-engines test, review r16 first pass).
+    oracle=f"""
+    WITH {_vote_ctes()}
     SELECT doc_id,
            CAST(pass_gopher AS BIGINT) AS pass_gopher,
            CAST(pass_classifier AS BIGINT) AS pass_classifier,
@@ -2599,6 +2814,238 @@ def quality_votes(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         F.when(votes >= 2, 1).otherwise(0).cast("long").alias("admit"),
         *tail,
         *passthrough,
+    )
+
+
+#: the three gate-bit columns q_label_agreement compares pairwise —
+#: ONE module-level tuple so the agg cells and the stack cannot drift
+_AGREE_RATERS = ("pass_gopher", "pass_classifier", "pass_repetition")
+
+
+@register(
+    "q_label_agreement",
+    # The contingency cells are exact integer conditional counts over
+    # the SHARED vote relation (_vote_ctes — verbatim the
+    # q_quality_vote oracle's chain), kappa's numerator/denominator
+    # are pure integer algebra (N·agree − Σ marginal products over
+    # N² − Σ marginal products), and the ONE final division of exact
+    # integers is correctly rounded on both engines; all-in-one-cell
+    # degenerate tables emit NULL via NULLIF, never a division error.
+    oracle=f"""
+    WITH {_vote_ctes()},
+    cells AS (
+        SELECT
+          SUM(pass_gopher * pass_classifier) AS gc11,
+          SUM(pass_gopher * (1 - pass_classifier)) AS gc10,
+          SUM((1 - pass_gopher) * pass_classifier) AS gc01,
+          SUM((1 - pass_gopher) * (1 - pass_classifier)) AS gc00,
+          SUM(pass_gopher * pass_repetition) AS gr11,
+          SUM(pass_gopher * (1 - pass_repetition)) AS gr10,
+          SUM((1 - pass_gopher) * pass_repetition) AS gr01,
+          SUM((1 - pass_gopher) * (1 - pass_repetition)) AS gr00,
+          SUM(pass_classifier * pass_repetition) AS cr11,
+          SUM(pass_classifier * (1 - pass_repetition)) AS cr10,
+          SUM((1 - pass_classifier) * pass_repetition) AS cr01,
+          SUM((1 - pass_classifier) * (1 - pass_repetition)) AS cr00
+        FROM v),
+    pairs AS (
+        SELECT 'pass_gopher|pass_classifier' AS pair,
+               gc11 AS n11, gc10 AS n10, gc01 AS n01, gc00 AS n00
+        FROM cells
+        UNION ALL
+        SELECT 'pass_gopher|pass_repetition',
+               gr11, gr10, gr01, gr00 FROM cells
+        UNION ALL
+        SELECT 'pass_classifier|pass_repetition',
+               cr11, cr10, cr01, cr00 FROM cells),
+    k AS (
+        SELECT pair, n11, n10, n01, n00,
+               n11 + n10 + n01 + n00 AS n,
+               (n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00) AS chance
+        FROM pairs)
+    SELECT pair,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           {round_signless_sql(
+               "CAST(n * (n11 + n00) - chance AS DOUBLE)"
+               " / CAST(NULLIF(n * n - chance, 0) AS DOUBLE)", 6)}
+               AS kappa
+    FROM k
+    """,
+)
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-RATER AGREEMENT (Cohen's kappa) between the three quality
+    gates — the labeling-quality audit a curation stack runs before
+    trusting any ensemble or distillation step: raw percent-agreement
+    between two raters is inflated by chance (two gates that both pass
+    90 % of docs agree 82 % of the time by luck alone); kappa
+    (Cohen 1960) = (p_o − p_e)/(1 − p_e) subtracts the
+    marginal-product chance floor.  Near-zero kappa between two gates
+    means they carry INDEPENDENT signal (the ensemble's value); high
+    kappa means one is redundant; negative kappa flags systematic
+    disagreement (one gate is inverted for some genre).  Emits the
+    2×2 contingency cells + kappa for each of the three gate pairs.
+
+    The gate bits are the SHARED quality_votes transform
+    (gopher_stats + _calib_lab + dup_ngram_ratio — never
+    reimplemented), so this audit measures exactly the gates
+    q_quality_vote deploys; NULL-text docs vote (0,0) on every pair
+    (both-reject agreement — the shared transform's contract).
+
+    Cross-engine: cells are integer conditional counts in ONE
+    aggregate; kappa = (N·agree − chance)/(N² − chance) is integer
+    algebra with ONE final correctly-rounded division (the ECE/MRR
+    integer-fold pattern); a degenerate all-one-cell table emits NULL
+    via NULLIF.
+
+    Scale shape: three map-side transforms fused into ONE pruned scan
+    collapse to a SINGLE 12-cell row (map-side partial aggregation —
+    bytes per task, no row-scale shuffle); the 3-pair stack explodes
+    the one-row aggregate driver-side-free and costs nothing.  At
+    100 TB this is a one-pass streaming-friendly statistic — the same
+    cells could ride any of the admit gates' journals."""
+    g, c, r = _AGREE_RATERS
+    cells = quality_votes(load_table(spark, sf_dir, "documents")).agg(
+        *[
+            F.sum(
+                (F.col(a) if va else 1 - F.col(a))
+                * (F.col(b) if vb else 1 - F.col(b))
+            ).alias(f"{tag}{va}{vb}")
+            for tag, a, b in (("gc", g, c), ("gr", g, r), ("cr", c, r))
+            for va, vb in ((1, 1), (1, 0), (0, 1), (0, 0))
+        ]
+    )
+    stacked = cells.select(
+        F.expr(
+            "stack(3, "
+            f"'{g}|{c}', gc11, gc10, gc01, gc00, "
+            f"'{g}|{r}', gr11, gr10, gr01, gr00, "
+            f"'{c}|{r}', cr11, cr10, cr01, cr00) "
+            "AS (pair, n11, n10, n01, n00)"
+        )
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    chance = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    kappa = (n * (F.col("n11") + F.col("n00")) - chance).cast(
+        "double"
+    ) / F.nullif(n * n - chance, F.lit(0)).cast("double")
+    return stacked.select(
+        "pair",
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        round_signless(kappa, 6).alias("kappa"),
+    )
+
+
+@register(
+    "q_eval_auc",
+    # AUC is defined ON the raw exact-rational score (the bin-cut
+    # precedent: scores are bit-identical left-fold sums on both
+    # engines, so grouping and ordering by them is engine-exact); the
+    # grid numerator 2·pos·cumneg + pos·neg is pure integer algebra
+    # and the ONE final division of exact integers is correctly
+    # rounded; single-class languages emit NULL via NULLIF.
+    oracle=f"""
+    WITH {_calib_lab_ctes(keep=("lang",))},
+    grid AS (
+        SELECT lang, score,
+               SUM(label) AS pos, COUNT(*) - SUM(label) AS neg
+        FROM lab WHERE score IS NOT NULL
+        GROUP BY lang, score),
+    cum AS (
+        SELECT lang, pos, neg,
+               COALESCE(SUM(neg) OVER (
+                   PARTITION BY lang ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cumneg
+        FROM grid),
+    agg AS (
+        SELECT lang,
+               SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+               SUM(2 * pos * cumneg + pos * neg) AS num2
+        FROM cum GROUP BY lang)
+    SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           {round_signless_sql(
+               "CAST(num2 AS DOUBLE)"
+               " / CAST(NULLIF(2 * n_pos * n_neg, 0) AS DOUBLE)", 6)}
+               AS auc
+    FROM agg
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the classifier score per language — the
+    threshold-free member that completes the classifier eval family
+    (q_classifier_calibration measures probability honesty,
+    q_classifier_threshold sweeps one operating point, AUC measures
+    RANKING quality across all operating points: the probability a
+    random positive outranks a random negative, Mann–Whitney U).
+    Per-language slicing is the fairness audit — a 0.9 overall AUC
+    hiding a 0.5 on one language means the gate is noise for that
+    slice and its mixture share is curated blind.
+
+    Ties are handled exactly (average-rank convention) WITHOUT any
+    per-row global sort: the corpus collapses to its per-(lang,
+    score) DISTINCT value grid first (the q_drift_ks scale class —
+    value-cardinality-bounded), then AUC's numerator folds over the
+    grid as Σ pos_v·(2·cumneg_<v + neg_v), kept in integer HALF-pair
+    units so tied pairs contribute exactly 1/2 with no float
+    arithmetic; AUC = num2 / (2·P·N) is ONE correctly-rounded
+    division of exact integers (the ECE/MRR integer-fold pattern).
+    Scoring and the deterministic label are the SHARED _calib_lab
+    transform.  Unscoreable docs (NULL text → NULL score) are
+    excluded on both engines; a single-class language emits NULL.
+
+    Scale shape: map-side scoring fused into ONE pruned scan, one
+    map-side-combined (lang, score) grid aggregate (grid-sized, not
+    corpus-sized), one grid-sized cumulative window per lang, one
+    #langs-row fold — no row-scale shuffle beyond the grid
+    aggregate's, no global sort anywhere."""
+    lab = _calib_lab(
+        load_table(spark, sf_dir, "documents"), keep=("lang",)
+    )
+    # the NULL-score filter lands on a GROUPING KEY, so Catalyst
+    # places it below the aggregate and whole-stage codegen's
+    # subexpression elimination shares the scoring fold between the
+    # filter and the aggregate's key projection
+    grid = (
+        lab.where(F.col("score").isNotNull())
+        .groupBy("lang", "score")
+        .agg(
+            F.sum("label").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        )
+    )
+    cumneg = F.coalesce(
+        F.sum("neg").over(
+            Window.partitionBy("lang")
+            .orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = grid.select("lang", "pos", "neg", cumneg.alias("cumneg"))
+    agg = cum.groupBy("lang").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            2 * F.col("pos") * F.col("cumneg")
+            + F.col("pos") * F.col("neg")
+        ).alias("num2"),
+    )
+    auc = F.col("num2").cast("double") / F.nullif(
+        2 * F.col("n_pos") * F.col("n_neg"), F.lit(0)
+    ).cast("double")
+    return agg.select(
+        "lang",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        round_signless(auc, 6).alias("auc"),
     )
 
 

@@ -68,9 +68,9 @@ DRIVER_ORDER = (
     # staging table, VERDICT r15 task #2; q_sketch_error and
     # q_dedup_lines also change but already hold slots under (b)), (d)
     # the 12 r11-stale names (r15's documented rotation head), (e) the
-    # alphabetical head of the 40 r12-stale names — 22 fit after the
-    # five r16 new-query slots and the second category-(c) name landed.
-    # 5 + 9 + 2 + 12 + 22 = 50; the EIGHTEEN r12 names that did not
+    # alphabetical head of the 40 r12-stale names — 18 fit after the
+    # nine r16 new-query slots and the second category-(c) name landed.
+    # 9 + 9 + 2 + 12 + 18 = 50; the TWENTY-TWO r12 names that did not
     # fit head the past-cap tail as r17's rotation head (review r16,
     # first pass: an earlier revision of this comment kept the stale
     # "28 fit / twelve did not" arithmetic — the displaced names are
@@ -81,6 +81,10 @@ DRIVER_ORDER = (
     "q_select_budget",
     "q_frontier_interleave",
     "q_mix_interleave",
+    "q_label_agreement",
+    "q_eval_auc",
+    "q_dedup_cross_source",
+    "q_shard_balance",
     # -- r15 first rows (1 lifetime row each; hold until >=2) --------
     "q_dedup_lines",
     "q_rollup_quantile",
@@ -107,7 +111,7 @@ DRIVER_ORDER = (
     "q_winsorize",
     "q_xml_scan",
     "q_zorder",
-    # -- last driver-green r12 (22 of 40; alphabetical head) ----------
+    # -- last driver-green r12 (18 of 40; alphabetical head) ----------
     "q_agg_approx",
     "q_agg_approx_percentile",
     "q_agg_basic",
@@ -126,12 +130,12 @@ DRIVER_ORDER = (
     "q_join_anti",
     "q_join_asof",
     "q_join_cross",
+    # ======================= past the cap ==============================
+    # -- r12-stale, displaced by the r16 new-query slots above ---------
     "q_join_full",
     "q_join_inner",
     "q_join_multiway",
     "q_join_right",
-    # ======================= past the cap ==============================
-    # -- r12-stale, displaced by the r16 new-query slots above ---------
     "q_json_scan",
     "q_llm_dedup_embed",
     "q_llm_dedup_exact",

@@ -1653,6 +1653,97 @@ def read_vote_rejects(spark, base_path: str) -> DataFrame:
     ).dropDuplicates(["batch_id", "doc_id"])
 
 
+#: mixture-journal schema: one cell per (batch, source) — the
+#: batch_id keys replay dedup in the reader
+MIXTURE_SCHEMA = "batch_id long, source string, n_docs long"
+
+
+def mixture_path(base: str) -> str:
+    """Beside the sink, underscore-prefixed — the monitor-table
+    discipline."""
+    return f"{base}/_mixture"
+
+
+def foreach_batch_with_mixture(
+    inner: Callable[[DataFrame, int], None],
+    base_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink callback with the REALIZED-MIXTURE
+    monitor — the observability end of the mixture-planning chain
+    (q_mixture_plan → q_mix_temperature → q_mix_interleave planned
+    it; this watches whether the stream that actually lands FOLLOWS
+    it): each micro-batch passes to the wrapped sink UNCHANGED, and
+    one (source → count) cell row per source is journaled keyed by
+    batch_id.  The journal is the whole state: read_mixture folds it
+    into cumulative per-source counts and serves both the realized
+    share and the √n-damped target recomputed through the SAME
+    shared transform the batch query serves from
+    (queries/traindata.py::mix_weights) — so a drifting source mix
+    (a crawler stalled, one feed flooding) is visible per batch
+    without ever rescanning the sink.
+
+    Replay determinism: the cell aggregate is a pure function of the
+    batch, rows are keyed by batch_id, and the reader dedups on
+    (batch_id, source) — the journal-keyed-by-batch_id pattern (the
+    covariance/shingle-df discipline).  Cost per batch: ONE
+    map-side-combined #sources-row aggregate of the already-persisted
+    batch; zero Python, zero state, zero extra scans of history."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            bid = int(batch_id)
+            inner(batch_df, batch_id)
+            cells = batch_df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ).select(
+                F.lit(bid).cast("long").alias("batch_id"),
+                "source",
+                "n_docs",
+            )
+            cells.coalesce(1).write.mode("append").parquet(
+                f"{mixture_path(base_path)}/cells"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def read_mixture(spark, base_path: str) -> DataFrame:
+    """Serve the cumulative realized-vs-target mixture from the cell
+    journal alone: per source the landed doc count, the realized
+    share (exact integer counts, ONE rounded division), and the
+    √n-damped target weight + 100k-epoch allocation through the
+    SHARED mix_weights transform — bit-for-bit the batch query's
+    columns when the journal covers the same corpus (parity-pinned).
+    Replayed batches collapse on (batch_id, source) before the
+    fold."""
+    from level2_to_cassandra_spark.functions import round_signless
+    from level2_to_cassandra_spark.queries.traindata import mix_weights
+
+    counts = (
+        _read_journal(
+            spark, f"{mixture_path(base_path)}/cells", MIXTURE_SCHEMA
+        )
+        .dropDuplicates(["batch_id", "source"])
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    realized = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        Window.partitionBy()
+    ).cast("double")
+    return mix_weights(counts).join(
+        counts.select(
+            "source",
+            round_signless(realized, 6).alias("realized_share"),
+        ),
+        "source",
+    ).select(
+        "source", "n_docs", "realized_share", "weight", "epoch_docs"
+    )
+
+
 #: reject-journal schema: the swept-threshold decision inputs (raw
 #: unrounded score/p and the score bin the sweep thresholds on) plus
 #: the batch attribution (replay dedup key component)

@@ -1341,6 +1341,69 @@ def test_mix_interleave_one_scan_no_join(spark):
     assert "text" not in read_schema and "lang" not in read_schema
 
 
+def test_label_agreement_one_scan_one_cell_row(spark):
+    """q_label_agreement (r16): the three gate transforms fuse into
+    ONE text-only scan that collapses map-side to a single 12-cell
+    aggregate row (exactly one exchange, the SinglePartition of the
+    cell row); the 3-pair stack is a Generate over that one row — no
+    join, no window, nothing row-scale past the partial aggregate."""
+    plan = plan_of(all_queries()["q_label_agreement"].fn(spark, SF),
+                   "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.strip().startswith("struct<text:string>")
+
+
+def test_eval_auc_grid_only_no_global_sort(spark):
+    """q_eval_auc (r16): scoring fuses into ONE pruned scan; the only
+    shuffles are the (lang, score) grid aggregate and the per-lang
+    grid window — no join, no SinglePartition global window, no
+    rangepartitioning sort of row-scale data (the whole point of the
+    grid lowering vs a per-row rank)."""
+    plan = plan_of(all_queries()["q_eval_auc"].fn(spark, SF), "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "source" not in read_schema
+
+
+def test_dedup_cross_source_broadcast_only_lookups(spark):
+    """q_dedup_cross_source (r16): both source lookups BROADCAST the
+    pair-sized relation against pruned 2-column scans — no
+    SortMergeJoin anywhere in the serve plan, and no text column read
+    outside the staged pair machinery (the staging parquet scans are
+    id+shingle only)."""
+    plan = plan_of(
+        all_queries()["q_dedup_cross_source"].fn(spark, SF), "simple"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for read_schema in plan.split("ReadSchema:")[1:]:
+        assert "text" not in read_schema.splitlines()[0]
+
+
+def test_shard_balance_composes_interleave_plus_one_agg(spark):
+    """q_shard_balance (r16): exactly q_mix_interleave's plan (one
+    pruned scan, no join, two exchanges) plus ONE map-side-combined
+    cell aggregate — the audit adds no exchange beyond the order it
+    audits (the modulus key is a pure projection of pos, so the
+    aggregate combines inside the window's single partition)."""
+    plan = plan_of(all_queries()["q_shard_balance"].fn(spark, SF),
+                   "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
 def test_dedup_url_one_window_one_pruned_scan(spark):
     """q_dedup_url: canonicalization is scan-fused (ONE FileScan
     reading only doc_id+source, no joins, no explode); the only

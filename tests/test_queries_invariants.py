@@ -946,6 +946,172 @@ def test_mix_interleave_stride_laws(spark):
             assert abs(got - expected) <= 2, (s, got, expected)
 
 
+def test_label_agreement_kappa_laws(spark):
+    """Each pair's cells must refold exactly from q_quality_vote's
+    per-doc gate bits, cells must partition the corpus, and kappa
+    must equal the exact-rational Cohen formula recomputed in Python
+    (Fraction — no float in the check), half-up rounded at 6."""
+    from fractions import Fraction
+
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    votes = all_queries()["q_quality_vote"].fn(spark, sf).collect()
+    rows = {r.pair: r
+            for r in all_queries()["q_label_agreement"].fn(spark, sf)
+            .collect()}
+    assert len(rows) == 3
+    n_docs = len(votes)
+    for pair, r in rows.items():
+        a, b = pair.split("|")
+        cells = {(1, 1): 0, (1, 0): 0, (0, 1): 0, (0, 0): 0}
+        for v in votes:
+            cells[(v[a], v[b])] += 1
+        assert (r.n11, r.n10, r.n01, r.n00) == (
+            cells[(1, 1)], cells[(1, 0)], cells[(0, 1)], cells[(0, 0)]
+        )
+        assert r.n11 + r.n10 + r.n01 + r.n00 == n_docs
+        chance = (r.n11 + r.n10) * (r.n11 + r.n01) + (
+            (r.n01 + r.n00) * (r.n10 + r.n00)
+        )
+        denom = n_docs * n_docs - chance
+        if denom == 0:
+            assert r.kappa is None
+        else:
+            k = Fraction(n_docs * (r.n11 + r.n00) - chance, denom)
+            # FLOOR-form half-up round at 6 on the exact rational
+            want = (k * 10**6 + Fraction(1, 2)).__floor__() / 10**6
+            assert abs(r.kappa - want) < 1e-12, (pair, r.kappa, want)
+        # kappa bounded: p_o, p_e in [0,1] => kappa <= 1
+        if r.kappa is not None:
+            assert r.kappa <= 1.0
+
+
+def test_eval_auc_matches_bruteforce_pairs(spark):
+    """Per-language AUC must equal the brute-force pairwise
+    Mann–Whitney recount over the shared scored relation (ties credit
+    1/2 — counted in exact half-units, no float), and the grid
+    machinery must agree with a direct per-row recompute of P and
+    N."""
+    from fractions import Fraction
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.queries.traindata import _calib_lab
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    lab = [
+        (r.lang, r.score, r.label)
+        for r in _calib_lab(
+            load_table(spark, sf, "documents"), keep=("lang",)
+        ).collect()
+        if r.score is not None
+    ]
+    got = {r.lang: r
+           for r in all_queries()["q_eval_auc"].fn(spark, sf).collect()}
+    langs = {l for l, _, _ in lab}
+    assert set(got) == langs
+    for lang in langs:
+        pos = [s for l, s, y in lab if l == lang and y == 1]
+        neg = [s for l, s, y in lab if l == lang and y == 0]
+        r = got[lang]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        if not pos or not neg:
+            assert r.auc is None
+            continue
+        num2 = sum(
+            2 if p > q else (1 if p == q else 0)
+            for p in pos for q in neg
+        )
+        want = Fraction(num2, 2 * len(pos) * len(neg))
+        rounded = (want * 10**6 + Fraction(1, 2)).__floor__() / 10**6
+        assert abs(r.auc - rounded) < 1e-12, (lang, r.auc, rounded)
+        assert 0.0 <= r.auc <= 1.0
+
+
+def test_dedup_cross_source_folds_fuzzy_pairs(spark):
+    """The matrix must be exactly the (unordered source pair) fold of
+    q_llm_dedup_fuzzy's pair relation: cell counts refold from the
+    collected pairs + a doc_id→source map, n_pairs sums to the pair
+    count, and each cell's avg_jaccard equals the integer-millionths
+    mean of its member pairs."""
+    from fractions import Fraction
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    pairs = all_queries()["q_llm_dedup_fuzzy"].fn(spark, sf).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "source").collect()
+    }
+    want: dict = {}
+    for p in pairs:
+        lo, hi = sorted((src[p.id_a], src[p.id_b]))
+        ju = round(Fraction(p.jaccard).limit_denominator(10**9) * 10**6)
+        want.setdefault((lo, hi), []).append(int(ju))
+    got = {
+        (r.src_lo, r.src_hi): r
+        for r in all_queries()["q_dedup_cross_source"].fn(spark, sf)
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert sum(r.n_pairs for r in got.values()) == len(pairs)
+    for cell, jus in want.items():
+        r = got[cell]
+        assert r.n_pairs == len(jus)
+        mean = Fraction(sum(jus), 10**6 * len(jus))
+        rounded = (mean * 10**6 + Fraction(1, 2)).__floor__() / 10**6
+        assert abs(r.avg_jaccard - rounded) < 1e-12
+
+
+def test_shard_balance_block_deal_laws(spark):
+    """Contiguous-block dealing of a stride-scheduled order: shard
+    TOTAL sizes are exactly ⌊N/8⌋ or ⌈N/8⌉, each shard's positions
+    are one contiguous global range (block deal — last_pos of shard
+    k < first_pos of shard k+1 across all of k's cells), cells
+    refold exactly from q_mix_interleave's output, and for every
+    source the per-shard doc counts differ by at most 2 across the
+    8 shards (two prefix lag bounds — the mixture-inheritance law
+    the modulus deal provably VIOLATES on this fixture: equal-weight
+    sources have stride #sources, resonating with world 8)."""
+    from level2_to_cassandra_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    order = all_queries()["q_mix_interleave"].fn(spark, sf).collect()
+    cells = all_queries()["q_shard_balance"].fn(spark, sf).collect()
+    n = len(order)
+    assert sum(c.n_docs for c in cells) == n
+    want: dict = {}
+    for r in order:
+        key = ((r.pos - 1) * 8 // n, r.source)
+        lo, hi, cnt = want.get(key, (10**9, -1, 0))
+        want[key] = (min(lo, r.pos), max(hi, r.pos), cnt + 1)
+    assert {
+        (c.shard, c.source): (c.first_pos, c.last_pos, c.n_docs)
+        for c in cells
+    } == want
+    shard_tot: dict = {}
+    shard_span: dict = {}
+    by_source: dict = {}
+    for c in cells:
+        shard_tot[c.shard] = shard_tot.get(c.shard, 0) + c.n_docs
+        lo, hi = shard_span.get(c.shard, (10**9, -1))
+        shard_span[c.shard] = (min(lo, c.first_pos),
+                               max(hi, c.last_pos))
+        by_source.setdefault(c.source, {})[c.shard] = c.n_docs
+    assert set(shard_tot) == set(range(8))
+    assert all(t in (n // 8, n // 8 + 1) for t in shard_tot.values())
+    for k in range(7):          # contiguity: blocks do not interleave
+        assert shard_span[k][1] < shard_span[k + 1][0]
+    for source, per_shard in by_source.items():
+        counts = [per_shard.get(s, 0) for s in range(8)]
+        assert max(counts) - min(counts) <= 2, (source, counts)
+
+
 def test_packed_line_key_overflow_raises(spark):
     """ADVICE r15: a line_no at or beyond LINE_KEY_SPAN would alias
     the packed first-occurrence key into the next doc_id's range and

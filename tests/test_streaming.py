@@ -2515,6 +2515,68 @@ def test_streaming_vote_gate_parity_and_replay(spark, tmp_path):
     assert again == want_reject
 
 
+def test_streaming_mixture_monitor_parity_and_replay(spark, tmp_path):
+    """foreach_batch_with_mixture: the wrapped sink must receive every
+    batch UNCHANGED, and once the journal covers the corpus,
+    read_mixture's (source, n_docs, weight, epoch_docs) must equal
+    q_mix_temperature's rows bit-for-bit (shared mix_weights
+    transform) with realized_share the exact rounded n/Σn; a replayed
+    batch must collapse in the reader."""
+    from fractions import Fraction
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.registry import all_queries
+    from level2_to_cassandra_spark.streaming.monitor import (
+        foreach_batch_with_mixture,
+        read_mixture,
+    )
+    from tests.conftest import SF_SMOKE as sf_smoke
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cut = docs.agg(
+        F.percentile_approx("doc_id", F.lit(0.5)).alias("m")
+    ).first()["m"]
+    batches = [
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ]
+
+    base = str(tmp_path / "sink")
+    seen: list = []
+    cb = foreach_batch_with_mixture(
+        lambda df, bid: seen.append((bid, df.count())), base
+    )
+    for i, b in enumerate(batches):
+        cb(b, i)
+    assert seen == [(0, batches[0].count()), (1, batches[1].count())]
+
+    got = {r.source: r for r in read_mixture(spark, base).collect()}
+    want = {
+        r.source: r
+        for r in all_queries()["q_mix_temperature"].fn(spark, sf_smoke)
+        .collect()
+    }
+    assert set(got) == set(want)
+    total = sum(r.n_docs for r in want.values())
+    for s, w in want.items():
+        g = got[s]
+        assert (g.n_docs, g.weight, g.epoch_docs) == (
+            w.n_docs, w.weight, w.epoch_docs
+        )
+        share = Fraction(w.n_docs, total)
+        rounded = (share * 10**6 + Fraction(1, 2)).__floor__() / 10**6
+        assert abs(g.realized_share - rounded) < 1e-12
+
+    # replay batch 0: journal rows collapse on (batch_id, source)
+    cb(batches[0], 0)
+    again = {r.source: r for r in read_mixture(spark, base).collect()}
+    assert {s: (r.n_docs, r.weight, r.epoch_docs, r.realized_share)
+            for s, r in again.items()} == {
+        s: (r.n_docs, r.weight, r.epoch_docs, r.realized_share)
+        for s, r in got.items()
+    }
+
+
 def test_streaming_vote_gate_rejects_colliding_payload(
     spark, tmp_path
 ):
