@@ -170,6 +170,53 @@ HEADLINE = [
 ]
 
 
+def _staging_builders():
+    """Label → (builder, consumer-query set) for every session staging
+    artifact — module-level so tools/time_queries.py prewarms the
+    identical set when timing a subset in isolation."""
+    from level2_to_cassandra_spark.queries import graph, llm
+    return {
+        "ivfpq_index": (llm._ivfpq_session_index,
+                        {"q_sim_ann_ivfpq"}),
+        "graph_edges": (graph._sparsified_supplier_edges,
+                        {"q_graph_khop", "q_graph_triangles",
+                         "q_graph_components", "q_graph_lpa",
+                         "q_graph_modularity"}),
+        "graph_components": (graph._component_labels,
+                             {"q_graph_components"}),
+        "graph_lpa_labels": (graph._lpa_labels,          # r14
+                             {"q_graph_lpa", "q_graph_modularity"}),
+        "kmeans_assignment": (llm._kmeans_assignment,
+                              {"q_cluster_kmeans", "q_drift_embedding",
+                               "q_sample_cluster"}),
+        "tf_postings": (llm._tf_relation,
+                        {"q_text_tfidf", "q_text_zipf",
+                         "q_text_more_like_this", "q_rank_fusion"}),
+        "shingle_postings": (llm._shingle_relation,      # r13
+                             {"q_contamination", "q_llm_dedup_fuzzy",
+                              "q_llm_dedup_minhash", "q_text_boilerplate",
+                              "q_text_containment", "q_text_novelty",
+                              "q_dedup_incremental_fuzzy",
+                              "q_sketch_error",
+                              "q_dedup_cross_source"}),
+        "shingle_index": (llm._shingle_index_relation,   # r14
+                          {"q_llm_dedup_fuzzy", "q_text_containment",
+                           "q_dedup_incremental_fuzzy",
+                           "q_sketch_error",
+                           "q_dedup_cross_source"}),
+        "minhash_signatures": (llm._sig_relation,        # r16
+                               {"q_llm_dedup_minhash",
+                                "q_sketch_error"}),
+        "mlt_ranking": (llm._mlt_ranking,                # r14
+                        {"q_rank_fusion", "q_text_more_like_this"}),
+        "ann_eval_tables": (llm._ann_eval_tables,        # r13
+                            {"q_ann_recall", "q_ann_ndcg",
+                             "q_ann_mrr"}),
+        "multimodal_gate": (llm._multimodal_gate,
+                            {"q_dedup_multimodal"}),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -252,49 +299,6 @@ def main() -> None:
     # dominated prewarm unconditionally).  The first-rep cost of a
     # consumer that IS present still lands here, visibly, never smeared
     # into a timed rep.
-    def _staging_builders():
-        from level2_to_cassandra_spark.queries import graph, llm
-        return {
-            "ivfpq_index": (llm._ivfpq_session_index,
-                            {"q_sim_ann_ivfpq"}),
-            "graph_edges": (graph._sparsified_supplier_edges,
-                            {"q_graph_khop", "q_graph_triangles",
-                             "q_graph_components", "q_graph_lpa",
-                             "q_graph_modularity"}),
-            "graph_components": (graph._component_labels,
-                                 {"q_graph_components"}),
-            "graph_lpa_labels": (graph._lpa_labels,          # r14
-                                 {"q_graph_lpa", "q_graph_modularity"}),
-            "kmeans_assignment": (llm._kmeans_assignment,
-                                  {"q_cluster_kmeans", "q_drift_embedding",
-                                   "q_sample_cluster"}),
-            "tf_postings": (llm._tf_relation,
-                            {"q_text_tfidf", "q_text_zipf",
-                             "q_text_more_like_this", "q_rank_fusion"}),
-            "shingle_postings": (llm._shingle_relation,      # r13
-                                 {"q_contamination", "q_llm_dedup_fuzzy",
-                                  "q_llm_dedup_minhash", "q_text_boilerplate",
-                                  "q_text_containment", "q_text_novelty",
-                                  "q_dedup_incremental_fuzzy",
-                                  "q_sketch_error",
-                                  "q_dedup_cross_source"}),
-            "shingle_index": (llm._shingle_index_relation,   # r14
-                              {"q_llm_dedup_fuzzy", "q_text_containment",
-                               "q_dedup_incremental_fuzzy",
-                               "q_sketch_error",
-                               "q_dedup_cross_source"}),
-            "minhash_signatures": (llm._sig_relation,        # r16
-                                   {"q_llm_dedup_minhash",
-                                    "q_sketch_error"}),
-            "mlt_ranking": (llm._mlt_ranking,                # r14
-                            {"q_rank_fusion", "q_text_more_like_this"}),
-            "ann_eval_tables": (llm._ann_eval_tables,        # r13
-                                {"q_ann_recall", "q_ann_ndcg",
-                                 "q_ann_mrr"}),
-            "multimodal_gate": (llm._multimodal_gate,
-                                {"q_dedup_multimodal"}),
-        }
-
     bench_set = set(names)
     staging_sec: dict[str, float] = {}
     for label, (builder, consumers) in _staging_builders().items():
