@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import spread_scan
-from level2_to_cassandra_spark.operators.text import word_shingles
+from level2_to_cassandra_spark.operators.text import (
+    tokens,
+    word_shingles_of,
+)
 
 
 def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
@@ -43,9 +46,21 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
     shingling expression and pushes below the spread exchange, running
     the whole shingling a second time on the UNSPREAD scan (measured
     ~10× on the fixture)."""
+    # Token array staged in its own select BELOW the Generate (r16):
+    # the k-shingle build references the array k+1 times and inline it
+    # replayed split(text) per reference.  The generator input stays a
+    # COMPLEX expression (array_distinct over the < k CASE guard), so
+    # the InferFiltersFromGenerate trap below does not fire — nothing
+    # is alias-substituted past the spread exchange (verified on the
+    # optimized plan: one split, above the exchange).
     p = spread_scan(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(word_shingles_of(F.col("__toks"), k))
+        ).alias("shingle"),
     )
     if max_shingle_df is not None:
         p = _cap_postings(p, max_shingle_df)

@@ -44,8 +44,23 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     0.65 s for trigram generation alone).  Output strings are
     identical (tokens are never null, so ``concat`` ≡ ``concat_ws``);
     empty array when the document has fewer than k words.
-    """
-    w = tokens(text)
+
+    NOTE the expression references its input array k+1 times (k slices
+    + the size guard): callers embedding this in a projection should
+    pass a PRE-STAGED token-array column via :func:`word_shingles_of`
+    (r16 — inlining ``tokens(text)`` here replays the split per
+    reference once the projection falls out of whole-stage codegen,
+    and the Projects carrying higher-order functions do)."""
+    return word_shingles_of(tokens(text), k)
+
+
+def word_shingles_of(w: Column, k: int = 3) -> Column:
+    """:func:`word_shingles` over an already-tokenized array column —
+    the staged form every hot caller uses so the tokenization runs
+    once per row in its own projection (CollapseProject keeps a
+    non-cheap alias referenced more than once in a separate Project,
+    so an aliased token array is computed once; measured 3× on the
+    dup-trigram + token-stats projection shape at sf0.1, r16)."""
     n = F.size(w)
     m = n - k + 1
     acc = F.slice(w, 1, m)
@@ -76,11 +91,18 @@ def stopword_ratio(text: Column | str,
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Marker-vote score per language: |distinct tokens ∩ markers|."""
-    distinct = F.array_distinct(tokens(text))
+    return lang_scores_of(F.array_distinct(tokens(text)))
+
+
+def lang_scores_of(distinct_tokens: Column) -> dict[str, Column]:
+    """:func:`lang_scores` over a pre-staged DISTINCT token array —
+    the array is referenced once per language, so callers alias it in
+    a lower Project (CollapseProject keeps it separate) and the
+    tokenize+distinct runs once per row instead of |langs| times."""
     return {
         lang: F.size(
             F.array_intersect(
-                distinct, F.array(*[F.lit(m) for m in markers])
+                distinct_tokens, F.array(*[F.lit(m) for m in markers])
             )
         )
         for lang, markers in LANG_MARKERS.items()
@@ -89,8 +111,21 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def predict_lang(text: Column | str, default: str = "und") -> Column:
     """Argmax of marker votes; deterministic ties by language code
-    order; ``default`` when no marker matched at all."""
-    scores = lang_scores(text)
+    order; ``default`` when no marker matched at all.
+
+    The argmax when-chain references every score O(|langs|) times —
+    inlined over raw text that replays the tokenize+intersect per
+    reference (measured: 87 split() instances in the q_langid_confusion
+    plan, r16).  Hot callers stage the per-language scores as columns
+    in their own Project and fold with :func:`predict_lang_from`."""
+    return predict_lang_from(lang_scores(text), default)
+
+
+def predict_lang_from(scores: dict[str, Column],
+                      default: str = "und") -> Column:
+    """The argmax fold of :func:`predict_lang` over already-computed
+    per-language score columns (cheap references, so the when-chain's
+    repeated mentions cost nothing)."""
     best = None
     best_score = None
     for lang in sorted(scores):  # ascending code order; strict > keeps first
@@ -261,10 +296,19 @@ def shingle_occurrences(docs, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3):
     """The word-k-gram OCCURRENCE stream ``(id, g3)`` — duplicates
     kept (boilerplate fractions count occurrences); docs with < k
-    words or NULL text contribute no rows."""
+    words or NULL text contribute no rows.
+
+    The token array is staged in its own select BELOW the Generate
+    (r16): the shingle build references it k+1 times, and inline each
+    reference replayed the split; the generator input stays a COMPLEX
+    expression (the < k CASE guard), so InferFiltersFromGenerate does
+    not infer a pushable size() filter (the shingle_postings trap)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("g3"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.explode(word_shingles_of(F.col("__toks"), k)).alias("g3"),
     )
 
 

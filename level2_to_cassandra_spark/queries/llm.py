@@ -2507,7 +2507,8 @@ _GOPHER_METRIC_COLS = (
 _GOPHER_STAT_COLS = ("doc_id", *_GOPHER_METRIC_COLS, "pass_gopher")
 
 
-def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = (),
+                 toks_col: str | None = None) -> DataFrame:
     """The pure Gopher-rule transform behind q_quality_gopher: per-doc
     raw metrics + the composite pass_gopher bit, with ``keep``
     passthrough columns (the curate_flags discipline — the streaming
@@ -2525,13 +2526,22 @@ def gopher_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     The comparison is CASEFOLDED: Spark resolves column names
     case-insensitively by default, so 'N_Words' collides with
     'n_words' just the same (review r15, second pass)."""
-    clash = {k for k in keep if k.lower() in _GOPHER_STAT_COLS}
+    clash = {k for k in keep
+             if k.lower() in _GOPHER_STAT_COLS or k.lower() == "__toks"}
     if clash:
         raise ValueError(
             "gopher_stats keep columns collide with computed stat "
             f"columns: {sorted(clash)} — rename them upstream"
         )
-    toks = text.tokens("text")
+    # token array STAGED in its own Project (r16): the metrics
+    # reference it ~5× and the inline form replayed split(text) per
+    # reference once the projection leaves whole-stage codegen.
+    # ``toks_col`` lets a caller chaining several text transforms
+    # (quality_votes) supply ONE staged array for the whole chain.
+    if toks_col is None:
+        docs = docs.withColumn("__toks", text.tokens("text"))
+        toks_col = "__toks"
+    toks = F.col(toks_col)
     n_words = F.size(toks)
     n_sym = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
@@ -2617,12 +2627,37 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID: votes = |distinct tokens ∩
     per-language markers|, argmax with deterministic ties.  The marker
     lists are tiny inline stand-ins for a real lexicon; the mechanism
-    (broadcast match + vote argmax) is the scalable part."""
+    (broadcast match + vote argmax) is the scalable part.
+
+    Plan shape (r16): the distinct-token array and the per-language
+    scores are STAGED in their own Projects below the argmax fold —
+    the fold's when-chain references every score O(|langs|) times, and
+    inlined scoring replayed the tokenize+distinct+intersect per
+    reference (87 split() instances in the q_langid_confusion plan →
+    1 after staging; the projections stay scan-fused map-side work,
+    so the scale shape is unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(text.tokens("text")).alias("__dt"),
+    )
+    scores = {
+        lang: F.col(f"__ls_{lang}")
+        for lang in text.LANG_MARKERS
+    }
+    scored = staged.select(
+        "doc_id", "lang",
+        *[
+            s.alias(f"__ls_{lang}")
+            for lang, s in sorted(
+                text.lang_scores_of(F.col("__dt")).items()
+            )
+        ],
+    )
+    return scored.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
-        text.predict_lang("text").alias("predicted_lang"),
+        text.predict_lang_from(scores).alias("predicted_lang"),
     )
 
 
@@ -2751,21 +2786,48 @@ def curate_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """The pure curation-funnel transform behind q_curate_corpus:
     per-doc gate flags + admit bit, with ``keep`` passthrough columns
     (q_corpus_pipeline keeps ``text`` so it can gate-and-tokenize
-    without re-joining the corpus)."""
-    n_tok = text.token_count("text")
-    ttr = text.distinct_token_count("text").cast("double") / n_tok
-    g3 = text.word_shingles("text", 3)
-    n3 = F.size(g3)
+    without re-joining the corpus).
+
+    Plan shape (r16): the token / trigram / distinct-token arrays and
+    the per-language scores are STAGED in their own Projects (aliased
+    non-cheap expressions referenced more than once stay un-collapsed,
+    so each array is built ONCE per row — the inline form replayed
+    split(text) 119× per row in the q_curate_corpus plan, 1× after;
+    measured 3× on the projection stage).  Only scalar metrics + text
+    cross the canonicality exchange — the arrays never shuffle."""
+    clash = {k for k in keep if k.lower().startswith("__")}
+    if clash:
+        raise ValueError(
+            "curate_flags keep columns collide with staging columns: "
+            f"{sorted(clash)} — rename them upstream"
+        )
+    arrs = docs.withColumn("__toks", text.tokens("text"))
+    arrs = arrs.withColumn(
+        "__g3", text.word_shingles_of(F.col("__toks"), 3)
+    ).withColumn("__dt", F.array_distinct(F.col("__toks")))
+    scalars = arrs.withColumn("__n_tok", F.size("__toks")).withColumn(
+        "__nd_tok", F.size("__dt")
+    ).withColumn("__n3", F.size("__g3")).withColumn(
+        "__nd3", F.size(F.array_distinct("__g3"))
+    )
+    for lang, s in sorted(text.lang_scores_of(F.col("__dt")).items()):
+        scalars = scalars.withColumn(f"__ls_{lang}", s)
+    n_tok = F.col("__n_tok")
+    ttr = F.col("__nd_tok").cast("double") / n_tok
+    n3 = F.col("__n3")
     dup3 = F.when(n3 <= 0, F.lit(0.0)).otherwise(
-        (n3 - F.size(F.array_distinct(g3))).cast("double") / n3
+        (n3 - F.col("__nd3")).cast("double") / n3
+    )
+    pred = text.predict_lang_from(
+        {lang: F.col(f"__ls_{lang}") for lang in text.LANG_MARKERS}
     )
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    flags = docs.select(
+    flags = scalars.select(
         "doc_id",
         *keep,
         F.when(n_tok.between(20, 1000) & (ttr > 0.2), 1)
         .otherwise(0).cast("long").alias("quality_ok"),
-        F.when(text.predict_lang("text") == F.col("lang"), 1)
+        F.when(pred == F.col("lang"), 1)
         .otherwise(0).cast("long").alias("lang_match"),
         F.when(dup3 <= 0.2, 1).otherwise(0).cast("long")
         .alias("low_repetition"),

@@ -571,7 +571,11 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         spread_scan(docs)
-        .select(F.explode(text.word_shingles("text", 2)).alias("ngram"))
+        # token array staged below the Generate (r16, the
+        # q_text_bigram_lm pattern): one split per document
+        .select(text.tokens("text").alias("__toks"))
+        .select(F.explode(
+            text.word_shingles_of(F.col("__toks"), 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))
@@ -931,13 +935,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle): each document scores itself inside the scan stage, so the
     operator is embarrassingly parallel at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # token + n-gram arrays STAGED in their own Projects (r16): each
+    # dup_ngram_ratio references its array 4×, and the inline form
+    # replayed split(text) per reference — same expressions, values
+    # unchanged, one tokenization per row
+    staged = docs.withColumn("__toks", text.tokens("text")).withColumn(
+        "__g2", text.word_shingles_of(F.col("__toks"), 2)
+    ).withColumn("__g3", text.word_shingles_of(F.col("__toks"), 3))
+    return staged.select(
         "doc_id",
-        F.round(dup_ngram_ratio(text.tokens("text")), 6)
+        F.round(dup_ngram_ratio(F.col("__toks")), 6)
         .alias("dup_1gram"),
-        F.round(dup_ngram_ratio(text.word_shingles("text", 2)), 6)
+        F.round(dup_ngram_ratio(F.col("__g2")), 6)
         .alias("dup_2gram"),
-        F.round(dup_ngram_ratio(text.word_shingles("text", 3)), 6)
+        F.round(dup_ngram_ratio(F.col("__g3")), 6)
         .alias("dup_3gram"),
     )
 
@@ -1036,9 +1047,16 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins counts back on the hash.  The oracle counts raw strings;
     hash collisions (2⁻⁶⁴) are the only divergence mode."""
     docs = load_table(spark, sf_dir, "documents")
+    # token array staged below the Generate (r16): the 13-gram build
+    # references the array 14× (13 slices + the size guard) and the
+    # inline form replayed split(text) per reference
     posts = docs.select(
+        "doc_id", text.tokens("text").alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(text.word_shingles("text", 13)).alias("gram"),
+        F.explode(
+            text.word_shingles_of(F.col("__toks"), 13)
+        ).alias("gram"),
     ).select("doc_id", F.xxhash64("gram").alias("__g"))
     counts = posts.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     rep = F.when(F.col("__n") > 1, 1).otherwise(0)
@@ -1111,8 +1129,20 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is the reusable staging table: train once, score every
     incoming shard with broadcast-or-bucketed joins."""
     docs = load_table(spark, sf_dir, "documents")
+    # token array staged in its own select BELOW the Generate (r16 —
+    # the line_segments discipline): the bigram build references the
+    # array 3×, and inline it replayed split(text) per reference; the
+    # generator input stays a COMPLEX expression (the < k CASE guard),
+    # so InferFiltersFromGenerate does not infer a pushable size()
+    # filter and nothing re-runs below the spread exchange (verified
+    # on the optimized plan: one split, above the spread exchange).
     bg = spread_scan(docs).select(
-        "doc_id", F.explode(text.word_shingles("text", 2)).alias("ngram")
+        "doc_id", text.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            text.word_shingles_of(F.col("__toks"), 2)
+        ).alias("ngram"),
     )
     # Persisted: the model feeds THREE plan branches (ctx derivation
     # plus the two score-join probes) and ReuseExchange does not match
@@ -2035,11 +2065,20 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized (q_bm25's discipline) — only the two post-aggregation
     count relations persist, each feeding multiple plan branches."""
     docs = load_table(spark, sf_dir, "documents")
+    # token array staged BELOW the Generate and the ngram split staged
+    # below the w1/w2 projection (r16, the q_text_bigram_lm pattern):
+    # one split per document and one per bigram row instead of 3 and 2
     bg = spread_scan(docs).select(
-        F.explode(text.word_shingles("text", 2)).alias("ngram")
+        text.tokens("text").alias("__toks")
     ).select(
-        F.split(F.col("ngram"), " ")[0].alias("w1"),
-        F.split(F.col("ngram"), " ")[1].alias("w2"),
+        F.explode(
+            text.word_shingles_of(F.col("__toks"), 2)
+        ).alias("ngram")
+    ).select(
+        F.split(F.col("ngram"), " ").alias("__p")
+    ).select(
+        F.col("__p")[0].alias("w1"),
+        F.col("__p")[1].alias("w2"),
     )
     # Both count relations are PERSISTED: pair feeds the total and the
     # PMI probe, uni feeds u1/u2/t_uni — without the persist each
@@ -2406,7 +2445,8 @@ def _calib_lab_ctes(keep: tuple[str, ...] = ()) -> str:
 _CALIB_LAB_COLS = ("bin", "score", "p", "label")
 
 
-def _calib_lab(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def _calib_lab(docs: DataFrame, keep: tuple[str, ...] = (),
+               toks_col: str | None = None) -> DataFrame:
     """(bin, score, p, label[, keep...]) per document — the Spark twin
     of the ``lab`` CTE.  The scoring expression is q_classifier_score's
     transform inlined UNROUNDED (that query's emitted score is rounded
@@ -2422,7 +2462,9 @@ def _calib_lab(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     let the streaming classifier gate keep doc identity and payload;
     names colliding with the computed columns raise immediately,
     CASEFOLDED (Spark resolves names case-insensitively by default)."""
-    clash = {k for k in keep if k.lower() in _CALIB_LAB_COLS}
+    clash = {k for k in keep
+             if k.lower() in _CALIB_LAB_COLS
+             or k.lower() in ("__toks", "__score")}
     if clash:
         raise ValueError(
             "_calib_lab keep columns collide with computed columns: "
@@ -2433,11 +2475,21 @@ def _calib_lab(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         warr,
         (text.portable_hash64(t).bitwiseAND(F.lit(63)) + 1).cast("int"),
     )
-    toks = text.tokens("text")
+    # token array and raw score STAGED in their own Projects (r16):
+    # score is referenced by bin, p AND the emitted score column, and
+    # inline it replayed the per-token hash fold per reference (the
+    # q_classifier_calibration plan carried 6 split(text) instances →
+    # 1 after staging; same expressions, same values).  ``toks_col``
+    # lets a caller chaining transforms share ONE staged array.
+    if toks_col is None:
+        docs = docs.withColumn("__toks", text.tokens("text"))
+        toks_col = "__toks"
+    toks = F.col(toks_col)
     s = F.aggregate(
         F.transform(toks, bucket_w), F.lit(0.0), lambda a, x: a + x
     )
-    score = s / F.size(toks)
+    docs = docs.withColumn("__score", s / F.size(toks))
+    score = F.col("__score")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
     label = (
         text.portable_hash64(F.col("doc_id").cast("string"))
@@ -2774,7 +2826,9 @@ def quality_votes(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     guard their own computed names the same way."""
     from level2_to_cassandra_spark.queries.llm import gopher_stats
 
-    clash = {k for k in keep if k.lower() in _VOTE_COLS}
+    clash = {k for k in keep
+             if k.lower() in _VOTE_COLS
+             or k.lower() in ("__vtoks", "__vg3")}
     if clash:
         raise ValueError(
             "quality_votes keep columns collide with computed vote "
@@ -2785,15 +2839,25 @@ def quality_votes(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     # the tail select rather than a duplicate passthrough slot
     passthrough = tuple(c for c in keep if c.lower() != "text")
     tail = tuple(c for c in keep if c.lower() == "text")
-    g = gopher_stats(docs, keep=("text", *passthrough)).select(
-        "doc_id", "pass_gopher", "text", *passthrough
-    )
+    # ONE staged token array serves all three member transforms (r16):
+    # gopher metrics, the classifier fold and the trigram build each
+    # read __vtoks, so the corpus is tokenized once per row where the
+    # inline form replayed split(text) 36× (q_quality_vote plan) and
+    # per-member staging would still pay 3 splits.
+    staged = docs.withColumn("__vtoks", text.tokens("text"))
+    g = gopher_stats(
+        staged, keep=("text", "__vtoks", *passthrough),
+        toks_col="__vtoks",
+    ).select("doc_id", "pass_gopher", "text", "__vtoks", *passthrough)
     lab = _calib_lab(
-        g, keep=("doc_id", "pass_gopher", "text", *passthrough)
+        g, keep=("doc_id", "pass_gopher", "text", "__vtoks",
+                 *passthrough),
+        toks_col="__vtoks",
     )
-    rep = F.round(
-        dup_ngram_ratio(text.word_shingles("text", 3)), 6
+    lab = lab.withColumn(
+        "__vg3", text.word_shingles_of(F.col("__vtoks"), 3)
     )
+    rep = F.round(dup_ngram_ratio(F.col("__vg3")), 6)
     flags = lab.select(
         "doc_id",
         F.col("pass_gopher").cast("long").alias("pass_gopher"),
@@ -3006,16 +3070,22 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized), one grid-sized cumulative window per lang, one
     #langs-row fold — no row-scale shuffle beyond the grid
     aggregate's, no global sort anywhere."""
+    # The unscoreable-doc exclusion is expressed as text IS NOT NULL
+    # (r16): score is NULL iff text is NULL (split of a non-null
+    # string is a ≥1-element array, the weight fold over it is a
+    # non-null double, so score = fold/size is non-null), and the
+    # score-side formulation — once the scoring fold is STAGED in its
+    # own Project (_calib_lab r16) — was alias-substituted below the
+    # staging by predicate pushdown, re-evaluating the whole per-token
+    # fold a second time per row.  The text-side predicate is the same
+    # row set and reaches the parquet scan as a pushed filter.
     lab = _calib_lab(
-        load_table(spark, sf_dir, "documents"), keep=("lang",)
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull()),
+        keep=("lang",),
     )
-    # the NULL-score filter lands on a GROUPING KEY, so Catalyst
-    # places it below the aggregate and whole-stage codegen's
-    # subexpression elimination shares the scoring fold between the
-    # filter and the aggregate's key projection
     grid = (
-        lab.where(F.col("score").isNotNull())
-        .groupBy("lang", "score")
+        lab.groupBy("lang", "score")
         .agg(
             F.sum("label").alias("pos"),
             (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
