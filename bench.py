@@ -174,7 +174,7 @@ def _staging_builders():
     """Label → (builder, consumer-query set) for every session staging
     artifact — module-level so tools/time_queries.py prewarms the
     identical set when timing a subset in isolation."""
-    from level2_to_cassandra_spark.queries import graph, llm
+    from level2_to_cassandra_spark.queries import graph, llm, traindata
     return {
         "ivfpq_index": (llm._ivfpq_session_index,
                         {"q_sim_ann_ivfpq"}),
@@ -191,7 +191,12 @@ def _staging_builders():
                                "q_sample_cluster"}),
         "tf_postings": (llm._tf_relation,
                         {"q_text_tfidf", "q_text_zipf",
-                         "q_text_more_like_this", "q_rank_fusion"}),
+                         "q_text_more_like_this", "q_rank_fusion",
+                         "q_vocab_coverage", "q_tokenize_ids"}),  # r16
+        "bigram_lm": (traindata._bigram_lm_relation,     # r16
+                      {"q_text_bigram_lm", "q_quality_ppl_bucket"}),
+        "unigram_lm": (traindata._unigram_lm_relation,   # r16
+                       {"q_importance_resample"}),
         "shingle_postings": (llm._shingle_relation,      # r13
                              {"q_contamination", "q_llm_dedup_fuzzy",
                               "q_llm_dedup_minhash", "q_text_boilerplate",

@@ -738,6 +738,51 @@ _DSIR_TARGET_SOURCE = "src1"
 _DSIR_TOPK = 50
 _DSIR_SALT = "dsir1:"
 
+#: (applicationId, sf_dir) → parquet path of the MATERIALIZED DSIR
+#: unigram models (t, __ca, __ct, __nt, __na, __v) — r16: both
+#: add-one-smoothed unigram LMs (target + general) are pure corpus
+#: functions q_importance_resample re-trained inline on every serve
+#: (a second corpus pass + persist + totals broadcast).  Staged once
+#: per (session, fixture) like the bigram LM; the totals ride
+#: denormalized on the Zipf-small model rows.
+_UNIGRAM_LM_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _unigram_lm_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained DSIR unigram-model staging table (t, __ca, __ct,
+    __nt, __na, __v), built once per (session, sf_dir): per-token
+    corpus count and target-source count plus the three totals
+    (target mass, corpus mass, vocab size) — every integer the
+    importance log-weight ln((ct+1)/(nt+V)) − ln((ca+1)/(na+V))
+    needs, so scoring joins ONCE on the token key.  Counts are
+    bit-identical to the previous inline train (same aggregates,
+    same tokenizer)."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = spread_scan(docs).select(
+            "source", F.explode(text.tokens("text")).alias("t")
+        )
+        is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
+        model = toks.groupBy("t").agg(
+            F.count(F.lit(1)).alias("__ca"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__ct"),
+        )
+        tot = model.agg(
+            F.sum("__ct").alias("__nt"),
+            F.sum("__ca").alias("__na"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+        (
+            model.crossJoin(F.broadcast(tot))
+            .select("t", "__ca", "__ct", "__nt", "__na", "__v")
+            .write.mode("overwrite").parquet(path)
+        )
+
+    return materialize_once(_UNIGRAM_LM_TABLE, spark, sf_dir,
+                            "l2c_uglm_", _build)
+
 
 @register(
     "q_importance_resample",
@@ -796,40 +841,29 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(weight)-proportional sample without replacement, the same
     derandomized-race trick as q_sample_weighted's exponential race.
 
-    Scale shape: BOTH unigram models train in one conditional
-    aggregate over a single token pass — one Zipf-small (token,
-    corpus count, target count) relation, the reusable staging table;
-    the totals (target mass, corpus mass, vocab size) fold from that
-    model relation as a 1-row broadcast, never a second corpus pass.
-    Scoring is the only other token pass: it re-joins the persisted
-    model on the token key — model side one row per DISTINCT token,
-    AQE handles hot-token skew on the probe stream — then one
-    doc-keyed aggregate.  Two corpus passes total (self-review r10:
-    the first cut ran four).  The final draw is a TakeOrdered top-K
-    on the race key (never a global sort); the md5-seeded race
-    re-runs identically on 100 TB.  The oracle replays models,
-    weights and race bit-for-bit."""
+    Scale shape (r16): BOTH unigram models train ONCE per (session,
+    corpus) into the parquet staging table (one conditional aggregate
+    over a single token pass; totals denormalized on the Zipf-small
+    rows — :func:`_unigram_lm_relation`), and the serve plan is the
+    scoring pass alone: one token explode re-joined on the token key
+    — model side one row per DISTINCT token, AQE handles hot-token
+    skew on the probe stream — then one doc-keyed aggregate.  One
+    serve-time corpus pass total (self-review r10 cut four to two;
+    the staging split removes the train pass from every serve).  The
+    final draw is a TakeOrdered top-K on the race key (never a global
+    sort); the md5-seeded race re-runs identically on 100 TB.  The
+    oracle replays models, weights and race bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     toks = spread_scan(docs).select(
-        "doc_id", "source", F.explode(text.tokens("text")).alias("t")
+        "doc_id", F.explode(text.tokens("text")).alias("t")
     )
-    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
-    # persisted: the model feeds the totals fold AND the scoring probe
-    model = (
-        toks.groupBy("t")
-        .agg(
-            F.count(F.lit(1)).alias("__ca"),
-            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__ct"),
-        )
-        .persist()
-    )
-    tot = F.broadcast(
-        model.agg(
-            F.sum("__ct").alias("__nt"),
-            F.sum("__ca").alias("__na"),
-            F.count(F.lit(1)).alias("__v"),
-        )
-    )
+    # r16: both unigram models come from the parquet staging table
+    # (:func:`_unigram_lm_relation` — counts + totals denormalized),
+    # so the serve plan is the scoring pass alone: one token explode
+    # joined ONCE on the token key.  Previously the train aggregate +
+    # totals fold re-ran inside every serve (a second corpus pass +
+    # persist + 1-row broadcast).
+    model = _unigram_lm_relation(spark, sf_dir)
     lw = F.sum(
         F.log(
             (F.col("__ct") + 1).cast("double")
@@ -842,7 +876,6 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("lw")
     scored = (
         toks.join(model, "t")
-        .crossJoin(tot)
         .groupBy("doc_id")
         .agg(lw)
     )
@@ -1096,6 +1129,59 @@ _BIGRAM_SCORED_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS w
       CROSS JOIN vocab)"""
 
 
+#: (applicationId, sf_dir) → parquet path of the MATERIALIZED bigram
+#: LM model (ngram, __w1, __c, __cw, __v) — r16: the add-one-smoothed
+#: model is a pure corpus function that q_text_bigram_lm's own
+#: docstring already calls "the reusable staging table: train once,
+#: score every incoming shard", yet both it AND q_quality_ppl_bucket
+#: (which composes it) re-trained the model inline on every serve.
+#: Staged once per (session, fixture) like the postings/signature
+#: tables (llm.py::_SHINGLE_TABLE discipline), the serve plan is the
+#: scoring pass alone: one bigram explode over the corpus + one join
+#: against the Zipf-small model relation.  Context totals and V are
+#: DENORMALIZED onto the model rows (one long each) so scoring needs
+#: no second join and no 1-row broadcast.
+_BIGRAM_LM_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _bigram_lm_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained bigram-LM staging table (ngram, __w1, __c, __cw,
+    __v), built once per (session, sf_dir): per-bigram count,
+    per-context total and vocabulary size — every integer the smoothed
+    probability ln((c+1)/(cw+V)) needs, so consumers join ONCE on the
+    bigram key.  Counts are bit-identical to the previous inline
+    train (same aggregates, same tokenizer)."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        bg = spread_scan(docs).select(
+            text.tokens("text").alias("__toks")
+        ).select(
+            F.explode(
+                text.word_shingles_of(F.col("__toks"), 2)
+            ).alias("ngram")
+        )
+        model = (
+            bg.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__w1", F.split("ngram", " ")[0])
+        )
+        ctx = model.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
+        vocab = docs.select(
+            F.explode(text.tokens("text")).alias("__t")
+        ).agg(F.countDistinct("__t").alias("__v"))
+        (
+            model.join(ctx, "__w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("ngram", "__w1", "__c", "__cw", "__v")
+            .write.mode("overwrite").parquet(path)
+        )
+
+    return materialize_once(_BIGRAM_LM_TABLE, spark, sf_dir,
+                            "l2c_bglm_", _build)
+
+
 @register(
     "q_text_bigram_lm",
     # Every count the model trains on is an exact integer on both
@@ -1119,16 +1205,21 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate a perplexity cut removes.  Docs with < 2 tokens have
     no bigrams and drop out on both engines.
 
-    Scale shape: one corpus pass trains (map-side-combined bigram
-    agg, persisted as the model staging table), one corpus pass
-    scores; scoring re-joins the model on the bigram key — a shuffle join where the model side has
-    one row per DISTINCT bigram (Zipf: far smaller than the
-    occurrence stream) and AQE handles hot-bigram skew on the probe
-    side.  V and the context totals ride the model rows / a 1-row
-    broadcast, so nothing wide ever shuffles.  At 100 TB the model
-    relation is the reusable staging table: train once, score every
-    incoming shard with broadcast-or-bucketed joins."""
+    Scale shape (r16): the model TRAINS ONCE per (session, corpus)
+    into the parquet staging table (:func:`_bigram_lm_relation` —
+    map-side-combined bigram agg, Zipf-small rows, context totals and
+    V denormalized on), and the serve plan is the scoring pass alone:
+    one bigram explode over the corpus joined ONCE against the model
+    on the bigram key — model side one row per DISTINCT bigram, AQE
+    handles hot-bigram skew on the probe side; nothing wide ever
+    shuffles.  Previously the train aggregate + ctx derivation +
+    vocab count re-ran inside every serve (and q_quality_ppl_bucket's,
+    which composes this plan) — 3 extra plan branches and a persist,
+    now a parquet scan.  At 100 TB this is the trained-LM artifact a
+    CCNet stack maintains anyway: train once, score every incoming
+    shard with broadcast-or-bucketed joins."""
     docs = load_table(spark, sf_dir, "documents")
+    model = _bigram_lm_relation(spark, sf_dir)
     # token array staged in its own select BELOW the Generate (r16 —
     # the line_segments discipline): the bigram build references the
     # array 3×, and inline it replayed split(text) per reference; the
@@ -1144,32 +1235,12 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.word_shingles_of(F.col("__toks"), 2)
         ).alias("ngram"),
     )
-    # Persisted: the model feeds THREE plan branches (ctx derivation
-    # plus the two score-join probes) and ReuseExchange does not match
-    # across alias branches — without this the corpus-wide train
-    # aggregation re-executes per consumer (measured 4 documents scans
-    # in the unpersisted plan).  Distinct-bigram rows are Zipf-small —
-    # this is exactly the reusable model staging table of the 100 TB
-    # story.
-    model = (
-        bg.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("__w1", F.split("ngram", " ")[0])
-        .persist()
-    )
-    ctx = model.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
-    vocab = (
-        docs.select(F.explode(text.tokens("text")).alias("__t"))
-        .agg(F.countDistinct("__t").alias("__v"))
-    )
     lnp = F.log(
         (F.col("__c") + 1).cast("double")
         / (F.col("__cw") + F.col("__v")).cast("double")
     )
     return (
-        bg.join(model, "ngram")
-        .join(ctx, "__w1")
-        .crossJoin(F.broadcast(vocab))
+        bg.join(model.select("ngram", "__c", "__cw", "__v"), "ngram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1271,28 +1342,33 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     before committing a tokenizer/vocab to a training corpus: a
     domain whose OOV rate spikes is about to fragment into bytes.
 
-    Scale shape: vocabulary induction is one map-side-combined count
-    + a TakeOrdered cut (no global sort materializes); the induced
-    vocab is by construction top-K-small, so coverage scoring is a
-    BROADCAST join against the exploded token stream followed by one
-    per-doc aggregation — the token stream shuffles once, on doc_id,
-    and only (doc_id, flag) rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = spread_scan(docs).select(
-        "doc_id", F.explode(text.tokens("text")).alias("t")
-    )
-    vocab = _induce_vocab(tok, _VOCAB_SIZE).select(
+    Scale shape (r16): BOTH passes now ride the staged term-frequency
+    relation (llm.py::_tf_relation — the inverted-index staging table
+    the lexical scorers already share): induction is a
+    map-side-combined Σ tf per term + a TakeOrdered cut (identical
+    counts to the occurrence stream's), and coverage scoring is a
+    BROADCAST join against the tf rows — Zipf-compressed (one row per
+    (doc, DISTINCT term) instead of one per occurrence) — followed by
+    one tf-weighted per-doc aggregation.  No corpus re-explode
+    anywhere in the serve plan (previously two: one per pass); every
+    count is the same integer, summed with tf weights."""
+    from level2_to_cassandra_spark.queries.llm import _tf_relation
+
+    tf = _tf_relation(spark, sf_dir).withColumnRenamed("term", "t")
+    vocab = _induce_vocab_tf(spark, sf_dir, _VOCAB_SIZE).select(
         "t", F.lit(1).alias("__in")
     )
     hit = F.coalesce(F.col("__in"), F.lit(0))
+    n_tok = F.sum("tf")
+    n_in = F.sum(hit * F.col("tf"))
     return (
-        tok.join(F.broadcast(vocab), "t", "left")
+        tf.join(F.broadcast(vocab), "t", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(hit).cast("long").alias("n_in_vocab"),
+            n_tok.cast("long").alias("n_tokens"),
+            n_in.cast("long").alias("n_in_vocab"),
             F.round(
-                F.lit(1.0) - F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+                F.lit(1.0) - n_in.cast("double") / n_tok, 6
             ).alias("oov_rate"),
         )
     )
@@ -1412,21 +1488,51 @@ def _token_stream(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
 
 
-def _induce_vocab(tok: DataFrame, size: int = _TOKENIZE_VOCAB) -> DataFrame:
-    """(t, id) induced vocabulary: top-``size`` tokens by (count DESC,
-    token ASC), ids 1..V in that same order — Spark twin of the
-    ``vocab`` CTE.  TakeOrdered cut; no global sort.  Also the
-    induction step of q_vocab_coverage (membership-only callers drop
-    the id column)."""
+def _vocab_from_counts(counts: DataFrame,
+                       size: int = _TOKENIZE_VOCAB) -> DataFrame:
+    """(t, id) vocabulary cut from a (t, __c) token-count relation:
+    top-``size`` by (count DESC, token ASC), ids 1..V in that same
+    order — the shared tail of :func:`_induce_vocab` and the staged
+    tf-relation induction (r16).  TakeOrdered cut; no global sort."""
     w = Window.orderBy(F.desc("__c"), F.asc("t"))
     return (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.desc("__c"), F.asc("t"))
+        counts.orderBy(F.desc("__c"), F.asc("t"))
         .limit(size)
         .withColumn("id", F.row_number().over(w))
         .select("t", "id")
     )
+
+
+def _induce_vocab(tok: DataFrame, size: int = _TOKENIZE_VOCAB) -> DataFrame:
+    """(t, id) induced vocabulary from an occurrence stream — Spark
+    twin of the ``vocab`` CTE.  Also the induction step of
+    q_vocab_coverage (membership-only callers drop the id column).
+    Callers inducing over the FULL corpus should prefer
+    :func:`_induce_vocab_tf`, which reads the same counts off the
+    staged term-frequency relation instead of re-exploding the
+    corpus (r16)."""
+    return _vocab_from_counts(
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c")), size
+    )
+
+
+def _induce_vocab_tf(spark: SparkSession, sf_dir: str,
+                     size: int = _TOKENIZE_VOCAB) -> DataFrame:
+    """:func:`_induce_vocab` over the staged term-frequency relation
+    (llm.py::_tf_relation) — token counts are Σ tf per term, exactly
+    the occurrence counts, so the induced vocabulary is identical
+    while the induction branch reads the Zipf-compressed staging
+    table instead of re-exploding the whole corpus (r16, guide §2.4:
+    two operations keyed the same way share one artifact)."""
+    from level2_to_cassandra_spark.queries.llm import _tf_relation
+
+    counts = (
+        _tf_relation(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("__c"))
+        .withColumnRenamed("term", "t")
+    )
+    return _vocab_from_counts(counts, size)
 
 
 def _id_rows(tok: DataFrame, vocab: DataFrame) -> DataFrame:
@@ -1481,7 +1587,11 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _token_stream(spread_scan(docs))
-    ids = _id_rows(tok, _induce_vocab(tok))
+    # r16: the vocabulary branch reads the staged tf relation instead
+    # of re-exploding the corpus a second time (identical counts, so
+    # an identical vocab cut); the posexploded id stream remains the
+    # one serve-time corpus pass.
+    ids = _id_rows(tok, _induce_vocab_tf(spark, sf_dir))
     seq = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "id"))),
         lambda s: s["id"],

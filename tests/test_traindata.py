@@ -597,3 +597,103 @@ def test_importance_resample_prefers_target_like_docs(spark):
     tgt = [lw for d, lw, *_ in full if srcs[d] == _DSIR_TARGET_SOURCE]
     other = [lw for d, lw, *_ in full if srcs[d] != _DSIR_TARGET_SOURCE]
     assert sum(tgt) / len(tgt) > sum(other) / len(other)
+
+
+def test_bigram_lm_staging_matches_inline_train(spark):
+    """r16: the staged bigram-LM relation (_bigram_lm_relation) must
+    hold EXACTLY the integers the previous inline train computed —
+    per-bigram count, per-context total, vocabulary size — since the
+    scoring join consumes them as-is."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.traindata import (
+        _bigram_lm_relation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    staged = _bigram_lm_relation(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bg = docs.select(
+        F.explode(text.word_shingles("text", 2)).alias("ngram")
+    )
+    model = (
+        bg.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__w1", F.split("ngram", " ")[0])
+    )
+    ctx = model.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
+    v = (
+        docs.select(F.explode(text.tokens("text")).alias("__t"))
+        .agg(F.countDistinct("__t"))
+        .first()[0]
+    )
+    inline = (
+        model.join(ctx, "__w1")
+        .withColumn("__v", F.lit(v))
+        .select("ngram", "__w1", "__c", "__cw", "__v")
+    )
+    assert sorted(staged.columns) == sorted(inline.columns)
+    assert staged.exceptAll(inline).count() == 0
+    assert inline.exceptAll(staged).count() == 0
+
+
+def test_unigram_lm_staging_matches_inline_train(spark):
+    """r16: the staged DSIR unigram models must hold exactly the
+    inline-train integers (per-token corpus/target counts + totals)."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.traindata import (
+        _DSIR_TARGET_SOURCE,
+        _unigram_lm_relation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    staged = _unigram_lm_relation(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        "source", F.explode(text.tokens("text")).alias("t")
+    )
+    model = toks.groupBy("t").agg(
+        F.count(F.lit(1)).alias("__ca"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("__ct"),
+    )
+    nt, na, v = model.agg(
+        F.sum("__ct"), F.sum("__ca"), F.count(F.lit(1))
+    ).first()
+    inline = model.select(
+        "t", "__ca", "__ct",
+        F.lit(nt).alias("__nt"), F.lit(na).alias("__na"),
+        F.lit(v).alias("__v"),
+    )
+    assert staged.exceptAll(inline).count() == 0
+    assert inline.exceptAll(staged).count() == 0
+
+
+def test_vocab_induction_tf_identical_to_occurrence_stream(spark):
+    """r16: vocabulary induced off the staged tf relation must equal
+    the occurrence-stream induction (Σ tf per term IS the occurrence
+    count), ids included — q_tokenize_ids and q_vocab_coverage depend
+    on this equality."""
+    from pyspark.sql import functions as F
+
+    from level2_to_cassandra_spark.catalog import load_table
+    from level2_to_cassandra_spark.operators import text
+    from level2_to_cassandra_spark.queries.traindata import (
+        _induce_vocab,
+        _induce_vocab_tf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    a = sorted(map(tuple, _induce_vocab(tok).collect()))
+    b = sorted(map(tuple, _induce_vocab_tf(spark, SF_SMOKE).collect()))
+    assert a == b
