@@ -1032,23 +1032,28 @@ def test_quality_gopher_map_side_only(spark):
 
 
 def test_data_profile_narrow_scan_per_column(spark):
-    """q_data_profile: one single-column scan per profiled column,
-    union'd — never the multi-distinct Expand form (which multiplies
-    the corpus k× through the dedup pre-aggregation; measured ~4x
-    slower at sf0.1) and never a corpus unpivot.  Each scan's
-    ReadSchema must carry exactly its own column."""
+    """q_data_profile: two single-column scans per profiled column
+    (the r16 stats/NDV split: non-distinct stats collapse to map-side
+    partials feeding a 1-row exchange; the exact-NDV branch shuffles
+    the bare value grid with no aggregate buffers; the pair re-joins
+    by a broadcast nested loop), union'd — never the multi-distinct
+    Expand form (which multiplies the corpus k× through the dedup
+    pre-aggregation; measured ~4x slower at sf0.1) and never a corpus
+    unpivot.  Each scan's ReadSchema must carry exactly its own
+    column."""
     from level2_to_cassandra_spark.queries.relational import (
         _PROFILE_COLS,
     )
 
     plan = plan_of(all_queries()["q_data_profile"].fn(spark, SF),
                    "simple")
-    assert plan.count("Scan parquet") == len(_PROFILE_COLS)
+    assert plan.count("Scan parquet") == 2 * len(_PROFILE_COLS)
     assert "Expand" not in plan
     assert "Generate" not in plan
     schemas = [seg.splitlines()[0] for seg in
                plan.split("ReadSchema:")[1:]]
-    for c, seg in zip(sorted(_PROFILE_COLS), sorted(schemas)):
+    assert len(schemas) == 2 * len(_PROFILE_COLS)
+    for c, seg in zip(sorted(_PROFILE_COLS * 2), sorted(schemas)):
         assert c in seg
         assert seg.count(":") == 1  # exactly one column leaves the scan
 
