@@ -178,6 +178,8 @@ def _staging_builders():
     return {
         "ivfpq_index": (llm._ivfpq_session_index,
                         {"q_sim_ann_ivfpq"}),
+        "ivf_index": (llm._ivf_relation,               # r16
+                      {"q_sim_ann_ivf", "q_semdedup"}),
         "graph_edges": (graph._sparsified_supplier_edges,
                         {"q_graph_khop", "q_graph_triangles",
                          "q_graph_components", "q_graph_lpa",

@@ -759,7 +759,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_cos: int | None = None, scheme: str = "hash",
              round_assign: int | None = None,
-             round_probe: int | None = None) -> DataFrame:
+             round_probe: int | None = None,
+             index: tuple[DataFrame, DataFrame] | None = None,
+             ) -> DataFrame:
     """Approximate top-k cosine neighbors per query via IVF probing.
     Output: (query_id, neighbor_id, cos, rank) — the same contract as
     :func:`brute_topk`, against which recall is tested.
@@ -786,9 +788,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     ``spark.catalog.clearCache()`` (what bench.py does per query) or
     by unpersisting the returned plan's sources; nothing re-persists
     on later calls with the same corpus because each call builds a
-    fresh staging relation."""
-    cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
-                               scheme=scheme, round_assign=round_assign)
+    fresh staging relation.
+
+    ``index`` optionally supplies a PRE-BUILT ``(cent, assigned)``
+    pair (:func:`ivf_index` semantics — same scheme/rounding/n_cells)
+    so callers sharing one corpus can materialize the inverted file
+    ONCE (a parquet staging table — queries/llm.py::_ivf_relation)
+    and serve every probe batch from it; the build is deterministic,
+    so serving from the staged index is bit-identical to a fresh
+    build (the _ivfpq_session_index precedent)."""
+    if index is not None:
+        cent, assigned = index
+    else:
+        cent, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                                   scheme=scheme,
+                                   round_assign=round_assign)
     cells = _cells_array(cent).persist()
     # norms and the re-rank cosine stay JVM-side so the scoring kernel
     # is bit-identical to brute_topk's

@@ -79,13 +79,16 @@ _PYTHON_ALLOWED = {
     # registered plan serves off the materialized decision table — no
     # Python nodes at serve time, pinned by
     # test_multimodal_gate_no_cartesian_id_only_assembly)
-    "q_sim_ann_ivf",
+    # (q_sim_ann_ivf / q_semdedup BUILD with ivf_assign_np's Arrow
+    # matmul, but since r16 both serve off the session-staged parquet
+    # inverted file — no Python nodes at serve time, pinned by
+    # test_ivf_serves_from_staged_index /
+    # test_semdedup_serves_from_staged_index)
     # (q_ann_recall / q_ann_ndcg BUILD their two ranking legs with
     # the registered q_sim_ann_ivf / q_sim_topk plans — Arrow kernels
     # included — but their registered plans serve off the two
     # materialized eval tables: no Python nodes at serve time, pinned
     # by test_ann_eval_queries_serve_from_staged_rankings)
-    "q_semdedup",              # IVF cell assignment (ivf_assign_np)
     # PQ codebook assignment + ADC lookup-table scoring are dense
     # numpy table ops (similarity.py::pq_assign_np, the adc kernel in
     # pq_adc_topk); the JVM fold form (pq_encode_fold) is the
@@ -175,18 +178,31 @@ def test_range_frame_single_shuffle(spark):
     assert "Window" in plan
 
 
-def test_ivf_single_corpus_pass(spark):
-    """VERDICT r04 #4: the corpus must cross the Arrow boundary ONCE.
-    The inverted file is the persisted last-Lloyd assignment
-    (similarity.py::ivf_index), so the only MapInPandas in the final
-    plan sits INSIDE the cached staging relation — materialized once
-    by the centroid-means collect, never re-executed live."""
+def test_ivf_serves_from_staged_index(spark):
+    """VERDICT r04 #4, completed by the r16 staging: the corpus must
+    cross the Arrow boundary ONCE PER SESSION, not per call.  The
+    inverted file is the parquet-staged last-Lloyd assignment
+    (queries/llm.py::_ivf_relation), so the SERVE plan has NO Python
+    node at all — probe + re-rank over two parquet staging scans (the
+    q_sim_ann_ivfpq / ann-eval serve discipline)."""
     df = all_queries()["q_sim_ann_ivf"].fn(spark, SF)
     plan = plan_of(df, "simple")
-    assert plan.count("MapInPandas") == 1
-    assert "InMemoryTableScan" in plan
-    # the one MapInPandas is the cached build plan, not a live node
-    assert plan.index("InMemoryRelation") < plan.index("MapInPandas")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    # both index relations are parquet staging scans, not live builds
+    assert plan.count("Scan parquet") >= 2
+
+
+def test_semdedup_serves_from_staged_index(spark):
+    """q_semdedup shares the SAME staged inverted file: its serve plan
+    carries no Python node (the seeds/assignment build ran in the
+    session staging builder) and no per-call persist
+    (InMemoryRelation)."""
+    df = all_queries()["q_semdedup"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryRelation" not in plan
 
 
 def test_vocab_queries_broadcast_and_exchange_budget(spark):
