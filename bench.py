@@ -180,6 +180,12 @@ def _staging_builders():
                         {"q_sim_ann_ivfpq"}),
         "ivf_index": (llm._ivf_relation,               # r16
                       {"q_sim_ann_ivf", "q_semdedup"}),
+        "lsh_buckets_6x8": (llm._lsh_embed_buckets,    # r16
+                            {"q_llm_dedup_embed",
+                             "q_dedup_multimodal",
+                             "q_dedup_incremental_multimodal"}),
+        "lsh_buckets_8x16": (llm._lsh_ann_buckets,     # r16
+                             {"q_sim_ann_lsh"}),
         "graph_edges": (graph._sparsified_supplier_edges,
                         {"q_graph_khop", "q_graph_triangles",
                          "q_graph_components", "q_graph_lpa",

@@ -408,7 +408,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         n_planes: int = 4, n_tables: int = 8,
                         scheme: str = "hash",
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        buckets: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs = same bucket in ANY table, with
     exact cosine attached for re-ranking/thresholding.  The join key is
     (table, bucket) — one shuffle; candidate count ∝ Σ bucket² per
@@ -439,13 +440,26 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
 
     The bucketized relation is persisted: it feeds both sides of the
     self-join and ReuseExchange does not match across the alias
-    branches."""
-    b = (
-        lsh_buckets_np(df, id_col, vec_col, n_planes, n_tables,
-                       dim=dim, scheme=scheme)
-        .select("table", "bucket", F.col(id_col).alias("__id"))
-        .persist()
-    )
+    branches.
+
+    ``buckets`` optionally supplies a PRE-BUILT ``(id, table, bucket)``
+    relation (:func:`lsh_buckets_np` semantics — same planes/tables/
+    scheme) so callers sharing one corpus can materialize the LSH
+    hash tables ONCE (a parquet staging table — queries/llm.py::
+    _lsh_relation; the _sig_relation / _ivf_relation discipline).
+    With it supplied the Arrow bucketize pass and the per-call persist
+    both disappear from the serve plan (each join branch replays a
+    parquet scan instead)."""
+    if buckets is not None:
+        b = buckets.select("table", "bucket",
+                           F.col(id_col).alias("__id"))
+    else:
+        b = (
+            lsh_buckets_np(df, id_col, vec_col, n_planes, n_tables,
+                           dim=dim, scheme=scheme)
+            .select("table", "bucket", F.col(id_col).alias("__id"))
+            .persist()
+        )
     pairs = (
         b.select("table", "bucket", F.col("__id").alias("id_a"))
         .join(b.select("table", "bucket", F.col("__id").alias("id_b")),

@@ -293,22 +293,28 @@ BOILER_FLOOR = 5
 
 
 def shingle_occurrences(docs, id_col: str = "doc_id",
-                        text_col: str = "text", k: int = 3):
+                        text_col: str = "text", k: int = 3,
+                        outer: bool = False):
     """The word-k-gram OCCURRENCE stream ``(id, g3)`` — duplicates
     kept (boilerplate fractions count occurrences); docs with < k
-    words or NULL text contribute no rows.
+    words or NULL text contribute no rows — unless ``outer=True``
+    (r16), which emits exactly ONE ``g3 IS NULL`` row for such docs
+    (``explode_outer``) so a per-doc consumer keeps every document
+    inside its aggregate (``count(g3)`` skips the null sentinel) and
+    needs no doc_id re-attach join afterwards.
 
     The token array is staged in its own select BELOW the Generate
     (r16): the shingle build references it k+1 times, and inline each
     reference replayed the split; the generator input stays a COMPLEX
     expression (the < k CASE guard), so InferFiltersFromGenerate does
     not infer a pushable size() filter (the shingle_postings trap)."""
+    gen = F.explode_outer if outer else F.explode
     return docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__toks"),
     ).select(
         "doc_id",
-        F.explode(word_shingles_of(F.col("__toks"), k)).alias("g3"),
+        gen(word_shingles_of(F.col("__toks"), k)).alias("g3"),
     )
 
 

@@ -658,7 +658,8 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_catalog.py pins the fixture dim) instead of silently
     # bucketing with a different plane count than the oracle.
     pairs = similarity.lsh_candidate_pairs(
-        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
+        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64,
+        buckets=_lsh_relation(spark, sf_dir, 6, 8),
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
@@ -759,7 +760,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHAT IS CHECKED, not a source of mismatch)."""
     em = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_candidate_pairs(
-        em, n_planes=8, n_tables=16, scheme="rademacher", dim=64
+        em, n_planes=8, n_tables=16, scheme="rademacher", dim=64,
+        buckets=_lsh_relation(spark, sf_dir, 8, 16),
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
@@ -1431,6 +1433,59 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: next serve.  Keyed by applicationId so a new SparkSession rebuilds
 #: instead of touching DataFrames bound to a stopped session.
 _IVFPQ_SESSION_INDEX: dict[tuple[str, str], similarity.IvfPqIndex] = {}
+
+
+#: (applicationId, sf_dir, n_planes, n_tables) → staging dir of a
+#: sign-LSH bucket table (vec_id, table, bucket) — the multi-table
+#: hash index an LSH stack maintains; 6×8 serves q_llm_dedup_embed /
+#: q_dedup_incremental_multimodal / the multimodal gate build, 8×16
+#: serves q_sim_ann_lsh.
+_LSH_BUCKET_DIRS: dict = {}
+
+
+def _lsh_relation(spark: SparkSession, sf_dir: str,
+                  n_planes: int, n_tables: int) -> DataFrame:
+    """(vec_id, table, bucket) for the Rademacher sign-LSH config
+    (n_planes × n_tables, dim=64 — the exact configuration the
+    consuming oracles replay), built ONCE per (session, fixture,
+    config) and served from parquet — the LSH hash tables ARE the
+    index staging relation (the _sig_relation / _ivf_relation
+    discipline).  Before r16 every consumer re-ran the Arrow
+    bucketize pass and persisted the result per call.  The build is
+    deterministic (integer-chain planes, sequential-fold projections)
+    and the relation is pure int64s, so serving from parquet is
+    bit-identical to a fresh build; with the staging table supplied,
+    lsh_candidate_pairs' per-call persist disappears (each join
+    branch replays a parquet scan)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _LSH_BUCKET_DIRS if k[0] != app]:
+        del _LSH_BUCKET_DIRS[stale]
+    key = (app, sf_dir, n_planes, n_tables)
+    path = _LSH_BUCKET_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="l2c_lsh_buckets_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        em = load_table(spark, sf_dir, "embeddings")
+        similarity.lsh_buckets_np(
+            em, n_planes=n_planes, n_tables=n_tables, dim=64,
+            scheme="rademacher",
+        ).write.parquet(path + "/buckets")
+        _LSH_BUCKET_DIRS[key] = path
+    return spark.read.parquet(path + "/buckets")
+
+
+def _lsh_embed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-plane × 8-table near-dup config's staged bucket table."""
+    return _lsh_relation(spark, sf_dir, 6, 8)
+
+
+def _lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-plane × 16-table ANN config's staged bucket table."""
+    return _lsh_relation(spark, sf_dir, 8, 16)
 
 
 #: (applicationId, sf_dir) → staging dir of the portable 16-cell IVF
@@ -4021,7 +4076,8 @@ def _multimodal_gate_frame(
     # feeds the edge union AND the embed_dup provenance flag.
     epairs = (
         similarity.lsh_candidate_pairs(
-            em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
+            em, n_planes=6, n_tables=8, scheme="rademacher", dim=64,
+            buckets=_lsh_relation(spark, sf_dir, 6, 8),
         )
         .where(F.round(F.col("cos"), 4) >= 0.35)
         .select("id_a", "id_b")
@@ -4151,7 +4207,8 @@ def q_dedup_incremental_multimodal(spark: SparkSession,
         new.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     )
     epairs = similarity.lsh_candidate_pairs(
-        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64
+        em, n_planes=6, n_tables=8, scheme="rademacher", dim=64,
+        buckets=_lsh_relation(spark, sf_dir, 6, 8),
     ).where(F.round(F.col("cos"), 4) >= 0.35)
     eflagged = (
         epairs.where((F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0))
@@ -4548,9 +4605,10 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     500 × (total grams / n_docs) ≈ 500 × avg-grams-per-doc entries NO
     MATTER how large the corpus grows — and therefore rides a
     BROADCAST join back onto the occurrence stream (plan-pinned): the
-    per-doc scoring pass never shuffles row-scale data.  The final
-    doc_id reattach (docs with <3 words must still report 0.0) joins
-    ids only.  The OCCURRENCE explode is recomputed on the scoring
+    per-doc scoring pass never shuffles row-scale data.  Docs with <3
+    words (must still report 0.0) ride the stream as one NULL-g3
+    sentinel row (explode_outer, r16) instead of a separate doc_id
+    re-attach join.  The OCCURRENCE explode is recomputed on the scoring
     pass rather than materialized (the occurrence relation is ~3×
     corpus size and duplicate-keeping, so a second map-side explode is
     cheaper than writing it) — but the df branch serves from the
@@ -4559,7 +4617,12 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs this aggregate needs, already shuffled once at build time,
     so the per-call distinct over the exploded corpus disappears."""
     docs = load_table(spark, sf_dir, "documents")
-    g = text.shingle_occurrences(docs)
+    # outer=True (r16): shingle-less docs (< 3 words / NULL text) ride
+    # the occurrence stream as one NULL-g3 sentinel row, so the
+    # per-doc aggregate keeps EVERY document (count(g3) skips the
+    # sentinel) and the old docs-scan → Exchange → Sort → SortMergeJoin
+    # doc_id re-attach disappears: 3 exchanges → 1 on the scoring path.
+    g = text.shingle_occurrences(docs, outer=True)
     dfreq = (
         _shingle_relation(spark, sf_dir)
         .groupBy(F.col("shingle").alias("g3"))
@@ -4572,26 +4635,29 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = text.hot_shingles(dfreq, n_docs).withColumn(
         "__hot", F.lit(1)
     )
-    per = (
+    joined = (
         g.join(F.broadcast(hot), "g3", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n3"),
+            # count(g3) skips the NULL sentinel of shingle-less docs,
+            # so n3 = true occurrence count and 0 for empty docs —
+            # identical to the old left-join + coalesce battery
+            F.count("g3").alias("n3"),
             F.sum(F.coalesce("__hot", F.lit(0))).alias("hot_n3"),
         )
-    )
-    joined = docs.select("doc_id").join(per, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n3", F.lit(0)).cast("long").alias("n3"),
-        F.coalesce("hot_n3", F.lit(0)).cast("long").alias("hot_n3"),
-        F.when(
-            F.coalesce("n3", F.lit(0)) > 0,
-            round_half_up(
-                F.col("hot_n3").cast("double")
-                / F.col("n3").cast("double"),
-                6,
-            ),
-        ).otherwise(F.lit(0.0)).alias("boilerplate_frac"),
+        .select(
+            "doc_id",
+            F.col("n3").cast("long").alias("n3"),
+            F.col("hot_n3").cast("long").alias("hot_n3"),
+            F.when(
+                F.col("n3") > 0,
+                round_half_up(
+                    F.col("hot_n3").cast("double")
+                    / F.col("n3").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("boilerplate_frac"),
+        )
     )
     return joined.select(
         "doc_id", "n3", "hot_n3", "boilerplate_frac",

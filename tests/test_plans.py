@@ -68,13 +68,14 @@ _PYTHON_ALLOWED = {
     # sign-LSH bucketize / IVF cell assignment = dense matrix products:
     # Arrow-batched numpy (operators/similarity.py::lsh_buckets_np,
     # ::ivf_assign_np) beats the JVM accumulator/fold forms ~20x;
-    # bit-identity/parity with the JVM forms is tested
-    "q_sim_ann_lsh",
-    "q_llm_dedup_embed",
+    # bit-identity/parity with the JVM forms is tested.
+    # (q_sim_ann_lsh / q_llm_dedup_embed /
+    # q_dedup_incremental_multimodal BUILD with the LSH Arrow kernel,
+    # but since r16 serve off the session-staged parquet bucket tables
+    # — no Python nodes at serve time)
     "q_embed_covariance",      # map-side Gram partials (gram_partials)
     "q_embed_pca",             # covariance build rides gram_partials;
                                # the projection itself is a JVM fold
-    "q_dedup_incremental_multimodal",  # embed leg rides the LSH kernel
     # (q_dedup_multimodal BUILDS with the LSH Arrow kernel, but its
     # registered plan serves off the materialized decision table — no
     # Python nodes at serve time, pinned by
