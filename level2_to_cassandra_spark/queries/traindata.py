@@ -2200,11 +2200,19 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_ab")
     ).persist()
+    # The unigram counts serve from the staged tf table (r16, the
+    # q_vocab_coverage precedent): Σ tf over the (doc, term, tf)
+    # staging relation is the SAME integer occurrence count the
+    # corpus explode computed, for a Zipf-small grid aggregate
+    # instead of a second corpus tokenize+explode+exchange.  The
+    # bigram leg (this query's OUTPUT) stays computed from the
+    # corpus.
+    from level2_to_cassandra_spark.queries.llm import _tf_relation
+
     uni = (
-        spread_scan(docs)
-        .select(F.explode(text.tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _tf_relation(spark, sf_dir)
+        .groupBy(F.col("term").alias("w"))
+        .agg(F.sum("tf").alias("c"))
     ).persist()
     tot = pair.agg(F.sum("c_ab").alias("t_bg")).crossJoin(
         uni.agg(F.sum("c").alias("t_uni"))
