@@ -201,7 +201,7 @@ def _staging_builders():
                         {"q_text_tfidf", "q_text_zipf",
                          "q_text_more_like_this", "q_rank_fusion",
                          "q_vocab_coverage", "q_tokenize_ids",
-                         "q_cooccurrence_pmi"}),  # r16
+                         "q_cooccurrence_pmi", "q_bm25"}),  # r16
         "bigram_lm": (traindata._bigram_lm_relation,     # r16
                       {"q_text_bigram_lm", "q_quality_ppl_bucket"}),
         "unigram_lm": (traindata._unigram_lm_relation,   # r16

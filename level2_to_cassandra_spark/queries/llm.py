@@ -4407,26 +4407,21 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one query, tfq generalizes to the inverted-index
     staging table (term → postings) that every retrieval engine
     materializes once and probes per query."""
-    from level2_to_cassandra_spark.catalog import spread_scan
-
     docs = load_table(spark, sf_dir, "documents")
-    # document length is MAP-SIDE (size of the token array — no
-    # explode, no shuffle); only the filtered query-term postings ever
-    # aggregate.  The occurrence stream is deliberately never
-    # persisted: tokenizing twice off the pruned 2-column scan beats
-    # materializing a corpus-sized relation (contrast q_text_tfidf,
-    # which persists the post-aggregation tf relation instead).
-    dl = spread_scan(docs).select(
-        "doc_id", F.size(text.tokens("text")).alias("dl")
-    )
+    # Both legs serve from the STAGED tf table (r16) — the inverted
+    # index this docstring's scale argument names: tfq is the tf
+    # relation filtered to the query terms (no corpus explode), and
+    # dl = Σ tf per doc is the SAME integer token count the old
+    # size(tokens(text)) pass computed (split of a non-null string is
+    # ≥1 element; NULL-text docs are absent here instead of carrying
+    # a NULL dl — identical to avg() and to the hit-doc joins either
+    # way).  The two corpus tokenize passes disappear.
+    tf_rel = _tf_relation(spark, sf_dir)
+    dl = tf_rel.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     stats = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(F.broadcast(n))
-    tfq = (
-        spread_scan(docs)
-        .select("doc_id", F.explode(text.tokens("text")).alias("term"))
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tfq = tf_rel.where(F.col("term").isin(*_BM25_TERMS)).select(
+        "doc_id", "term", "tf"
     )
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
