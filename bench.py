@@ -221,6 +221,8 @@ def _staging_builders():
         "minhash_signatures": (llm._sig_relation,        # r16
                                {"q_llm_dedup_minhash",
                                 "q_sketch_error"}),
+        "simhash_fp": (llm._simhash_relation,            # r16
+                       {"q_llm_dedup_simhash"}),
         "mlt_ranking": (llm._mlt_ranking,                # r14
                         {"q_rank_fusion", "q_text_more_like_this"}),
         "ann_eval_tables": (llm._ann_eval_tables,        # r13

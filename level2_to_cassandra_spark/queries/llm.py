@@ -542,16 +542,16 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (text.py::portable_hash64) so the DuckDB oracle recomputes
     them from raw text bit-for-bit; the xxhash64 mode remains for
     non-oracle use and the banded-vs-brute-force exactness test in
-    tests/test_llm_ops.py."""
-    # Persisted: the banded relation feeds BOTH sides of the self-join
-    # and ReuseExchange does not match across alias branches — without
-    # this the explode+64-agg fingerprint pass runs twice (same
-    # discipline as lsh_candidate_pairs' bucket persist).  doc_id+fp is
-    # 16 bytes/doc — negligible at any corpus size.
-    docs = text.simhash_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        hasher="md5"
-    ).persist()
+    tests/test_llm_ops.py.
+
+    Serves from the session-staged fingerprint table
+    (_simhash_relation, r16 — the _sig_relation discipline): the
+    explode + Arrow vote pass runs once per session in the staging
+    builder, and the banded self-join reads the 16-byte/doc parquet
+    relation on both sides — a staging scan replays per branch, so the
+    old per-call ``.persist()`` is gone and the serve plan carries no
+    Python node."""
+    docs = _simhash_relation(spark, sf_dir)
     width = 64 // _SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = docs.select(
@@ -3044,6 +3044,32 @@ def _sig_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(path)
 
     return materialize_once(_SIG_TABLE, spark, sf_dir, "l2c_sig_", _build)
+
+
+_SIMHASH_TABLE: dict[tuple[str, str], str] = {}
+
+
+def _simhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus SimHash fingerprint staging table (doc_id, fp),
+    built once per (session, sf_dir) with the engine-portable md5
+    token hash (operators/text.py::simhash_fingerprints — the
+    q_llm_dedup_simhash oracle recomputes the identical fingerprints
+    from raw text).  The same build/serve split as _sig_relation: the
+    fingerprint index IS the artifact a simhash dedup stack maintains,
+    and the banded candidate join reads it on both sides — a parquet
+    scan replays per branch (16 bytes/doc), so the serve plan carries
+    no Arrow vote pass and no persist."""
+    from level2_to_cassandra_spark.catalog import materialize_once
+
+    def _build(path: str) -> None:
+        text.simhash_fingerprints(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            hasher="md5"
+        ).write.mode("overwrite").parquet(path)
+
+    return materialize_once(
+        _SIMHASH_TABLE, spark, sf_dir, "l2c_simh_", _build
+    )
 
 
 def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:

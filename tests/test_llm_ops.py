@@ -539,6 +539,23 @@ def test_simhash_fingerprints_null_text_parity(spark):
         assert table[2] == 0 and table[3] == 0
 
 
+def test_simhash_staged_relation_matches_inline_build(spark):
+    """The session-staged fingerprint table (queries/llm.py::
+    _simhash_relation) must hold exactly the rows the inline md5 build
+    produces — fingerprints are integers, so the parquet round-trip is
+    exact and the staged serve is bit-identical by construction."""
+    from level2_to_cassandra_spark.operators import text as T
+    from level2_to_cassandra_spark.queries.llm import _simhash_relation
+
+    staged = _simhash_relation(spark, SF)
+    inline = T.simhash_fingerprints(
+        load_table(spark, SF, "documents"), "doc_id", "text",
+        hasher="md5",
+    )
+    assert staged.exceptAll(inline).count() == 0
+    assert inline.exceptAll(staged).count() == 0
+
+
 def test_lsh_buckets_agg_matches_column_form(spark):
     """The one-pass aggregate bucketizer must reproduce the column
     form's (id, table, bucket) rows EXACTLY (the bit-identity argument

@@ -96,9 +96,11 @@ _PYTHON_ALLOWED = {
     # parity-tested spec, ~20x slower interpreted-HOF evaluation
     "q_sim_ann_pq",
     "q_sim_ann_ivfpq",     # cell-restricted ADC over the same kernels
-    # simhash VOTE (64-bit popcount over per-doc hash lists) is the
-    # same dense-integer-kernel shape — hashing stays JVM (xxhash64)
-    "q_llm_dedup_simhash",
+    # (q_llm_dedup_simhash BUILDS with the Arrow vote kernel — the
+    # 64-bit popcount over per-doc hash lists — but since r16 serves
+    # off the session-staged parquet fingerprint table: no Python
+    # nodes at serve time, pinned by
+    # test_simhash_serves_from_staged_fingerprints)
     # (q_cluster_kmeans / q_sample_cluster BUILD with ivf_assign_np's
     # Arrow matmul, but their registered plans serve off the
     # materialized assignment table — no Python nodes at serve time,
@@ -204,6 +206,21 @@ def test_semdedup_serves_from_staged_index(spark):
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "InMemoryRelation" not in plan
+
+
+def test_simhash_serves_from_staged_fingerprints(spark):
+    """q_llm_dedup_simhash serves off the session-staged fingerprint
+    table (queries/llm.py::_simhash_relation): the explode + Arrow
+    vote pass runs once per session in the staging builder, so the
+    serve plan carries no Python node, no per-call persist
+    (InMemoryRelation), and reads the staged parquet on both sides of
+    the banded self-join."""
+    df = all_queries()["q_llm_dedup_simhash"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryRelation" not in plan
+    assert plan.count("Scan parquet") >= 2
 
 
 def test_vocab_queries_broadcast_and_exchange_budget(spark):
