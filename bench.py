@@ -179,7 +179,11 @@ def _staging_builders():
         "ivfpq_index": (llm._ivfpq_session_index,
                         {"q_sim_ann_ivfpq"}),
         "ivf_index": (llm._ivf_relation,               # r16
-                      {"q_sim_ann_ivf", "q_semdedup"}),
+                      {"q_sim_ann_ivf", "q_semdedup",
+                       # the ANN eval queries replay the registered
+                       # ivf plan off the staged rankings, so they
+                       # reach the staged inverted file transitively
+                       "q_ann_recall", "q_ann_ndcg", "q_ann_mrr"}),
         "lsh_buckets_6x8": (llm._lsh_embed_buckets,    # r16
                             {"q_llm_dedup_embed",
                              "q_dedup_multimodal",
