@@ -178,6 +178,8 @@ def _staging_builders():
     return {
         "ivfpq_index": (llm._ivfpq_session_index,
                         {"q_sim_ann_ivfpq"}),
+        "pq_index": (llm._pq_relation,                 # r16
+                     {"q_sim_ann_pq"}),
         "ivf_index": (llm._ivf_relation,               # r16
                       {"q_sim_ann_ivf", "q_semdedup",
                        # the ANN eval queries replay the registered

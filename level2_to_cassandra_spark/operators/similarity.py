@@ -1172,6 +1172,8 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
                 shortlist: int = 30, m: int = _PQ_M, k_codes: int = _PQ_K,
                 sub_dim: int = _PQ_SUBDIM, id_col: str = "vec_id",
                 vec_col: str = "embedding", round_cos: int | None = 4,
+                index: tuple[dict[tuple[int, int], list[float]],
+                             DataFrame] | None = None,
                 ) -> DataFrame:
     """PQ ANN: train → encode → ADC scan → exact re-rank.
 
@@ -1186,9 +1188,21 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     1 ADC + 1 filtered re-rank join; at cluster scale the encode
     output is the persisted index and steady-state queries run only
     the last two, reading ~m bytes per corpus row instead of the
-    vector itself."""
-    cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
-    enc = pq_encode(corpus, cb, m, k_codes, sub_dim, id_col, vec_col)
+    vector itself.
+
+    ``index`` optionally supplies that persisted index — the
+    ``(codebook, encoded)`` pair a prior :func:`pq_train` +
+    :func:`pq_encode` produced over the SAME corpus (the caller owns
+    that consistency, exactly like the ``postings``/``ranked``/
+    ``signatures`` staging contracts): with it the train and encode
+    corpus passes leave the serve path entirely and only the ADC scan
+    + re-rank run (queries/llm.py::_pq_relation stages it once per
+    session/corpus, the _ivfpq_session_index discipline)."""
+    if index is not None:
+        cb, enc = index
+    else:
+        cb = pq_train(corpus, m, k_codes, sub_dim, id_col, vec_col)
+        enc = pq_encode(corpus, cb, m, k_codes, sub_dim, id_col, vec_col)
     scored = _adc_scored(enc, queries, cb, m, sub_dim, id_col, vec_col)
     return _adc_finish(scored, corpus, queries, topk, shortlist,
                        id_col, vec_col, round_cos)

@@ -1400,22 +1400,27 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both; Jégou et al., TPAMI 2011).
 
     Scale shape: the trained codebook is k·m rows riding the Arrow
-    kernels as a closure (nothing is shuffled for it); encode and ADC
-    are two vectorized corpus passes (similarity.py::pq_assign_np and
-    the ADC lookup-table kernel — per subspace every possible partial
-    dot is precomputed per query, so scoring a corpus row is m table
-    lookups over ~9 bytes of codes); the encoded relation is the
-    persisted narrow staging index; the only full-vector reads after
-    encoding are the shortlist-sized (queries × 30 rows, broadcast)
-    re-rank join — at 100 TB the full-precision corpus is read ~30
-    rows per query instead of once per query.  Recall floor +
+    kernels as a closure (nothing is shuffled for it); the encoded
+    relation is the persisted narrow staging index — built once per
+    (session, corpus) by ``_pq_relation`` (the _ivfpq_session_index
+    build/serve split; bit-identity of the staged index is pinned in
+    tests/test_llm_ops.py), so the serve path is ONE vectorized codes
+    pass (the ADC lookup-table kernel — per subspace every possible
+    partial dot is precomputed per query, so scoring a corpus row is
+    m table lookups over ~9 bytes of codes); the only full-vector
+    reads after encoding are the shortlist-sized (queries × 30 rows,
+    broadcast) re-rank join — at 100 TB the full-precision corpus is
+    read ~30 rows per query instead of once per query.  Recall floor +
     exactness at shortlist ≥ corpus + Arrow/JVM-fold encode parity are
     pinned in tests/test_llm_ops.py; the oracle pins
     bit-reproducibility of the whole compressed pipeline.
     """
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 5)
-    return similarity.pq_adc_topk(em, queries, topk=10, shortlist=30).select(
+    return similarity.pq_adc_topk(
+        em, queries, topk=10, shortlist=30,
+        index=_pq_relation(spark, sf_dir),
+    ).select(
         "query_id",
         "neighbor_id",
         "cos",
@@ -1532,6 +1537,49 @@ def _ivf_relation(spark: SparkSession,
         _IVF_INDEX_DIRS[(app, sf_dir)] = path
     return (spark.read.parquet(path + "/cent"),
             spark.read.parquet(path + "/assigned"))
+
+
+#: (applicationId, sf_dir) → (codebook dict, staging dir) of the plain
+#: PQ index — the trained per-subspace codebooks plus the encoded
+#: (neighbor_id, codes, recon_norm) corpus relation q_sim_ann_pq's ADC
+#: scan reads (the _ivfpq_session_index discipline for the
+#: non-inverted-file sibling).
+_PQ_INDEX_DIRS: dict[tuple[str, str], tuple[dict, str]] = {}
+
+
+def _pq_relation(spark: SparkSession,
+                 sf_dir: str) -> tuple[dict, "DataFrame"]:
+    """(codebook, encoded) for the 8×16 product quantizer over the
+    embeddings fixture — built ONCE per (session, fixture) and the
+    encoded relation served from parquet (the build/serve split every
+    PQ stack runs; the codebook is k·m rows of rounded doubles and
+    lives in the session memo like the IvfPqIndex object).  Before r16
+    q_sim_ann_pq re-ran BOTH build corpus passes (seed TakeOrdered +
+    Lloyd-step train collect, then the Arrow encode pass) on every
+    call.  The build is deterministic (md5 seed order, rounded means,
+    rounded argmin with smallest-code ties) and the encoded relation
+    is int64s + a rounded double, so parquet round-trips it exactly —
+    serving from the staged index is bit-identical to a fresh build
+    (pinned by tests/test_llm_ops.py::
+    test_pq_staged_relation_matches_inline_build)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _PQ_INDEX_DIRS if k[0] != app]:
+        del _PQ_INDEX_DIRS[stale]
+    hit = _PQ_INDEX_DIRS.get((app, sf_dir))
+    if hit is None:
+        path = tempfile.mkdtemp(prefix="l2c_pq_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        em = load_table(spark, sf_dir, "embeddings")
+        cb = similarity.pq_train(em)
+        similarity.pq_encode(em, cb).write.parquet(path + "/enc")
+        hit = (cb, path)
+        _PQ_INDEX_DIRS[(app, sf_dir)] = hit
+    cb, path = hit
+    return cb, spark.read.parquet(path + "/enc")
 
 
 def _ivfpq_session_index(spark: SparkSession,

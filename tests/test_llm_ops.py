@@ -556,6 +556,23 @@ def test_simhash_staged_relation_matches_inline_build(spark):
     assert inline.exceptAll(staged).count() == 0
 
 
+def test_pq_staged_relation_matches_inline_build(spark):
+    """The session-staged PQ index (queries/llm.py::_pq_relation) must
+    hold exactly the codebook and encoded rows a fresh train+encode
+    produces — codes are int64s and recon_norm a rounded double, so
+    the parquet round-trip is exact and the staged serve is
+    bit-identical by construction."""
+    from level2_to_cassandra_spark.queries.llm import _pq_relation
+
+    em = load_table(spark, SF, "embeddings")
+    cb_staged, enc_staged = _pq_relation(spark, SF)
+    cb_fresh = similarity.pq_train(em)
+    assert cb_staged == cb_fresh
+    enc_fresh = similarity.pq_encode(em, cb_fresh)
+    assert enc_staged.exceptAll(enc_fresh).count() == 0
+    assert enc_fresh.exceptAll(enc_staged).count() == 0
+
+
 def test_lsh_buckets_agg_matches_column_form(spark):
     """The one-pass aggregate bucketizer must reproduce the column
     form's (id, table, bucket) rows EXACTLY (the bit-identity argument

@@ -287,16 +287,18 @@ def test_length_buckets_single_rollup_shuffle(spark):
 
 
 def test_pq_rerank_joins_are_broadcast(spark):
-    """q_sim_ann_pq: the ADC scan is the only corpus-wide pass in the
-    query phase (two Arrow kernels: encode + ADC lookup-table scoring);
-    the shortlist re-rank must join back to full vectors via broadcast
-    (shortlist and query relations are driver-bounded), never a
-    shuffled or nested-loop join over the corpus."""
+    """q_sim_ann_pq: with the PQ index staged (r16), the ADC
+    lookup-table scan over the encoded parquet is the ONLY Python pass
+    in the serve plan (train and encode are build-time); the shortlist
+    re-rank must join back to full vectors via broadcast (shortlist
+    and query relations are driver-bounded), never a shuffled or
+    nested-loop join over the corpus."""
     plan = plan_of(all_queries()["q_sim_ann_pq"].fn(spark, SF), "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
+    assert "InMemoryRelation" not in plan
 
 
 def test_ivfpq_probe_restricted_and_broadcast_rerank(spark):
