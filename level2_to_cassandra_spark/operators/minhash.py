@@ -256,9 +256,22 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                         min_cap_df: int = 50,
                         candidates_only: bool = False,
                         postings: DataFrame | None = None,
-                        ranked: DataFrame | None = None) -> DataFrame:
+                        ranked: DataFrame | None = None,
+                        candidate_where: "F.Column | None" = None,
+                        ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``candidate_where`` optionally restricts the PAIR DOMAIN with a
+    predicate over (id_a, id_b, na, nb), applied to the candidate
+    relation BEFORE the distinct and before exact verification (r16).
+    A caller that only consumes a subset of the pairs (e.g. the
+    incremental dedup's cross-side pairs) would otherwise pay the
+    verification expansion join for every pair and then drop most of
+    the output; pushing the id-level predicate here cuts the distinct
+    and the verify inputs instead.  Result-identical to filtering the
+    output by construction: verification is exact per pair, so
+    restricting the domain commutes with it.
 
     ``postings`` optionally supplies a pre-built ``(id, shingle)``
     relation (distinct per doc, :func:`shingle_postings` semantics —
@@ -361,8 +374,10 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                 F.col("a.n").alias("na"),
                 F.col("b.n").alias("nb"),
             )
-            .distinct()
         )
+        if candidate_where is not None:
+            cand = cand.where(candidate_where)
+        cand = cand.distinct()
     else:
         # df via a count-window over the shingle partitioning: ONE scan
         # of the persisted postings and one exchange, where a
@@ -456,8 +471,10 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
                 F.col("a.n").alias("na"),
                 F.col("b.n").alias("nb"),
             )
-            .distinct()
         )
+        if candidate_where is not None:
+            cand = cand.where(candidate_where)
+        cand = cand.distinct()
     if candidates_only:
         return cand
     return _verify_jaccard(postings, cand).where(

@@ -479,15 +479,23 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index join is bucketed by shingle, so each batch probes rather
     than rebuilds the corpus index."""
     docs = load_table(spark, sf_dir, "documents")
+    # Only CROSS-side pairs are consumed, and the side of a doc is a
+    # pure function of its id — so the predicate is pushed into
+    # candidate generation (candidate_where, r16): same-side pairs
+    # (~82 % of candidates at the 10 % batch fraction) never reach the
+    # distinct or the verification expansion join.  Result-identical:
+    # verification is exact per pair, so restricting the domain
+    # commutes with it (the operator docstring's argument).
     pairs = minhash.exact_jaccard_pairs(
         docs, threshold=0.79, k=3, max_shingle_frac=0.01,
         postings=_shingle_relation(spark, sf_dir),
         ranked=_shingle_index_relation(spark, sf_dir),
+        candidate_where=(
+            (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+        ),
     )
     j = F.round(F.col("jaccard"), 6)
-    cross = pairs.where(j >= 0.8).where(
-        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
-    )
+    cross = pairs.where(j >= 0.8)
     flagged = cross.select(
         F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
         .otherwise(F.col("id_b"))

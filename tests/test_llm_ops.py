@@ -343,6 +343,44 @@ def test_minhash_exact_equivalence_on_small_corpus(spark):
     assert set(mh) <= set(exact)  # verification: no false positives
 
 
+def test_candidate_where_pushdown_matches_post_filter(spark):
+    """candidate_where (r16) restricts the pair DOMAIN before the
+    distinct and the verification join; because verification is exact
+    per pair, it must be row-identical to filtering the full output —
+    on both the prefix-filtered (threshold > 0) and bucketed-all-pairs
+    (threshold <= 0) paths, and on the candidates_only probe."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (10, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # new-batch dup of 1
+            (20, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        ],
+        "doc_id long, text string",
+    )
+    cross = (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    for kw in ({"threshold": 0.5}, {"threshold": 0.0}):
+        for probe in (False, True):
+            pushed = minhash.exact_jaccard_pairs(
+                docs, candidates_only=probe, candidate_where=cross, **kw
+            )
+            post = minhash.exact_jaccard_pairs(
+                docs, candidates_only=probe, **kw
+            ).where(cross)
+            assert pushed.exceptAll(post).count() == 0
+            assert post.exceptAll(pushed).count() == 0
+    # sanity: the cross-side pair (1, 10) is present with jaccard 1.0
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash.exact_jaccard_pairs(
+            docs, threshold=0.5, candidate_where=cross
+        ).collect()
+    }
+    assert got[(1, 10)] == 1.0
+    assert all((a % 10 == 0) != (b % 10 == 0) for a, b in got)
+
+
 def test_stop_shingle_cap_preserves_precision(spark):
     # "common common common" shingles are shared by every doc — a
     # stop-shingle.  The cap drops it from candidate generation only;
