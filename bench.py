@@ -4,8 +4,8 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>,
-     "reps": N, "queries_median": {...}}
+     "queries": {"<name>": sec, ...}, "sf": <sf>, "reps": N,
+     "master": "local[N]", "default_parallelism": N, ...}
 
 Each query is forced with a noop-format write: the full plan executes
 distributed (scan → shuffle → sink) with zero driver-side result
@@ -17,7 +17,14 @@ regressions — so the whole headline set is run $SPARK_GRAFT_BENCH_REPS
 times (default 3, full passes, not back-to-back per query) and the
 headline number is the per-query MINIMUM across passes (the classic
 low-noise estimator: noise only ever adds time).  The per-query median
-is emitted alongside so a bimodal query is visible.
+map is emitted to stderr and BENCH_LOCAL.json (r17: the stdout line is
+kept slim — required keys + summary — so the driver's bounded stdout
+capture always parses it; VERDICT r16 task #1).
+
+Optional: SPARK_GRAFT_SCALING_PROBE=1 event-logs the run and appends a
+per-query executor-task-time map to the output — evidence of the
+parallelism actually applied at a core count even where AQE coalesces
+tiny-SF stages to a handful of tasks (VERDICT r16 task #2).
 """
 
 from __future__ import annotations
@@ -239,6 +246,69 @@ def _staging_builders():
     }
 
 
+def _parse_event_log(log_dir: str) -> dict[str, dict[str, float]]:
+    """Aggregate per-query executor task time from a Spark event log —
+    the scaling-evidence probe (VERDICT r16 task #2): at tiny SF the
+    c8/c32 WALL ratios are flattened by AQE partition coalescing, so
+    the bench additionally reports how much executor task time each
+    query's stages actually burned.  Parallelism applied is then
+    demonstrable as task_time / wall per query regardless of stage
+    count.  Stage → query attribution rides the ``bench:<name>`` job
+    description set on every timed rep; a stage is counted once (a
+    re-used stage skipped by later jobs never re-completes)."""
+    # Spark 4 writes rolling v2 event logs: <dir>/eventlog_v2_<app>/
+    # events_<n>_<app>[.codec] — parse every events_* file, two passes
+    # (JobStart mappings first) so file order never matters.
+    files = [p for p in Path(log_dir).rglob("events_*") if p.is_file()]
+    desc_of_stage: dict[int, str] = {}
+    agg: dict[str, dict[str, float]] = {}
+    seen_stages: set[int] = set()
+    for entry in files:
+        with open(entry, errors="replace") as fh:
+            for line in fh:
+                if line.startswith('{"Event":"SparkListenerJobStart"'):
+                    ev = json.loads(line)
+                    desc = (ev.get("Properties") or {}).get(
+                        "spark.job.description", "")
+                    if not desc.startswith("bench:"):
+                        continue
+                    q = desc[len("bench:"):]
+                    for sid in ev.get("Stage IDs", []):
+                        desc_of_stage.setdefault(sid, q)
+    for entry in files:
+        with open(entry, errors="replace") as fh:
+            for line in fh:
+                if line.startswith(
+                        '{"Event":"SparkListenerStageCompleted"'):
+                    ev = json.loads(line)
+                    info = ev.get("Stage Info", {})
+                    sid = info.get("Stage ID")
+                    q = desc_of_stage.get(sid)
+                    if q is None or sid in seen_stages:
+                        continue
+                    seen_stages.add(sid)
+                    run_ms = cpu_ns = 0
+                    for acc in info.get("Accumulables", []):
+                        if acc.get("Name") == \
+                                "internal.metrics.executorRunTime":
+                            run_ms = acc.get("Value", 0)
+                        elif acc.get("Name") == \
+                                "internal.metrics.executorCpuTime":
+                            cpu_ns = acc.get("Value", 0)
+                    d = agg.setdefault(q, {"task_time_sec": 0.0,
+                                           "cpu_time_sec": 0.0,
+                                           "n_tasks": 0, "n_stages": 0})
+                    d["task_time_sec"] += run_ms / 1e3
+                    d["cpu_time_sec"] += cpu_ns / 1e9
+                    d["n_tasks"] += info.get("Number of Tasks", 0)
+                    d["n_stages"] += 1
+    return {
+        q: {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in d.items()}
+        for q, d in agg.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -248,15 +318,39 @@ def main() -> None:
     from level2_to_cassandra_spark.session import get_spark
     from level2_to_cassandra_spark.registry import all_queries
 
+    # Optional scaling probe (VERDICT r16 task #2): event-log the run
+    # so per-query EXECUTOR TASK TIME is reportable next to wall time.
+    # Off by default — the driver's bench is byte-identical without it.
+    probe = os.environ.get("SPARK_GRAFT_SCALING_PROBE", "") not in ("", "0")
+    probe_conf = {}
+    probe_dir = None
+    if probe:
+        import atexit
+        import shutil
+        import tempfile
+
+        probe_dir = tempfile.mkdtemp(prefix="l2c_eventlog_")
+        atexit.register(shutil.rmtree, probe_dir, ignore_errors=True)
+        probe_conf = {"spark.eventLog.enabled": "true",
+                      "spark.eventLog.compress": "false",
+                      "spark.eventLog.dir": f"file://{probe_dir}"}
+
     spark = get_spark(
         app_name="l2c-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=32,
         extra_conf={"spark.ui.enabled": "false",
                     "spark.ui.showConsoleProgress": "false",
-                    "spark.driver.memory": "16g"},
+                    "spark.driver.memory": "16g",
+                    **probe_conf},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Scaling evidence (VERDICT r16 task #2): the emitted JSON carries
+    # the master actually applied and the resulting parallelism, so a
+    # flat c8/c32 wall ratio is attributable (AQE-coalesced tiny-SF
+    # stages) rather than indistinguishable from an ignored knob.
+    master_applied = spark.sparkContext.master
+    default_parallelism = int(spark.sparkContext.defaultParallelism)
 
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -347,6 +441,9 @@ def main() -> None:
         for name in names:
             if name in failed:
                 continue
+            # Label the jobs (guide §1.5) — also the attribution key
+            # for the optional scaling probe's event-log parse.
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.perf_counter()
             # Per-query isolation: one broken query records null and the
             # rest of the bench still produces data (round-3 lesson: an
@@ -361,8 +458,10 @@ def main() -> None:
                 )
                 print(f"{name} FAILED: {failed[name]}", file=sys.stderr)
                 spark.catalog.clearCache()
+                spark.sparkContext.setJobDescription(None)
                 continue
             samples[name].append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
             # Drop this query's persisted intermediates before the next
             # one runs: (a) CacheManager plan-matching would otherwise
             # hand later passes warm-cache timings that hide
@@ -396,6 +495,14 @@ def main() -> None:
         }}),
         file=sys.stderr,
     )
+    # Per-query MEDIANS move to stderr + BENCH_LOCAL.json (VERDICT r16
+    # task #1: the driver's bounded stdout capture truncated the r15
+    # line and voided the whole round-over-round table; every byte of
+    # the stdout line is now contract-required or summary).  The
+    # stdout line keeps the per-query MIN map — the driver contract's
+    # "queries" key — and drops the median map + the per-query
+    # baseline maps, roughly halving the line.
+    print(json.dumps({"queries_median": medians}), file=sys.stderr)
     # The headline total is comparable across rounds ONLY when every
     # query ran: with failures it would silently cover fewer queries
     # and read as a speedup (ADVICE r04 #3) — emit null instead and
@@ -405,12 +512,11 @@ def main() -> None:
     # KEY ORDER IS LOAD-BEARING (json.dumps preserves dict insertion
     # order): the driver's bounded tail capture truncates the FRONT of
     # this line, so the largest map (per-query minima) leads as the
-    # sacrificial bytes and the headline numbers — medians, totals,
-    # baseline ratio — sit at the END where the preserved tail always
+    # sacrificial bytes and the headline numbers — totals, baseline
+    # ratio — sit at the END where the preserved tail always
     # carries them.
     out = {
         "queries": timings,
-        "queries_median": medians,
         "metric": "headline-queries-total",
         "value": (
             round(sum(t for t in timings.values() if t is not None), 3)
@@ -422,6 +528,11 @@ def main() -> None:
         "n_queries": len(names),
         "complete": not failed,
         "failed": failed,
+        # scaling evidence (VERDICT r16 task #2): prove the CPU knob
+        # was applied — the master string Spark actually ran with and
+        # the parallelism it produced.
+        "master": master_applied,
+        "default_parallelism": default_parallelism,
     }
     # Diff against the pinned driver-recorded baseline (VERDICT r04
     # #8): BASELINE_DRIVER.json holds the last clean driver bench's
@@ -447,19 +558,14 @@ def main() -> None:
                 ]
                 cur_total = sum(medians[n] for n in common)
                 bl_total = sum(bl_med[n] for n in common)
+                # Per-query common_medians/common_ratios maps move to
+                # BENCH_LOCAL.json with the median map (VERDICT r16
+                # task #1) — the stdout block keeps only the totals
+                # and the ratio the round-over-round audit reads.
                 out["baseline"] = {
                     "source": bl.get("source"),
                     "estimator": "median",
                     "n_common": len(common),
-                    # the common-set medians duplicated HERE, at the
-                    # very end of the line, so the driver's bounded
-                    # tail preserves every baseline-compared number
-                    # even if the full median map up front is cut
-                    "common_medians": {n: medians[n] for n in common},
-                    "common_ratios": {
-                        n: round(medians[n] / bl_med[n], 3)
-                        for n in common if bl_med[n]
-                    },
                     "common_total": round(cur_total, 3),
                     "baseline_total": round(bl_total, 3),
                     # A failed query silently shrinks the common set —
@@ -474,22 +580,57 @@ def main() -> None:
                 }
         except (ValueError, OSError) as e:
             print(f"baseline diff skipped: {e}", file=sys.stderr)
+    # The COMPLETE artifact (median map + per-query baseline ratios +
+    # probe data) goes to the repo-local file the builder commits each
+    # round; the stdout line stays slim so the driver's bounded
+    # capture always parses it (VERDICT r16 task #1).
+    out_local = dict(out)
+    out_local["queries_median"] = medians
+    if "baseline" in out and isinstance(out.get("baseline"), dict):
+        bl_full = dict(out["baseline"])
+        bl_med_src = json.loads(bl_path.read_text()).get(
+            "queries_median", {})
+        common = [
+            n for n in names
+            if isinstance(medians.get(n), (int, float))
+            and isinstance(bl_med_src.get(n), (int, float))
+        ]
+        bl_full["common_medians"] = {n: medians[n] for n in common}
+        bl_full["common_ratios"] = {
+            n: round(medians[n] / bl_med_src[n], 3)
+            for n in common if bl_med_src[n]
+        }
+        out_local["baseline"] = bl_full
+    if probe and probe_dir is not None:
+        # stop flushes + finalizes the event log before the parse
+        spark.stop()
+        try:
+            probe_data = _parse_event_log(probe_dir)
+            out["scaling_probe"] = {
+                "queries": probe_data,
+                "task_time_total_sec": round(
+                    sum(d["task_time_sec"] for d in probe_data.values()),
+                    3),
+            }
+            out_local["scaling_probe"] = out["scaling_probe"]
+        except Exception as e:  # noqa: BLE001 — probe never kills a bench
+            print(f"scaling probe parse failed: {e}", file=sys.stderr)
     print(json.dumps(out))
-    # The driver keeps only a front-truncated TAIL of stdout, so the
-    # full per-query median/min maps can be cut from the recorded
-    # BENCH_r*.json (r10 preserved 11 of 75 medians).  Persist the
-    # COMPLETE output to a repo-local file the builder commits each
-    # round — the audit trail must not depend on the driver's buffer
-    # size.  Failure to write is a warning, never a bench failure.
+    # The driver keeps only a front-truncated TAIL of stdout, so
+    # anything cut from the line above must land in a repo-local file
+    # the builder commits each round — the audit trail must not depend
+    # on the driver's buffer size.  Failure to write is a warning,
+    # never a bench failure.
     try:
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_LOCAL.json")
         with open(local, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
+            json.dump(out_local, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:
         print(f"local bench dump skipped: {e}", file=sys.stderr)
-    spark.stop()
+    if not probe:
+        spark.stop()
 
 
 if __name__ == "__main__":
