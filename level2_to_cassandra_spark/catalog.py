@@ -221,6 +221,53 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+#: Experiment escape hatch for same-session A/B measurement scripts
+#: (tools/): never set false in engine code.
+_SPREAD_KEYS_ENABLED = True
+
+
+def spread_keys(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a small-bytes/large-work relation to cluster
+    width ahead of an expansion join or a wide probe chain.
+
+    AQE's partition coalescing is BYTE-based (advisory target ≈ 64 MB,
+    1 MB minimum partition), so a candidate-pair relation of a few MB
+    collapses to 1-3 partitions — and every broadcast-probe,
+    expansion join and per-pair kernel downstream of it inherits that
+    parallelism, serializing seconds of CPU onto a couple of cores
+    (measured r17: q_llm_dedup_embed's whole re-rank ran as ONE task,
+    1.6-1.9 s of a 2.4 s query; q_text_containment's verification ran
+    as 3).  The byte heuristic cannot see that verification multiplies
+    work per row ~40x; this helper states it: repartition to
+    ``defaultParallelism`` — environment-derived, so local[4] oracle
+    runs stay at 4 and a cluster gets its core count — keyed by the
+    given columns (deterministic hash, no round-robin sort, safe under
+    task retry).  An explicitly numbered repartition is exempt from
+    AQE coalescing by design, which is exactly the point.
+
+    At 100 TB the same mismatch appears as 64 MB pair partitions each
+    hiding ~50x expansion work; a defaultParallelism floor keyed by
+    pair ids is the conservative statement of "this stage is
+    CPU-bound, use every core" and AQE still handles everything
+    upstream.
+
+    The partitioning expression is ``xxhash64(keys)``, NOT the bare
+    key columns: these relations arrive from a ``distinct()``/
+    ``groupBy()`` over the same keys, so a same-keyed repartition is
+    provably redundant with the aggregation's own exchange and the
+    planner REMOVES it (measured r17: the static plan showed both
+    exchanges, the executed AQE plan had folded the repartition away
+    and coalesced the surviving exchange to 1 task).  Hashing first
+    yields a structurally different — and perfectly balanced —
+    partitioning that survives planning; it is a pure function of the
+    keys, so retried tasks land rows identically (no round-robin
+    nondeterminism, guide §2.5)."""
+    if not _SPREAD_KEYS_ENABLED:  # measurement scripts only
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64(*[F.col(k) for k in keys]))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -226,7 +226,16 @@ def _verify_jaccard(postings: DataFrame, cand: DataFrame) -> DataFrame:
     the smaller ``n``, the containment_pairs r16 trick — was measured
     ~10 % SLOWER here: the symmetric length filter already bounds
     na/nb within a factor of the threshold, so the row gain is small
-    while the computed join key costs a projection on every row.)"""
+    while the computed join key costs a projection on every row.)
+
+    The candidate relation is deliberately NOT spread to cluster
+    width here (catalog.spread_keys): the verify joins broadcast the
+    postings at fixture scale, and each probe task pays a fixed
+    ~0.5-1 s CPU deserializing the two broadcast hash relations —
+    measured r17: widening this chain 3 -> 32 tasks inflated stage CPU
+    3.5 s -> 33.6 s for identical row counts.  Parallelism here comes
+    from the join partitioning itself once the postings are too big
+    to broadcast (the bucketed staging layout)."""
     co = (
         postings.alias("pa")
         .join(cand, F.col("pa.id") == F.col("id_a"))
@@ -787,6 +796,10 @@ def containment_pairs(docs: DataFrame, threshold: float,
     )
     co = (
         postings.alias("pa")
+        # NOT spread_keys-widened: each task of a broadcast-probe
+        # stage pays a fixed CPU cost deserializing the broadcast
+        # relations, so widening this chain was measured 10x MORE
+        # stage CPU (see _verify_jaccard's note, r17)
         .join(und, F.col("pa.id") == F.col("__small"))
         .join(
             postings.alias("pb"),

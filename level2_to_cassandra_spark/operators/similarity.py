@@ -460,6 +460,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
             .select("table", "bucket", F.col(id_col).alias("__id"))
             .persist()
         )
+    from level2_to_cassandra_spark.catalog import spread_keys
+
     pairs = (
         b.select("table", "bucket", F.col("__id").alias("id_a"))
         .join(b.select("table", "bucket", F.col("__id").alias("id_b")),
@@ -468,6 +470,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
         .select("id_a", "id_b")
         .distinct()  # union across tables — narrow rows only
     )
+    # Spread the deduplicated pairs to cluster width BEFORE the vector
+    # re-attach: the distinct's output is a few MB, so AQE coalesced
+    # it to ONE partition and the entire re-rank — both broadcast
+    # joins plus the 64-element interpreted cosine fold per pair —
+    # was measured running as a single task (1.6-1.9 s of
+    # q_llm_dedup_embed's 2.4 s, r17; see catalog.spread_keys).
+    pairs = spread_keys(pairs, "id_a", "id_b")
     v = as_double(F.col(vec_col))
     vecs = df.select(
         F.col(id_col).alias("__id"),

@@ -2298,6 +2298,10 @@ def q_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.round(F.col("j"), 6) < _SKETCH_T)
     )
+    # NOT spread_keys-widened (r17): the signature-attach joins
+    # broadcast the 17-column sig relation, and widening the tail
+    # multiplies the fixed per-task broadcast-deserialization CPU —
+    # measured a small net LOSS (interleaved A/B min 1.94 vs 1.89 s).
     pairs = cand.unionByName(samp_j)
     sa = sig.select(F.col("id").alias("id_a"),
                     *[F.col(f"h{i}").alias(f"__a{i}")

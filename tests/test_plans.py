@@ -1457,3 +1457,18 @@ def test_dedup_url_one_window_one_pruned_scan(spark):
     assert "Generate" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_lsh_rerank_spread_to_cluster_width(spark):
+    """r17: the LSH candidate re-rank (q_llm_dedup_embed shape) must
+    carry the explicit cluster-width repartition between the pair
+    distinct and the vector re-attach joins.  The distinct's exchange
+    is a few MB, so AQE's byte-based coalescing ran the ENTIRE re-rank
+    (both broadcast joins + the 64-element cosine fold per pair) as
+    ONE task — measured 1.6-1.9 s of the query's 2.4 s; the spread is
+    keyed xxhash64(id_a, id_b) because a same-keyed repartition is
+    provably redundant with the distinct's own exchange and the
+    planner deletes it (measured, r17)."""
+    plan = plan_of(all_queries()["q_llm_dedup_embed"].fn(spark, SF))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "xxhash64(id_a" in plan, plan
