@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from level2_to_cassandra_spark.catalog import spread_scan
+
+#: r17 A/B escape hatch for measurement scripts (tools/) — never set
+#: false in engine code.  When the pair operators are handed the
+#: PRE-BUILT ranked prefix index (a bucketed-on-shingle staging
+#: table, queries/llm.py::_shingle_index_relation), the candidate
+#: self-join is hinted SHUFFLE_HASH: both branches then read
+#: co-partitioned buckets — no exchange, no sort, per-task hash
+#: builds over one bucket — where the planner's size estimate would
+#: otherwise pick a broadcast whose hash relation every probe task
+#: pays a fixed CPU cost to deserialize (measured r17, see
+#: _verify_jaccard), or a sort-merge join that re-exchanges and
+#: re-sorts both branches.  The hint is applied ONLY on the staged
+#: path: an inline (unbucketed) build keeps the planner's choice.
+_CAND_SHUFFLE_HASH = True
 from level2_to_cassandra_spark.operators.text import (
     tokens,
     word_shingles_of,
@@ -458,9 +472,12 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
             * (F.col("a.n") + F.col("b.n"))
             - F.lit(1e-9)
         )
+        b_side = index.alias("b")
+        if ranked is not None and _CAND_SHUFFLE_HASH:
+            b_side = b_side.hint("shuffle_hash")  # see flag docstring
         cand = (
             index.alias("a")
-            .join(index.alias("b"), "shingle")
+            .join(b_side, "shingle")
             .where(
                 (F.col("a.id") < F.col("b.id"))
                 & (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
@@ -727,8 +744,13 @@ def containment_pairs(docs: DataFrame, threshold: float,
     full = index.select("id", "shingle", "pos", "n")
     # required overlap, from the INNER side's size only
     alpha = F.ceil(F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+    a_side = prefix.alias("a")
+    if ranked is not None and _CAND_SHUFFLE_HASH:
+        # build side = the PREFIX (the smaller branch); see the flag
+        # docstring — both branches read co-partitioned buckets.
+        a_side = a_side.hint("shuffle_hash")
     raw = (
-        prefix.alias("a")
+        a_side
         .join(full.alias("b"), "shingle")
         .where(
             (F.col("a.id") != F.col("b.id"))

@@ -3033,13 +3033,44 @@ _TF_TABLE: dict[tuple[str, str], str] = {}
 _SHINGLE_TABLE: dict[tuple[str, str], str] = {}
 
 
+#: r17 A/B escape hatch for measurement scripts (tools/) — never set
+#: false in engine code.  True = the bucketed layout below.
+_STAGING_BUCKETED = True
+
+#: Bucketed-layout memos (path, table-name) — separate from the
+#: legacy parquet-path memos so an A/B can hold both per session.
+_SHINGLE_TABLE_B: dict[tuple[str, str], tuple[str, str]] = {}
+_SHINGLE_INDEX_TABLE_B: dict[tuple[str, str], tuple[str, str]] = {}
+
+
 def _shingle_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus 3-gram shingle postings staging table, built once
     per (session, sf_dir) — consumers pass it to the minhash.py pair
     operators as their ``postings`` input, which read it through 3+
     plan branches (prefix/signature index + both verification sides);
-    a parquet scan replays per branch for the cost of the read."""
-    from level2_to_cassandra_spark.catalog import materialize_once
+    a scan replays per branch for the cost of the read.
+
+    r17: written as a BUCKETED table, doc-bucketed (``id``) and
+    sorted (id, shingle) — the layout that makes the verification
+    joins (keyed id, then (id, shingle)) co-partitioned with the
+    postings once the corpus outgrows the broadcast threshold, with
+    no exchange and no sort on the postings side (VERDICT r16 task 3;
+    plans/r17/verify_at_scale_*.txt dumps the no-broadcast plan), and
+    that gives every postings scan bucket-count parallelism instead
+    of the 2-4 packed splits of a small parquet dir."""
+    from level2_to_cassandra_spark.catalog import (
+        materialize_once,
+        materialize_once_bucketed,
+    )
+
+    if _STAGING_BUCKETED:
+        return materialize_once_bucketed(
+            _SHINGLE_TABLE_B, spark, sf_dir, "l2c_sh3b_",
+            lambda: minhash.shingle_postings(
+                load_table(spark, sf_dir, "documents")
+            ),
+            bucket_col="id", sort_cols=("id", "shingle"),
+        )
 
     def _build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
@@ -3064,8 +3095,27 @@ def _shingle_index_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings staging table — consumers pass it to the pair operators
     as their ``ranked`` input, removing the window stack AND the
     per-call persist from every serve plan (both candidate-join
-    branches replay a parquet scan instead)."""
-    from level2_to_cassandra_spark.catalog import materialize_once
+    branches replay a scan instead).
+
+    r17: written as a BUCKETED table on ``shingle`` (sorted by it) —
+    the PPJoin candidate generation is a self-join on the shingle, so
+    both branches of that join read pre-partitioned, pre-sorted
+    buckets: no exchange, no sort, scan parallelism = bucket count
+    (the fuzzy-family candidate join previously paid 2 Exchange +
+    2 Sort on shingle strings per query)."""
+    from level2_to_cassandra_spark.catalog import (
+        materialize_once,
+        materialize_once_bucketed,
+    )
+
+    if _STAGING_BUCKETED:
+        return materialize_once_bucketed(
+            _SHINGLE_INDEX_TABLE_B, spark, sf_dir, "l2c_sh3ib_",
+            lambda: minhash.ranked_postings(
+                _shingle_relation(spark, sf_dir)
+            ),
+            bucket_col="shingle", sort_cols=("shingle",),
+        )
 
     def _build(path: str) -> None:
         posts = _shingle_relation(spark, sf_dir)

@@ -60,6 +60,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for every pandas UDF / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r17: let joins accept co-partitioning on a SUBSET of the join
+    # keys — a postings table bucketed by doc id then satisfies the
+    # (id, shingle)-keyed verification join with no exchange and no
+    # sort on the postings side (the doc-bucketed staging layout;
+    # default true would re-shuffle both sides on the full key pair).
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # 128 MB input splits — good balance for wide parquet scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Session timezone pinned to UTC: the reference's day-rollover logic

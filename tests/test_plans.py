@@ -844,13 +844,13 @@ def test_fuzzy_family_serves_from_staged_ranked_index(spark):
     generation reads the materialized ranked prefix index — no df/pos/n
     window stack and no persist in the serve plans."""
     from level2_to_cassandra_spark.queries.llm import (
-        _SHINGLE_INDEX_TABLE,
+        _SHINGLE_INDEX_TABLE_B,
         _shingle_index_relation,
     )
 
     _shingle_index_relation(spark, SF)
     app = spark.sparkContext.applicationId
-    assert (app, SF) in _SHINGLE_INDEX_TABLE
+    assert (app, SF) in _SHINGLE_INDEX_TABLE_B  # r17: bucketed memo
     for name in ("q_llm_dedup_fuzzy", "q_dedup_incremental_fuzzy"):
         plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
         assert "Window" not in plan, name
@@ -1472,3 +1472,75 @@ def test_lsh_rerank_spread_to_cluster_width(spark):
     plan = plan_of(all_queries()["q_llm_dedup_embed"].fn(spark, SF))
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "xxhash64(id_a" in plan, plan
+
+
+def test_bucketed_staging_candidate_join_no_exchange(spark):
+    """r17 doc-bucketed staging layout: the PPJoin candidate
+    generation is a self-join of the shingle-bucketed ranked index,
+    hinted SHUFFLE_HASH — both branches must read co-partitioned
+    buckets with NO exchange between scan and join (the pre-r17 plan
+    paid 2 Exchange + 2 Sort on shingle strings, or a broadcast whose
+    hash relation every probe task re-deserialized)."""
+    from level2_to_cassandra_spark.operators import minhash
+    from level2_to_cassandra_spark.queries.llm import (
+        _shingle_index_relation,
+        _shingle_relation,
+    )
+
+    cand = minhash.exact_jaccard_pairs(
+        None, threshold=0.79, candidates_only=True,
+        postings=_shingle_relation(spark, SF),
+        ranked=_shingle_index_relation(spark, SF),
+    )
+    plan = plan_of(cand)
+    assert "ShuffledHashJoin" in plan
+    assert "l2c_sh3ib_" in plan  # reads the bucketed index table
+    # the only exchanges allowed anywhere in the candidate plan are
+    # the corpus-cap n_docs count (SinglePartition + its partial) and
+    # the final distinct — never a shingle-keyed join-input exchange
+    assert "hashpartitioning(shingle" not in plan, (
+        "candidate join input carries a shingle exchange:\n" + plan)
+
+
+def test_bucketed_staging_verify_copartitioned_at_scale(spark):
+    """r17 (VERDICT r16 task 3 'done' criterion): once the corpus
+    outgrows the broadcast threshold, the verification joins must be
+    co-partitioned with the doc-bucketed postings — NO Exchange on
+    the postings side of either verify join (the candidate/expansion
+    side keeps its one required exchange).  Simulated by disabling
+    auto-broadcast for the plan build."""
+    from level2_to_cassandra_spark.queries.llm import _shingle_relation
+
+    _shingle_relation(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            all_queries()["q_text_containment"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # walk the plan tree upward from every doc-bucketed postings scan
+    # to its nearest ancestor Join: no Exchange may sit between them
+    # (a local Sort is allowed — Spark only trusts written bucket
+    # sort order in narrow conditions; the shuffle is what co-
+    # partitioning removes)
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    lines = tree.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if "l2c_sh3b_" not in line:
+            continue
+        found += 1
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for j in range(i - 1, -1, -1):
+            up = lines[j]
+            updepth = len(up) - len(up.lstrip(" :+-"))
+            if updepth >= depth:
+                continue
+            if "Join" in up:
+                break
+            assert "Exchange" not in up, (
+                "postings-side Exchange above the bucketed scan:\n"
+                + tree)
+            depth = updepth
+    assert found >= 2  # both verify joins read the bucketed postings
