@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from level2_to_cassandra_spark.catalog import load_table
+from level2_to_cassandra_spark.catalog import load_table, spread_scan
 from level2_to_cassandra_spark.functions import (
     round_half_up,
     round_half_up_sql,
@@ -2584,6 +2584,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counts are map-side array-size math (no
     explode), one map-side-combined aggregate shuffles #langs rows —
     a single narrow corpus scan."""
+    # NOT spread_scan-spread (r17): token_count is one split-size per
+    # row — measured +64 % with the spread (shuffle-bound, not fold-
+    # bound).
     docs = load_table(spark, sf_dir, "documents")
     agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2654,7 +2657,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the scan); the alpha-word filter is one array HOF
     per row, bounded by document length.  At 100 TB this is the
     cheapest query shape there is: scan → project."""
-    return gopher_stats(load_table(spark, sf_dir, "documents"))
+    return gopher_stats(spread_scan(load_table(spark, sf_dir, "documents")))
 
 
 #: gopher_stats' computed metric columns, in output order — the SINGLE
@@ -2802,6 +2805,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (87 split() instances in the q_langid_confusion plan →
     1 after staging; the projections stay scan-fused map-side work,
     so the scale shape is unchanged)."""
+    # NOT spread_scan-spread (r17): the staged transform here is one
+    # array_distinct(split) + map-side agg — measured +25 % with the
+    # spread (the round-robin text shuffle costs more than the fold).
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", "lang",
@@ -2945,7 +2951,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shuffle the semantics require (hash window on sha2-256 of
     the content — fixed-width key).  One pass over the corpus total:
     at 100 TB this runs at scan speed plus one exchange."""
-    return curate_flags(load_table(spark, sf_dir, "documents"))
+    return curate_flags(spread_scan(load_table(spark, sf_dir, "documents")))
 
 
 def curate_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:

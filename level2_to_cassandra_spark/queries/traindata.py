@@ -1431,7 +1431,9 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stateless and shuffle-free also means STREAM-COMPATIBLE: the same
     transform scores a readStream of documents unchanged
     (tests/test_streaming.py asserts stream/batch parity)."""
-    return classifier_transform(load_table(spark, sf_dir, "documents"))
+    return classifier_transform(
+        spread_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def classifier_transform(docs: DataFrame) -> DataFrame:
@@ -2687,7 +2689,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only row-scale exchange; the ECE window runs over the 10-row
     bin relation (bounded by _CALIB_BINS no matter the corpus size, so
     the unpartitioned window is free)."""
-    lab = _calib_lab(load_table(spark, sf_dir, "documents"))
+    lab = _calib_lab(spread_scan(load_table(spark, sf_dir, "documents")))
     bins = lab.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         round_half_up(F.avg("score"), 4).alias("mean_score"),
@@ -2771,7 +2773,7 @@ def q_classifier_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so the sweep itself costs nothing and total_pos is a MAX
     over the 10 sweep rows (suffix sums are non-increasing, so the
     t=0 row IS the total — no second corpus pass)."""
-    lab = _calib_lab(load_table(spark, sf_dir, "documents"))
+    lab = _calib_lab(spread_scan(load_table(spark, sf_dir, "documents")))
     bins = lab.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("label").cast("long").alias("pos"),
@@ -2922,7 +2924,7 @@ def q_quality_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the cheapest possible ensemble: each doc votes inside its scan
     task.  A NULL-text doc fails all three gates (votes 0) on both
     engines — NULL metrics propagate to otherwise(0)/ELSE 0."""
-    return quality_votes(load_table(spark, sf_dir, "documents"))
+    return quality_votes(spread_scan(load_table(spark, sf_dir, "documents")))
 
 
 #: quality_votes' computed column names — ONE module-level tuple so
@@ -3088,7 +3090,9 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a one-pass streaming-friendly statistic — the same
     cells could ride any of the admit gates' journals."""
     g, c, r = _AGREE_RATERS
-    cells = quality_votes(load_table(spark, sf_dir, "documents")).agg(
+    cells = quality_votes(
+        spread_scan(load_table(spark, sf_dir, "documents"))
+    ).agg(
         *[
             F.sum(
                 (F.col(a) if va else 1 - F.col(a))
@@ -3198,8 +3202,10 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold a second time per row.  The text-side predicate is the same
     # row set and reaches the parquet scan as a pushed filter.
     lab = _calib_lab(
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull()),
+        spread_scan(
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+        ),
         keep=("lang",),
     )
     grid = (
@@ -3295,7 +3301,7 @@ def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    lab = _calib_lab(docs, keep=("doc_id", "text"))
+    lab = _calib_lab(spread_scan(docs), keep=("doc_id", "text"))
     j = lab.select(
         "doc_id",
         F.size(text.tokens("text")).cast("long").alias("n"),

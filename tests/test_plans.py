@@ -1062,7 +1062,11 @@ def test_quality_gopher_map_side_only(spark):
     only the two consumed columns may leave the scan."""
     plan = plan_of(all_queries()["q_quality_gopher"].fn(spark, SF),
                    "simple")
-    assert "Exchange" not in plan
+    # r17: the single allowed exchange is the round-robin scan spread
+    # (catalog.spread_scan — a one-split fixture scan otherwise runs
+    # the whole rule battery in ONE task); still no keyed shuffle.
+    assert plan.count("Exchange") <= 1
+    assert "Exchange hashpartitioning" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
 
@@ -1328,7 +1332,11 @@ def test_quality_vote_pure_scan_project(spark):
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
     assert "Window" not in plan
-    assert "Exchange" not in plan, plan
+    # r17: exactly the round-robin scan spread (catalog.spread_scan;
+    # the one-split fixture scan ran the whole 3-gate fold chain in
+    # ONE task — measured 1.24 -> 0.67 s); never a keyed shuffle.
+    assert plan.count("Exchange") <= 1, plan
+    assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
@@ -1393,7 +1401,11 @@ def test_label_agreement_one_scan_one_cell_row(spark):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     assert "Window" not in plan
-    assert plan.count("Exchange") == 1
+    # r17: + the round-robin scan spread below the partial aggregate
+    # (see test_quality_vote_pure_scan_project) — still nothing
+    # row-scale past the partials and no keyed shuffle.
+    assert plan.count("Exchange") <= 2
+    assert "Exchange hashpartitioning" not in plan
     assert "SinglePartition" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert read_schema.strip().startswith("struct<text:string>")
