@@ -38,6 +38,20 @@ from level2_to_cassandra_spark.catalog import spread_scan
 #: re-sorts both branches.  The hint is applied ONLY on the staged
 #: path: an inline (unbucketed) build keeps the planner's choice.
 _CAND_SHUFFLE_HASH = True
+
+#: Companion experiment flag for the VERIFY joins (measurement
+#: scripts only): hint the postings sides of the verification joins
+#: SHUFFLE_HASH so the doc-bucketed postings serve as per-task build
+#: sides (no broadcast, no per-task relation deserialization) and the
+#: candidate/expansion stream is exchanged to the bucket width.
+#: MEASURED AND REJECTED at fixture scale (r17, the 7th verify
+#: alternative): interleaved A/B read containment +37 %, fuzzy +31 %,
+#: minhash +40 %, sketch tie — shuffling the expansion rows costs
+#: more than the few-task broadcast probes while the postings still
+#: fit a broadcast.  Once they don't, the planner reaches the same
+#: co-partitioned shape off the bucketed layout WITHOUT the hint
+#: (plans/r17/*_at_scale_nobroadcast.txt), so the flag stays False.
+_VERIFY_SHUFFLE_HASH = False
 from level2_to_cassandra_spark.operators.text import (
     tokens,
     word_shingles_of,
@@ -250,11 +264,14 @@ def _verify_jaccard(postings: DataFrame, cand: DataFrame) -> DataFrame:
     3.5 s -> 33.6 s for identical row counts.  Parallelism here comes
     from the join partitioning itself once the postings are too big
     to broadcast (the bucketed staging layout)."""
+    pa, pb = postings.alias("pa"), postings.alias("pb")
+    if _VERIFY_SHUFFLE_HASH:  # measurement scripts only
+        pa, pb = pa.hint("shuffle_hash"), pb.hint("shuffle_hash")
     co = (
-        postings.alias("pa")
+        pa
         .join(cand, F.col("pa.id") == F.col("id_a"))
         .join(
-            postings.alias("pb"),
+            pb,
             (F.col("pb.id") == F.col("id_b"))
             & (F.col("pa.shingle") == F.col("pb.shingle")),
         )
@@ -816,15 +833,18 @@ def containment_pairs(docs: DataFrame, threshold: float,
             .otherwise(F.col("lo")).alias("__big"),
         )
     )
+    pa, pb = postings.alias("pa"), postings.alias("pb")
+    if _VERIFY_SHUFFLE_HASH:  # measurement scripts only
+        pa, pb = pa.hint("shuffle_hash"), pb.hint("shuffle_hash")
     co = (
-        postings.alias("pa")
+        pa
         # NOT spread_keys-widened: each task of a broadcast-probe
         # stage pays a fixed CPU cost deserializing the broadcast
         # relations, so widening this chain was measured 10x MORE
         # stage CPU (see _verify_jaccard's note, r17)
         .join(und, F.col("pa.id") == F.col("__small"))
         .join(
-            postings.alias("pb"),
+            pb,
             (F.col("pb.id") == F.col("__big"))
             & (F.col("pa.shingle") == F.col("pb.shingle")),
         )
