@@ -59,90 +59,58 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER = (
     # ==================== in-cap (first 50) ============================
-    # r16 ROTATION (VERDICT r15 task #1): CORRECTNESS_r15 confirmed the
-    # whole r15 cap (50/50), so the cap rebuilds from the policy: (a)
-    # the NEW r16 first-row names (added as the round lands them), (b)
-    # the nine r15 first-row names (1 lifetime green each; hold until
-    # >=2), (c) queries whose IMPLEMENTATION or ORACLE changes in r16 —
-    # q_llm_dedup_minhash (now serves from the materialized signature
-    # staging table, VERDICT r15 task #2; q_sketch_error and
-    # q_dedup_lines also change but already hold slots under (b)), (d)
-    # the 12 r11-stale names (r15's documented rotation head), (e) the
-    # alphabetical head of the 40 r12-stale names — 18 fit after the
-    # nine r16 new-query slots and the second category-(c) name landed.
-    # 9 + 9 + 2 + 12 + 18 = 50; the TWENTY-TWO r12 names that did not
-    # fit head the past-cap tail as r17's rotation head (review r16,
-    # first pass: an earlier revision of this comment kept the stale
-    # "28 fit / twelve did not" arithmetic — the displaced names are
-    # part of the r17 frontier, not skippable).
-    # -- NEW in r16 (first driver rows) ------------------------------
-    "q_pack_efficiency",
-    "q_quality_vote",
-    "q_select_budget",
-    "q_frontier_interleave",
-    "q_mix_interleave",
-    "q_label_agreement",
-    "q_eval_auc",
+    # r17 ROTATION (VERDICT r16 task #7): CORRECTNESS_r16 confirmed the
+    # whole r16 cap (50/50), so the cap rebuilds from the policy:
+    # (a) no brand-new queries this optimization round; (b) the 22
+    # queries whose IMPLEMENTATION changed in r17 re-hash against the
+    # driver — the LSH re-rank spread (q_llm_dedup_embed family), the
+    # bucketed shingle staging layout + shuffled-hash candidate join
+    # (the PPJoin/lexical family), and the spread_scan additions to
+    # the scan->project text/quality family; (c) the four r16
+    # first-row names not already in (b) hold their slots until they
+    # reach >=2 lifetime rows; (d) the remaining 24 slots go to the
+    # longest-unconfirmed names — all 21 remaining r12-stale (the r16
+    # comment's queued rotation head) plus the alphabetical head of
+    # the r13-stale cohort.  22 + 4 + 21 + 3 = 50; the tail is ordered
+    # stalest-first, so the r13 remainder heads r18's rotation.
+    # -- implementation changed in r17 (re-hash vs the driver) --------
+    "q_llm_dedup_embed",
+    "q_sim_ann_lsh",
+    "q_dedup_multimodal",
+    "q_dedup_incremental_multimodal",
+    "q_llm_dedup_fuzzy",
+    "q_llm_dedup_minhash",
+    "q_text_containment",
+    "q_sketch_error",
+    "q_dedup_incremental_fuzzy",
     "q_dedup_cross_source",
-    "q_shard_balance",
-    # -- r15 first rows (1 lifetime row each; hold until >=2) --------
-    "q_dedup_lines",
-    "q_rollup_quantile",
+    "q_contamination",
+    "q_text_boilerplate",
+    "q_text_novelty",
+    "q_quality_vote",
+    "q_label_agreement",
+    "q_quality_gopher",
+    "q_curate_corpus",
+    "q_classifier_score",
     "q_classifier_calibration",
     "q_classifier_threshold",
-    "q_ann_mrr",
-    "q_quality_ppl_bucket",
-    "q_langid_confusion",
-    "q_sketch_error",
-    "q_dedup_url",
-    # -- implementation/oracle changed in r16 (re-hash vs the driver) -
-    "q_llm_dedup_minhash",
-    "q_text_repetition",
-    # -- last driver-green r11 (the r15 rotation's deferred head) -----
-    "q_text_rolling_hash",
-    "q_text_span_dedup",
-    "q_text_tfidf",
-    "q_time_bucket_agg",
-    "q_token_histogram",
-    "q_twap",
-    "q_unpivot",
-    "q_window_ntile",
-    "q_window_running_distinct",
-    "q_winsorize",
-    "q_xml_scan",
-    "q_zorder",
-    # -- last driver-green r12 (18 of 40; alphabetical head) ----------
-    "q_agg_approx",
-    "q_agg_approx_percentile",
-    "q_agg_basic",
-    "q_agg_bitmap_distinct",
-    "q_agg_cube",
-    "q_agg_hll_sketch",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_csv_scan",
-    "q_curate_corpus",
-    "q_dedup_cluster",
-    "q_dedup_incremental_multimodal",
-    "q_dedup_multimodal",
-    "q_domain_cap",
-    "q_filter_predicates",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_cross",
-    # ======================= past the cap ==============================
-    # -- r12-stale, displaced by the r16 new-query slots above ---------
+    "q_eval_auc",
+    "q_select_budget",
+    # -- r16 first rows (1 lifetime row each; hold until >=2) ---------
+    "q_pack_efficiency",
+    "q_frontier_interleave",
+    "q_mix_interleave",
+    "q_shard_balance",
+    # -- last driver-green r12 (the queued rotation head, complete) ----
     "q_join_full",
     "q_join_inner",
     "q_join_multiway",
     "q_join_right",
     "q_json_scan",
-    "q_llm_dedup_embed",
     "q_llm_dedup_exact",
     "q_max_concurrency",
     "q_pack_sequences",
     "q_scalar_array",
-    # -- the 12 r12-stale names that did not fit (r17's rotation head) -
     "q_scalar_map",
     "q_set_ops_all",
     "q_sim_ann_ivfpq",
@@ -155,17 +123,19 @@ DRIVER_ORDER = (
     "q_udf_pandas_cosine",
     "q_udtf_tokenize",
     "q_window_cumulative",
-    # -- last driver-green r13 ----------------------------------------
+    # -- last driver-green r13 (alphabetical head) ---------------------
     "q_agg_conditional",
     "q_agg_distinct",
     "q_agg_percentile",
+    # ======================= past the cap ==============================
+    # -- ordered stalest-first (last driver-green round ascending): the
+    #    r13 remainder heads the r18 rotation frontier ------------------
+    # -- last driver-green r13 ----------------------------------------
     "q_agg_rollup",
     "q_agg_salted",
     "q_agg_string",
     "q_agg_vector_mean",
     "q_chunk_docs",
-    "q_classifier_score",
-    "q_contamination",
     "q_corpus_pipeline",
     "q_dedup_incremental",
     "q_dedup_keep",
@@ -187,7 +157,6 @@ DRIVER_ORDER = (
     "q_scalar_math",
     "q_scalar_string",
     "q_set_ops",
-    "q_text_boilerplate",
     "q_text_zipf",
     "q_window_lag",
     "q_window_rank",
@@ -195,14 +164,12 @@ DRIVER_ORDER = (
     # -- last driver-green r14 ----------------------------------------
     "q_ann_ndcg",
     "q_ann_recall",
-    "q_dedup_incremental_fuzzy",
     "q_drift_ks",
     "q_event_transitions",
     "q_funnel",
     "q_graph_lpa",
     "q_hist_equiheight",
     "q_length_buckets",
-    "q_llm_dedup_fuzzy",
     "q_llm_dedup_simhash",
     "q_mix_temperature",
     "q_multimodal_features",
@@ -215,13 +182,11 @@ DRIVER_ORDER = (
     "q_semdedup",
     "q_shuffle_epoch",
     "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
     "q_sim_ann_pq",
     "q_sort_limit",
     "q_sql_grouping_sets",
     "q_sql_star_revenue",
     "q_text_bigram_lm",
-    "q_text_containment",
     "q_text_entropy",
     "q_text_fingerprint",
     "q_text_langid",
@@ -235,7 +200,7 @@ DRIVER_ORDER = (
     "q_window_ewma",
     "q_window_moving_avg",
     "q_window_range_frame",
-    # -- last driver-green r15 (freshest confirmations, rotate last) --
+    # -- last driver-green r15 ----------------------------------------
     "q_agg_argmax",
     "q_agg_decayed",
     "q_agg_mode",
@@ -261,7 +226,6 @@ DRIVER_ORDER = (
     "q_outlier_iqr",
     "q_pagerank",
     "q_quality_checks",
-    "q_quality_gopher",
     "q_resample_interp",
     "q_robust_scale",
     "q_rollup_cascade",
@@ -275,7 +239,41 @@ DRIVER_ORDER = (
     "q_skew_profile",
     "q_snapshot_diff",
     "q_text_editdist",
-    "q_text_novelty",
+    # -- last driver-green r16 ----------------------------------------
+    "q_dedup_lines",
+    "q_rollup_quantile",
+    "q_ann_mrr",
+    "q_quality_ppl_bucket",
+    "q_langid_confusion",
+    "q_dedup_url",
+    "q_text_repetition",
+    "q_text_rolling_hash",
+    "q_text_span_dedup",
+    "q_text_tfidf",
+    "q_time_bucket_agg",
+    "q_token_histogram",
+    "q_twap",
+    "q_unpivot",
+    "q_window_ntile",
+    "q_window_running_distinct",
+    "q_winsorize",
+    "q_xml_scan",
+    "q_zorder",
+    "q_agg_approx",
+    "q_agg_approx_percentile",
+    "q_agg_basic",
+    "q_agg_bitmap_distinct",
+    "q_agg_cube",
+    "q_agg_hll_sketch",
+    "q_agg_pivot",
+    "q_agg_stats",
+    "q_csv_scan",
+    "q_dedup_cluster",
+    "q_domain_cap",
+    "q_filter_predicates",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_cross",
 )
 
 
