@@ -266,7 +266,16 @@ def test_classifier_score_bounds_and_plan(spark):
     for r in rows:
         assert -1.0 <= r.score <= 1.0
         assert 0.0 < r.p_keep < 1.0
-    assert "Exchange" not in plan_of(df, "simple")
+    # r17: inference stays map-only — the single allowed exchange is
+    # the round-robin scan spread (catalog.spread_scan; a one-split
+    # fixture scan otherwise runs the whole scoring fold in ONE task,
+    # measured 0.72 -> 0.29 s), never a keyed shuffle.
+    # (post-collect the AQE plan text repeats the Final and Initial
+    # plans, so the one exchange appears up to twice)
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange roundrobin") <= 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_tokenize_ids_roundtrip(spark):
